@@ -1,13 +1,392 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Events, Relational, TextOps, VectorOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is an operator from SURVEY.md §2 (or a
+  * training-data-pipeline extension) re-expressed Spark-first; `oracleSql`
+  * carries the DuckDB-equivalent ANSI SQL the driver uses as the
+  * correctness oracle at sf0.01. Column names and integer widths are
+  * aligned between both sides (BIGINT for counts/sizes, DOUBLE for ratios,
+  * epoch-micros longs for timestamps).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q3JoinAgg(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary"   -> (Relational.q1PricingSummary _),
+    "q2_filter_project"    -> (Relational.q2FilterProject _),
+    "q3_join_agg"          -> (Relational.q3JoinAgg _),
+    "q4_left_join_sentinel" -> (Relational.q4LeftJoinSentinel _),
+    "q5_anti_join"         -> (Relational.q5AntiJoin _),
+    "q6_semi_join"         -> (Relational.q6SemiJoin _),
+    "q7_topk_groups"       -> (Events.q7TopkGroups _),
+    "q8_latest_per_key"    -> (Events.q8LatestPerKey _),
+    "q9_ordered_series"    -> (Events.q9OrderedSeries _),
+    "q10_topn_per_key"     -> (Events.q10TopnPerKey _),
+    "q11_quality_rowcounts" -> (Relational.q11QualityRowcounts _),
+    "q12_quality_nulls"    -> (Relational.q12QualityNulls _),
+    "q13_scalar_chain"     -> (Relational.q13ScalarChain _),
+    "q14_time_features"    -> (Events.q14TimeFeatures _),
+    "q15_json_extract"     -> (Events.q15JsonExtract _),
+    "q16_set_ops"          -> (Relational.q16SetOps _),
+    "q17_case_sentinel"    -> (Relational.q17CaseSentinel _),
+    "q18_hourly_rollup"    -> (Events.q18HourlyRollup _),
+    "q19_sessionize"       -> (Events.q19Sessionize _),
+    "qd1_dedup_exact"      -> (TextOps.qd1DedupExact _),
+    "qd2_token_count"      -> (TextOps.qd2TokenCount _),
+    "qd3_quality_score"    -> (TextOps.qd3QualityScore _),
+    "qd4_lang_id"          -> (TextOps.qd4LangId _),
+    "qd5_fingerprint"      -> (TextOps.qd5Fingerprint _),
+    "qd6_ngram_jaccard"    -> (TextOps.qd6NgramJaccard _),
+    "qd7_keyword_search"   -> (TextOps.qd7KeywordSearch _),
+    "qe1_knn_brute_force"  -> (VectorOps.qe1KnnBruteForce _),
+    "qe2_neardup_pairs"    -> (VectorOps.qe2NearDupPairs _),
+    "qe3_label_stats"      -> (VectorOps.qe3LabelStats _),
+  )
+
+  /** DuckDB-runnable oracle SQL, one per `queries` key. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_extendedprice * l_discount, 4) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q3_join_agg" ->
+      """SELECT n_name,
+        | count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q4_left_join_sentinel" ->
+      """SELECT c_custkey, c_name,
+        | coalesce(order_cnt, 0) AS order_cnt,
+        | coalesce(total_spent, -1.0) AS total_spent
+        |FROM customer
+        |LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS order_cnt,
+        |    round(sum(o_totalprice), 2) AS total_spent
+        |  FROM orders GROUP BY o_custkey
+        |) ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q5_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q6_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q7_topk_groups" ->
+      """SELECT user_id, count(*) AS doc_count,
+        | round(avg(value), 4) AS val_avg,
+        | round(sum(value), 2) AS val_sum
+        |FROM events
+        |WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY user_id
+        |ORDER BY doc_count DESC, user_id
+        |LIMIT 10""".stripMargin,
+
+    "q8_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY ts::TIMESTAMP DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q9_ordered_series" ->
+      """SELECT user_id, count(*) AS doc_count,
+        | string_agg(event_type, ',' ORDER BY ts::TIMESTAMP, event_id) AS type_series,
+        | string_agg(event_id::VARCHAR, ',' ORDER BY ts::TIMESTAMP, event_id) AS id_series
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q10_topn_per_key" ->
+      """SELECT user_id, rn, event_id, event_type
+        |FROM (
+        |  SELECT user_id, event_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY ts::TIMESTAMP DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn <= 3
+        |ORDER BY user_id, rn""".stripMargin,
+
+    "q11_quality_rowcounts" ->
+      Tables.all.map(t =>
+        s"SELECT '$t' AS tbl, count(*) AS row_cnt, count(*) >= 1 AS pass FROM $t"
+      ).mkString("", " UNION ALL ", " ORDER BY tbl"),
+
+    "q12_quality_nulls" ->
+      """SELECT 'customer' AS tbl, count(*) AS n_rows,
+        | (count(*) - count(c_custkey)) + (count(*) - count(c_name))
+        | + (count(*) - count(c_nationkey)) + (count(*) - count(c_acctbal))
+        | + (count(*) - count(c_mktsegment)) AS n_nulls
+        |FROM customer
+        |UNION ALL
+        |SELECT 'orders', count(*),
+        | (count(*) - count(o_orderkey)) + (count(*) - count(o_custkey))
+        | + (count(*) - count(o_orderstatus)) + (count(*) - count(o_totalprice))
+        | + (count(*) - count(o_orderdate)) + (count(*) - count(o_orderpriority))
+        |FROM orders
+        |UNION ALL
+        |SELECT 'documents', count(*),
+        | (count(*) - count(doc_id)) + (count(*) - count(text))
+        | + (count(*) - count(lang)) + (count(*) - count(source))
+        | + (count(*) - count(n_chars))
+        |FROM documents
+        |ORDER BY tbl""".stripMargin,
+
+    "q13_scalar_chain" ->
+      """SELECT p_partkey,
+        | regexp_extract(p_name, '([a-z]+)$', 1) AS name_last_word,
+        | string_split(p_name, ' ')[1] AS name_first_word,
+        | upper(p_brand) AS brand_u,
+        | concat_ws('|', p_brand, p_type) AS brand_type_key,
+        | printf('#%02x%02x%02x', p_size, (p_size * 2) % 256, 255 - p_size) AS hex_color,
+        | lpad(p_partkey::VARCHAR, 8, '0') AS key_pad,
+        | round(p_retailprice * 1.1, 2) AS inflated_price
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q14_time_features" ->
+      """SELECT event_id,
+        | epoch_us(ts::TIMESTAMP) AS ts_us,
+        | year(ts::TIMESTAMP) AS y,
+        | month(ts::TIMESTAMP) AS m,
+        | day(ts::TIMESTAMP) AS d,
+        | hour(ts::TIMESTAMP) AS h,
+        | minute(ts::TIMESTAMP) AS mi,
+        | strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day_str,
+        | epoch_us(ts::TIMESTAMP + INTERVAL 1 DAY) AS ts_plus_day_us
+        |FROM events
+        |WHERE event_id < 500
+        |ORDER BY event_id""".stripMargin,
+
+    "q15_json_extract" ->
+      """SELECT event_id, (props->>'$.k')::INTEGER AS k
+        |FROM events
+        |WHERE (props->>'$.k')::INTEGER > 50
+        |ORDER BY event_id""".stripMargin,
+
+    "q16_set_ops" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+
+    "q17_case_sentinel" ->
+      """SELECT c_custkey,
+        | CASE WHEN c_acctbal < 0 THEN 'negative'
+        |      WHEN c_acctbal < 5000 THEN 'low'
+        |      ELSE 'high' END AS bal_band,
+        | CASE WHEN trim(c_mktsegment) = '' THEN NULL
+        |      ELSE c_mktsegment END AS seg_norm,
+        | round(greatest(c_acctbal, 0.0), 2) AS bal_floor,
+        | round(least(c_acctbal, 1000.0), 2) AS bal_cap
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q18_hourly_rollup" ->
+      """SELECT epoch_us(date_trunc('hour', ts::TIMESTAMP)) AS hour_us,
+        | event_type, count(*) AS n_events,
+        | round(sum(value), 2) AS value_sum
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_us, event_type""".stripMargin,
+
+    "q19_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+        |    lag(epoch_us(ts::TIMESTAMP)) OVER w AS prev_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+        |), s AS (
+        |  SELECT *,
+        |    (sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |        THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+        |  FROM t
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM s
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "qd1_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+        | count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY keep_doc_id""".stripMargin,
+
+    "qd2_token_count" ->
+      """SELECT doc_id,
+        | len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+        | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens,
+        | length(text) AS n_chars_actual
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "qd3_quality_score" ->
+      """SELECT doc_id,
+        | length(text) AS len,
+        | len(string_split_regex(trim(text), '\s+')) AS n_words,
+        | round(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))::DOUBLE
+        |   / length(text), 6) AS punct_ratio,
+        | round(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |     w -> w IN ('the','a','of','and','to','in','is','on')))::DOUBLE
+        |   / len(string_split_regex(trim(text), '\s+')), 6) AS stopword_ratio,
+        | round(length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+        |   / len(string_split_regex(trim(text), '\s+')), 6) AS mean_word_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "qd4_lang_id" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |   len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |     w -> w IN ('the','a','fast','slow','big','small'))) AS h_en,
+        |   len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |     w -> w IN ('order','data','part','value'))) AS h_es,
+        |   len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |     w -> w IN ('stream','batch','spark','hash'))) AS h_de,
+        |   len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |     w -> w IN ('table','column','row','line'))) AS h_fr,
+        |   len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |     w -> w IN ('query','join','merge','sort'))) AS h_zh
+        |  FROM documents
+        |)
+        |SELECT doc_id, labeled_lang, h_en, h_es, h_de, h_fr, h_zh,
+        | CASE WHEN h_en = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'en'
+        |      WHEN h_es = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'es'
+        |      WHEN h_de = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'de'
+        |      WHEN h_fr = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'fr'
+        |      ELSE 'zh' END AS predicted_lang
+        |FROM h
+        |ORDER BY doc_id""".stripMargin,
+
+    "qd5_fingerprint" ->
+      """SELECT doc_id,
+        | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "qd6_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.toks, b.toks))::DOUBLE
+        |    / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE AS jaccard
+        |FROM d a JOIN d b
+        |  ON a.lang = b.lang AND a.source = b.source
+        | AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 16
+        |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+        |    / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "qd7_keyword_search" ->
+      """SELECT doc_id, lang, count(*) AS n_hits
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents
+        |)
+        |WHERE token = 'spark'
+        |GROUP BY doc_id, lang
+        |ORDER BY doc_id""".stripMargin,
+
+    "qe1_knn_brute_force" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 5
+        |), s AS (
+        |  SELECT q_id, e.vec_id AS cand_id, e.label AS cand_label,
+        |    round(list_inner_product(q_vec, v)
+        |      / (sqrt(list_inner_product(q_vec, q_vec))
+        |         * sqrt(list_inner_product(v, v))), 6) AS sim
+        |  FROM q CROSS JOIN e WHERE q_id <> e.vec_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rank
+        |  FROM s
+        |)
+        |SELECT q_id, rank, cand_id, cand_label, sim FROM r
+        |WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "qe2_neardup_pairs" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+        |  round(list_inner_product(a.v, b.v)
+        |    / (sqrt(list_inner_product(a.v, a.v))
+        |       * sqrt(list_inner_product(b.v, b.v))), 6) AS sim
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_inner_product(a.v, b.v)
+        |    / (sqrt(list_inner_product(a.v, a.v))
+        |       * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "qe3_label_stats" ->
+      """WITH e AS (
+        |  SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+        |)
+        |SELECT label, count(*) AS n_vecs,
+        | round(avg(v[1]), 6) AS dim1_avg,
+        | round(avg(sqrt(list_inner_product(v, v))), 6) AS norm_avg
+        |FROM e
+        |GROUP BY label
+        |ORDER BY label""".stripMargin,
+  )
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All engine operators read through here so that source-level concerns
+  * (nanosecond-timestamp normalization, column pruning, partition sizing)
+  * are handled in exactly one place.
+  *
+  * Scale note: at 100 TB these reads become distributed parquet scans;
+  * nothing here collects to the driver. Filter/projection pushdown is
+  * preserved because we return the raw `DataFrame` lazily.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    if (name == "events") readEvents(spark, path)
+    else spark.read.parquet(path)
+  }
+
+  /** `events.parquet` carries TIMESTAMP(NANOS) which vanilla Spark parquet
+    * readers reject (parquet nanos have no Catalyst type). We read nanos as
+    * Long via the legacy conf and convert to a microsecond timestamp by
+    * truncation — the same truncation DuckDB applies when casting
+    * TIMESTAMP_NS to TIMESTAMP, so oracle comparisons line up.
+    */
+  private def readEvents(spark: SparkSession, path: String): DataFrame = {
+    val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
+      val raw = spark.read.parquet(path)
+      if (raw.schema("ts").dataType == LongType) {
+        // integral `div`, NOT `/`: ns-epoch longs exceed 2^53, so double
+        // division (what `/` does on longs) loses the low microsecond bits.
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      } else raw
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None    => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+      }
+    }
+  }
+}

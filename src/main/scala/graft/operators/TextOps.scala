@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline surface (dedup, token counting, quality scoring, language ID,
+  * fingerprinting, n-gram Jaccard near-dup). These extend the reference's
+  * delegated full-text capability (SURVEY §2.7 F13) into first-class
+  * engine operators.
+  *
+  * Scale notes: every operator is a narrow per-row map plus at most one
+  * shuffle (groupBy text-hash for dedup, bucketed self-join for near-dup).
+  * The near-dup join is banded (lang, source, length band) so the candidate
+  * pair count stays linear-ish rather than quadratic — the same blocking
+  * idea MinHash LSH generalizes (see graft.dedup.MinHashLSH for the
+  * at-scale variant).
+  */
+object TextOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** Exact dedup: group identical texts, keep the smallest doc_id as the
+    * canonical representative (hash-groupBy — one shuffle on the text key;
+    * at 100 TB, group on md5(text) rather than raw text to keep shuffle
+    * rows small — here text is the key for oracle clarity). */
+  def qd1DedupExact(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(
+        min("doc_id").as("keep_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy("keep_doc_id")
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count
+    * (runs of letters | runs of digits | single non-alnum-non-space). */
+  def qd2TokenCount(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+          .cast("long").as("bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_actual"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean word
+    * length — the standard cheap pretraining-corpus filters. */
+  def qd3QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+    val words = split(trim(col("text")), "\\s+")
+    val stopHits = size(filter(words, w => w.isInCollection(stop)))
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("len"),
+        size(words).cast("long").as("n_words"),
+        round(regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]"))
+          .cast("double") / length(col("text")), 6).as("punct_ratio"),
+        round(stopHits.cast("double") / size(words), 6).as("stopword_ratio"),
+        round(length(regexp_replace(col("text"), "\\s+", ""))
+          .cast("double") / size(words), 6).as("mean_word_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Language ID by marker-token profile: count hits against tiny per-language
+    * marker lexicons, predict the argmax (deterministic tie order en > es >
+    * de > fr > zh). A real lexicon would be bigger; the operator shape —
+    * per-row array intersections, no shuffle — is the point. */
+  def qd4LangId(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(lower(trim(col("text"))), "\\s+")
+    def hits(markers: Seq[String]): Column =
+      size(filter(words, w => w.isInCollection(markers)))
+    // marker lexicons over the synthetic corpus vocabulary
+    val en = Seq("the", "a", "fast", "slow", "big", "small")
+    val es = Seq("order", "data", "part", "value")
+    val de = Seq("stream", "batch", "spark", "hash")
+    val fr = Seq("table", "column", "row", "line")
+    val zh = Seq("query", "join", "merge", "sort")
+    val hEn = hits(en); val hEs = hits(es); val hDe = hits(de)
+    val hFr = hits(fr); val hZh = hits(zh)
+    val best = greatest(hEn, hEs, hDe, hFr, hZh)
+    docs(spark, dir)
+      .select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        hEn.cast("long").as("h_en"), hEs.cast("long").as("h_es"),
+        hDe.cast("long").as("h_de"), hFr.cast("long").as("h_fr"),
+        hZh.cast("long").as("h_zh"),
+        when(hEn === best, "en").when(hEs === best, "es")
+          .when(hDe === best, "de").when(hFr === best, "fr")
+          .otherwise("zh").as("predicted_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: md5 over whitespace-normalized lowercase text
+    * (the canonical-form fingerprint; the rolling-hash variant lives in
+    * graft.text.Fingerprint for streaming shingles). */
+  def qd5Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")))
+          .as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  /** N-gram (token-set) Jaccard near-dup with banding: candidate pairs are
+    * restricted to (lang, source, |Δn_chars| ≤ 16) blocks, then exact
+    * token-set Jaccard is computed per pair. Blocking keeps the self-join
+    * from going quadratic — the LSH generalization handles unblocked scale.
+    * Jaccard here is a ratio of integer counts → bit-exact across engines. */
+  def qd6NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(
+      col("doc_id"), col("lang"), col("source"), col("n_chars"),
+      array_distinct(split(trim(col("text")), "\\s+")).as("toks"))
+    val a = d.as("a"); val b = d.as("b")
+    a.join(b,
+        col("a.lang") === col("b.lang") &&
+        col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        abs(col("a.n_chars") - col("b.n_chars")) <= 16)
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
+          size(array_union(col("a.toks"), col("b.toks"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** F13: keyword / token search — tokenize + explode + equi-filter, the
+    * engine-native form of the reference's delegated ES full-text search. */
+  def qd7KeywordSearch(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(col("token") === "spark")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+}
