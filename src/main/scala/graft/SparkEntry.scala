@@ -2,6 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Events, Relational, TextOps, VectorOps}
+import graft.dedup.{MinHashLSH, SimHash}
+import graft.enrich.Palette
+import graft.similarity.Ann
+import graft.streaming.Replay
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -49,6 +53,12 @@ object SparkEntry {
     "qe1_knn_brute_force"  -> (VectorOps.qe1KnnBruteForce _),
     "qe2_neardup_pairs"    -> (VectorOps.qe2NearDupPairs _),
     "qe3_label_stats"      -> (VectorOps.qe3LabelStats _),
+    "qs1_minhash_neardup"  -> ((s, d) => MinHashLSH.nearDups(s, d)),
+    "qs2_simhash_neardup"  -> ((s, d) => SimHash.nearDups(s, d)),
+    "qs3_palette_by_source" -> (Palette.paletteBySource _),
+    "qs4_ann_ivf"          -> ((s, d) => Ann.knn(s, d)),
+    "qs5_stream_upsert"    -> (Replay.streamUpsert _),
+    "qs6_stream_hourly"    -> (Replay.streamHourlyRollup _),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key. */
@@ -388,5 +398,52 @@ object SparkEntry {
         |FROM e
         |GROUP BY label
         |ORDER BY label""".stripMargin,
+
+    // MinHash LSH + exact-shingle-Jaccard verify: at threshold 0.8 the
+    // 16-band/4-row S-curve has recall ≥ 0.9998, so the LSH result equals
+    // the exact all-pairs answer below.
+    "qs1_minhash_neardup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN list_distinct(
+        |      list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE [] END AS sh
+        |  FROM t
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.sh, b.sh))::DOUBLE
+        |    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Streaming AvailableNow replay must equal the batch recompute:
+    // same oracles as q8 / q18.
+    "qs5_stream_upsert" ->
+      """SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY ts::TIMESTAMP DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "qs6_stream_hourly" ->
+      """SELECT epoch_us(date_trunc('hour', ts::TIMESTAMP)) AS hour_us,
+        | event_type, count(*) AS n_events,
+        | round(sum(value), 2) AS value_sum
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_us, event_type""".stripMargin,
+    // qs2_simhash_neardup, qs3_palette_by_source, qs4_ann_ivf are
+    // intentionally omitted: hash-seeded / approximate / stubbed-decode
+    // operators have no SQL-expressible oracle → driver rows-only check;
+    // their correctness specs live in src/test/scala/graft.
   )
 }

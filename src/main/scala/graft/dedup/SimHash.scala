@@ -1,0 +1,78 @@
+package graft.dedup
+
+import graft.Tables
+import graft.text.TextFeatures.tokens
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate detection: 64-bit per-document fingerprint whose
+  * Hamming distance tracks document similarity.
+  *
+  * The fingerprint is computed in a typed `Dataset.map` with a pure Scala
+  * kernel (tested independently); tokens are hashed with the same xxhash64
+  * the SQL engine exposes, so a future Catalyst `Expression` with
+  * `doGenCode` can replace the map without changing results.
+  *
+  * Pair search uses the pigeonhole banding trick: split 64 bits into 4
+  * 16-bit chunks — any pair with Hamming distance ≤ 3 must agree on at
+  * least one whole chunk. One shuffle on (chunk_idx, chunk_value), then
+  * exact Hamming verification with bit_count(xor) — same
+  * candidates-then-verify shape as MinHashLSH, same scale behavior.
+  */
+object SimHash {
+
+  /** Pure kernel: 64-bit SimHash of a token sequence. */
+  def simhash64(toks: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    toks.foreach { t =>
+      val h = xxhash64String(t)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) acc(k) += 1 else acc(k) -= 1
+        k += 1
+      }
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) { if (acc(k) > 0) sig |= (1L << k); k += 1 }
+    sig
+  }
+
+  /** Same xxhash64 (seed 42) as the SQL `xxhash64` function. */
+  def xxhash64String(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType, 42L)
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** doc_id → simhash fingerprint. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .as[(Long, Seq[String])]
+      .map { case (id, toks) => (id, simhash64(toks)) }
+      .toDF("doc_id", "simhash")
+  }
+
+  /** Near-dup pairs with Hamming distance ≤ maxDist (≤ 16 supported by the
+    * 4-chunk pigeonhole; default 3). */
+  def nearDups(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    val fp = fingerprints(spark, dir)
+    val chunked = fp.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("chunk_idx", "chunk_val")))
+    val a = chunked.as("a"); val b = chunked.as("b")
+    a.join(b,
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+}

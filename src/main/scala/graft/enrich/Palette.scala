@@ -1,0 +1,197 @@
+package graft.enrich
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-group dominant-color palette — the reference's flagship custom
+  * operator (per-user KMeans(k=6) over concatenated image pixels,
+  * spark/spark_image.py:14-165), re-expressed as
+  * `groupByKey(...).mapGroups` with a JVM Lloyd's-KMeans kernel: no
+  * Python/Arrow boundary, single shuffle on the group key (SURVEY §3.3).
+  *
+  * Image decoding is STUBBED (`FakeDecoder`): the container has no image
+  * codecs, so a deterministic byte→BGR expansion stands in for JPEG decode.
+  * Everything around it — binary column handling, group shuffle, resize,
+  * BGR→HSV→cluster→HSV→RGB→hex — is the real production path; swapping the
+  * decoder for a codec is a one-function change.
+  */
+object Palette {
+
+  /** Deterministic fake decode: expand opaque bytes into a 24×24 BGR
+    * image by cycling the payload. Stub for absent image codecs. */
+  object FakeDecoder {
+    val H = 24; val W = 24
+    def decode(payload: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](H * W * 3)
+      if (payload.isEmpty) return out
+      var i = 0
+      while (i < out.length) { out(i) = payload(i % payload.length); i += 1 }
+      out
+    }
+  }
+
+  case class ColorBucket(percentage: Double, red: Int, green: Int, blue: Int, hex: String)
+
+  /** Lloyd's KMeans over (n,3) float rows, deterministic: farthest-point
+    * initialization (first point, then repeatedly the point farthest from
+    * all chosen centers, ties to the lowest index). No random restarts —
+    * SURVEY §7 risk 2: pin determinism, assert on quality not centers.
+    * Evenly-spaced init degenerates on sorted input (duplicate centers);
+    * farthest-point provably separates well-separated clusters. */
+  def kmeans(points: Array[Float], k: Int, maxIter: Int = 25): (Array[Array[Double]], Array[Int]) = {
+    // points is a packed (n,3) row-major buffer: one flat primitive array,
+    // zero per-pixel allocation (the boxed Array-per-point layout caused a
+    // GC storm with many concurrent groups on one JVM).
+    val n = points.length / 3
+    val kk = math.min(k, n)
+    val centers = new Array[Array[Double]](kk)
+    centers(0) = Array(points(0), points(1), points(2))
+    val minD = Array.fill(n)(Double.MaxValue)
+    var ci = 1
+    while (ci < kk) {
+      val c = centers(ci - 1)
+      var bestI = 0; var bestD = -1.0
+      var i = 0
+      while (i < n) {
+        val base = i * 3
+        val d0 = points(base) - c(0); val d1 = points(base + 1) - c(1); val d2 = points(base + 2) - c(2)
+        val d = d0 * d0 + d1 * d1 + d2 * d2
+        if (d < minD(i)) minD(i) = d
+        if (minD(i) > bestD) { bestD = minD(i); bestI = i }
+        i += 1
+      }
+      centers(ci) = Array(points(bestI * 3), points(bestI * 3 + 1), points(bestI * 3 + 2))
+      ci += 1
+    }
+    val labels = new Array[Int](n)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        val base = i * 3
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          val cc = centers(c)
+          val d0 = points(base) - cc(0); val d1 = points(base + 1) - cc(1); val d2 = points(base + 2) - cc(2)
+          val d = d0 * d0 + d1 * d1 + d2 * d2
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        if (labels(i) != best) { labels(i) = best; moved = true }
+        i += 1
+      }
+      val sums = Array.ofDim[Double](kk, 3)
+      val counts = new Array[Int](kk)
+      var i2 = 0
+      while (i2 < n) {
+        val c = labels(i2); counts(c) += 1
+        val base = i2 * 3
+        sums(c)(0) += points(base); sums(c)(1) += points(base + 1); sums(c)(2) += points(base + 2)
+        i2 += 1
+      }
+      var c2 = 0
+      while (c2 < kk) {
+        if (counts(c2) > 0) { var j = 0; while (j < 3) { centers(c2)(j) = sums(c2)(j) / counts(c2); j += 1 } }
+        c2 += 1
+      }
+      iter += 1
+    }
+    (centers, labels)
+  }
+
+  /** Palette of up to 6 buckets over the concatenated pixels of a group of
+    * images, ranked by pixel share (spark_image.py:75-118 semantics):
+    * decode → resize 75×75 INTER_AREA → BGR→HSV → KMeans(6) → top clusters
+    * → HSV center → RGB + hex. */
+  def palette(images: Iterator[Array[Byte]]): Seq[ColorBucket] = {
+    val hsv = new FloatPixelBuffer
+    images.foreach { raw =>
+      val bgr = FakeDecoder.decode(raw)
+      val resized = ColorSpace.resizeArea(bgr, FakeDecoder.H, FakeDecoder.W, 75, 75)
+      var p = 0
+      while (p < resized.length) {
+        val (h, s, v) = ColorSpace.bgrToHsv(
+          resized(p) & 0xFF, resized(p + 1) & 0xFF, resized(p + 2) & 0xFF)
+        hsv.append(h.toFloat, s.toFloat, v.toFloat)
+        p += 3
+      }
+    }
+    if (hsv.isEmpty) return Seq.empty
+    val pts = hsv.result()
+    val nPts = pts.length / 3
+    val (centers, labels) = kmeans(pts, 6)
+    val counts = labels.groupBy(identity).view.mapValues(_.length).toMap
+    counts.toSeq.sortBy { case (c, n) => (-n, c) }.take(6).map { case (c, n) =>
+      val (r, g, b) = ColorSpace.hsvToRgb(
+        math.round(centers(c)(0)).toInt, math.round(centers(c)(1)).toInt,
+        math.round(centers(c)(2)).toInt)
+      ColorBucket(n.toDouble / nPts, r, g, b, f"#$r%02x$g%02x$b%02x")
+    }
+  }
+
+  /** Growable flat float buffer (packed x,y,z triples) — avoids the
+    * Array-per-pixel boxing that thrashes GC under concurrent groups. */
+  final class FloatPixelBuffer {
+    private var buf = new Array[Float](3 * 1024)
+    private var len = 0
+    def append(a: Float, b: Float, c: Float): Unit = {
+      if (len + 3 > buf.length) {
+        val next = new Array[Float](buf.length * 2)
+        System.arraycopy(buf, 0, next, 0, len)
+        buf = next
+      }
+      buf(len) = a; buf(len + 1) = b; buf(len + 2) = c
+      len += 3
+    }
+    def isEmpty: Boolean = len == 0
+    def result(): Array[Float] = java.util.Arrays.copyOf(buf, len)
+  }
+
+  /** JSON render of a palette (strict JSON — divergence from the
+    * reference's Python repr noted in FIXTURES.md §4). */
+  def paletteJson(buckets: Seq[ColorBucket]): String =
+    buckets.map(b =>
+      s"""{"percentage":${b.percentage},"red":${b.red},"green":${b.green},"blue":${b.blue},"hex":"${b.hex}"}"""
+    ).mkString("[", ",", "]")
+
+  /** A4/A5 as a query: group documents by source, treat the text payload as
+    * an opaque binary "image", emit one palette row per group. The plan is
+    * scan → single *explicit* shuffle on the group key → per-partition
+    * grouping (the same shape the real image corpus would use, keyed by
+    * user).
+    *
+    * Why not groupByKey.mapGroups: this stage is compute-heavy on tiny
+    * shuffle bytes, so AQE coalesces the exchange down to ONE partition and
+    * serializes all groups onto one core (measured: no speedup over single
+    * thread). An explicit repartition(n, key) is exempt from AQE
+    * coalescing; rows of one key land in one partition, and grouping
+    * happens locally in mapPartitions. */
+  def paletteBySource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = math.max(spark.sparkContext.defaultParallelism, 2)
+    Tables(spark, dir, "documents")
+      .select(col("source"), encode(col("text"), "UTF-8").as("payload"))
+      .repartition(n, col("source"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.toSeq.groupBy(_._1).iterator.map { case (source, grp) =>
+          // deterministic payload order so the palette (and its KMeans
+          // init) is identical under replay regardless of shuffle order
+          val sorted = grp.map(_._2).toArray
+            .sortBy(a => (a.length, scala.util.hashing.MurmurHash3.bytesHash(a, 42)))
+          val buckets = palette(sorted.iterator)
+          (source, paletteJson(buckets), buckets.length.toLong,
+            buckets.headOption.map(_.percentage).getOrElse(0.0))
+        }
+      }
+      .toDF("source", "colors", "n_buckets", "top_share")
+      // tiny result (one row per group): single-partition sort instead of
+      // orderBy — a range sort would re-execute the whole upstream just to
+      // sample partition bounds
+      .repartition(1).sortWithinPartitions("source")
+  }
+}

@@ -1,0 +1,78 @@
+package graft.dedup
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+  private val nearDup = base.replace("lazy", "sleepy") // 1 token of 16 changed
+  private val unrelated = "completely different content with nothing shared whatsoever here at all in any way shape or form"
+
+  test("shingleSet produces distinct n-grams, empty under 3 tokens") {
+    assert(MinHashLSH.shingleSet("a b c d").toSeq == Seq("a b c", "b c d"))
+    assert(MinHashLSH.shingleSet("a b").isEmpty)
+    assert(MinHashLSH.shingleSet("x x x x x").toSeq == Seq("x x x")) // distinct
+  }
+
+  test("minhash LSH finds planted near-dups and skips unrelated docs") {
+    val docs = Seq(
+      (0L, base), (1L, nearDup), (2L, unrelated),
+      (3L, "totally other text about spark engines and query planning at scale today ok"),
+      (4L, base + " extra")).toDF("doc_id", "text")
+    val sigs = MinHashLSH.docSignatures(spark, docs).toDF("doc_id", "sh", "bands")
+    val cands = MinHashLSH.candidatePairs(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L)), s"missing planted pair in $cands")
+    assert(cands.contains((0L, 4L)))
+    assert(!cands.contains((0L, 2L)) && !cands.contains((1L, 2L)))
+  }
+
+  test("minhash nearDups equals exact all-pairs shingle Jaccard at sf0.001") {
+    val got = MinHashLSH.nearDups(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact all-pairs reference computed with the same kernels
+    val docs = graft.Tables(spark, SparkTestSession.sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => (id, MinHashLSH.shingleSet(t).toSet) }
+    val exact = (for {
+      (ia, sa) <- docs; (ib, sb) <- docs
+      if ia < ib && sa.nonEmpty && sb.nonEmpty
+      j = (sa & sb).size.toDouble / (sa | sb).size
+      if j >= 0.8
+    } yield (ia, ib)).toSet
+    assert(got == exact, s"LSH=${got.size} exact=${exact.size}")
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+  }
+
+  test("simhash kernel: identical → 0, near-dup → small, unrelated → large") {
+    val a = SimHash.simhash64(base.split(" ").toSeq)
+    val a2 = SimHash.simhash64(base.split(" ").toSeq)
+    val b = SimHash.simhash64(nearDup.split(" ").toSeq)
+    val c = SimHash.simhash64(unrelated.split(" ").toSeq)
+    assert(SimHash.hamming(a, a2) == 0)
+    assert(SimHash.hamming(a, b) <= 12, s"near-dup hamming ${SimHash.hamming(a, b)}")
+    assert(SimHash.hamming(a, c) >= 16, s"unrelated hamming ${SimHash.hamming(a, c)}")
+  }
+
+  test("simhash captures the planted near-dups within a small radius") {
+    // ground truth: strong shingle-level near-dups (order-sensitive).
+    // SimHash is token-multiset (order-insensitive), so it must see all of
+    // them at a modest Hamming radius, and its own tight-radius pairs must
+    // be nonempty.
+    val planted = MinHashLSH.nearDups(spark, SparkTestSession.sfDir, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fp = SimHash.fingerprints(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val within = planted.count { case (a, b) => SimHash.hamming(fp(a), fp(b)) <= 8 }
+    assert(planted.nonEmpty)
+    assert(within.toDouble / planted.size >= 0.8,
+      s"only $within/${planted.size} planted pairs within hamming 8")
+    val tight = SimHash.nearDups(spark, SparkTestSession.sfDir, maxDist = 3)
+      .collect()
+    assert(tight.nonEmpty, "expected at least one hamming<=3 pair")
+  }
+}

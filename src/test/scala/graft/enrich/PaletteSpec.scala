@@ -1,0 +1,57 @@
+package graft.enrich
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class PaletteSpec extends AnyFunSuite {
+
+  private def solidPayload(b: Int, g: Int, r: Int, reps: Int = 256): Array[Byte] =
+    Array.fill(reps)(Array(b.toByte, g.toByte, r.toByte)).flatten
+
+  test("kmeans recovers well-separated clusters deterministically") {
+    val pts = (Array.fill(50)(Array(0f, 0f, 0f)) ++
+      Array.fill(30)(Array(100f, 100f, 100f)) ++
+      Array.fill(20)(Array(200f, 0f, 200f))).flatten
+    val (centers, labels) = Palette.kmeans(pts, 3)
+    val sizes = labels.groupBy(identity).values.map(_.length).toSeq.sorted
+    assert(sizes == Seq(20, 30, 50))
+    val again = Palette.kmeans(pts, 3)
+    assert(again._1.map(_.toSeq).toSeq == centers.map(_.toSeq).toSeq)
+  }
+
+  test("palette of a solid-color image is one dominant bucket") {
+    // payload = repeating (B,G,R) triple → fake-decoded image is solid
+    val buckets = Palette.palette(Iterator(solidPayload(0, 0, 255)))
+    assert(buckets.nonEmpty)
+    assert(buckets.head.percentage > 0.99)
+    assert(buckets.head.hex == "#ff0000") // pure red
+  }
+
+  test("palette ranks a 70/30 two-color group correctly") {
+    // 7 solid blue images + 3 solid green images in one group
+    val images = Iterator.fill(7)(solidPayload(255, 0, 0)) ++
+      Iterator.fill(3)(solidPayload(0, 255, 0))
+    val buckets = Palette.palette(images)
+    assert(buckets.length >= 2)
+    assert(math.abs(buckets(0).percentage - 0.7) < 0.02)
+    assert(math.abs(buckets(1).percentage - 0.3) < 0.02)
+    assert(buckets(0).hex == "#0000ff" && buckets(1).hex == "#00ff00")
+  }
+
+  test("percentages sum to ~1 and are descending") {
+    val images = Iterator(solidPayload(10, 200, 30), solidPayload(200, 10, 30),
+      solidPayload(30, 30, 200), solidPayload(120, 120, 120))
+    val buckets = Palette.palette(images)
+    val total = buckets.map(_.percentage).sum
+    assert(math.abs(total - 1.0) < 1e-9)
+    assert(buckets.map(_.percentage) == buckets.map(_.percentage).sortBy(-_))
+  }
+
+  test("paletteJson is strict JSON with hex colors") {
+    val json = Palette.paletteJson(Seq(Palette.ColorBucket(0.5, 255, 0, 16, "#ff0010")))
+    assert(json == """[{"percentage":0.5,"red":255,"green":0,"blue":16,"hex":"#ff0010"}]""")
+  }
+
+  test("empty group yields empty palette") {
+    assert(Palette.palette(Iterator.empty).isEmpty)
+  }
+}

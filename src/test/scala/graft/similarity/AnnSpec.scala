@@ -1,0 +1,60 @@
+package graft.similarity
+
+import graft.SparkTestSession
+import graft.operators.VectorOps
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnnSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** Deterministic clustered corpus: 8 well-separated centers, 40 points
+    * each (center + small noise) — the regime IVF is built for. */
+  private def clustered() = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat * 5f))
+    val rows = for {
+      c <- centers.indices
+      i <- 0 until 40
+    } yield {
+      val v = centers(c).map(x => x + rnd.nextGaussian().toFloat * 0.3f)
+      ((c * 40 + i).toLong, v.toSeq, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  private def bruteForce(rows: Seq[(Long, Array[Double])], queries: Seq[Long], k: Int) = {
+    val byId = rows.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    queries.flatMap { q =>
+      rows.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(byId(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(k)
+        .map { case (id, _) => (q, id) }
+    }.toSet
+  }
+
+  test("IVF knn has high recall on clustered data at nprobe=2") {
+    val df = clustered()
+    val ann = Ann.knnFrom(df, k = 5, nprobe = 2, queryPred = "vec_id % 40 = 0")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rows = df.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val brute = bruteForce(rows, (0 until 8).map(_ * 40L), 5)
+    val recall = brute.intersect(ann).size.toDouble / brute.size
+    assert(recall >= 0.95, s"IVF recall too low on clustered data: $recall")
+  }
+
+  test("IVF with all cells probed equals brute force exactly (real corpus)") {
+    val brute = VectorOps.qe1KnnBruteForce(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ann = Ann.knn(spark, SparkTestSession.sfDir, k = 5, nprobe = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ann == brute)
+  }
+}
