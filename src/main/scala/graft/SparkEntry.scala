@@ -1,9 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Events, Relational, TextOps, VectorOps}
+import graft.operators.{Advanced, Events, Relational, TextOps, VectorOps}
 import graft.dedup.{MinHashLSH, SimHash}
-import graft.enrich.Palette
+import graft.enrich.{Multimodal, Palette}
 import graft.similarity.Ann
 import graft.streaming.Replay
 
@@ -53,12 +53,17 @@ object SparkEntry {
     "qe1_knn_brute_force"  -> (VectorOps.qe1KnnBruteForce _),
     "qe2_neardup_pairs"    -> (VectorOps.qe2NearDupPairs _),
     "qe3_label_stats"      -> (VectorOps.qe3LabelStats _),
+    "q20_distinct_agg"     -> (Advanced.q20DistinctAgg _),
+    "q21_rollup"           -> (Advanced.q21Rollup _),
+    "q22_window_funcs"     -> (Advanced.q22WindowFuncs _),
+    "q23_percentiles"      -> (Advanced.q23Percentiles _),
     "qs1_minhash_neardup"  -> ((s, d) => MinHashLSH.nearDups(s, d)),
     "qs2_simhash_neardup"  -> ((s, d) => SimHash.nearDups(s, d)),
     "qs3_palette_by_source" -> (Palette.paletteBySource _),
     "qs4_ann_ivf"          -> ((s, d) => Ann.knn(s, d)),
     "qs5_stream_upsert"    -> (Replay.streamUpsert _),
     "qs6_stream_hourly"    -> (Replay.streamHourlyRollup _),
+    "qm1_multimodal_features" -> (Multimodal.featureRollup _),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key. */
@@ -398,6 +403,55 @@ object SparkEntry {
         |FROM e
         |GROUP BY label
         |ORDER BY label""".stripMargin,
+
+    "q20_distinct_agg" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q21_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q22_window_funcs" ->
+      """SELECT user_id, event_id,
+        | lag(value, 1) OVER w_time AS prev_value,
+        | lead(value, 1) OVER w_time AS next_value,
+        | rank() OVER w_value AS value_rank,
+        | dense_rank() OVER w_value AS value_dense_rank,
+        | ntile(4) OVER w_value AS value_quartile,
+        | round(sum(value) OVER (PARTITION BY user_id
+        |   ORDER BY ts::TIMESTAMP, event_id ROWS UNBOUNDED PRECEDING), 2)
+        |   AS running_sum,
+        | round(avg(value) OVER (PARTITION BY user_id
+        |   ORDER BY ts::TIMESTAMP, event_id
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+        |FROM events
+        |WHERE user_id < 30
+        |WINDOW
+        | w_time AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id),
+        | w_value AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q23_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.9), 4) AS p90,
+        | round(min(value), 2) AS vmin,
+        | round(max(value), 2) AS vmax,
+        | round(stddev_samp(value), 4) AS v_stddev
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // MinHash LSH + exact-shingle-Jaccard verify: at threshold 0.8 the
     // 16-band/4-row S-curve has recall ≥ 0.9998, so the LSH result equals

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced SQL-surface operators beyond the reference's own usage — the
+  * aggregation/window capabilities a warehouse user expects when switching
+  * engines (SURVEY §2.4 note: "Engine exposes approx_count_distinct etc.
+  * for free via Spark"). Everything here is stock Catalyst: partial
+  * aggregation map-side, one exchange per grouping, window partitions on
+  * high-cardinality keys.
+  */
+object Advanced {
+
+  /** Distinct aggregation (count distinct via expand + two-phase agg). */
+  def q20DistinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  /** ROLLUP hierarchy totals. Subtotal rows are COALESCE-labelled so the
+    * sort order is engine-independent (Spark sorts NULLS FIRST, DuckDB
+    * NULLS LAST). */
+  def q21Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    o.rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("revenue"))
+      .orderBy("status", "priority")
+  }
+
+  /** Window-function family: lag/lead/rank/dense_rank/ntile/running sum/
+    * moving average, all per-user (high-cardinality partitions). */
+  def q22WindowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val byValue = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+    Tables(spark, dir, "events")
+      .filter(col("user_id") < 30)
+      .select(
+        col("user_id"), col("event_id"),
+        lag(col("value"), 1).over(byTime).as("prev_value"),
+        lead(col("value"), 1).over(byTime).as("next_value"),
+        rank().over(byValue).cast("long").as("value_rank"),
+        dense_rank().over(byValue).cast("long").as("value_dense_rank"),
+        ntile(4).over(byValue).cast("long").as("value_quartile"),
+        round(sum(col("value")).over(
+          byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_sum"),
+        round(avg(col("value")).over(byTime.rowsBetween(-2, 0)), 4)
+          .as("moving_avg3"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Exact percentiles (linear interpolation in both engines) +
+    * dispersion statistics per group. */
+  def q23Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(min("value"), 2).as("vmin"),
+        round(max("value"), 2).as("vmax"),
+        round(stddev_samp(col("value")), 4).as("v_stddev"))
+      .orderBy("event_type")
+  }
+}

@@ -24,13 +24,14 @@ object VectorOps {
   /** embedding column widened to double. */
   def dvec(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Sequential dot product of two equal-length double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential dot product — the codegen'd native expression
+    * (graft.functions.DotProduct); bit-identical to the composable
+    * `aggregate(zip_with(...))` form it replaced. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dot(a, b)
 
   /** Cosine similarity = dot / (|a| * |b|), each norm sqrt'd separately. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.functions.VectorFunctions.cosine(a, b)
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
@@ -42,10 +43,10 @@ object VectorOps {
   def qe1KnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val queries = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), dvec(col("embedding")).as("q_vec"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val corpus = e.select(
       col("vec_id").as("cand_id"), col("label").as("cand_label"),
-      dvec(col("embedding")).as("c_vec"))
+      col("embedding").as("c_vec"))
     val simCol = round(cosine(col("q_vec"), col("c_vec")), 6).as("sim")
     val ranked = broadcast(queries).join(corpus, col("q_id") =!= col("cand_id"))
       .select(col("q_id"), col("cand_id"), col("cand_label"), simCol)
@@ -64,9 +65,9 @@ object VectorOps {
   def qe2NearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val a = e.select(col("vec_id").as("id_a"), col("label"),
-      dvec(col("embedding")).as("vec_a"))
+      col("embedding").as("vec_a"))
     val b = e.select(col("vec_id").as("id_b"), col("label"),
-      dvec(col("embedding")).as("vec_b"))
+      col("embedding").as("vec_b"))
     a.join(b, Seq("label"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("label"),
@@ -79,8 +80,8 @@ object VectorOps {
     * bookkeeping an IVF index maintains per cell. */
   def qe3LabelStats(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val v = dvec(col("embedding"))
-    e.select(col("label"), element_at(v, 1).as("dim1"),
+    val v = col("embedding")
+    e.select(col("label"), element_at(v, 1).cast("double").as("dim1"),
         sqrt(dot(v, v)).as("norm"))
       .groupBy("label")
       .agg(

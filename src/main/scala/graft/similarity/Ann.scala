@@ -26,9 +26,9 @@ object Ann {
     * One shuffle of n×64 skinny rows; result is k×64 — driver-safe. */
   def centroids(emb: DataFrame): DataFrame = {
     emb.select(col("label").as("cell"),
-        posexplode(dvec(col("embedding"))).as(Seq("dim", "v")))
+        posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("cell", "dim")
-      .agg(avg("v").as("m"))
+      .agg(avg(col("v").cast("double")).as("m"))
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
       .select(col("cell"), expr("transform(pairs, p -> p.m)").as("centroid"))
@@ -38,7 +38,7 @@ object Ann {
     * assignment — label is only the seed partition). */
   def assignments(emb: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
-    emb.select(col("vec_id"), col("label"), dvec(col("embedding")).as("v"))
+    emb.select(col("vec_id"), col("label"), col("embedding").as("v"))
       .crossJoin(broadcast(cents))
       .withColumn("csim", cosine(col("v"), col("centroid")))
       .withColumn("rk", row_number().over(w))
@@ -60,7 +60,7 @@ object Ann {
     val assigned = assignments(emb, cents)
 
     val queries = emb.filter(expr(queryPred))
-      .select(col("vec_id").as("q_id"), dvec(col("embedding")).as("q_vec"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val cellRank = Window.partitionBy("q_id").orderBy(col("qsim").desc, col("cell"))
     val probed = queries.crossJoin(broadcast(cents))
       .withColumn("qsim", cosine(col("q_vec"), col("centroid")))
