@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Advanced, Events, Relational, TextOps, VectorOps}
+import graft.operators.{Advanced, AsOf, Events, Relational, TextOps, VectorOps}
 import graft.dedup.{MinHashLSH, SimHash}
 import graft.enrich.{Multimodal, Palette}
 import graft.similarity.Ann
@@ -57,6 +57,9 @@ object SparkEntry {
     "q21_rollup"           -> (Advanced.q21Rollup _),
     "q22_window_funcs"     -> (Advanced.q22WindowFuncs _),
     "q23_percentiles"      -> (Advanced.q23Percentiles _),
+    "q24_asof_enrich"      -> (AsOf.q24AsOfEnrich _),
+    "q25_approx_distinct"  -> (Advanced.q25ApproxDistinct _),
+    "qs7_stream_sessionize" -> (Replay.streamSessionize _),
     "qs1_minhash_neardup"  -> ((s, d) => MinHashLSH.nearDups(s, d)),
     "qs2_simhash_neardup"  -> ((s, d) => SimHash.nearDups(s, d)),
     "qs3_palette_by_source" -> (Palette.paletteBySource _),
@@ -452,6 +455,45 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q24_asof_enrich" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us,
+        | last_purchase_id, last_purchase_us,
+        | epoch_us(ts::TIMESTAMP) - last_purchase_us AS us_since_purchase
+        |FROM (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+        |      IGNORE NULLS) OVER w AS last_purchase_id,
+        |    last_value(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_us(ts::TIMESTAMP) END IGNORE NULLS) OVER w
+        |      AS last_purchase_us
+        |  FROM events
+        |  WHERE user_id < 30
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
+        |    ROWS UNBOUNDED PRECEDING)
+        |)
+        |ORDER BY event_id""".stripMargin,
+
+    // Stateful streaming sessionization == batch q19 (same oracle).
+    "qs7_stream_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+        |    lag(epoch_us(ts::TIMESTAMP)) OVER w AS prev_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+        |), s AS (
+        |  SELECT *,
+        |    (sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |        THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+        |  FROM t
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM s
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     // MinHash LSH + exact-shingle-Jaccard verify: at threshold 0.8 the
     // 16-band/4-row S-curve has recall ≥ 0.9998, so the LSH result equals

@@ -62,6 +62,19 @@ object Advanced {
       .orderBy("user_id", "event_id")
   }
 
+  /** Approximate aggregates (HLL++): the scale path next to q20's exact
+    * distinct counts. No SQL oracle (sketch internals differ per engine);
+    * the spec bounds the relative error against the exact counts. */
+  def q25ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    ev.groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
   /** Exact percentiles (linear interpolation in both engines) +
     * dispersion statistics per group. */
   def q23Percentiles(spark: SparkSession, dir: String): DataFrame = {

@@ -79,6 +79,70 @@ object Replay {
     }
   }
 
+  /** Event row / session-state types for the stateful sessionizer. */
+  case class Ev(user_id: Long, event_id: Long, ts_us: Long)
+  case class OpenSession(session_id: Long, n_events: Long, start_us: Long, end_us: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                        start_us: Long, end_us: Long)
+
+  /** §2.8 custom state: gap-based sessionization with
+    * `flatMapGroupsWithState` — the KeyValueGroupedDataset stateful path
+    * (SURVEY §2.8 "flatMapGroupsWithState keyed on post id"). Sessions
+    * close after 30 minutes of inactivity; state carries the open session
+    * across micro-batches. AvailableNow replay of the static lake is a
+    * single micro-batch, so the still-open session is emitted too and the
+    * result equals batch q19_sessionize (its oracle).
+    */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = 30L * 60L * 1000000L
+
+    def sessionize(uid: Long, rows: Iterator[Ev],
+                   state: GroupState[OpenSession]): Iterator[SessionOut] = {
+      val evs = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+      var open = state.getOption
+      var baseId = open.map(_.session_id).getOrElse(0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      evs.foreach { e =>
+        open match {
+          case Some(s) if e.ts_us - s.end_us <= gapUs =>
+            open = Some(s.copy(n_events = s.n_events + 1, end_us = e.ts_us))
+          case Some(s) =>
+            out += SessionOut(uid, s.session_id, s.n_events, s.start_us, s.end_us)
+            baseId = s.session_id + 1
+            open = Some(OpenSession(baseId, 1L, e.ts_us, e.ts_us))
+          case None =>
+            baseId += 1
+            open = Some(OpenSession(baseId, 1L, e.ts_us, e.ts_us))
+        }
+      }
+      open.foreach(state.update)
+      // emit the still-open session as well: AvailableNow over a static
+      // lake is one batch, and batch-parity requires the final session
+      out ++= open.map(s => SessionOut(uid, s.session_id, s.n_events, s.start_us, s.end_us))
+      out.iterator
+    }
+
+    val name = s"graft_sess_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = eventStream(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionize)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_us"), col("end_us"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** §2.8 windowed aggregation as a stream: tumbling 1-hour windows with a
     * watermark, complete-mode replay == batch q18_hourly_rollup. */
   def streamHourlyRollup(spark: SparkSession, dir: String): DataFrame = {
