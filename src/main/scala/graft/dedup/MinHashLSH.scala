@@ -1,7 +1,6 @@
 package graft.dedup
 
 import graft.Tables
-import graft.text.TextFeatures.jaccard
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -42,12 +41,14 @@ object MinHashLSH {
       (1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** Pure kernel: distinct shingle set of a document. */
+  /** Pure kernel: distinct shingle set of a document, sorted so the
+    * verify-phase Jaccard can use the allocation-free merge kernel
+    * (functions.SortedOverlapCount). */
   def shingleSet(text: String): Array[String] = {
     val toks = text.trim.split("\\s+")
     if (toks.length < ShingleSize) Array.empty
     else Array.tabulate(toks.length - ShingleSize + 1)(i =>
-      s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").distinct
+      s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").distinct.sorted
   }
 
   /** Pure kernel: 16 band hashes of the 64-element MinHash signature. */
@@ -106,11 +107,15 @@ object MinHashLSH {
     val sigs = docSignatures(spark, Tables(spark, dir, "documents"))
       .toDF("doc_id", "sh", "bands")
     val sh = sigs.select(col("doc_id"), col("sh"))
+    val overlap = graft.functions.SetFunctions
+      .sortedOverlap(col("sh_a"), col("sh_b"))
     candidatePairs(sigs)
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        (overlap.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - overlap).cast("double"))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
   }

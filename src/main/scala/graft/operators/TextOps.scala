@@ -113,12 +113,18 @@ object TextOps {
     * restricted to (lang, source, |Δn_chars| ≤ 16) blocks, then exact
     * token-set Jaccard is computed per pair. Blocking keeps the self-join
     * from going quadratic — the LSH generalization handles unblocked scale.
-    * Jaccard here is a ratio of integer counts → bit-exact across engines. */
+    *
+    * Token sets are sorted once per document so the per-pair Jaccard is a
+    * single allocation-free merge (graft.functions.SortedOverlapCount):
+    * |A∩B| = overlap, |A∪B| = |A|+|B|−overlap. Integer-count ratio →
+    * bit-exact vs the set-function form and the DuckDB oracle. */
   def qd6NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(
       col("doc_id"), col("lang"), col("source"), col("n_chars"),
-      array_distinct(split(trim(col("text")), "\\s+")).as("toks"))
+      array_sort(array_distinct(split(trim(col("text")), "\\s+"))).as("toks"))
     val a = d.as("a"); val b = d.as("b")
+    val overlap = graft.functions.SetFunctions
+      .sortedOverlap(col("a.toks"), col("b.toks"))
     a.join(b,
         col("a.lang") === col("b.lang") &&
         col("a.source") === col("b.source") &&
@@ -127,8 +133,8 @@ object TextOps {
       .select(
         col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"),
-        (size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
-          size(array_union(col("a.toks"), col("b.toks"))).cast("double"))
+        (overlap.cast("double") /
+          (size(col("a.toks")) + size(col("b.toks")) - overlap).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
