@@ -1,0 +1,81 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The partitioning/shuffle techniques the 100 TB deployment leans on —
+  * SURVEY §4 ("partition-by-user data layout", "bucketing", "salting for
+  * skew", "AQE"). Each is a small, testable building block; the specs
+  * assert the *plan shape* (no exchange, partition filters present), not
+  * just result equality.
+  */
+object ScaleTechniques {
+
+  /** Write both sides bucketed by the join key so the join compiles to a
+    * shuffle-free SortMergeJoin (co-located buckets). At 100 TB this is
+    * the difference between re-shuffling the fact table per query and
+    * reading co-partitioned buckets in place. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // a previous JVM may have left the managed location behind while this
+    // session's in-memory catalog has no entry for it — clear it
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = new java.io.File(warehouse, table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(loc)
+    }
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Salted join for a skewed build key: explode the small side into
+    * `salt` replicas, scatter the big side's hot keys across replicas,
+    * join on (key, salt). Result is identical to the plain join; the
+    * shuffle is spread over `salt`× more partitions for the hot key. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(salt)))
+    val replicas = small.withColumn("__salt",
+      explode(array((0 until salt).map(lit(_)): _*)))
+    saltedBig.join(replicas, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Write date-partitioned parquet (the `date=` lake layout from
+    * SURVEY §4's time-window pruning row). */
+  def writeDatePartitioned(df: DataFrame, path: String, dateCol: String): Unit = {
+    df.withColumn("__date", date_format(col(dateCol), "yyyy-MM-dd"))
+      .write.mode("overwrite")
+      .partitionBy("__date")
+      .parquet(path)
+  }
+
+  /** Count exchanges (shuffles) in the executed plan of a DataFrame,
+    * traversing into AQE's materialized query stages — a plain
+    * `plan.collect` stops at stage boundaries and under-counts to zero. */
+  def countExchanges(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def walk(p: SparkPlan): Int = {
+      val self = p match {
+        case _: ShuffleExchangeLike => 1
+        case _ => 0
+      }
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case _ => p.children.map(walk).sum
+      }
+      self + inner
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.plans
+
+import graft.{SparkTestSession, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScaleTechniquesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = SparkTestSession.sfDir
+
+  test("bucketed tables join without a shuffle") {
+    import spark.implicits._
+    val orders = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer")
+    ScaleTechniques.writeBucketed(orders, "b_orders", "o_custkey", 8)
+    ScaleTechniques.writeBucketed(
+      customer.withColumnRenamed("c_custkey", "o_custkey"), "b_customer", "o_custkey", 8)
+    // hint the INPUT relation (a hint on the join output is a no-op) so
+    // the join is a SortMergeJoin and co-located buckets are what save us
+    val merged = spark.table("b_orders")
+      .join(spark.table("b_customer").hint("merge"), "o_custkey")
+    merged.write.format("noop").mode("overwrite").save()
+    assert(merged.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+      s"expected SortMergeJoin:\n${merged.queryExecution.executedPlan}")
+    assert(ScaleTechniques.countExchanges(merged) == 0,
+      s"expected shuffle-free bucketed join:\n${merged.queryExecution.executedPlan}")
+    // the same merge join over un-bucketed inputs needs two shuffles
+    val unbucketed = orders.join(
+      customer.withColumnRenamed("c_custkey", "o_custkey").hint("merge"), "o_custkey")
+    unbucketed.write.format("noop").mode("overwrite").save()
+    assert(ScaleTechniques.countExchanges(unbucketed) == 2,
+      s"expected 2 shuffles unbucketed:\n${unbucketed.queryExecution.executedPlan}")
+    // and the result matches the plain join
+    val plain = orders.join(
+      customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey").count()
+    assert(merged.count() == plain)
+  }
+
+  test("salted join equals plain join under a hot key") {
+    import spark.implicits._
+    // skew: 90% of the big side hits key 1
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) i % 5 + 2L else 1L, i.toLong))
+      .toDF("k", "payload")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c"), (5L, "d"), (6L, "e"))
+      .toDF("k", "v")
+    val salted = ScaleTechniques.saltedJoin(big, small, "k", salt = 8)
+      .select("k", "payload", "v")
+    val plain = big.join(small, Seq("k")).select("k", "payload", "v")
+    assert(salted.collect().toSet == plain.collect().toSet)
+    assert(salted.count() == plain.count())
+  }
+
+  test("date-partitioned lake prunes partitions under a date filter") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lake").toString
+    ScaleTechniques.writeDatePartitioned(
+      Tables(spark, dir, "events"), s"$tmp/events", "ts")
+    val pruned = spark.read.parquet(s"$tmp/events")
+      .filter(col("__date") === "2024-01-05")
+    pruned.write.format("noop").mode("overwrite").save()
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("__date"),
+      s"no partition filter pushed: ${scan.metadata}")
+    // the scan reads strictly fewer partition directories than exist
+    val allDays = spark.read.parquet(s"$tmp/events")
+      .select("__date").distinct().count()
+    assert(allDays > 1)
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 of $allDays partitions selected, got ${scan.selectedPartitions.partitionCount}")
+    assert(pruned.count() ==
+      Tables(spark, dir, "events")
+        .filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-05").count())
+  }
+}

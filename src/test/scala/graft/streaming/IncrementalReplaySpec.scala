@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.{SparkTestSession, Tables}
+import graft.operators.Events
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** True incremental streaming: the lake is split into several files and
+  * consumed one file per micro-batch, so the foreachBatch upsert must
+  * merge state across batches — a stronger §2.8 check than the
+  * single-batch AvailableNow replay. */
+class IncrementalReplaySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("multi-batch incremental upsert equals batch recompute") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.expressions.Window
+
+    // split events into 4 files ordered by time (arrival order ~ event time)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val ev = Tables(spark, SparkTestSession.sfDir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select("event_id", "ts_us", "user_id", "event_type", "value", "props")
+    ev.withColumn("bucket", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy("ts_us")))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$tmp/lake")
+
+    val schema = spark.read.parquet(s"$tmp/lake/bucket=1").schema
+    val work = java.nio.file.Files.createTempDirectory("graft_incr_state").toString
+    @volatile var latest: Option[String] = None
+    var batches = 0
+
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/lake/bucket=*")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        val incoming = batch.select("user_id", "event_id", "event_type", "ts_us")
+        val merged = latest match {
+          case Some(prev) => ss.read.parquet(prev).unionByName(incoming)
+          case None       => incoming
+        }
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        val next = s"$work/state_v$batchId"
+        merged.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .write.mode("overwrite").parquet(next)
+        latest = Some(next)
+        batches += 1
+        ()
+      }
+      .start()
+    q.awaitTermination()
+
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    val streamed = spark.read.parquet(latest.get)
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    val batch = Events.q8LatestPerKey(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(streamed == batch)
+  }
+}
