@@ -59,6 +59,7 @@ object SparkEntry {
     "q23_percentiles"      -> (Advanced.q23Percentiles _),
     "q24_asof_enrich"      -> (AsOf.q24AsOfEnrich _),
     "q25_approx_distinct"  -> (Advanced.q25ApproxDistinct _),
+    "q26_band_join"        -> (Advanced.q26BandJoin _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
     "qs1_minhash_neardup"  -> ((s, d) => MinHashLSH.nearDups(s, d)),
     "qs2_simhash_neardup"  -> ((s, d) => SimHash.nearDups(s, d)),
@@ -473,6 +474,20 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING)
         |)
         |ORDER BY event_id""".stripMargin,
+
+    "q26_band_join" ->
+      """WITH p AS (
+        |  SELECT user_id AS p_user, event_id AS purchase_id,
+        |    epoch_us(ts::TIMESTAMP) AS p_us
+        |  FROM events WHERE event_type = 'purchase'
+        |), e AS (
+        |  SELECT user_id AS e_user, event_id AS error_id,
+        |    epoch_us(ts::TIMESTAMP) AS e_us
+        |  FROM events WHERE event_type = 'error'
+        |)
+        |SELECT p_user AS user_id, purchase_id, error_id, p_us, e_us
+        |FROM p JOIN e ON p_user = e_user AND abs(p_us - e_us) <= 300000000
+        |ORDER BY user_id, purchase_id, error_id""".stripMargin,
 
     // Stateful streaming sessionization == batch q19 (same oracle).
     "qs7_stream_sessionize" ->

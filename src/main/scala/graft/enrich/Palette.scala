@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
 object Palette {
 
   /** Deterministic fake decode: expand opaque bytes into a 24×24 BGR
-    * image by cycling the payload. Stub for absent image codecs. */
+    * image by cycling the payload. Stub for payloads that are not real
+    * encoded images (e.g. the documents corpus used as stand-in media).
+    * Real image files go through `Palette.paletteFromImages` instead,
+    * which uses Spark's built-in image source (JDK ImageIO decode). */
   object FakeDecoder {
     val H = 24; val W = 24
     def decode(payload: Array[Byte]): Array[Byte] = {
@@ -107,21 +110,66 @@ object Palette {
     * images, ranked by pixel share (spark_image.py:75-118 semantics):
     * decode → resize 75×75 INTER_AREA → BGR→HSV → KMeans(6) → top clusters
     * → HSV center → RGB + hex. */
-  def palette(images: Iterator[Array[Byte]]): Seq[ColorBucket] = {
-    val hsv = new FloatPixelBuffer
-    images.foreach { raw =>
-      val bgr = FakeDecoder.decode(raw)
-      val resized = ColorSpace.resizeArea(bgr, FakeDecoder.H, FakeDecoder.W, 75, 75)
-      var p = 0
-      while (p < resized.length) {
-        val (h, s, v) = ColorSpace.bgrToHsv(
-          resized(p) & 0xFF, resized(p + 1) & 0xFF, resized(p + 2) & 0xFF)
-        hsv.append(h.toFloat, s.toFloat, v.toFloat)
-        p += 3
-      }
+  def palette(images: Iterator[Array[Byte]]): Seq[ColorBucket] =
+    paletteOfDecoded(images.map(raw =>
+      (FakeDecoder.H, FakeDecoder.W, FakeDecoder.decode(raw))))
+
+  /** Pixel ingestion for already-decoded BGR buffers (the Spark image
+    * source's layout: 8-bit BGR interleaved, mode 16 = CV_8UC3) —
+    * resize 75×75 INTER_AREA → HSV, appended to `buf`. */
+  private def appendPixels(buf: FloatPixelBuffer, bgr: Array[Byte], h: Int, w: Int): Unit = {
+    val resized = ColorSpace.resizeArea(bgr, h, w, 75, 75)
+    var p = 0
+    while (p < resized.length) {
+      val (hh, ss, vv) = ColorSpace.bgrToHsv(
+        resized(p) & 0xFF, resized(p + 1) & 0xFF, resized(p + 2) & 0xFF)
+      buf.append(hh.toFloat, ss.toFloat, vv.toFloat)
+      p += 3
     }
+  }
+
+  /** Palette over decoded images (height, width, BGR bytes). */
+  def paletteOfDecoded(images: Iterator[(Int, Int, Array[Byte])]): Seq[ColorBucket] = {
+    val hsv = new FloatPixelBuffer
+    images.foreach { case (h, w, bgr) => appendPixels(hsv, bgr, h, w) }
     if (hsv.isEmpty) return Seq.empty
-    val pts = hsv.result()
+    bucketize(hsv.result())
+  }
+
+  /** The REAL image pipeline — SURVEY §3.3 / §2.1 S3, exactly the
+    * reference job's shape (spark/spark_image.py:168-209): Spark's
+    * built-in image source (`dropInvalid` skips undecodable files, P12),
+    * mode-16 filter (P11), flatten (P4), igId derived from the directory
+    * path (P7: `.../<igId>/<file>`), one explicit shuffle on igId, then
+    * the per-group KMeans palette. Decoding is JDK ImageIO (PNG/BMP/GIF
+    * built into the JVM — no native deps), via Spark's own image source.
+    */
+  def paletteFromImages(spark: SparkSession, imageDir: String): DataFrame = {
+    import spark.implicits._
+    val n = math.max(spark.sparkContext.defaultParallelism, 2)
+    spark.read.format("image").option("dropInvalid", "true").load(imageDir)
+      .select(col("image.*"))
+      .filter(col("mode") === 16) // CV_8UC3: 8-bit BGR
+      .withColumn("igId", element_at(split(col("origin"), "/"), -2))
+      .select(col("igId"), col("height"), col("width"), col("data"))
+      .repartition(n, col("igId"))
+      .as[(String, Int, Int, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.toSeq.groupBy(_._1).iterator.map { case (igId, grp) =>
+          val sorted = grp.sortBy(g =>
+            (g._4.length, scala.util.hashing.MurmurHash3.bytesHash(g._4, 42)))
+          val buckets = paletteOfDecoded(
+            sorted.iterator.map(g => (g._2, g._3, g._4)))
+          (igId, paletteJson(buckets), buckets.length.toLong,
+            buckets.headOption.map(_.percentage).getOrElse(0.0))
+        }
+      }
+      .toDF("igId", "colors", "n_buckets", "top_share")
+      .repartition(1).sortWithinPartitions("igId")
+  }
+
+  /** Shared cluster-and-rank step over a packed HSV buffer. */
+  private def bucketize(pts: Array[Float]): Seq[ColorBucket] = {
     val nPts = pts.length / 3
     val (centers, labels) = kmeans(pts, 6)
     val counts = labels.groupBy(identity).view.mapValues(_.length).toMap

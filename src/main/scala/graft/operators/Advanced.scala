@@ -75,6 +75,25 @@ object Advanced {
       .orderBy("event_type")
   }
 
+  /** Custom physical operator (plans.BandJoinExec): purchases joined to
+    * the same user's errors within ±5 minutes. The strategy rewrites the
+    * natural equi+band join condition into a sorted sweep instead of the
+    * stock per-key cross product + filter. */
+  def q26BandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("p_us"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        unix_micros(col("ts")).as("e_us"))
+    graft.plans.BandJoin.join(purchases, errors,
+        "p_user", "e_user", "p_us", "e_us", delta = 300000000L) // ±5 min
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("error_id"),
+        col("p_us"), col("e_us"))
+      .orderBy("user_id", "purchase_id", "error_id")
+  }
+
   /** Exact percentiles (linear interpolation in both engines) +
     * dispersion statistics per group. */
   def q23Percentiles(spark: SparkSession, dir: String): DataFrame = {
