@@ -60,6 +60,9 @@ object SparkEntry {
     "q24_asof_enrich"      -> (AsOf.q24AsOfEnrich _),
     "q25_approx_distinct"  -> (Advanced.q25ApproxDistinct _),
     "q26_band_join"        -> (Advanced.q26BandJoin _),
+    "q27_series_aggregator" -> (Advanced.q27SeriesAggregator _),
+    "q28_funnel"           -> (Advanced.q28Funnel _),
+    "q29_cohort"           -> (Advanced.q29Cohort _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
     "qs1_minhash_neardup"  -> ((s, d) => MinHashLSH.nearDups(s, d)),
     "qs2_simhash_neardup"  -> ((s, d) => SimHash.nearDups(s, d)),
@@ -488,6 +491,49 @@ object SparkEntry {
         |SELECT p_user AS user_id, purchase_id, error_id, p_us, e_us
         |FROM p JOIN e ON p_user = e_user AND abs(p_us - e_us) <= 300000000
         |ORDER BY user_id, purchase_id, error_id""".stripMargin,
+
+    "q27_series_aggregator" ->
+      """SELECT user_id,
+        | string_agg(event_type, ',' ORDER BY ts::TIMESTAMP, event_id) AS type_series
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q28_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS t FROM events
+        |), u1 AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN t END) AS t_signup
+        |  FROM e GROUP BY user_id
+        |), u2 AS (
+        |  SELECT e.user_id, min(t_signup) AS t_signup,
+        |    min(CASE WHEN event_type = 'click' AND t >= t_signup THEN t END) AS t_click
+        |  FROM e JOIN u1 ON e.user_id = u1.user_id GROUP BY e.user_id
+        |), u3 AS (
+        |  SELECT e.user_id, min(t_signup) AS t_signup, min(t_click) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' AND t >= t_click THEN t END) AS t_purchase
+        |  FROM e JOIN u2 ON e.user_id = u2.user_id GROUP BY e.user_id
+        |)
+        |SELECT count(t_signup) AS n_signup,
+        |  count(t_click) AS n_signup_click,
+        |  count(t_purchase) AS n_full_funnel,
+        |  count(*) AS n_users
+        |FROM u3""".stripMargin,
+
+    "q29_cohort" ->
+      """WITH e AS (
+        |  SELECT user_id, strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day FROM events
+        |), c AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id
+        |)
+        |SELECT cohort_day,
+        |  date_diff('day', cohort_day::DATE, day::DATE) AS day_offset,
+        |  count(*) AS n_users
+        |FROM (SELECT DISTINCT e.user_id, cohort_day, day
+        |      FROM e JOIN c ON e.user_id = c.user_id)
+        |GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
 
     // Stateful streaming sessionization == batch q19 (same oracle).
     "qs7_stream_sessionize" ->

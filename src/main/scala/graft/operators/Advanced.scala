@@ -94,6 +94,66 @@ object Advanced {
       .orderBy("user_id", "purchase_id", "error_id")
   }
 
+  /** A2 via a typed Aggregator (partial-agg listagg): same result as the
+    * collect_list form in q9_ordered_series, but map-side combined — the
+    * shuffle carries merged buffers, not raw rows. Shares q9's oracle
+    * semantics (type_series column). */
+  def q27SeriesAggregator(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3, r._4))
+      .agg(graft.functions.OrderedSeriesAgg.stringSeries.toColumn.name("type_series"))
+      .toDF("user_id", "type_series")
+      .orderBy("user_id")
+  }
+
+  /** Funnel analysis: per-user first signup → first click at/after that
+    * signup → first purchase at/after that click; stage counts over the
+    * population. Three grouped passes, each joining the previous stage
+    * time back in (every user survives every stage — missing steps are
+    * NULLs counted out by the final conditional counts). */
+  def q28Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+    val u1 = ev.groupBy("user_id").agg(
+      min(when(col("event_type") === "signup", col("t"))).as("t_signup"))
+    val u2 = ev.join(u1, "user_id").groupBy("user_id").agg(
+      min("t_signup").as("t_signup"),
+      min(when(col("event_type") === "click" && col("t") >= col("t_signup"),
+        col("t"))).as("t_click"))
+    val u3 = ev.join(u2, "user_id").groupBy("user_id").agg(
+      min("t_signup").as("t_signup"),
+      min("t_click").as("t_click"),
+      min(when(col("event_type") === "purchase" && col("t") >= col("t_click"),
+        col("t"))).as("t_purchase"))
+    u3.agg(
+      count(col("t_signup")).as("n_signup"),
+      count(col("t_click")).as("n_signup_click"),
+      count(col("t_purchase")).as("n_full_funnel"),
+      count(lit(1)).as("n_users"))
+  }
+
+  /** Cohort retention: users grouped by first-active day, counted per
+    * (cohort_day, day_offset) of later activity. */
+  def q29Cohort(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    val cohorts = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.join(cohorts, "user_id")
+      .select(col("cohort_day"),
+        datediff(to_date(col("day")), to_date(col("cohort_day")))
+          .cast("long").as("day_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** Exact percentiles (linear interpolation in both engines) +
     * dispersion statistics per group. */
   def q23Percentiles(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,59 @@
+package graft.text
+
+import graft.dedup.SimHash
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Rolling-hash document fingerprinting (winnowing): the local-minimum
+  * selection of shingle hashes that guarantees any sufficiently long
+  * shared substring between two documents shares at least one selected
+  * fingerprint — the standard plagiarism/near-dup sketch when MinHash's
+  * whole-document granularity is too coarse.
+  *
+  * Kernel is pure Scala (same xxhash64 as the SQL engine); the operator
+  * is a narrow per-row map followed by an explode + groupBy — one
+  * shuffle, same shape as MinHashLSH's banding.
+  */
+object Fingerprint {
+
+  /** Winnowing fingerprints of a token sequence: k-gram hashes, then the
+    * minimum of each sliding window of w hashes (rightmost minimum on
+    * ties), deduplicated by (position, hash). */
+  def winnow(toks: Array[String], k: Int, w: Int): Array[Long] = {
+    if (toks.length < k) return Array.empty
+    val grams = Array.tabulate(toks.length - k + 1)(i =>
+      SimHash.xxhash64String(toks.slice(i, i + k).mkString(" ")))
+    if (grams.length <= w) return Array(grams.min)
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var start = 0
+    while (start + w <= grams.length) {
+      var minIdx = start
+      var i = start + 1
+      while (i < start + w) {
+        if (grams(i) <= grams(minIdx)) minIdx = i // rightmost minimum
+        i += 1
+      }
+      out += grams(minIdx)
+      start += 1
+    }
+    out.toArray
+  }
+
+  /** Per-document fingerprint sketch over the corpus: doc_id → selected
+    * fingerprints; shared-fingerprint doc pairs are near-dup candidates. */
+  def fingerprintCandidates(spark: SparkSession, dir: String,
+                            k: Int = 3, w: Int = 4): DataFrame = {
+    import spark.implicits._
+    val fps = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, winnow(text.trim.split("\\s+"), k, w)) }
+      .toDF("doc_id", "fps")
+    val exploded = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val a = exploded.as("a"); val b = exploded.as("b")
+    a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+}
