@@ -71,6 +71,7 @@ object SparkEntry {
     "qs5_stream_upsert"    -> (Replay.streamUpsert _),
     "qs6_stream_hourly"    -> (Replay.streamHourlyRollup _),
     "qm1_multimodal_features" -> (Multimodal.featureRollup _),
+    "qs8_winnow_candidates" -> (graft.text.Fingerprint.fingerprintCandidates(_, _)),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key. */
