@@ -63,6 +63,7 @@ object SparkEntry {
     "q27_series_aggregator" -> (Advanced.q27SeriesAggregator _),
     "q28_funnel"           -> (Advanced.q28Funnel _),
     "q29_cohort"           -> (Advanced.q29Cohort _),
+    "q30_pivot"            -> (Advanced.q30Pivot _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
     "qs1_minhash_neardup"  -> ((s, d) => MinHashLSH.nearDups(s, d)),
     "qs2_simhash_neardup"  -> ((s, d) => SimHash.nearDups(s, d)),
@@ -535,6 +536,17 @@ object SparkEntry {
         |      FROM e JOIN c ON e.user_id = c.user_id)
         |GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "q30_pivot" ->
+      """SELECT user_id, strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day,
+        | count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        | count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        | count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        | count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        | count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events
+        |GROUP BY user_id, day
+        |ORDER BY user_id, day""".stripMargin,
 
     // Stateful streaming sessionization == batch q19 (same oracle).
     "qs7_stream_sessionize" ->

@@ -223,7 +223,10 @@ object Palette {
     val n = math.max(spark.sparkContext.defaultParallelism, 2)
     Tables(spark, dir, "documents")
       .select(col("source"), encode(col("text"), "UTF-8").as("payload"))
-      .repartition(n, col("source"))
+      // range partitioning: with ~#groups ≈ n, each key gets its own
+      // partition (hash partitioning collides ~1/e of them onto shared
+      // partitions, doubling the straggler's load)
+      .repartitionByRange(n, col("source"))
       .as[(String, Array[Byte])]
       .mapPartitions { rows =>
         rows.toSeq.groupBy(_._1).iterator.map { case (source, grp) =>

@@ -94,6 +94,20 @@ object Advanced {
       .orderBy("user_id", "purchase_id", "error_id")
   }
 
+  /** Pivot: per-user daily counts spread across event-type columns —
+    * dynamic-to-wide reshaping with a FIXED value list so the schema is
+    * deterministic (the oracle mirrors it as conditional aggregation). */
+  def q30Pivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "events")
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .groupBy("user_id", "day")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id", "day")
+  }
+
   /** A2 via a typed Aggregator (partial-agg listagg): same result as the
     * collect_list form in q9_ordered_series, but map-side combined — the
     * shuffle carries merged buffers, not raw rows. Shares q9's oracle

@@ -137,7 +137,9 @@ object TextOps {
           (size(col("a.toks")) + size(col("b.toks")) - overlap).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .orderBy("doc_a", "doc_b")
+      // tiny result: single-partition sort — a range sort would sample the
+      // child and re-execute the whole join just for partition bounds
+      .repartition(1).sortWithinPartitions("doc_a", "doc_b")
   }
 
   /** F13: keyword / token search — tokenize + explode + equi-filter, the

@@ -40,20 +40,31 @@ object Fingerprint {
   }
 
   /** Per-document fingerprint sketch over the corpus: doc_id → selected
-    * fingerprints; shared-fingerprint doc pairs are near-dup candidates. */
+    * fingerprints; shared-fingerprint doc pairs are near-dup candidates.
+    *
+    * Fingerprints occurring in more than `maxDf` documents are dropped
+    * before pairing (posting-list pruning): a corpus-common phrase makes
+    * its fingerprint's pair list quadratic while carrying no near-dup
+    * signal — the same reason search engines cap posting lists. At 100 TB
+    * this bound is what keeps the candidate join linear-ish. */
   def fingerprintCandidates(spark: SparkSession, dir: String,
-                            k: Int = 3, w: Int = 4): DataFrame = {
+                            k: Int = 3, w: Int = 4, maxDf: Int = 20): DataFrame = {
     import spark.implicits._
     val fps = graft.Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) => (id, winnow(text.trim.split("\\s+"), k, w)) }
       .toDF("doc_id", "fps")
     val exploded = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
-    val a = exploded.as("a"); val b = exploded.as("b")
+    val rare = exploded.groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("fp")
+    val pruned = exploded.join(rare, "fp")
+    val a = pruned.as("a"); val b = pruned.as("b")
     a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= 3)
-      .orderBy("doc_a", "doc_b")
+      .repartition(1).sortWithinPartitions("doc_a", "doc_b")
   }
 }
