@@ -48,6 +48,10 @@ object VectorOps {
       col("vec_id").as("cand_id"), col("label").as("cand_label"),
       col("embedding").as("c_vec"))
     val simCol = round(cosine(col("q_vec"), col("c_vec")), 6).as("sim")
+    // deliberate BroadcastNestedLoopJoin: a pure-inequality condition has
+    // no equi key, and all-pairs IS the brute-force baseline — the tiny
+    // query side broadcasts and the corpus streams once with no shuffle.
+    // The scale path with candidate pruning is similarity.Ann (qs4).
     val ranked = broadcast(queries).join(corpus, col("q_id") =!= col("cand_id"))
       .select(col("q_id"), col("cand_id"), col("cand_label"), simCol)
       .withColumn("rank", row_number().over(

@@ -56,7 +56,10 @@ object Ann {
 
   /** ANN top-k over any (vec_id, embedding, label) DataFrame. */
   def knnFrom(emb: DataFrame, k: Int, nprobe: Int, queryPred: String): DataFrame = {
-    val cents = centroids(emb)
+    // centroids are k×dim — cache the tiny table instead of recomputing
+    // the posexplode aggregation once per consumer (audit showed the
+    // uncached plan paid 12 shuffles: both branches re-derived it)
+    val cents = centroids(emb).cache()
     val assigned = assignments(emb, cents)
 
     val queries = emb.filter(expr(queryPred))
@@ -69,7 +72,11 @@ object Ann {
       .select(col("q_id"), col("q_vec"), col("cell"))
 
     val rank = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id"))
-    probed.join(assigned.withColumnRenamed("vec_id", "cand_id"), Seq("cell"))
+    // probed = n_queries × nprobe rows — broadcast it so the corpus side
+    // streams once instead of shuffling on the low-cardinality cell key
+    // (at real scale the corpus would also be *stored* partitioned by
+    // cell, making this a partition-pruned scan)
+    broadcast(probed).join(assigned.withColumnRenamed("vec_id", "cand_id"), Seq("cell"))
       .filter(col("q_id") =!= col("cand_id"))
       .select(col("q_id"), col("cand_id"),
         round(cosine(col("q_vec"), col("v")), 6).as("sim"))
