@@ -64,6 +64,7 @@ object SparkEntry {
     "q28_funnel"           -> (Advanced.q28Funnel _),
     "q29_cohort"           -> (Advanced.q29Cohort _),
     "q30_pivot"            -> (Advanced.q30Pivot _),
+    "q31_scalar_subquery"  -> (Advanced.q31ScalarSubquery _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
     "qs1_minhash_neardup"  -> ((s, d) => MinHashLSH.nearDups(s, d)),
     "qs2_simhash_neardup"  -> ((s, d) => SimHash.nearDups(s, d)),
@@ -547,6 +548,14 @@ object SparkEntry {
         |FROM events
         |GROUP BY user_id, day
         |ORDER BY user_id, day""".stripMargin,
+
+    "q31_scalar_subquery" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
 
     // Stateful streaming sessionization == batch q19 (same oracle).
     "qs7_stream_sessionize" ->

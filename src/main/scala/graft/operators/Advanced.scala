@@ -94,6 +94,21 @@ object Advanced {
       .orderBy("user_id", "purchase_id", "error_id")
   }
 
+  /** SQL surface: correlated + uncorrelated scalar subqueries through
+    * `spark.sql` over registered views — Catalyst decorrelates the inner
+    * count into a left-outer aggregate join. */
+  def q31ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "customer").createOrReplaceTempView("v_customer")
+    Tables(spark, dir, "orders").createOrReplaceTempView("v_orders")
+    spark.sql(
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal,
+        |  (SELECT count(*) FROM v_orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM v_customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM v_customer)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Pivot: per-user daily counts spread across event-type columns —
     * dynamic-to-wide reshaping with a FIXED value list so the schema is
     * deterministic (the oracle mirrors it as conditional aggregation). */

