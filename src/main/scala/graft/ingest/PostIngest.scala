@@ -114,4 +114,55 @@ object PostIngest {
   /** Full ingest: lake path → current post snapshot. */
   def snapshot(spark: SparkSession, path: String): DataFrame =
     latestPerPost(flatten(readPosts(spark, path)))
+
+  /** Streaming form of the ingest — SURVEY §3.1's engine equivalent of
+    * the per-PUT Lambda: `readStream.json(lake)` → the same flatten chain
+    * → foreachBatch keyed merge (versioned parquet state, latest-wins).
+    * `Trigger.AvailableNow` replay of the static lake equals `snapshot`;
+    * `maxFilesPerTrigger` bounds each micro-batch so the merge is
+    * exercised across batches. */
+  def streamSnapshot(spark: SparkSession, globPath: String,
+                     maxFilesPerTrigger: Int = 3): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = java.nio.file.Files.createTempDirectory("graft_posts").toString
+    @volatile var latest: Option[String] = None
+    val stream = spark.readStream
+      .schema(postSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .json(globPath)
+      .withColumn("objectKey", input_file_name())
+      .withColumn("createdDate", col("timestamp"))
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        val incoming = flatten(batch)
+        val merged = latest match {
+          case Some(prev) => ss.read.parquet(prev).unionByName(incoming)
+          case None       => incoming
+        }
+        val next = s"$work/state_v$batchId"
+        latestPerPost(merged).write.mode("overwrite").parquet(next)
+        latest = Some(next)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    latest match {
+      case Some(path) => spark.read.parquet(path)
+      case None       => spark.emptyDataFrame
+    }
+  }
+
+  /** Ingest observability: valid vs corrupt record counts for a lake path
+    * (the operational metric behind P12's skip-corrupt behavior). */
+  def ingestStats(spark: SparkSession, path: String): DataFrame = {
+    readPosts(spark, path)
+      .agg(
+        count(when(col("_corrupt_record").isNull && col("id").isNotNull, 1)).as("n_valid"),
+        count(when(col("_corrupt_record").isNotNull, 1)).as("n_corrupt"))
+  }
 }

@@ -121,6 +121,24 @@ class DomainPipelineSpec extends AnyFunSuite {
       .collect().map(_.getAs[String]("id")).toSeq == Seq("100"))
   }
 
+  test("streaming post ingest equals the batch snapshot (§3.1)") {
+    val streamed = graft.ingest.PostIngest
+      .streamSnapshot(spark, s"$fixtures/posts/*", maxFilesPerTrigger = 2)
+      .select("id", "like_count", "followers", "media_url")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val batch = snapshot
+      .select("id", "like_count", "followers", "media_url")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
+  test("ingest stats count valid vs corrupt records (P12 observability)") {
+    val row = graft.ingest.PostIngest.ingestStats(spark, s"$fixtures/posts/*")
+      .collect().head
+    assert(row.getAs[Long]("n_valid") == 7L) // 8 files, 1 corrupt (7 incl. the v2 replay)
+    assert(row.getAs[Long]("n_corrupt") == 1L)
+  }
+
   test("blank-string stats fields become NULL (F10)") {
     val u2 = staged.filter(col("id") === "2").collect()
     assert(u2.length == 2)
