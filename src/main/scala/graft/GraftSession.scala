@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's recommended configuration — the one
+  * place the scale-sensitive knobs are set and documented. Library users
+  * build through here; the driver mains (Verify/Bench) configure their
+  * own sessions per the driver contract.
+  */
+object GraftSession {
+
+  /** Local session: `cores` threads, shuffle partitions matched to cores
+    * (not the 200 default, which fragments small local runs). */
+  def local(cores: Int, appName: String = "graft"): SparkSession =
+    configure(SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString), appName)
+      .getOrCreate()
+
+  /** Shared tuning, cluster or local. The settings and their 100 TB
+    * rationale:
+    *  - AQE on: runtime re-planning (skew-join splitting, join-strategy
+    *    demotion, partition coalescing on genuinely large shuffles);
+    *  - skewJoin enabled explicitly: hot-key splitting without manual
+    *    salting for the common case (ScaleTechniques.saltedJoin remains
+    *    for pathological keys);
+    *  - 128 MB file partitions: one task per parquet row-group-ish unit,
+    *    keeps scan tasks uniform;
+    *  - UTC session timezone: oracle/warehouse parity;
+    *  - broadcast threshold left at default 10 MB — fixed-cardinality
+    *    dims are broadcast explicitly in operator code instead of
+    *    raising the global knob. */
+  def configure(b: SparkSession.Builder, appName: String): SparkSession.Builder =
+    b.appName(appName)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", s"${128 * 1024 * 1024}")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+}

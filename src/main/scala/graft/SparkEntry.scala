@@ -65,6 +65,7 @@ object SparkEntry {
     "q29_cohort"           -> (Advanced.q29Cohort _),
     "q30_pivot"            -> (Advanced.q30Pivot _),
     "q31_scalar_subquery"  -> (Advanced.q31ScalarSubquery _),
+    "q32_grouping_sets"    -> (Advanced.q32GroupingSets _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
     "qs1_minhash_neardup"  -> ((s, d) => MinHashLSH.nearDups(s, d)),
     "qs2_simhash_neardup"  -> ((s, d) => SimHash.nearDups(s, d)),
@@ -556,6 +557,16 @@ object SparkEntry {
         |FROM customer c
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q32_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
 
     // Stateful streaming sessionization == batch q19 (same oracle).
     "qs7_stream_sessionize" ->

@@ -94,6 +94,21 @@ object Advanced {
       .orderBy("user_id", "purchase_id", "error_id")
   }
 
+  /** GROUPING SETS with explicit set list (the general form behind
+    * rollup/cube), grouping-id disambiguated via COALESCE labels. */
+  def q32GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("v_orders_gs")
+    spark.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM v_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
   /** SQL surface: correlated + uncorrelated scalar subqueries through
     * `spark.sql` over registered views — Catalyst decorrelates the inner
     * count into a left-outer aggregate join. */

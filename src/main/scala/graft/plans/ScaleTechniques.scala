@@ -57,6 +57,31 @@ object ScaleTechniques {
       .parquet(path)
   }
 
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * roughly `targetMB` each (the lake hygiene op — a 100 TB lake fed by
+    * streaming micro-batches accumulates millions of small files whose
+    * per-file open cost dominates scans). Returns (filesBefore,
+    * filesAfter). Writes to `path + ".compact"` then swaps atomically at
+    * the directory level. */
+  def compactParquet(spark: SparkSession, path: String, targetMB: Int = 128): (Int, Int) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    def parquetFiles(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(dir).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles(p)
+    val totalBytes = before.map(_.getLen).sum
+    val targetFiles = math.max(1, (totalBytes / (targetMB * 1024L * 1024L)).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+    spark.read.parquet(path).repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val backup = new org.apache.hadoop.fs.Path(path + ".old")
+    fs.rename(p, backup)
+    fs.rename(tmp, p)
+    fs.delete(backup, true)
+    (before.size, parquetFiles(p).size)
+  }
+
   /** Count exchanges (shuffles) in the executed plan of a DataFrame,
     * traversing into AQE's materialized query stages — a plain
     * `plan.collect` stops at stage boundaries and under-counts to zero. */

@@ -50,6 +50,19 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(salted.count() == plain.count())
   }
 
+  test("compaction collapses small files and preserves data") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val path = s"$tmp/events"
+    // write deliberately fragmented: one file per partition
+    Tables(spark, dir, "events").repartition(24)
+      .write.mode("overwrite").parquet(path)
+    val beforeRows = spark.read.parquet(path).count()
+    val (nBefore, nAfter) = ScaleTechniques.compactParquet(spark, path, targetMB = 128)
+    assert(nBefore == 24)
+    assert(nAfter < nBefore, s"no compaction: $nBefore -> $nAfter")
+    assert(spark.read.parquet(path).count() == beforeRows)
+  }
+
   test("date-partitioned lake prunes partitions under a date filter") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_lake").toString
     ScaleTechniques.writeDatePartitioned(
