@@ -75,6 +75,7 @@ object SparkEntry {
     "qs6_stream_hourly"    -> (Replay.streamHourlyRollup _),
     "qm1_multimodal_features" -> (Multimodal.featureRollup _),
     "qs8_winnow_candidates" -> (graft.text.Fingerprint.fingerprintCandidates(_, _)),
+    "qs9_srp_lsh_neardup"  -> (graft.similarity.SrpLsh.qs9NearDups _),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key. */
@@ -631,6 +632,23 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_us, event_type""".stripMargin,
+    // SRP-LSH recall ≈ 0.99 at cosine 0.95 with 8×8 tables, and the
+    // isotropic corpus's true answer at that threshold is empty → the
+    // exact all-pairs join is a valid oracle.
+    "qs9_srp_lsh_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_inner_product(a.v, b.v)
+        |    / (sqrt(list_inner_product(a.v, a.v))
+        |       * sqrt(list_inner_product(b.v, b.v))), 6) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_inner_product(a.v, b.v)
+        |    / (sqrt(list_inner_product(a.v, a.v))
+        |       * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // qs2_simhash_neardup, qs3_palette_by_source, qs4_ann_ivf are
     // intentionally omitted: hash-seeded / approximate / stubbed-decode
     // operators have no SQL-expressible oracle → driver rows-only check;
