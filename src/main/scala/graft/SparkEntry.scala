@@ -66,6 +66,7 @@ object SparkEntry {
     "q30_pivot"            -> (Advanced.q30Pivot _),
     "q31_scalar_subquery"  -> (Advanced.q31ScalarSubquery _),
     "q32_grouping_sets"    -> (Advanced.q32GroupingSets _),
+    "q33_dedup_clusters"   -> (graft.dedup.Clusters.q33DedupClusters _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
     "qs1_minhash_neardup"  -> ((s, d) => MinHashLSH.nearDups(s, d)),
     "qs2_simhash_neardup"  -> ((s, d) => SimHash.nearDups(s, d)),
@@ -632,6 +633,37 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_us, event_type""".stripMargin,
+    // Connected components over the near-dup graph; the oracle rebuilds
+    // the same graph (exact all-pairs shingle Jaccard ≥ 0.8 — see qs1)
+    // and resolves min-reachable representatives with a recursive CTE.
+    "q33_dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN list_distinct(
+        |      list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE [] END AS sh
+        |  FROM t
+        |), p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.8
+        |), e AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION SELECT doc_b, doc_a FROM p
+        |), r(s, t2) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT r.s, e.b FROM r JOIN e ON r.t2 = e.a
+        |)
+        |SELECT s AS doc_id, min(t2) AS cluster_rep
+        |FROM r GROUP BY s
+        |ORDER BY doc_id""".stripMargin,
+
     // SRP-LSH recall ≈ 0.99 at cosine 0.95 with 8×8 tables, and the
     // isotropic corpus's true answer at that threshold is empty → the
     // exact all-pairs join is a valid oracle.

@@ -1,0 +1,62 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate clustering: connected components over the verified
+  * near-dup pair graph, keeping the minimum doc_id as each cluster's
+  * representative — the finisher that turns pairwise similarity into a
+  * keep/drop decision per document.
+  *
+  * Algorithm: iterative min-label propagation (each vertex takes the
+  * minimum label among itself and its neighbors until fixpoint) — the
+  * standard Pregel-style CC. The driver loop only inspects a converged
+  * *count* per iteration; all data movement is joins/groupBys, and the
+  * iteration count is the graph diameter (near-dup clusters are tiny, so
+  * 2-4 rounds in practice). At 100 TB the same loop runs with
+  * checkpointing every few rounds to cut lineage.
+  */
+object Clusters {
+
+  /** pairs(doc_a, doc_b) → (doc_id, cluster_rep) for every doc appearing
+    * in at least one pair. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("comp", col("doc_id"))
+      .cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min("comp").as("n_comp"))
+      // localCheckpoint breaks the lineage each round: without it the
+      // logical plan nests one level per iteration and blows up planning
+      // (an O(2^iters) plan tree — the iterative-algorithm trap)
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("n_comp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("comp").as("cluster_rep"))
+      .repartition(1).sortWithinPartitions("doc_id")
+  }
+
+  /** q33: clusters over the MinHash-LSH verified near-dup graph. The
+    * oracle recomputes the same graph exactly (all-pairs shingle Jaccard
+    * ≥ 0.8) and resolves components with a recursive CTE. */
+  def q33DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(MinHashLSH.nearDups(spark, dir))
+}
