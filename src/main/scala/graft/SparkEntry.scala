@@ -442,6 +442,8 @@ object SparkEntry {
         | rank() OVER w_value AS value_rank,
         | dense_rank() OVER w_value AS value_dense_rank,
         | ntile(4) OVER w_value AS value_quartile,
+        | round(percent_rank() OVER w_value, 6) AS value_pct_rank,
+        | round(cume_dist() OVER w_value, 6) AS value_cume_dist,
         | round(sum(value) OVER (PARTITION BY user_id
         |   ORDER BY ts::TIMESTAMP, event_id ROWS UNBOUNDED PRECEDING), 2)
         |   AS running_sum,

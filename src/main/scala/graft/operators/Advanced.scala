@@ -54,6 +54,8 @@ object Advanced {
         rank().over(byValue).cast("long").as("value_rank"),
         dense_rank().over(byValue).cast("long").as("value_dense_rank"),
         ntile(4).over(byValue).cast("long").as("value_quartile"),
+        round(percent_rank().over(byValue), 6).as("value_pct_rank"),
+        round(cume_dist().over(byValue), 6).as("value_cume_dist"),
         round(sum(col("value")).over(
           byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
           .as("running_sum"),
