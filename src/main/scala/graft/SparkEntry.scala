@@ -50,6 +50,7 @@ object SparkEntry {
     "qd5_fingerprint"      -> (TextOps.qd5Fingerprint _),
     "qd6_ngram_jaccard"    -> (TextOps.qd6NgramJaccard _),
     "qd7_keyword_search"   -> (TextOps.qd7KeywordSearch _),
+    "qd8_bm25_search"      -> (graft.text.Search.qd8Bm25 _),
     "qe1_knn_brute_force"  -> (VectorOps.qe1KnnBruteForce _),
     "qe2_neardup_pairs"    -> (VectorOps.qe2NearDupPairs _),
     "qe3_label_stats"      -> (VectorOps.qe3LabelStats _),
@@ -371,6 +372,42 @@ object SparkEntry {
         |WHERE token = 'spark'
         |GROUP BY doc_id, lang
         |ORDER BY doc_id""".stripMargin,
+
+    "qd8_bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), postings AS (
+        |  SELECT doc_id, term, count(*)::DOUBLE AS tf
+        |  FROM toks WHERE term IN ('spark', 'query', 'window')
+        |  GROUP BY doc_id, term
+        |), dl AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+'))::DOUBLE AS dl
+        |  FROM documents
+        |), stats AS (
+        |  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+        |    (SELECT avg(dl) FROM dl) AS avgdl
+        |), idf AS (
+        |  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM postings
+        |  GROUP BY term
+        |), scored AS (
+        |  SELECT p.doc_id,
+        |    round(sum(ln((s.n - i.df + 0.5) / (i.df + 0.5) + 1.0)
+        |      * (p.tf * 2.2)
+        |      / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl))), 6) AS score,
+        |    count(*) AS n_terms_matched
+        |  FROM postings p
+        |  CROSS JOIN stats s
+        |  JOIN idf i ON p.term = i.term
+        |  JOIN dl d ON p.doc_id = d.doc_id
+        |  GROUP BY p.doc_id
+        |)
+        |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        |  doc_id, score, n_terms_matched
+        |FROM scored
+        |ORDER BY score DESC, doc_id
+        |LIMIT 10""".stripMargin,
 
     "qe1_knn_brute_force" ->
       """WITH e AS (
