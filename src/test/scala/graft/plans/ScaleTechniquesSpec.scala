@@ -50,6 +50,30 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(salted.count() == plain.count())
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // isolated session: skew thresholds lowered so local data triggers it
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    import s.implicits._
+    // 200k rows, 95% on one key; small side has all keys
+    val big = s.range(0, 200000)
+      .selectExpr("IF(id % 20 = 0, id % 5 + 2, 1L) AS k", "id AS payload",
+        "repeat('x', 64) AS pad")
+    val small = (1L to 7L).map(k => (k, s"v$k")).toDF("k", "v")
+    val joined = big.join(small.hint("merge"), "k")
+    // execute THIS queryExecution (a write/count would plan a fresh one
+    // and leave joined's adaptive plan unfinalized)
+    val rows = joined.collect().length
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew="), s"no skew marker in plan:\n${plan.take(2000)}")
+    assert(rows == 200000)
+  }
+
   test("compaction collapses small files and preserves data") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val path = s"$tmp/events"
