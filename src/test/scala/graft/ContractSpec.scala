@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards on the driver contract itself — cheap checks that prevent a
+  * silent correctness-gate zero (stale oracle keys, malformed names). */
+class ContractSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("every oracle key has a matching query") {
+    val stale = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"oracle entries without queries: $stale")
+  }
+
+  test("query names are snake_case and unique") {
+    SparkEntry.queries.keys.foreach { name =>
+      assert(name.matches("[a-z][a-z0-9_]*"), s"bad query name: $name")
+    }
+  }
+
+  test("rows-only queries are the documented hash-seeded/approx/stub set") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("qs2_simhash_neardup", "qs3_palette_by_source",
+      "qs4_ann_ivf", "qs8_winnow_candidates", "qm1_multimodal_features",
+      "q25_approx_distinct"),
+      s"unexpected rows-only set: $rowsOnly")
+  }
+
+  test("flagship entry returns rows (driver smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
