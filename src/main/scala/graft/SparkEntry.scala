@@ -68,6 +68,8 @@ object SparkEntry {
     "q31_scalar_subquery"  -> (Advanced.q31ScalarSubquery _),
     "q32_grouping_sets"    -> (Advanced.q32GroupingSets _),
     "q33_dedup_clusters"   -> (graft.dedup.Clusters.q33DedupClusters _),
+    "q34_value_histogram"  -> (Advanced.q34ValueHistogram _),
+    "qd9_term_stats"       -> (TextOps.qd9TermStats _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
     "qs1_minhash_neardup"  -> ((s, d) => MinHashLSH.nearDups(s, d)),
     "qs2_simhash_neardup"  -> ((s, d) => SimHash.nearDups(s, d)),
@@ -372,6 +374,22 @@ object SparkEntry {
         |WHERE token = 'spark'
         |GROUP BY doc_id, lang
         |ORDER BY doc_id""".stripMargin,
+
+    "q34_value_histogram" ->
+      """SELECT event_type, floor(value / 50.0)::BIGINT AS bucket, count(*) AS n
+        |FROM events
+        |GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "qd9_term_stats" ->
+      """SELECT term, count(*) AS occurrences,
+        | count(DISTINCT doc_id) AS doc_freq
+        |FROM (SELECT doc_id,
+        |        unnest(string_split_regex(trim(text), '\s+')) AS term
+        |      FROM documents)
+        |GROUP BY term
+        |ORDER BY occurrences DESC, term
+        |LIMIT 20""".stripMargin,
 
     "qd8_bm25_search" ->
       """WITH toks AS (

@@ -96,6 +96,17 @@ object Advanced {
       .orderBy("user_id", "purchase_id", "error_id")
   }
 
+  /** Fixed-width histogram of event values per type (integer bucket
+    * arithmetic → engine-exact). */
+  def q34ValueHistogram(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") / 50.0).cast("long").as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bucket")
+  }
+
   /** GROUPING SETS with explicit set list (the general form behind
     * rollup/cube), grouping-id disambiguated via COALESCE labels. */
   def q32GroupingSets(spark: SparkSession, dir: String): DataFrame = {

@@ -142,6 +142,19 @@ object TextOps {
       .repartition(1).sortWithinPartitions("doc_a", "doc_b")
   }
 
+  /** Corpus vocabulary statistics: top-20 terms by total occurrences with
+    * document frequency — the classic word-count shape (explode → one
+    * shuffle on the term key → distributed top-K). */
+  def qd9TermStats(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct("doc_id").as("doc_freq"))
+      .orderBy(desc("occurrences"), col("term"))
+      .limit(20)
+  }
+
   /** F13: keyword / token search — tokenize + explode + equi-filter, the
     * engine-native form of the reference's delegated ES full-text search. */
   def qd7KeywordSearch(spark: SparkSession, dir: String): DataFrame = {
