@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The full end-to-end proof lives at the session surface (a fresh JVM
+  * with spark.sql.extensions=graft.GraftExtensions resolves graft_dot /
+  * graft_sorted_overlap from SQL, plans BandJoinExec from the natural
+  * join syntax, and rewrites abs-band filters — extensions only apply at
+  * session creation, which a shared-session suite cannot exercise).
+  * This spec guards that the installer applies cleanly and twice. */
+class GraftExtensionsSpec extends AnyFunSuite {
+  test("extension installer applies cleanly and is re-entrant") {
+    val ext = new GraftExtensions
+    ext(new SparkSessionExtensions)
+    ext(new SparkSessionExtensions)
+  }
+}
