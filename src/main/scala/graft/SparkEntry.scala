@@ -138,7 +138,7 @@ object SparkEntry {
     "q5_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
 
     "q6_semi_join" ->
@@ -458,7 +458,7 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(list_inner_product(a.v, b.v)
         |    / (sqrt(list_inner_product(a.v, a.v))
-        |       * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.9
+        |       * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
 
     "qe3_label_stats" ->

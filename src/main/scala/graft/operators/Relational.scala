@@ -95,11 +95,13 @@ object Relational {
   }
 
   /** J3 analog: anti join — "keys not already present"
-    * (existence-checked image put, s3-to-es_aws.py:94-104). */
+    * (existence-checked image put, s3-to-es_aws.py:94-104). Customers
+    * with no event activity: a genuinely non-empty result at every SF
+    * (every customer has orders, so the orders variant verified nothing). */
   def q5AntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables(spark, dir, "customer")
-    val o = Tables(spark, dir, "orders")
-    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+    val ev = Tables(spark, dir, "events")
+    c.join(ev, c("c_custkey") === ev("user_id"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy("c_custkey")
   }

@@ -17,7 +17,7 @@ class OperatorPropertiesSpec extends AnyFunSuite {
         val n = fn(spark, dir).count()
         assert(n >= 0, s"$name failed")
         // queries allowed to be legitimately empty on tiny data:
-        val mayBeEmpty = Set("q5_anti_join", "q16_set_ops", "qe2_neardup_pairs")
+        val mayBeEmpty = Set("q16_set_ops")
         if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
       }
     }
