@@ -191,25 +191,23 @@ object SparkEntry {
         s"SELECT '$t' AS tbl, count(*) AS row_cnt, count(*) >= 1 AS pass FROM $t"
       ).mkString("", " UNION ALL ", " ORDER BY tbl"),
 
-    "q12_quality_nulls" ->
-      """SELECT 'customer' AS tbl, count(*) AS n_rows,
-        | (count(*) - count(c_custkey)) + (count(*) - count(c_name))
-        | + (count(*) - count(c_nationkey)) + (count(*) - count(c_acctbal))
-        | + (count(*) - count(c_mktsegment)) AS n_nulls
-        |FROM customer
-        |UNION ALL
-        |SELECT 'orders', count(*),
-        | (count(*) - count(o_orderkey)) + (count(*) - count(o_custkey))
-        | + (count(*) - count(o_orderstatus)) + (count(*) - count(o_totalprice))
-        | + (count(*) - count(o_orderdate)) + (count(*) - count(o_orderpriority))
-        |FROM orders
-        |UNION ALL
-        |SELECT 'documents', count(*),
-        | (count(*) - count(doc_id)) + (count(*) - count(text))
-        | + (count(*) - count(lang)) + (count(*) - count(source))
-        | + (count(*) - count(n_chars))
-        |FROM documents
-        |ORDER BY tbl""".stripMargin,
+    "q12_quality_nulls" -> {
+      val cols = Map(
+        "region" -> Seq("r_regionkey", "r_name"),
+        "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+        "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+        "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+        "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+        "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"),
+        "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+        "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+        "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+        "embeddings" -> Seq("vec_id", "embedding", "label"))
+      cols.toSeq.sortBy(_._1).map { case (t, cs) =>
+        val sum = cs.map(c => s"(count(*) - count($c))").mkString(" + ")
+        s"SELECT '$t' AS tbl, count(*) AS n_rows, $sum AS n_nulls FROM $t"
+      }.mkString("", " UNION ALL ", " ORDER BY tbl")
+    },
 
     "q13_scalar_chain" ->
       """SELECT p_partkey,

@@ -139,9 +139,16 @@ object Relational {
         .select(lit(t).as("tbl"), col("n_rows"), col("n_nulls"))
     }
     Seq(
+      nulls("region", Seq("r_regionkey", "r_name")),
+      nulls("nation", Seq("n_nationkey", "n_name", "n_regionkey")),
       nulls("customer", Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")),
+      nulls("supplier", Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal")),
+      nulls("part", Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")),
       nulls("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")),
-      nulls("documents", Seq("doc_id", "text", "lang", "source", "n_chars")))
+      nulls("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")),
+      nulls("events", Seq("event_id", "ts", "user_id", "event_type", "value", "props")),
+      nulls("documents", Seq("doc_id", "text", "lang", "source", "n_chars")),
+      nulls("embeddings", Seq("vec_id", "embedding", "label")))
       .reduce(_.unionAll(_)).orderBy("tbl")
   }
 
