@@ -70,6 +70,7 @@ object SparkEntry {
     "q33_dedup_clusters"   -> (graft.dedup.Clusters.q33DedupClusters _),
     "q34_value_histogram"  -> (Advanced.q34ValueHistogram _),
     "qd9_term_stats"       -> (TextOps.qd9TermStats _),
+    "qd10_corpus_curation" -> (TextOps.qd10CorpusCuration _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
     "qs1_minhash_neardup"  -> ((s, d) => MinHashLSH.nearDups(s, d)),
     "qs2_simhash_neardup"  -> ((s, d) => SimHash.nearDups(s, d)),
@@ -388,6 +389,48 @@ object SparkEntry {
         |GROUP BY term
         |ORDER BY occurrences DESC, term
         |LIMIT 20""".stripMargin,
+
+    // Composed curation pipeline: quality gate → exact dedup → near-dup
+    // cluster pruning (reuses q33's recursive-CTE component resolution).
+    "qd10_corpus_curation" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN list_distinct(
+        |      list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE [] END AS sh
+        |  FROM t
+        |), p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.8
+        |), e AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION SELECT doc_b, doc_a FROM p
+        |), r(s, t2) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT r.s, e.b FROM r JOIN e ON r.t2 = e.a
+        |), drop_members AS (
+        |  SELECT s AS doc_id FROM r GROUP BY s HAVING s <> min(t2)
+        |), quality AS (
+        |  SELECT doc_id, lang, source,
+        |    length(text) AS n_chars_actual,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_words,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 30
+        |    AND length(text) >= 200
+        |)
+        |SELECT doc_id, lang, source, n_chars_actual, n_words
+        |FROM quality
+        |WHERE rn = 1
+        |  AND doc_id NOT IN (SELECT doc_id FROM drop_members)
+        |ORDER BY doc_id""".stripMargin,
 
     "qd8_bm25_search" ->
       """WITH toks AS (

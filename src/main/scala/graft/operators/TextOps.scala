@@ -142,6 +142,33 @@ object TextOps {
       .repartition(1).sortWithinPartitions("doc_a", "doc_b")
   }
 
+  /** The composed training-corpus curation pipeline — the end-to-end
+    * flow the individual operators exist for:
+    *   1. quality gate: ≥ 30 words and ≥ 200 chars (qd3's signals);
+    *   2. exact dedup: keep the smallest doc_id per md5(text) (qd1);
+    *   3. near-dup pruning: drop every cluster member except its
+    *      representative (q33's connected components over MinHash-LSH).
+    * Output: the surviving doc_ids with their stats — what a pretraining
+    * data job would hand to tokenization. */
+  def qd10CorpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val quality = d.filter(
+      size(split(trim(col("text")), "\\s+")) >= 30 && length(col("text")) >= 200)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val exactKept = quality
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val dropNearDups = graft.dedup.Clusters.q33DedupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_rep"))
+      .select("doc_id")
+    exactKept.join(dropNearDups, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus vocabulary statistics: top-20 terms by total occurrences with
     * document frequency — the classic word-count shape (explode → one
     * shuffle on the term key → distributed top-K). */
