@@ -54,4 +54,14 @@ class PaletteSpec extends AnyFunSuite {
   test("empty group yields empty palette") {
     assert(Palette.palette(Iterator.empty).isEmpty)
   }
+
+  test("paletteBySource is deterministic under replay") {
+    val spark = graft.SparkTestSession.spark
+    val a = Palette.paletteBySource(spark, graft.SparkTestSession.sfDir)
+      .collect().map(_.toSeq).toSeq
+    val b = Palette.paletteBySource(spark, graft.SparkTestSession.sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
 }
