@@ -43,12 +43,23 @@ object MinHashLSH {
 
   /** Pure kernel: distinct shingle set of a document, sorted so the
     * verify-phase Jaccard can use the allocation-free merge kernel
-    * (functions.SortedOverlapCount). */
+    * (functions.SortedOverlapCount).
+    *
+    * The sort MUST use UTF-8 byte order (`UTF8String` binary compare), not
+    * Java's UTF-16 code-unit order: the merge walk compares `UTF8String`s,
+    * and the two collations disagree for supplementary-plane characters
+    * (emoji) vs U+E000–U+FFFF — a UTF-16 sort would silently undercount
+    * the intersection on such text. */
   def shingleSet(text: String): Array[String] = {
     val toks = text.trim.split("\\s+")
     if (toks.length < ShingleSize) Array.empty
-    else Array.tabulate(toks.length - ShingleSize + 1)(i =>
-      s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").distinct.sorted
+    else {
+      Array.tabulate(toks.length - ShingleSize + 1)(i =>
+        s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").distinct
+        .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+        .sorted
+        .map(_.toString)
+    }
   }
 
   /** Pure kernel: 16 band hashes of the 64-element MinHash signature. */

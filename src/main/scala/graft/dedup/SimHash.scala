@@ -56,9 +56,13 @@ object SimHash {
       .toDF("doc_id", "simhash")
   }
 
-  /** Near-dup pairs with Hamming distance ≤ maxDist (≤ 16 supported by the
-    * 4-chunk pigeonhole; default 3). */
+  /** Near-dup pairs with Hamming distance ≤ maxDist. The 4-chunk pigeonhole
+    * only guarantees a whole-chunk agreement for distance ≤ 3 (d+1 chunks
+    * cover distance d), so larger distances would silently lose recall —
+    * rejected up front. */
   def nearDups(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4-chunk pigeonhole guarantees recall only for maxDist <= 3, got $maxDist")
     val fp = fingerprints(spark, dir)
     val chunked = fp.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(i =>

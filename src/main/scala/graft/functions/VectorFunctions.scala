@@ -45,11 +45,16 @@ case class DotProduct(left: Expression, right: Expression)
   private def isFloat(dt: DataType): Boolean =
     dt.asInstanceOf[ArrayType].elementType == FloatType
 
+  // Length mismatch is a data bug (malformed embedding); DuckDB's
+  // list_inner_product — the oracle — errors on it, so a silent
+  // truncated dot product would be a quietly wrong similarity. Throw.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val xf = isFloat(left.dataType); val yf = isFloat(right.dataType)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) throw new IllegalArgumentException(
+      s"$prettyName: vector length mismatch ($n vs ${y.numElements()})")
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -69,7 +74,11 @@ case class DotProduct(left: Expression, right: Expression)
       val getA = if (isFloat(left.dataType)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (isFloat(right.dataType)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: vector length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $getA * $getB;

@@ -19,9 +19,19 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * lake.
   *
   * Null semantics are identical: if x is null both forms are null; the
-  * arithmetic is integer-only (LongType), and c ± d overflow is guarded
-  * by requiring both literals in the int range — outside it the rule
-  * leaves the predicate alone.
+  * arithmetic is integer-only (LongType), and `safe()` guards that c ± d
+  * does not overflow Long — otherwise the rule leaves the predicate alone.
+  *
+  * Documented edge-case divergence (x itself is unbounded, so it cannot be
+  * guarded by inspecting literals): (1) under ANSI mode the original
+  * `x - c` can throw ARITHMETIC_OVERFLOW where the rewrite evaluates to
+  * false; (2) under non-ANSI wrapped arithmetic, when x - c wraps to
+  * exactly Long.MinValue, abs() stays negative so the original predicate
+  * is true while the rewrite is false. Both require |x - c| ≳ 2^63 —
+  * impossible for the epoch-micros bands this rule targets (the engine
+  * applies it to timestamps, |x| < 2^53) — and are accepted as the cost
+  * of scan pruning; callers with adversarial Long domains should not
+  * register the rule.
   */
 object RewriteAbsBand extends Rule[LogicalPlan] {
 

@@ -56,10 +56,14 @@ object Ann {
 
   /** ANN top-k over any (vec_id, embedding, label) DataFrame. */
   def knnFrom(emb: DataFrame, k: Int, nprobe: Int, queryPred: String): DataFrame = {
-    // centroids are k×dim — cache the tiny table instead of recomputing
-    // the posexplode aggregation once per consumer (audit showed the
-    // uncached plan paid 12 shuffles: both branches re-derived it)
-    val cents = centroids(emb).cache()
+    // centroids are k×dim — materialize the tiny table once to the driver
+    // and rebuild it as a local relation instead of recomputing the
+    // posexplode aggregation per consumer (audit showed the shared plan
+    // paid 12 shuffles: both branches re-derived it). Unlike `.cache()`
+    // this leaves nothing persisted behind after repeated calls.
+    val centsPlan = centroids(emb)
+    val cents = emb.sparkSession.createDataFrame(
+      java.util.Arrays.asList(centsPlan.collect(): _*), centsPlan.schema)
     val assigned = assignments(emb, cents)
 
     val queries = emb.filter(expr(queryPred))

@@ -1,0 +1,57 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct coverage for the two codegen Expressions' edge contracts:
+  * collation agreement between the driver-side shingle sort and the
+  * UTF8String merge walk, and the length-mismatch guard on graft_dot
+  * (DuckDB's list_inner_product — the oracle — errors there too). */
+class NativeFunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("shingleSet sorts in UTF-8 byte order, matching the merge comparator") {
+    // Supplementary-plane emoji (U+1F600, 4-byte UTF-8) vs U+FF01-range
+    // fullwidth forms (3-byte UTF-8): Java UTF-16 order puts the emoji's
+    // high surrogate (0xD83D) BEFORE 0xFF01 while UTF-8 byte order puts it
+    // after — exactly the case where a UTF-16 sort breaks the merge walk.
+    val text = "😀 ！x 😀 ！x 😀 ！x zz"
+    val sh = graft.dedup.MinHashLSH.shingleSet(text)
+    assert(sh.length > 1)
+    val u = sh.map(UTF8String.fromString)
+    assert(u.zip(u.tail).forall { case (a, b) => a.compareTo(b) < 0 },
+      s"shingle array not sorted in UTF8 byte order: ${sh.mkString("|")}")
+  }
+
+  test("sortedOverlap on UTF8-sorted mixed-plane shingles equals exact set intersection") {
+    val t1 = "😀 ！x alpha 😀 beta ！x gamma"
+    val t2 = "😀 ！x alpha 😀 beta ！x DELTA"
+    val s1 = graft.dedup.MinHashLSH.shingleSet(t1)
+    val s2 = graft.dedup.MinHashLSH.shingleSet(t2)
+    val exact = (s1.toSet & s2.toSet).size
+    val got = Seq((s1.toSeq, s2.toSeq)).toDF("a", "b")
+      .select(SetFunctions.sortedOverlap(col("a"), col("b")))
+      .head().getInt(0)
+    assert(got == exact, s"merge walk got $got, exact $exact")
+  }
+
+  test("graft_dot throws on vector length mismatch instead of truncating") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    // local mode surfaces the IllegalArgumentException directly; a cluster
+    // wraps it in SparkException — accept either
+    val e = intercept[Exception] {
+      df.select(VectorFunctions.dot(col("a"), col("b"))).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("length mismatch")), s"got $msgs")
+  }
+
+  test("graft_dot equal-length semantics unchanged") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    assert(df.select(VectorFunctions.dot(col("a"), col("b"))).head().getDouble(0) == 32.0)
+  }
+}
