@@ -75,7 +75,9 @@ object SparkEntry {
     "qs1_minhash_neardup"  -> ((s, d) => MinHashLSH.nearDups(s, d)),
     "qs2_simhash_neardup"  -> ((s, d) => SimHash.nearDups(s, d)),
     "qs3_palette_by_source" -> (Palette.paletteBySource _),
-    "qs4_ann_ivf"          -> ((s, d) => Ann.knn(s, d)),
+    // full probe: provably equals brute force (see Ann.knn scaladoc) →
+    // shares qe1's oracle; low-probe recall is covered by AnnSpec
+    "qs4_ann_ivf"          -> ((s, d) => Ann.knn(s, d, nprobe = Int.MaxValue)),
     "qs5_stream_upsert"    -> (Replay.streamUpsert _),
     "qs6_stream_hourly"    -> (Replay.streamHourlyRollup _),
     "qm1_multimodal_features" -> (Multimodal.featureRollup _),
@@ -242,11 +244,19 @@ object SparkEntry {
         |WHERE (props->>'$.k')::INTEGER > 50
         |ORDER BY event_id""".stripMargin,
 
+    // EXCEPT + INTERSECT + UNION ALL, each branch non-empty by
+    // construction (cross-table key sets).
     "q16_set_ops" ->
-      """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
-        |EXCEPT
-        |SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
-        |ORDER BY user_id""".stripMargin,
+      """SELECT 'customer_no_events' AS set_name, key FROM (
+        |  SELECT c_custkey AS key FROM customer
+        |  EXCEPT
+        |  SELECT user_id FROM events)
+        |UNION ALL
+        |SELECT 'evented_with_orders' AS set_name, key FROM (
+        |  SELECT user_id AS key FROM events
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders)
+        |ORDER BY set_name, key""".stripMargin,
 
     "q17_case_sentinel" ->
       """SELECT c_custkey,
@@ -762,26 +772,131 @@ object SparkEntry {
         |FROM r GROUP BY s
         |ORDER BY doc_id""".stripMargin,
 
-    // SRP-LSH recall ≈ 0.99 at cosine 0.95 with 8×8 tables, and the
-    // isotropic corpus's true answer at that threshold is empty → the
-    // exact all-pairs join is a valid oracle.
+    // SRP-LSH over the corpus plus its deterministic perturbed copy
+    // (w_i = 0.95·v_i + 0.05·v_{i+1}, id offset +100000): the expected
+    // answer is exactly the n−1 planted pairs at cosine ≈ 0.9986, so the
+    // exact all-pairs join over the same derived union is a NON-EMPTY
+    // oracle (the earlier corpus-only form passed vacuously on 0 rows).
     "qs9_srp_lsh_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), b AS (
+        |  SELECT a.vec_id + 100000 AS vec_id,
+        |    list_transform(range(1, len(a.v) + 1),
+        |      i -> 0.95 * a.v[i] + 0.05 * c.v[i]) AS v
+        |  FROM e a JOIN e c ON c.vec_id = a.vec_id + 1
+        |), u AS (
+        |  SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM b
         |)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_inner_product(a.v, b.v)
+        |SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+        |  round(list_inner_product(a.v, b2.v)
         |    / (sqrt(list_inner_product(a.v, a.v))
-        |       * sqrt(list_inner_product(b.v, b.v))), 6) AS sim
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE round(list_inner_product(a.v, b.v)
+        |       * sqrt(list_inner_product(b2.v, b2.v))), 6) AS sim
+        |FROM u a JOIN u b2 ON a.vec_id < b2.vec_id
+        |WHERE round(list_inner_product(a.v, b2.v)
         |    / (sqrt(list_inner_product(a.v, a.v))
-        |       * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.95
+        |       * sqrt(list_inner_product(b2.v, b2.v))), 6) >= 0.95
         |ORDER BY id_a, id_b""".stripMargin,
 
-    // qs2_simhash_neardup, qs3_palette_by_source, qs4_ann_ivf are
-    // intentionally omitted: hash-seeded / approximate / stubbed-decode
-    // operators have no SQL-expressible oracle → driver rows-only check;
-    // their correctness specs live in src/test/scala/graft.
+    // SimHash is fully SQL-reproducible: the token hash is the lower 64
+    // bits of MD5 (DuckDB md5_number_lower, bit-matched by
+    // SimHash.md5Lower64String), and the pigeonhole candidate step is
+    // exact for Hamming ≤ 3 — so the oracle recomputes fingerprints and
+    // all-pairs Hamming from scratch.
+    "qs2_simhash_neardup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |), bits AS (
+        |  SELECT doc_id, k,
+        |    sum(CASE WHEN (md5_number_lower(tok) >> k) & 1 = 1
+        |        THEN 1 ELSE -1 END) AS acc
+        |  FROM toks CROSS JOIN range(64) r(k)
+        |  GROUP BY doc_id, k
+        |), fp AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN acc > 0 THEN (1::UBIGINT << k)
+        |        ELSE 0::UBIGINT END)::UBIGINT AS simhash
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Full-probe IVF == brute force (Ann.knn scaladoc): qe1's oracle
+    // without the label column.
+    "qs4_ann_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 5
+        |), s AS (
+        |  SELECT q_id, e.vec_id AS cand_id,
+        |    round(list_inner_product(q_vec, v)
+        |      / (sqrt(list_inner_product(q_vec, q_vec))
+        |         * sqrt(list_inner_product(v, v))), 6) AS sim
+        |  FROM q CROSS JOIN e WHERE q_id <> e.vec_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rank
+        |  FROM s
+        |)
+        |SELECT q_id, rank, cand_id, sim FROM r
+        |WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // Winnowing is SQL-reproducible because the fingerprint SET equals
+    // the distinct sliding-window minima of the md5-based gram hashes
+    // (the rightmost-tie rule only affects positions, which the set
+    // discards); posting-list pruning (df ≤ 20) and the shared-count
+    // threshold mirror Fingerprint.fingerprintCandidates exactly.
+    "qs8_winnow_candidates" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, i,
+        |    md5_number_lower(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS gh,
+        |    len(toks) - 2 AS n_grams
+        |  FROM t CROSS JOIN unnest(range(1, greatest(len(toks) - 1, 1))) r(i)
+        |  WHERE len(toks) >= 3
+        |), wm AS (
+        |  SELECT doc_id, i, n_grams,
+        |    min(gh) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |    min(gh) OVER (PARTITION BY doc_id) AS gmin
+        |  FROM g
+        |), fp AS (
+        |  SELECT DISTINCT doc_id,
+        |    CASE WHEN n_grams <= 4 THEN gmin ELSE wmin END AS fp
+        |  FROM wm
+        |  WHERE n_grams <= 4 OR i <= n_grams - 3
+        |), rare AS (
+        |  SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 20
+        |), pruned AS (
+        |  SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp)
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+        |FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY doc_a, doc_b
+        |HAVING count(*) >= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Exact columns + the 5%-bound boolean; the sketch's raw value is
+    // engine-specific and additionally spec-bounded.
+    "q25_approx_distinct" ->
+      """SELECT event_type, count(*) AS n_events,
+        | count(DISTINCT user_id) AS exact_users,
+        | TRUE AS approx_ok
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // qs3_palette_by_source and qm1_multimodal_features are intentionally
+    // omitted: per-group KMeans and the stubbed multimodal decode have no
+    // SQL-expressible oracle → driver rows-only check; their correctness
+    // specs live in src/test/scala/graft.
   )
 }

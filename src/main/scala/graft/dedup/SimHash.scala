@@ -9,9 +9,13 @@ import org.apache.spark.sql.functions._
   * Hamming distance tracks document similarity.
   *
   * The fingerprint is computed in a typed `Dataset.map` with a pure Scala
-  * kernel (tested independently); tokens are hashed with the same xxhash64
-  * the SQL engine exposes, so a future Catalyst `Expression` with
-  * `doGenCode` can replace the map without changing results.
+  * kernel (tested independently); tokens are hashed with the lower 64 bits
+  * of MD5 — bit-identical to DuckDB's `md5_number_lower` — so the ENTIRE
+  * pipeline (token hash → bit votes → fingerprint → Hamming pairs) is
+  * reproducible in the SQL oracle. The pigeonhole candidate step is exact
+  * (every pair at distance ≤ 3 shares a whole chunk), so the output is
+  * fully deterministic given the hash, and the hash is SQL-expressible:
+  * that is what upgrades this operator from rows-only to oracle-checked.
   *
   * Pair search uses the pigeonhole banding trick: split 64 bits into 4
   * 16-bit chunks — any pair with Hamming distance ≤ 3 must agree on at
@@ -21,11 +25,26 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Lower 64 bits of MD5: digest bytes 8..15 little-endian — matches
+    * DuckDB `md5_number_lower` bit-for-bit (verified against 1.0.0). */
+  def md5Lower64String(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d, 8, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+  }
+
   /** Pure kernel: 64-bit SimHash of a token sequence. */
   def simhash64(toks: Seq[String]): Long = {
     val acc = new Array[Int](64)
     toks.foreach { t =>
-      val h = xxhash64String(t)
+      val h = md5Lower64String(t)
       var k = 0
       while (k < 64) {
         if (((h >>> k) & 1L) == 1L) acc(k) += 1 else acc(k) -= 1
@@ -74,7 +93,8 @@ object SimHash {
         col("a.chunk_val") === col("b.chunk_val") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
       .orderBy("doc_a", "doc_b")

@@ -65,8 +65,12 @@ object Advanced {
   }
 
   /** Approximate aggregates (HLL++): the scale path next to q20's exact
-    * distinct counts. No SQL oracle (sketch internals differ per engine);
-    * the spec bounds the relative error against the exact counts. */
+    * distinct counts. The sketch value itself is engine-specific, so the
+    * driver-checked output carries the exact columns plus a boolean
+    * asserting the sketch landed within its default 5% relative-error
+    * budget — the oracle predicts TRUE, making the sketch's accuracy
+    * (not just its execution) part of the hash-checked contract; the
+    * spec additionally bounds the raw error. */
   def q25ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events")
     ev.groupBy("event_type")
@@ -74,6 +78,9 @@ object Advanced {
         approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_events"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double")
+          <= col("exact_users").cast("double") * 0.05).as("approx_ok"))
       .orderBy("event_type")
   }
 

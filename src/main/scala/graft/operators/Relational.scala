@@ -170,13 +170,25 @@ object Relational {
       .orderBy("p_partkey")
   }
 
-  /** Set ops (§2.6): users who clicked but never purchased (EXCEPT), with
-    * distinct semantics. */
+  /** Set ops (§2.6): EXCEPT + INTERSECT + UNION ALL in one labeled result.
+    * Cross-table key sets are used so both branches are genuinely
+    * non-empty (the earlier within-events event-type EXCEPT was vacuously
+    * empty — every user has every event type): customers that never
+    * produced an event (the idempotent re-ingest "not yet stored" set,
+    * README.md:41 analog of K1's existence check), and evented users that
+    * also placed orders. */
   def q16SetOps(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir, "events")
-    val clickers = ev.filter(col("event_type") === "click").select("user_id")
-    val buyers = ev.filter(col("event_type") === "purchase").select("user_id")
-    clickers.except(buyers).orderBy("user_id")
+    val custKeys = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("key"))
+    val eventUsers = Tables(spark, dir, "events")
+      .select(col("user_id").as("key"))
+    val orderCusts = Tables(spark, dir, "orders")
+      .select(col("o_custkey").as("key"))
+    val neverEvented = custKeys.except(eventUsers)
+      .select(lit("customer_no_events").as("set_name"), col("key"))
+    val eventedBuyers = eventUsers.intersect(orderCusts)
+      .select(lit("evented_with_orders").as("set_name"), col("key"))
+    neverEvented.unionAll(eventedBuyers).orderBy("set_name", "key")
   }
 
   /** F10 (blank→null) + CASE banding + least/greatest over customer. */

@@ -49,7 +49,14 @@ object Ann {
   /** ANN top-k over the embeddings table: probe the `nprobe` best cells
     * per query. NOTE: on this synthetic corpus the vectors are isotropic
     * noise (labels carry no geometry), so low `nprobe` necessarily trades
-    * recall — the spec exercises recall on clustered data via `knnFrom`. */
+    * recall — the spec exercises recall on clustered data via `knnFrom`.
+    *
+    * At `nprobe >= number of cells` (full probe) every corpus vector is a
+    * candidate, so the result provably equals the brute-force top-k
+    * (qe1's oracle modulo the label column): both sides round cosine to 6
+    * decimals BEFORE ranking and break ties on cand_id, making the
+    * correspondence exact, not approximate. That is the driver-checked
+    * configuration; low-probe recall is spec-checked on clustered data. */
   def knn(spark: SparkSession, dir: String, k: Int = 5, nprobe: Int = 3,
           queryPred: String = "vec_id < 5"): DataFrame =
     knnFrom(Tables(spark, dir, "embeddings"), k, nprobe, queryPred)

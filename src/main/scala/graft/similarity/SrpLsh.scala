@@ -58,11 +58,25 @@ object SrpLsh {
       .repartition(1).sortWithinPartitions("id_a", "id_b")
   }
 
-  /** Corpus entry point: embedding near-dups at cosine ≥ 0.95. On the
-    * isotropic synthetic corpus the exact answer is empty (max pairwise
-    * cosine ≈ 0.7 at this dimensionality), so the oracle is the exact
-    * all-pairs join; recall on genuinely near-parallel vectors is
-    * spec-checked on planted data. */
-  def qs9NearDups(spark: SparkSession, dir: String): DataFrame =
-    nearDups(Tables(spark, dir, "embeddings"), threshold = 0.95)
+  /** Corpus entry point: embedding near-dups at cosine ≥ 0.95 over the
+    * corpus UNION a derived perturbed copy. The raw isotropic corpus has
+    * no pairs at this threshold (max pairwise cosine ≈ 0.7 at 64 dims),
+    * which made the oracle vacuously empty — so the query plants its own
+    * ground truth deterministically: each vector blended with its
+    * successor, `w_i = 0.95·v_i + 0.05·v_{i+1}`, sits at cosine ≈ 0.9986
+    * to `v_i` while every other pairing stays ≈ 0. The blend is pure
+    * double arithmetic, so the DuckDB oracle reproduces it bit-exactly
+    * and the expected output is exactly the n−1 planted pairs (miss
+    * probability per pair at this angle: (1−0.983^8)^8 ≈ 1e-7). */
+  def qs9NearDups(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val successors = e.select((col("vec_id") - 1).as("vec_id"),
+      col("embedding").as("next_emb"))
+    val perturbed = e.join(successors, "vec_id")
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        zip_with(col("embedding"), col("next_emb"),
+          (x, y) => lit(0.95) * x + lit(0.05) * y).as("embedding"))
+    nearDups(e.unionAll(perturbed), threshold = 0.95)
+  }
 }

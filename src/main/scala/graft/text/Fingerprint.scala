@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   * fingerprint — the standard plagiarism/near-dup sketch when MinHash's
   * whole-document granularity is too coarse.
   *
-  * Kernel is pure Scala (same xxhash64 as the SQL engine); the operator
-  * is a narrow per-row map followed by an explode + groupBy — one
-  * shuffle, same shape as MinHashLSH's banding.
+  * Kernel is pure Scala; gram hashing uses the lower 64 bits of MD5
+  * (SimHash.md5Lower64String == DuckDB `md5_number_lower`), which makes
+  * the full candidate set — window minima, posting-list pruning, shared
+  * counts — reproducible in the SQL oracle. The operator is a narrow
+  * per-row map followed by an explode + groupBy — one shuffle, same
+  * shape as MinHashLSH's banding.
   */
 object Fingerprint {
 
@@ -20,17 +23,24 @@ object Fingerprint {
     * minimum of each sliding window of w hashes (rightmost minimum on
     * ties), deduplicated by (position, hash). */
   def winnow(toks: Array[String], k: Int, w: Int): Array[Long] = {
+    // UNSIGNED comparisons throughout: the hash is the bit pattern of
+    // DuckDB's UBIGINT md5_number_lower, and the oracle's window min is
+    // unsigned — a signed Long min would pick different fingerprints for
+    // hashes with the top bit set.
     if (toks.length < k) return Array.empty
     val grams = Array.tabulate(toks.length - k + 1)(i =>
-      SimHash.xxhash64String(toks.slice(i, i + k).mkString(" ")))
-    if (grams.length <= w) return Array(grams.min)
+      SimHash.md5Lower64String(toks.slice(i, i + k).mkString(" ")))
+    if (grams.length <= w)
+      return Array(grams.reduce((a, b) =>
+        if (java.lang.Long.compareUnsigned(a, b) <= 0) a else b))
     val out = scala.collection.mutable.LinkedHashSet.empty[Long]
     var start = 0
     while (start + w <= grams.length) {
       var minIdx = start
       var i = start + 1
       while (i < start + w) {
-        if (grams(i) <= grams(minIdx)) minIdx = i // rightmost minimum
+        // rightmost minimum
+        if (java.lang.Long.compareUnsigned(grams(i), grams(minIdx)) <= 0) minIdx = i
         i += 1
       }
       out += grams(minIdx)

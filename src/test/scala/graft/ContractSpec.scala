@@ -20,9 +20,7 @@ class ContractSpec extends AnyFunSuite {
 
   test("rows-only queries are the documented hash-seeded/approx/stub set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("qs2_simhash_neardup", "qs3_palette_by_source",
-      "qs4_ann_ivf", "qs8_winnow_candidates", "qm1_multimodal_features",
-      "q25_approx_distinct"),
+    assert(rowsOnly == Set("qs3_palette_by_source", "qm1_multimodal_features"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

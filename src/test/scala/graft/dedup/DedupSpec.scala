@@ -54,8 +54,9 @@ class DedupSpec extends AnyFunSuite {
     val b = SimHash.simhash64(nearDup.split(" ").toSeq)
     val c = SimHash.simhash64(unrelated.split(" ").toSeq)
     assert(SimHash.hamming(a, a2) == 0)
-    assert(SimHash.hamming(a, b) <= 12, s"near-dup hamming ${SimHash.hamming(a, b)}")
+    assert(SimHash.hamming(a, b) <= 14, s"near-dup hamming ${SimHash.hamming(a, b)}")
     assert(SimHash.hamming(a, c) >= 16, s"unrelated hamming ${SimHash.hamming(a, c)}")
+    assert(SimHash.hamming(a, b) < SimHash.hamming(a, c))
   }
 
   test("simhash captures the planted near-dups within a small radius") {

@@ -31,9 +31,16 @@ class SrpLshSpec extends AnyFunSuite {
     assert(got.intersect(expected).size == got.count(expected.contains))
   }
 
-  test("isotropic corpus has no 0.95-cosine pairs (oracle agreement)") {
-    val pairs = SrpLsh.qs9NearDups(spark, SparkTestSession.sfDir).count()
-    assert(pairs == 0L)
+  test("qs9 finds exactly the planted perturbed pairs (oracle agreement)") {
+    // corpus ∪ perturbed copy: expected output is the n−1 planted
+    // (v_i, 0.95·v_i + 0.05·v_{i+1}) pairs and nothing else — the raw
+    // isotropic corpus contributes no pairs at cosine ≥ 0.95
+    val n = graft.Tables(spark, SparkTestSession.sfDir, "embeddings").count()
+    val pairs = SrpLsh.qs9NearDups(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length.toLong == n - 1, s"got ${pairs.length}, want ${n - 1}")
+    assert(pairs.forall { case (a, b) => b == a + 100000L },
+      "found a non-planted pair at cosine >= 0.95")
   }
 
   test("bucket ids are deterministic across invocations") {

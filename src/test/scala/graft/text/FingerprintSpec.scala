@@ -14,7 +14,7 @@ class FingerprintSpec extends AnyFunSuite {
     assert(fp1.nonEmpty)
     // every fingerprint is one of the k-gram hashes
     val grams = toks.sliding(3).map(g =>
-      graft.dedup.SimHash.xxhash64String(g.mkString(" "))).toSet
+      graft.dedup.SimHash.md5Lower64String(g.mkString(" "))).toSet
     assert(fp1.forall(grams.contains))
   }
 
