@@ -70,6 +70,7 @@ object SparkEntry {
     "q33_dedup_clusters"   -> (graft.dedup.Clusters.q33DedupClusters _),
     "q34_value_histogram"  -> (Advanced.q34ValueHistogram _),
     "qd9_term_stats"       -> (TextOps.qd9TermStats _),
+    "q35_history_fact"     -> (graft.analytics.History.q35HistoryFact _),
     "qd10_corpus_curation" -> (TextOps.qd10CorpusCuration _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
     "qs1_minhash_neardup"  -> ((s, d) => MinHashLSH.nearDups(s, d)),
@@ -399,6 +400,43 @@ object SparkEntry {
         |GROUP BY term
         |ORDER BY occurrences DESC, term
         |LIMIT 20""".stripMargin,
+
+    // The §3.2 flagship fact build (stage → rollup → ordered LISTAGG →
+    // broadcast left joins → warehouse string render) under the oracle.
+    "q35_history_fact" ->
+      """WITH staged AS (
+        |  SELECT user_id AS id, epoch_us(ts::TIMESTAMP) AS created_at,
+        |    event_id AS followers_count,
+        |    CASE WHEN event_type = 'view' THEN floor(value * 10)::BIGINT END AS impressions,
+        |    CASE WHEN event_type = 'click' THEN floor(value * 10)::BIGINT END AS reach
+        |  FROM events
+        |), per_user AS (
+        |  SELECT id,
+        |    coalesce(string_agg(followers_count::VARCHAR, ', '
+        |      ORDER BY created_at, followers_count), '') AS followers,
+        |    coalesce(string_agg(impressions::VARCHAR, ', '
+        |      ORDER BY created_at, impressions), '') AS impressions,
+        |    coalesce(string_agg(reach::VARCHAR, ', '
+        |      ORDER BY created_at, reach), '') AS reach
+        |  FROM staged GROUP BY id
+        |), aggs AS (
+        |  SELECT user_id AS id, count(*) AS doc_count,
+        |    round(avg(value), 4) AS fol_avg,
+        |    round(avg(value * 2), 4) AS eng_avg
+        |  FROM events
+        |  WHERE ts::TIMESTAMP >= TIMESTAMP '2024-02-15' - INTERVAL 60 DAY
+        |  GROUP BY user_id
+        |), colors AS (
+        |  SELECT DISTINCT user_id AS id,
+        |    printf('#%06x', user_id % 16777216) AS colors
+        |  FROM events
+        |)
+        |SELECT p.id, p.followers, p.impressions, p.reach,
+        |  a.doc_count, a.fol_avg, a.eng_avg, c.colors
+        |FROM per_user p
+        |LEFT JOIN aggs a ON p.id = a.id
+        |LEFT JOIN colors c ON p.id = c.id
+        |ORDER BY p.id""".stripMargin,
 
     // Composed curation pipeline: quality gate → exact dedup → near-dup
     // cluster pruning (reuses q33's recursive-CTE component resolution).

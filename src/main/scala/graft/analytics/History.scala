@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The daily `history` fact build — SURVEY §3.2: the reference's Airflow
@@ -70,6 +70,38 @@ object History {
       .withColumn("followers", joined("followers"))
       .withColumn("impressions", joined("impressions"))
       .withColumn("reach", joined("reach"))
+  }
+
+  /** The §3.2 flagship as a DRIVER-CHECKED query: the exact
+    * `engagementRollup` → `build` → `renderForWarehouse` composition
+    * (sql_queries.py:2-30) over the events table, so the fact build is
+    * oracle-verified end-to-end, not just fixture-tested. The domain
+    * mapping keeps every semantic the reference exercises: per-user
+    * ordered series with NULL-skipping LISTAGG (only view/click rows
+    * carry impressions/reach — Basic-tier null behavior), a trailing
+    * 60-day engagement rollup, and two broadcast left joins. Series
+    * values are integral so the warehouse string render is byte-exact
+    * against the oracle. */
+  def q35HistoryFact(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables(spark, dir, "events")
+    val staged = ev.select(
+      col("user_id").as("id"),
+      unix_micros(col("ts")).as("created_at"),
+      col("event_id").as("followers_count"),
+      when(col("event_type") === "view",
+        floor(col("value") * 10).cast("long")).as("impressions"),
+      when(col("event_type") === "click",
+        floor(col("value") * 10).cast("long")).as("reach"))
+    val posts = ev.select(col("ts"), col("user_id").as("owner_id"),
+      col("value").as("followers"), (col("value") * 2).as("engagement"))
+    val aggs = engagementRollup(posts, lit("2024-02-15").cast("timestamp"))
+      .select(col("id"), col("doc_count"),
+        round(col("fol_avg"), 4).as("fol_avg"),
+        round(col("eng_avg"), 4).as("eng_avg"))
+    val colors = ev.select(col("user_id")).distinct()
+      .select(col("user_id").as("igId"),
+        format_string("#%06x", col("user_id") % 16777216).as("colors"))
+    renderForWarehouse(build(staged, aggs, colors))
   }
 
   /** A6: row-count gate (data_quality.py:26-36). */

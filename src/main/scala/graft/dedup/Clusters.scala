@@ -50,8 +50,11 @@ object Clusters {
       iter += 1
     }
     edges.unpersist()
-    labels.select(col("doc_id"), col("comp").as("cluster_rep"))
-      .repartition(1).sortWithinPartitions("doc_id")
+    // size-gated sort: cluster labels grow with the pair graph; the
+    // localCheckpoint'd labels make the gate + sort read materialized data
+    graft.plans.ScaleTechniques.sortedOutput(
+      labels.select(col("doc_id"), col("comp").as("cluster_rep")),
+      Seq("doc_id"))
   }
 
   /** q33: clusters over the MinHash-LSH verified near-dup graph. The

@@ -136,6 +136,32 @@ object Palette {
     bucketize(hsv.result())
   }
 
+  /** Streaming group-boundary iterator over a KEY-SORTED partition: one
+    * palette row per contiguous key run. Only the CURRENT group's resized
+    * HSV buffer is ever resident — never the partition. (The earlier
+    * `rows.toSeq.groupBy` buffered every group's raw payloads on the heap
+    * at once; with real images at 100× scale that is an executor OOM, not
+    * a slowdown. Requires the partition to be sorted by key, which the
+    * callers establish with sortWithinPartitions — Spark's sort is
+    * spillable, so the sort itself is also memory-safe.) */
+  private[enrich] def groupPalettes[R](rows: Iterator[R])(
+      key: R => String, decoded: R => (Int, Int, Array[Byte])): Iterator[(String, String, Long, Double)] = {
+    val it = rows.buffered
+    new Iterator[(String, String, Long, Double)] {
+      def hasNext: Boolean = it.hasNext
+      def next(): (String, String, Long, Double) = {
+        val k = key(it.head)
+        val group = new Iterator[(Int, Int, Array[Byte])] {
+          def hasNext: Boolean = it.hasNext && key(it.head) == k
+          def next(): (Int, Int, Array[Byte]) = decoded(it.next())
+        }
+        val buckets = paletteOfDecoded(group)
+        (k, paletteJson(buckets), buckets.length.toLong,
+          buckets.headOption.map(_.percentage).getOrElse(0.0))
+      }
+    }
+  }
+
   /** The REAL image pipeline — SURVEY §3.3 / §2.1 S3, exactly the
     * reference job's shape (spark/spark_image.py:168-209): Spark's
     * built-in image source (`dropInvalid` skips undecodable files, P12),
@@ -153,19 +179,18 @@ object Palette {
       .withColumn("igId", element_at(split(col("origin"), "/"), -2))
       .select(col("igId"), col("height"), col("width"), col("data"))
       .repartition(n, col("igId"))
+      // key-sorted partitions + deterministic within-group order (length,
+      // then content hash) so replay produces identical palettes; the
+      // group iterator below then streams one group at a time
+      .sortWithinPartitions(col("igId"), length(col("data")), hash(col("data")))
       .as[(String, Int, Int, Array[Byte])]
-      .mapPartitions { rows =>
-        rows.toSeq.groupBy(_._1).iterator.map { case (igId, grp) =>
-          val sorted = grp.sortBy(g =>
-            (g._4.length, scala.util.hashing.MurmurHash3.bytesHash(g._4, 42)))
-          val buckets = paletteOfDecoded(
-            sorted.iterator.map(g => (g._2, g._3, g._4)))
-          (igId, paletteJson(buckets), buckets.length.toLong,
-            buckets.headOption.map(_.percentage).getOrElse(0.0))
-        }
-      }
+      .mapPartitions(rows =>
+        groupPalettes(rows)(_._1, r => (r._2, r._3, r._4)))
       .toDF("igId", "colors", "n_buckets", "top_share")
-      .repartition(1).sortWithinPartitions("igId")
+      .transform(df =>
+        // size-gated: one output row per user — NOT one-partition small
+        // at real corpus scale
+        graft.plans.ScaleTechniques.sortedOutput(df, Seq("igId")))
   }
 
   /** Shared cluster-and-rank step over a packed HSV buffer. */
@@ -227,22 +252,19 @@ object Palette {
       // partition (hash partitioning collides ~1/e of them onto shared
       // partitions, doubling the straggler's load)
       .repartitionByRange(n, col("source"))
+      // key-sorted partitions + deterministic within-group order so the
+      // palette (and its KMeans init) is identical under replay
+      // regardless of shuffle order; grouping then streams per key run
+      .sortWithinPartitions(col("source"), length(col("payload")), hash(col("payload")))
       .as[(String, Array[Byte])]
-      .mapPartitions { rows =>
-        rows.toSeq.groupBy(_._1).iterator.map { case (source, grp) =>
-          // deterministic payload order so the palette (and its KMeans
-          // init) is identical under replay regardless of shuffle order
-          val sorted = grp.map(_._2).toArray
-            .sortBy(a => (a.length, scala.util.hashing.MurmurHash3.bytesHash(a, 42)))
-          val buckets = palette(sorted.iterator)
-          (source, paletteJson(buckets), buckets.length.toLong,
-            buckets.headOption.map(_.percentage).getOrElse(0.0))
-        }
-      }
+      .mapPartitions(rows =>
+        groupPalettes(rows)(_._1,
+          r => (FakeDecoder.H, FakeDecoder.W, FakeDecoder.decode(r._2))))
       .toDF("source", "colors", "n_buckets", "top_share")
-      // tiny result (one row per group): single-partition sort instead of
-      // orderBy — a range sort would re-execute the whole upstream just to
-      // sample partition bounds
-      .repartition(1).sortWithinPartitions("source")
+      // size-gated sort: materializes once, single-partition only while
+      // the group count is actually tiny (a range sort would re-execute
+      // the whole palette kernel just to sample partition bounds)
+      .transform(df =>
+        graft.plans.ScaleTechniques.sortedOutput(df, Seq("source")))
   }
 }

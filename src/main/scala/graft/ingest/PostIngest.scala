@@ -62,9 +62,11 @@ object PostIngest {
     StructField("swipe_ups", LongType),
     StructField("_corrupt_record", StringType)))
 
-  /** S1: PERMISSIVE JSON scan of the post lake. The ingest envelope
-    * (objectKey, createdDate — s3-to-es_aws.py:163-168) is derived from
-    * the file path and modification time. */
+  /** S1: PERMISSIVE JSON scan of the post lake. The FULL ingest envelope
+    * the reference wraps each document with — objectKey, createdDate,
+    * content_type, content_length (s3-to-es_aws.py:163-168) — is derived
+    * from real file metadata: content_length is the actual object size
+    * (`_metadata.file_size`), content_type from the object key suffix. */
   def readPosts(spark: SparkSession, path: String): DataFrame = {
     spark.read
       .schema(postSchema)
@@ -73,6 +75,10 @@ object PostIngest {
       .json(path)
       .withColumn("objectKey", input_file_name())
       .withColumn("createdDate", col("timestamp")) // replay: arrival == post time
+      .withColumn("content_length", col("_metadata.file_size"))
+      .withColumn("content_type",
+        when(col("objectKey").endsWith(".json"), lit("application/json"))
+          .otherwise(lit("application/octet-stream")))
   }
 
   private val extPattern = "\\.(\\w{3,4})\\?" // F1: reference regex uses a
@@ -134,6 +140,10 @@ object PostIngest {
       .json(globPath)
       .withColumn("objectKey", input_file_name())
       .withColumn("createdDate", col("timestamp"))
+      .withColumn("content_length", col("_metadata.file_size"))
+      .withColumn("content_type",
+        when(col("objectKey").endsWith(".json"), lit("application/json"))
+          .otherwise(lit("application/octet-stream")))
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$work/ckpt")

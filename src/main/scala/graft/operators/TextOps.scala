@@ -114,6 +114,13 @@ object TextOps {
     * token-set Jaccard is computed per pair. Blocking keeps the self-join
     * from going quadratic — the LSH generalization handles unblocked scale.
     *
+    * The length band is part of the JOIN KEY, not a post-join filter: docs
+    * bucket at n_chars div 16, and the probe side expands to its three
+    * adjacent buckets — |Δn| ≤ 16 implies |Δbucket| ≤ 1, so each
+    * qualifying pair matches on exactly one (equi) key and the per-key
+    * cross product shrinks from the whole (lang, source) block to one
+    * 16-char band. The residual abs() filter only trims the bucket edges.
+    *
     * Token sets are sorted once per document so the per-pair Jaccard is a
     * single allocation-free merge (graft.functions.SortedOverlapCount):
     * |A∩B| = overlap, |A∪B| = |A|+|B|−overlap. Integer-count ratio →
@@ -122,12 +129,19 @@ object TextOps {
     val d = docs(spark, dir).select(
       col("doc_id"), col("lang"), col("source"), col("n_chars"),
       array_sort(array_distinct(split(trim(col("text")), "\\s+"))).as("toks"))
-    val a = d.as("a"); val b = d.as("b")
+    val bucket = floor(col("n_chars") / 16).cast("long")
+    // probe side: own bucket plus both neighbors; build side: own bucket.
+    // |Δbucket| ≤ 1 for any pair with |Δn_chars| ≤ 16, and each pair has
+    // exactly one matching (probe_bucket = bucket) key → no dedup needed.
+    val a = d.withColumn("probe_bucket",
+        explode(array(bucket - 1, bucket, bucket + 1))).as("a")
+    val b = d.withColumn("bucket", bucket).as("b")
     val overlap = graft.functions.SetFunctions
       .sortedOverlap(col("a.toks"), col("b.toks"))
-    a.join(b,
+    val result = a.join(b,
         col("a.lang") === col("b.lang") &&
         col("a.source") === col("b.source") &&
+        col("a.probe_bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id") &&
         abs(col("a.n_chars") - col("b.n_chars")) <= 16)
       .select(
@@ -137,9 +151,9 @@ object TextOps {
           (size(col("a.toks")) + size(col("b.toks")) - overlap).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      // tiny result: single-partition sort — a range sort would sample the
-      // child and re-execute the whole join just for partition bounds
-      .repartition(1).sortWithinPartitions("doc_a", "doc_b")
+    // size-gated sort: single-partition only while the result is actually
+    // tiny; a grown near-dup set range-sorts instead of funnelling
+    graft.plans.ScaleTechniques.sortedOutput(result, Seq("doc_a", "doc_b"))
   }
 
   /** The composed training-corpus curation pipeline — the end-to-end

@@ -11,6 +11,23 @@ import org.apache.spark.sql.functions._
   */
 object ScaleTechniques {
 
+  /** Size-gated presentation sort — safe at ANY output size. The naive
+    * choices both fail at one end: `repartition(1).sortWithinPartitions`
+    * funnels an unexpectedly large result through a single partition
+    * (driver-adjacent OOM at 100×), while a bare `orderBy` re-executes
+    * the whole upstream query once more just to sample range-partition
+    * bounds. So: materialize the result once (localCheckpoint — the
+    * count and the sort then read materialized blocks, not the plan),
+    * gate on the actual row count, and fall back to a distributed range
+    * sort only when the result is genuinely large. */
+  def sortedOutput(df: DataFrame, sortCols: Seq[String],
+                   smallThreshold: Long = 100000L): DataFrame = {
+    val mat = df.localCheckpoint(true)
+    if (mat.count() <= smallThreshold)
+      mat.repartition(1).sortWithinPartitions(sortCols.map(col): _*)
+    else mat.orderBy(sortCols.map(col): _*)
+  }
+
   /** Write both sides bucketed by the join key so the join compiles to a
     * shuffle-free SortMergeJoin (co-located buckets). At 100 TB this is
     * the difference between re-shuffling the fact table per query and

@@ -52,10 +52,12 @@ object SrpLsh {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         col("a.embedding").as("vec_a"), col("b.embedding").as("vec_b"))
       .dropDuplicates("id_a", "id_b")
-    cand.select(col("id_a"), col("id_b"),
+    val result = cand.select(col("id_a"), col("id_b"),
         round(VectorFunctions.cosine(col("vec_a"), col("vec_b")), 6).as("sim"))
       .filter(col("sim") >= threshold)
-      .repartition(1).sortWithinPartitions("id_a", "id_b")
+    // size-gated sort: near-dup pair sets grow with the corpus — never
+    // assume they stay one-partition small
+    graft.plans.ScaleTechniques.sortedOutput(result, Seq("id_a", "id_b"))
   }
 
   /** Corpus entry point: embedding near-dups at cosine ≥ 0.95 over the

@@ -71,10 +71,13 @@ object Fingerprint {
       .select("fp")
     val pruned = exploded.join(rare, "fp")
     val a = pruned.as("a"); val b = pruned.as("b")
-    a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+    val result = a.join(b,
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= 3)
-      .repartition(1).sortWithinPartitions("doc_a", "doc_b")
+    // size-gated sort (ScaleTechniques.sortedOutput): single-partition
+    // presentation sort only while the candidate set is actually tiny
+    graft.plans.ScaleTechniques.sortedOutput(result, Seq("doc_a", "doc_b"))
   }
 }

@@ -36,23 +36,28 @@ object Search {
       .agg(count(lit(1)).as("tf"))
     val docLen = docs.select(col("doc_id"),
       size(split(trim(col("text")), "\\s+")).cast("double").as("dl"))
-    val n = docs.count().toDouble
-    val avgdl = docLen.agg(avg("dl")).collect().head.getDouble(0)
+    // corpus statistics (N, avgdl) as ONE broadcast scalar row joined
+    // into the plan — the earlier docs.count() + docLen.agg().collect()
+    // pair were two extra driver actions, i.e. two additional full
+    // corpus scans before the real job even started
+    val stats = docLen.agg(
+      count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
 
     val query = queryTerms.toDF("term")
     val qPostings = postings.join(broadcast(query), "term")
     val idf = qPostings.groupBy("term")
       .agg(countDistinct("doc_id").cast("double").as("df"))
-      .withColumn("idf", log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
 
     val scored = qPostings
-      .join(broadcast(idf.select("term", "idf")), "term")
+      .join(broadcast(idf.select("term", "idf", "avgdl")), "term")
       .join(docLen, "doc_id")
       .withColumn("term_score",
         // 2.2/0.25 as literals, not K1+1.0 etc: compile-time double folds
         // can differ from the parsed literal by 1 ULP and break parity
         col("idf") * (col("tf") * lit(2.2)) /
-          (col("tf") + lit(K1) * (lit(0.25) + lit(B) * col("dl") / lit(avgdl))))
+          (col("tf") + lit(K1) * (lit(0.25) + lit(B) * col("dl") / col("avgdl"))))
       .groupBy("doc_id")
       .agg(round(sum("term_score"), 6).as("score"),
         count(lit(1)).as("n_terms_matched"))

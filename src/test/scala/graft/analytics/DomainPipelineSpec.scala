@@ -106,6 +106,18 @@ class DomainPipelineSpec extends AnyFunSuite {
     assert(rendered.getAs[String]("impressions") == "15897, 14786, 12987, 14555")
   }
 
+  test("ingest envelope carries all four reference fields (K2 wrap)") {
+    // s3-to-es_aws.py:163-168: objectKey, createdDate, content_type,
+    // content_length wrap every indexed document
+    val p100 = snapshot.filter(col("id") === "100").collect().head
+    assert(p100.getAs[String]("objectKey").endsWith(".json"))
+    assert(p100.getAs[String]("createdDate") != null)
+    assert(p100.getAs[String]("content_type") == "application/json")
+    val len = p100.getAs[Long]("content_length")
+    val f = new java.io.File(new java.net.URI(p100.getAs[String]("objectKey")))
+    assert(len == f.length(), s"content_length $len != file size ${f.length()}")
+  }
+
   test("quality gates (A6, A7 intent)") {
     assert(History.checkRowCount(snapshot))
     assert(History.checkNoNulls(snapshot, "id"))

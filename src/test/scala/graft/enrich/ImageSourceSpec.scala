@@ -52,6 +52,29 @@ class ImageSourceSpec extends AnyFunSuite {
     assert((data(0) & 0xFF) == 0 && (data(1) & 0xFF) == 0 && (data(2) & 0xFF) == 255)
   }
 
+  test("JPEG decodes through the same path (the reference corpus is .jpg)") {
+    // s3-to-es_aws.py:88-128 stores .jpg media; JDK ImageIO decodes JPEG
+    // natively, so the real pipeline must handle it without any stub.
+    // JPEG is lossy — assert the dominant color within a small tolerance
+    // rather than an exact golden.
+    val dir = java.nio.file.Files.createTempDirectory("graft_jpeg").toFile
+    val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(0xFF0000))
+    g.fillRect(0, 0, 16, 16)
+    g.dispose()
+    val f = new File(dir, "user9/solid.jpg")
+    f.getParentFile.mkdirs()
+    assert(ImageIO.write(img, "jpg", f), "JDK ImageIO must encode JPEG")
+    val rows = Palette.paletteFromImages(spark, s"$dir/*").collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "user9")
+    assert(rows.head.getDouble(3) > 0.99, "solid JPEG should be one bucket")
+    val hex = "#([0-9a-f]{6})".r.findFirstMatchIn(rows.head.getString(1)).get.group(1)
+    val (r, gg, b) = (Integer.parseInt(hex.substring(0, 2), 16),
+      Integer.parseInt(hex.substring(2, 4), 16), Integer.parseInt(hex.substring(4), 16))
+    assert(r >= 248 && gg <= 8 && b <= 8, s"expected ~pure red, got #$hex")
+  }
+
   test("real-decode palette pipeline: per-user dominant colors from files") {
     val result = Palette.paletteFromImages(spark, s"$imageDir/*")
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3))).toList

@@ -55,6 +55,23 @@ class PaletteSpec extends AnyFunSuite {
     assert(Palette.palette(Iterator.empty).isEmpty)
   }
 
+  test("group iterator streams one group at a time, never the partition") {
+    // 10 groups × 10 rows in one "partition"; after producing the first
+    // group's palette, rows of later groups must not have been pulled —
+    // whole-partition buffering (the r1 audit finding) would consume all
+    // 100 up front.
+    var pulled = 0
+    val rows = Iterator.tabulate(100) { i =>
+      pulled += 1
+      (s"key${i / 10}", 24, 24, solidPayload(i % 256, 0, 0, reps = 24 * 24))
+    }
+    val out = Palette.groupPalettes(rows)(_._1, r => (r._2, r._3, r._4))
+    val first = out.next()
+    assert(first._1 == "key0")
+    assert(pulled <= 11, s"pulled $pulled rows for a 10-row group — partition buffered")
+    assert(out.size == 9) // remaining groups still produced
+  }
+
   test("paletteBySource is deterministic under replay") {
     val spark = graft.SparkTestSession.spark
     val a = Palette.paletteBySource(spark, graft.SparkTestSession.sfDir)
