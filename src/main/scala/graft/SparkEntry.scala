@@ -71,6 +71,10 @@ object SparkEntry {
     "q34_value_histogram"  -> (Advanced.q34ValueHistogram _),
     "qd9_term_stats"       -> (TextOps.qd9TermStats _),
     "q35_history_fact"     -> (graft.analytics.History.q35HistoryFact _),
+    "qd11_chunking"        -> ((s, d) => TextOps.qd11Chunking(s, d)),
+    "qd12_repetition"      -> (TextOps.qd12Repetition _),
+    "qd13_pii_redaction"   -> (TextOps.qd13PiiRedaction _),
+    "qd14_contamination"   -> (TextOps.qd14Contamination _),
     "qd10_corpus_curation" -> (TextOps.qd10CorpusCuration _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
     "qs1_minhash_neardup"  -> ((s, d) => MinHashLSH.nearDups(s, d)),
@@ -400,6 +404,98 @@ object SparkEntry {
         |GROUP BY term
         |ORDER BY occurrences DESC, term
         |LIMIT 20""".stripMargin,
+
+    // Fixed-size token chunks (64/stride 48) — the pretraining
+    // document→sample step; chunk content verified via md5.
+    "qd11_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, i AS chunk_idx,
+        |    list_slice(toks, i*48 + 1, i*48 + 64) AS chunk
+        |  FROM t CROSS JOIN unnest(range(0, (len(toks) + 47) // 48)) r(i)
+        |)
+        |SELECT doc_id, chunk_idx, len(chunk)::BIGINT AS n_chunk_tokens,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+        |FROM c
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Gopher-style repetition signals: duplicate-token fraction and the
+    // most-frequent-bigram share.
+    "qd12_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |    len(list_distinct(toks))::BIGINT AS n_distinct
+        |  FROM t
+        |), bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        |  FROM t
+        |), top AS (
+        |  SELECT doc_id, max(c) AS top_bigram_n FROM (
+        |    SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram)
+        |  GROUP BY doc_id
+        |)
+        |SELECT b.doc_id, b.n_tokens, b.n_distinct,
+        |  round(1.0 - b.n_distinct::DOUBLE / b.n_tokens::DOUBLE, 6) AS dup_token_ratio,
+        |  t2.top_bigram_n,
+        |  round(t2.top_bigram_n::DOUBLE / (b.n_tokens - 1)::DOUBLE, 6) AS top_bigram_ratio
+        |FROM base b JOIN top t2 ON b.doc_id = t2.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // PII redaction over deterministically planted contacts (the corpus
+    // itself is PII-free): counts + redacted-text hash.
+    "qd13_pii_redaction" ->
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN ' call 555-01' || doc_id::VARCHAR
+        |      ELSE '' END AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(t, '[0-9]{3}-[0-9]+'))::BIGINT AS n_phones,
+        |  md5(regexp_replace(regexp_replace(t,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]+', '<PHONE>', 'g')) AS redacted_hash
+        |FROM p
+        |ORDER BY doc_id""".stripMargin,
+
+    // Benchmark-contamination screen: distinct 3-shingle hits against the
+    // doc_id < 5 benchmark shingle set.
+    "qd14_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_distinct(
+        |      list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE [] END AS sh
+        |  FROM t
+        |), ex AS (
+        |  SELECT doc_id, unnest(sh) AS shingle FROM d
+        |), bench AS (
+        |  SELECT DISTINCT shingle FROM ex WHERE doc_id < 5
+        |), hits AS (
+        |  SELECT doc_id, count(*) AS n_contaminated
+        |  FROM ex JOIN bench USING (shingle) GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, len(d.sh)::BIGINT AS n_shingles,
+        |  coalesce(h.n_contaminated, 0)::BIGINT AS n_contaminated,
+        |  coalesce(h.n_contaminated, 0) >= 1 AS flagged
+        |FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // The §3.2 flagship fact build (stage → rollup → ordered LISTAGG →
     // broadcast left joins → warehouse string render) under the oracle.

@@ -196,6 +196,106 @@ object TextOps {
       .limit(20)
   }
 
+  /** Training-chunk builder: fixed-size token windows with overlap
+    * (chunk 64, stride 48 → 16-token overlap) — the document→sample step
+    * every pretraining pipeline runs before tokenization. Emits the chunk
+    * content hash rather than the text so the output stays skinny; the
+    * chunks themselves are reproducible from (doc_id, chunk_idx). Narrow
+    * per-row expansion, no shuffle until the presentation sort. */
+  def qd11Chunking(spark: SparkSession, dir: String,
+                   chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    docs(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          ((size(col("toks")) + (stride - 1)) / stride).cast("int") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Repetition-based quality signals (the Gopher-rule family): duplicate
+    * token fraction and the share of the most frequent bigram — cheap
+    * detectors for degenerate/boilerplate documents. One explode +
+    * groupBy pass for the bigram mode; everything else is per-row. */
+  def qd12Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val base = docs(spark, dir).select(
+      col("doc_id"), toks.as("toks"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"))
+    val bigrams = base.select(col("doc_id"), col("n_tokens"),
+      explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1)))).as("bigram"))
+    val topBigram = bigrams
+      .groupBy("doc_id", "n_tokens", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_tokens").agg(max("c").as("top_bigram_n"))
+    base.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double")
+          / col("n_tokens").cast("double"), 6).as("dup_token_ratio"))
+      .join(topBigram.select(col("doc_id"), col("top_bigram_n")), "doc_id")
+      .withColumn("top_bigram_ratio",
+        round(col("top_bigram_n").cast("double")
+          / (col("n_tokens") - 1).cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction: email/phone patterns → placeholder tokens, with
+    * per-document redaction counts and a hash of the redacted text. The
+    * synthetic corpus contains no PII, so the query PLANTS deterministic
+    * contacts on a doc_id schedule (same planted-ground-truth idea as
+    * qs9) — the oracle rebuilds the identical input, making the counts
+    * non-vacuous and the full redaction output hash-checked. */
+  def qd13PiiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phoneRe = "[0-9]{3}-[0-9]+"
+    val planted = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" call 555-01"), col("doc_id").cast("string")))
+        .otherwise(lit("")))
+    docs(spark, dir)
+      .select(col("doc_id"), planted.as("t"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(phoneRe)).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>")).as("redacted_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark-contamination screen: count each document's distinct
+    * 3-shingles that also appear in a benchmark set (here: the shingles
+    * of doc_id < 5 — at production scale, the eval suites). The benchmark
+    * side is small by construction → broadcast; the corpus explodes its
+    * shingles once and aggregates per doc. Documents owning the benchmark
+    * rows flag themselves — exactly what a decontamination pass wants. */
+  def qd14Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val shingles = when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2))))).otherwise(array())
+    val d = docs(spark, dir).select(col("doc_id"), shingles.as("sh"))
+    val exploded = d.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val bench = exploded.filter(col("doc_id") < 5).select("shingle").distinct()
+    val hits = exploded.join(broadcast(bench), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    d.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)) >= 1L).as("flagged"))
+      .orderBy("doc_id")
+  }
+
   /** F13: keyword / token search — tokenize + explode + equi-filter, the
     * engine-native form of the reference's delegated ES full-text search. */
   def qd7KeywordSearch(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct semantics checks for the round-2 curation operators (each also
+  * carries a full DuckDB oracle in SparkEntry). */
+class CurationOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = SparkTestSession.sfDir
+
+  test("chunking covers every token with the configured overlap") {
+    val chunks = TextOps.qd11Chunking(spark, dir).collect()
+    val tokCounts = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc.keySet == tokCounts.keySet, "every doc must produce chunks")
+    byDoc.foreach { case (doc, cs) =>
+      val n = tokCounts(doc)
+      val expected = (n + 47) / 48
+      assert(cs.length == expected, s"doc $doc: ${cs.length} chunks for $n tokens")
+      // interior chunks are full-size; coverage: starts advance by stride
+      val sorted = cs.sortBy(_.getLong(1))
+      sorted.dropRight(1).zipWithIndex.foreach { case (c, i) =>
+        val start = i * 48
+        assert(c.getLong(2) == math.min(64, n - start),
+          s"doc $doc chunk $i wrong size")
+      }
+    }
+  }
+
+  test("repetition signals match a directly computed document") {
+    val text = graft.Tables(spark, dir, "documents")
+      .filter(col("doc_id") === 0).select("text").head().getString(0)
+    val toks = text.trim.split("\\s+")
+    val expDup = BigDecimal(1.0 - toks.distinct.length.toDouble / toks.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expTop = toks.sliding(2).map(_.mkString(" ")).toSeq
+      .groupBy(identity).values.map(_.size).max
+    val row = TextOps.qd12Repetition(spark, dir)
+      .filter(col("doc_id") === 0).head()
+    assert(row.getLong(row.fieldIndex("n_tokens")) == toks.length.toLong)
+    assert(row.getDouble(row.fieldIndex("dup_token_ratio")) == expDup)
+    assert(row.getLong(row.fieldIndex("top_bigram_n")) == expTop.toLong)
+  }
+
+  test("pii redaction counts follow the planted schedule and clean the text") {
+    val rows = TextOps.qd13PiiRedaction(spark, dir).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(r.fieldIndex("n_emails")) == (if (id % 3 == 0) 1L else 0L))
+      assert(r.getLong(r.fieldIndex("n_phones")) == (if (id % 2 == 0) 1L else 0L))
+    }
+  }
+
+  test("contamination screen flags the benchmark docs themselves fully") {
+    val rows = TextOps.qd14Contamination(spark, dir).collect()
+    rows.filter(_.getLong(0) < 5).foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_contaminated")) ==
+        r.getLong(r.fieldIndex("n_shingles")), "benchmark doc must self-hit fully")
+      assert(r.getBoolean(r.fieldIndex("flagged")))
+    }
+    assert(rows.length == graft.Tables(spark, dir, "documents").count())
+  }
+}
