@@ -125,7 +125,15 @@ object TextOps {
     * single allocation-free merge (graft.functions.SortedOverlapCount):
     * |A∩B| = overlap, |A∪B| = |A|+|B|−overlap. Integer-count ratio →
     * bit-exact vs the set-function form and the DuckDB oracle. */
-  def qd6NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def qd6NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    // size-gated sort: single-partition only while the result is actually
+    // tiny; a grown near-dup set range-sorts instead of funnelling
+    graft.plans.ScaleTechniques.sortedOutput(qd6Pairs(spark, dir), Seq("doc_a", "doc_b"))
+
+  /** The qd6 join itself, pre-sink — exposed so the plan-shape spec can
+    * assert the band is an equi key (the sink's checkpoint hides the join
+    * stage from post-hoc plan inspection). */
+  private[graft] def qd6Pairs(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(
       col("doc_id"), col("lang"), col("source"), col("n_chars"),
       array_sort(array_distinct(split(trim(col("text")), "\\s+"))).as("toks"))
@@ -138,7 +146,7 @@ object TextOps {
     val b = d.withColumn("bucket", bucket).as("b")
     val overlap = graft.functions.SetFunctions
       .sortedOverlap(col("a.toks"), col("b.toks"))
-    val result = a.join(b,
+    a.join(b,
         col("a.lang") === col("b.lang") &&
         col("a.source") === col("b.source") &&
         col("a.probe_bucket") === col("b.bucket") &&
@@ -151,9 +159,6 @@ object TextOps {
           (size(col("a.toks")) + size(col("b.toks")) - overlap).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-    // size-gated sort: single-partition only while the result is actually
-    // tiny; a grown near-dup set range-sorts instead of funnelling
-    graft.plans.ScaleTechniques.sortedOutput(result, Seq("doc_a", "doc_b"))
   }
 
   /** The composed training-corpus curation pipeline — the end-to-end

@@ -109,4 +109,49 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       Tables(spark, dir, "events")
         .filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-05").count())
   }
+
+  test("sortedOutput single-partitions small results and range-sorts large ones") {
+    import spark.implicits._
+    val small = ScaleTechniques.sortedOutput(
+      (1 to 50).map(i => (50 - i, s"v$i")).toDF("k", "v"), Seq("k"))
+    assert(small.rdd.getNumPartitions == 1)
+    assert(small.collect().map(_.getInt(0)).toSeq == (0 until 50).toSeq)
+    val big = ScaleTechniques.sortedOutput(
+      (1 to 500).map(i => (500 - i, i)).toDF("k", "v"), Seq("k"), smallThreshold = 100)
+    // over-threshold results take the distributed range-sort path (AQE may
+    // still coalesce tiny test data, so assert the partitioning strategy,
+    // not the post-AQE partition count)
+    big.collect()
+    assert(big.queryExecution.executedPlan.toString
+        .toLowerCase.contains("rangepartitioning"),
+      s"large result must range-sort, not funnel:\n${big.queryExecution.executedPlan}")
+    assert(big.collect().map(_.getInt(0)).toSeq == (0 until 500).toSeq)
+  }
+
+  test("qd6 length band is an equi join key, not a post-join filter") {
+    // the r1 audit flagged |Δn_chars| <= 16 as a post-join filter over the
+    // whole (lang, source) block; it must now ride the join KEY as a
+    // div-16 bucket so per-key groups are one band wide
+    val pairs = graft.operators.TextOps.qd6Pairs(spark, dir)
+    // AQE: finalize the adaptive plan, then recurse through query stages
+    // (a bare plan.collect misses stage internals)
+    pairs.collect()
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flatten(q.plan)
+        case _ => p.children.flatMap(flatten)
+      }
+      p +: inner
+    }
+    val keys = flatten(pairs.queryExecution.executedPlan).collectFirst {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys
+    }.getOrElse(fail(s"no equi join found:\n${pairs.queryExecution.executedPlan}"))
+    assert(keys.length >= 3,
+      s"expected (lang, source, bucket) equi keys, got: $keys")
+    assert(keys.exists(_.toString.toLowerCase.contains("bucket")),
+      s"bucket not part of the join key: $keys")
+  }
 }
