@@ -88,6 +88,7 @@ object SparkEntry {
     "qm1_multimodal_features" -> (Multimodal.featureRollup _),
     "qs8_winnow_candidates" -> (graft.text.Fingerprint.fingerprintCandidates(_, _)),
     "qs9_srp_lsh_neardup"  -> (graft.similarity.SrpLsh.qs9NearDups _),
+    "qs10_stream_dedup"    -> (Replay.qs10StreamDedup _),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key. */
@@ -811,6 +812,15 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |  (o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin,
+
+    // Streaming incremental dedup: monoidal (min, sum) state fold ==
+    // batch exact dedup, so qd1's oracle applies verbatim.
+    "qs10_stream_dedup" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+        | count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY keep_doc_id""".stripMargin,
 
     // Stateful streaming sessionization == batch q19 (same oracle).
     "qs7_stream_sessionize" ->

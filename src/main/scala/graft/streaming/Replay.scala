@@ -79,6 +79,72 @@ object Replay {
     }
   }
 
+  val docsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming incremental corpus dedup — the arrival-time form of
+    * qd1_dedup_exact: documents stream in, each micro-batch folds its
+    * per-hash (min doc_id, count) aggregate into the accumulated state.
+    * min/sum are order-insensitive monoids, so the converged state equals
+    * the batch answer REGARDLESS of arrival order or batch boundaries —
+    * which is exactly what lets the driver hash-check a streaming query
+    * against the batch SQL oracle. At 100 TB the state table would be a
+    * transactional keyed table; versioned parquet keeps the semantics. */
+  def streamCorpusDedup(spark: SparkSession, dir: String,
+                        maxFilesPerTrigger: Int = 1): DataFrame = {
+    val work = Files.createTempDirectory("graft_sdedup").toString
+    @volatile var latest: Option[String] = None
+    val q = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(dir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        val incoming = batch
+          .groupBy(md5(col("text")).as("text_hash"))
+          .agg(min("doc_id").as("keep_doc_id"),
+            count(lit(1)).as("n_copies"))
+        val merged = latest match {
+          case Some(prev) => ss.read.parquet(prev).unionByName(incoming)
+          case None       => incoming
+        }
+        val next = s"$work/state_v$batchId"
+        merged.groupBy("text_hash")
+          .agg(min("keep_doc_id").as("keep_doc_id"),
+            sum("n_copies").as("n_copies"))
+          .write.mode("overwrite").parquet(next)
+        latest = Some(next)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    latest match {
+      case Some(p) =>
+        spark.read.parquet(p)
+          .select("text_hash", "keep_doc_id", "n_copies")
+          .orderBy("keep_doc_id")
+      case None => spark.emptyDataFrame
+    }
+  }
+
+  /** qs10 entry: stream the documents table. */
+  def qs10StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    // the shared sfDir holds all tables; stage just documents.parquet into
+    // a stream-source directory (the streaming file source lists dirs)
+    val src = Files.createTempDirectory("graft_sdedup_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "documents.parquet"),
+      src.resolve("documents.parquet"))
+    streamCorpusDedup(spark, src.toString)
+  }
+
   /** Event row / session-state types for the stateful sessionizer. */
   case class Ev(user_id: Long, event_id: Long, ts_us: Long)
   case class OpenSession(session_id: Long, n_events: Long, start_us: Long, end_us: Long)

@@ -64,4 +64,20 @@ class IncrementalReplaySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
     assert(streamed == batch)
   }
+
+  test("multi-batch incremental corpus dedup equals batch exact dedup") {
+    // split documents into 4 files; one file per micro-batch forces the
+    // per-hash (min, sum) state fold to merge across batches
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup_multi").toString
+    Tables(spark, SparkTestSession.sfDir, "documents")
+      .withColumn("bucket", pmod(col("doc_id"), lit(4)))
+      .repartition(4, col("bucket")).drop("bucket")
+      .write.mode("overwrite").parquet(tmp)
+    val streamed = Replay.streamCorpusDedup(spark, tmp, maxFilesPerTrigger = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.operators.TextOps.qd1DedupExact(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
