@@ -225,28 +225,38 @@ object TextOps {
 
   /** Repetition-based quality signals (the Gopher-rule family): duplicate
     * token fraction and the share of the most frequent bigram — cheap
-    * detectors for degenerate/boilerplate documents. One explode +
-    * groupBy pass for the bigram mode; everything else is per-row. */
+    * detectors for degenerate/boilerplate documents.
+    *
+    * The per-doc counts run in a typed map kernel, NOT as a
+    * transform/element_at expression tree: Catalyst's projection collapse
+    * re-inlines the tokenizer split under every lambda element access,
+    * turning the bigram walk O(tokens²) per document (the same trap that
+    * made pure-expression MinHash 40× slower). The kernel is one O(tokens)
+    * pass and the query needs no shuffle at all before the final sort. */
   def qd12Repetition(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
-    val base = docs(spark, dir).select(
-      col("doc_id"), toks.as("toks"),
-      size(toks).cast("long").as("n_tokens"),
-      size(array_distinct(toks)).cast("long").as("n_distinct"))
-    val bigrams = base.select(col("doc_id"), col("n_tokens"),
-      explode(transform(sequence(lit(1), size(col("toks")) - 1),
-        i => concat_ws(" ", element_at(col("toks"), i),
-          element_at(col("toks"), i + 1)))).as("bigram"))
-    val topBigram = bigrams
-      .groupBy("doc_id", "n_tokens", "bigram").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id", "n_tokens").agg(max("c").as("top_bigram_n"))
-    base.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+    import spark.implicits._
+    docs(spark, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.trim.split("\\s+")
+        val n = toks.length
+        val nd = toks.distinct.length
+        val counts = scala.collection.mutable.HashMap.empty[String, Int]
+        var i = 0
+        while (i < n - 1) {
+          val bg = toks(i) + " " + toks(i + 1)
+          counts.update(bg, counts.getOrElse(bg, 0) + 1)
+          i += 1
+        }
+        (id, n.toLong, nd.toLong,
+          if (counts.isEmpty) 0L else counts.values.max.toLong)
+      }
+      .toDF("doc_id", "n_tokens", "n_distinct", "top_bigram_n")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
         round(lit(1.0) - col("n_distinct").cast("double")
-          / col("n_tokens").cast("double"), 6).as("dup_token_ratio"))
-      .join(topBigram.select(col("doc_id"), col("top_bigram_n")), "doc_id")
-      .withColumn("top_bigram_ratio",
+          / col("n_tokens").cast("double"), 6).as("dup_token_ratio"),
+        col("top_bigram_n"),
         round(col("top_bigram_n").cast("double")
-          / (col("n_tokens") - 1).cast("double"), 6))
+          / (col("n_tokens") - 1).cast("double"), 6).as("top_bigram_ratio"))
       .orderBy("doc_id")
   }
 
@@ -283,12 +293,15 @@ object TextOps {
     * shingles once and aggregates per doc. Documents owning the benchmark
     * rows flag themselves — exactly what a decontamination pass wants. */
   def qd14Contamination(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
-    val shingles = when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-          element_at(toks, i + 2))))).otherwise(array())
-    val d = docs(spark, dir).select(col("doc_id"), shingles.as("sh"))
+    import spark.implicits._
+    // typed kernel (MinHashLSH.shingleSet), not a transform/element_at
+    // expression: projection collapse re-inlines split() under every
+    // element access and goes O(tokens²) per doc — measured 46s vs <2s
+    // at sf0.1 for this query
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, graft.dedup.MinHashLSH.shingleSet(t)) }
+      .toDF("doc_id", "sh")
     val exploded = d.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val bench = exploded.filter(col("doc_id") < 5).select("shingle").distinct()
     val hits = exploded.join(broadcast(bench), "shingle")

@@ -30,20 +30,25 @@ object SrpLsh {
     IndexedSeq.fill(tables)(IndexedSeq.fill(bits)(Array.fill(dim)(rnd.nextGaussian())))
   }
 
-  /** b-bit bucket id of an embedding column for one table's planes. */
+  /** b-bit bucket id of an embedding column for one table's planes
+    * (reference form — the fused graft_srp_buckets expression computes
+    * all tables at once and is bit-identical; spec-checked). */
   def bucket(vec: Column, planes: IndexedSeq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       when(VectorFunctions.dot(vec, typedlit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Near-dup pairs (id_a < id_b) with exact cosine ≥ threshold, found
-    * via multi-table SRP bucket collisions. */
+    * via multi-table SRP bucket collisions. Bucket hashing runs in ONE
+    * codegen'd pass over the vector per table set
+    * (functions.SrpBucketHashes) instead of tables×bits separate dot
+    * expressions per row. */
   def nearDups(emb: DataFrame, threshold: Double,
                bits: Int = 8, tables: Int = 8, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(dim, bits, tables)
     val buckets = emb.select(col("vec_id"), col("embedding"),
-      posexplode(array((0 until tables).map(t =>
-        bucket(col("embedding"), planes(t))): _*)).as(Seq("table_idx", "bucket")))
+      posexplode(graft.functions.SrpFunctions.srpBuckets(col("embedding"), planes))
+        .as(Seq("table_idx", "bucket")))
     val a = buckets.as("a"); val b = buckets.as("b")
     val cand = a.join(b,
         col("a.table_idx") === col("b.table_idx") &&

@@ -50,6 +50,24 @@ class NativeFunctionsSpec extends AnyFunSuite {
     assert(msgs.exists(_.contains("length mismatch")), s"got $msgs")
   }
 
+  test("fused SRP buckets are bit-identical to the per-bit dot form") {
+    import graft.similarity.SrpLsh
+    val planes = SrpLsh.hyperplanes(dim = 16, bits = 8, tables = 4)
+    val rnd = new scala.util.Random(7)
+    val df = Seq.tabulate(50)(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian()))).toDF("vec_id", "embedding")
+    val fused = df.select(col("vec_id"),
+        posexplode(SrpFunctions.srpBuckets(col("embedding"), planes))
+          .as(Seq("table_idx", "bucket")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val reference = df.select(col("vec_id"),
+        posexplode(array((0 until 4).map(t =>
+          SrpLsh.bucket(col("embedding"), planes(t))): _*))
+          .as(Seq("table_idx", "bucket")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fused == reference)
+  }
+
   test("graft_dot equal-length semantics unchanged") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
     assert(df.select(VectorFunctions.dot(col("a"), col("b"))).head().getDouble(0) == 32.0)
