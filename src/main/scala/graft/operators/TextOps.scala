@@ -209,17 +209,23 @@ object TextOps {
     * per-row expansion, no shuffle until the presentation sort. */
   def qd11Chunking(spark: SparkSession, dir: String,
                    chunkSize: Int = 64, stride: Int = 48): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
-    docs(spark, dir)
-      .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0),
-          ((size(col("toks")) + (stride - 1)) / stride).cast("int") - 1)).as("chunk_idx"))
-      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-        slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunkSize)).as("chunk"))
-      .select(col("doc_id"), col("chunk_idx"),
-        size(col("chunk")).cast("long").as("n_chunk_tokens"),
-        md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+    import spark.implicits._
+    // typed kernel: the slice-per-chunk expression form re-tokenizes the
+    // document under every chunk row (projection collapse), i.e.
+    // O(len²/stride) on long documents; the kernel tokenizes once and
+    // emits all chunks in one O(len) pass
+    docs(spark, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.trim.split("\\s+")
+        val nChunks = (toks.length + stride - 1) / stride
+        (0 until nChunks).iterator.map { i =>
+          val chunk = toks.slice(i * stride, i * stride + chunkSize)
+          (id, i.toLong, chunk.length.toLong, chunk.mkString(" "))
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text")
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+        md5(col("chunk_text")).as("chunk_hash"))
       .orderBy("doc_id", "chunk_idx")
   }
 
