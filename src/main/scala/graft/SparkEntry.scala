@@ -239,7 +239,8 @@ object SparkEntry {
         | hour(ts::TIMESTAMP) AS h,
         | minute(ts::TIMESTAMP) AS mi,
         | strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day_str,
-        | epoch_us(ts::TIMESTAMP + INTERVAL 1 DAY) AS ts_plus_day_us
+        | epoch_us(ts::TIMESTAMP + INTERVAL 1 DAY) AS ts_plus_day_us,
+        | epoch_us(epoch_ms(event_id)) AS ms_roundtrip_us
         |FROM events
         |WHERE event_id < 500
         |ORDER BY event_id""".stripMargin,

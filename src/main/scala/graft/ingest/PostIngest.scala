@@ -73,7 +73,10 @@ object PostIngest {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
-      .withColumn("objectKey", input_file_name())
+      // F5: the Lambda URL-decodes the S3 event key (unquote_plus,
+      // s3-to-es_aws.py:148-149); input_file_name() is URI-encoded the
+      // same way
+      .withColumn("objectKey", url_decode(input_file_name()))
       .withColumn("createdDate", col("timestamp")) // replay: arrival == post time
       .withColumn("content_length", col("_metadata.file_size"))
       .withColumn("content_type",
@@ -138,7 +141,7 @@ object PostIngest {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .json(globPath)
-      .withColumn("objectKey", input_file_name())
+      .withColumn("objectKey", url_decode(input_file_name())) // F5, as batch
       .withColumn("createdDate", col("timestamp"))
       .withColumn("content_length", col("_metadata.file_size"))
       .withColumn("content_type",

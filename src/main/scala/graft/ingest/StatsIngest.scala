@@ -56,6 +56,12 @@ object StatsIngest {
         "website", "_corrupt_record",
         "email_contacts", "phone_call_clicks", "text_message_clicks",
         "get_directions_clicks", "website_clicks") // P2
-      .withColumn("created_at", to_date(col("created_at")))
+      // F8 date parse, with the staging COPY's F7 fallback (TIMEFORMAT
+      // 'epochmillisecs', stage_redshift.py:63): a created_at arriving as
+      // an epoch-millis number still stages to the right date
+      .withColumn("created_at",
+        coalesce(
+          expr("try_to_date(created_at)"),
+          to_date(timestamp_millis(expr("try_cast(created_at AS BIGINT)")))))
   }
 }

@@ -100,7 +100,10 @@ object Events {
         hour(col("ts")).cast("long").as("h"),
         minute(col("ts")).cast("long").as("mi"),
         date_format(col("ts"), "yyyy-MM-dd").as("day_str"),
-        unix_micros(col("ts") + expr("INTERVAL 1 DAY")).as("ts_plus_day_us"))
+        unix_micros(col("ts") + expr("INTERVAL 1 DAY")).as("ts_plus_day_us"),
+        // F7: epoch-millis timestamp parse (the staging COPY's
+        // TIMEFORMAT 'epochmillisecs', stage_redshift.py:63)
+        unix_micros(timestamp_millis(col("event_id"))).as("ms_roundtrip_us"))
       .orderBy("event_id")
   }
 

@@ -151,6 +151,25 @@ class DomainPipelineSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_corrupt") == 1L)
   }
 
+  test("stats staging parses epoch-millis created_at (F7 fallback)") {
+    // TIMEFORMAT 'epochmillisecs' (stage_redshift.py:63): a numeric
+    // created_at stages to the same date as its ISO form
+    val tmp = java.nio.file.Files.createTempDirectory("graft_f7")
+    java.nio.file.Files.write(tmp.resolve("a.json"),
+      """{"created_at":"1704412800000","id":"9"}
+        |{"created_at":"2024-01-05","id":"10"}""".stripMargin.getBytes)
+    val staged = StatsIngest.stage(StatsIngest.readStats(spark, s"$tmp/*"))
+      .select("id", "created_at").collect()
+      .map(r => r.getString(0) -> r.getDate(1).toString).toMap
+    assert(staged == Map("9" -> "2024-01-05", "10" -> "2024-01-05"))
+  }
+
+  test("object keys are URL-decoded (F5)") {
+    val keys = snapshot.collect().map(_.getAs[String]("objectKey"))
+    assert(keys.nonEmpty)
+    assert(keys.forall(!_.contains("%2")), s"undecoded key in ${keys.take(3).toSeq}")
+  }
+
   test("blank-string stats fields become NULL (F10)") {
     val u2 = staged.filter(col("id") === "2").collect()
     assert(u2.length == 2)
