@@ -25,9 +25,9 @@ object Bench {
 
     // warm-up: session + codegen + parquet footer reads for every table a
     // first query might touch (a region-only warm-up left the
-    // alphabetically-first query paying ~2s of events-scan start-up)
-    Seq("region", "nation", "customer", "orders", "lineitem", "events",
-        "documents", "embeddings", "part", "supplier").foreach(t =>
+    // alphabetically-first query paying ~2s of events-scan start-up);
+    // Tables.all is the canonical inventory, so new tables can't drift out
+    Tables.all.foreach(t =>
       Tables(spark, sfDir, t).limit(1000).write.format("noop").mode("overwrite").save())
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

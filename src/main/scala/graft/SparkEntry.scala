@@ -445,9 +445,12 @@ object SparkEntry {
         |)
         |SELECT b.doc_id, b.n_tokens, b.n_distinct,
         |  round(1.0 - b.n_distinct::DOUBLE / b.n_tokens::DOUBLE, 6) AS dup_token_ratio,
-        |  t2.top_bigram_n,
-        |  round(t2.top_bigram_n::DOUBLE / (b.n_tokens - 1)::DOUBLE, 6) AS top_bigram_ratio
-        |FROM base b JOIN top t2 ON b.doc_id = t2.doc_id
+        |  coalesce(t2.top_bigram_n, 0) AS top_bigram_n,
+        |  CASE WHEN b.n_tokens > 1
+        |    THEN round(coalesce(t2.top_bigram_n, 0)::DOUBLE
+        |      / (b.n_tokens - 1)::DOUBLE, 6)
+        |    ELSE 0.0 END AS top_bigram_ratio
+        |FROM base b LEFT JOIN top t2 ON b.doc_id = t2.doc_id
         |ORDER BY b.doc_id""".stripMargin,
 
     // PII redaction over deterministically planted contacts (the corpus
@@ -524,6 +527,8 @@ object SparkEntry {
         |  FROM events
         |  WHERE ts::TIMESTAMP >= TIMESTAMP '2024-02-15' - INTERVAL 60 DAY
         |  GROUP BY user_id
+        |  ORDER BY doc_count DESC, id
+        |  LIMIT 10000
         |), colors AS (
         |  SELECT DISTINCT user_id AS id,
         |    printf('#%06x', user_id % 16777216) AS colors
@@ -1029,8 +1034,8 @@ object SparkEntry {
         |HAVING count(*) >= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
 
-    // Exact columns + the 5%-bound boolean; the sketch's raw value is
-    // engine-specific and additionally spec-bounded.
+    // Exact columns + the 15%-bound (3σ of the 5% rsd) boolean; the
+    // sketch's raw value is engine-specific and additionally spec-bounded.
     "q25_approx_distinct" ->
       """SELECT event_type, count(*) AS n_events,
         | count(DISTINCT user_id) AS exact_users,

@@ -106,26 +106,35 @@ object MinHashLSH {
   // shared by qs1 / q33 / qd10 instead of being recomputed three times.
   // (At 100 TB the equivalent move is materializing the signature and
   // pair tables; a session-scoped persist is the single-job analog.)
-  private val sigCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private val pairCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // Keyed WEAKLY on the session object itself: no identity-hash reuse
+  // hazard, and a stopped-then-collected session's entries (with their
+  // dead-context DataFrames) evaporate instead of pinning forever.
+  private val cache = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
-  private def sessionKey(spark: SparkSession, dir: String): String =
-    s"${System.identityHashCode(spark)}|$dir"
+  private def perSession(spark: SparkSession) = cache.synchronized {
+    var m = cache.get(spark)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+      cache.put(spark, m)
+    }
+    m
+  }
 
   /** Memoized, persisted signature table for a corpus. */
   def signatures(spark: SparkSession, dir: String): DataFrame =
-    sigCache.computeIfAbsent(sessionKey(spark, dir), _ =>
+    perSession(spark).computeIfAbsent(s"sig|$dir", _ =>
       docSignatures(spark, Tables(spark, dir, "documents"))
         .toDF("doc_id", "sh", "bands")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Drop all memoized signature/pair state (test hygiene). */
-  def clearCache(): Unit = {
-    sigCache.values.forEach(df => { df.unpersist(); () })
-    pairCache.values.forEach(df => { df.unpersist(); () })
-    sigCache.clear(); pairCache.clear()
+  def clearCache(): Unit = cache.synchronized {
+    cache.values.forEach { m =>
+      m.values.forEach(df => { df.unpersist(); () })
+      m.clear()
+    }
+    cache.clear()
   }
 
   /** Candidate pairs (doc_a < doc_b) via band-bucket collision. */
@@ -146,7 +155,7 @@ object MinHashLSH {
     * Jaccard (integer-count ratio → bit-exact vs the oracle). Memoized
     * per (session, corpus, threshold) — see the cache note above. */
   def nearDups(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
-    pairCache.computeIfAbsent(s"${sessionKey(spark, dir)}|$threshold", _ => {
+    perSession(spark).computeIfAbsent(s"pairs|$dir|$threshold", _ => {
       val sigs = signatures(spark, dir)
       val sh = sigs.select(col("doc_id"), col("sh"))
       val overlap = graft.functions.SetFunctions

@@ -45,9 +45,14 @@ case class SrpBucketHashes(child: Expression, planesFlat: Array[Double],
   private def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  // Dimension mismatch is a data bug: truncating would assign a quietly
+  // wrong bucket (and silently miss collisions) — throw, matching
+  // graft_dot's strictness.
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(dim, v.numElements())
+    if (v.numElements() != dim) throw new IllegalArgumentException(
+      s"$prettyName: vector length ${v.numElements()} != plane dim $dim")
+    val n = dim
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
@@ -81,7 +86,11 @@ case class SrpBucketHashes(child: Expression, planesFlat: Array[Double],
       val d = ctx.freshName("d"); val s = ctx.freshName("s")
       val bucket = ctx.freshName("bucket"); val base = ctx.freshName("base")
       s"""
-         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |if ($v.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "graft_srp_buckets: vector length " + $v.numElements() + " != plane dim $dim");
+         |}
+         |int $n = $dim;
          |long[] $out = new long[$tables];
          |for (int $t = 0; $t < $tables; $t++) {
          |  long $bucket = 0L;
@@ -110,15 +119,18 @@ object SrpFunctions {
   /** Column builder over a plane set `planes(table)(bit)(dim)` — same
     * temp-function-registry pattern as graft_dot: the plane matrix is
     * closed over in the registered builder (one fixed plane set per
-    * registration; SrpLsh uses a single seeded set). */
-  def srpBuckets(vec: Column, planes: IndexedSeq[IndexedSeq[Array[Double]]]): Column = {
+    * registration; SrpLsh uses a single seeded set). The registration
+    * targets an explicit session — `SparkSession.active` is the wrong
+    * registry when the caller's DataFrame belongs to another session. */
+  def srpBuckets(spark: SparkSession, vec: Column,
+                 planes: IndexedSeq[IndexedSeq[Array[Double]]]): Column = {
     val tables = planes.length
     val bits = planes.head.length
     val dim = planes.head.head.length
     val flat = new Array[Double](tables * bits * dim)
     for (t <- 0 until tables; b <- 0 until bits; d <- 0 until dim)
       flat((t * bits + b) * dim + d) = planes(t)(b)(d)
-    SparkSession.active.sessionState.functionRegistry.createOrReplaceTempFunction(
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       BucketsName, exprs => SrpBucketHashes(exprs(0), flat, tables, bits, dim),
       "scala_udf")
     call_function(BucketsName, vec)

@@ -41,6 +41,10 @@ object MediaFetch {
       }
     val missing = candidates.select("key", "url")
       .join(inventory, Seq("key"), "left_anti") // K1 existence check
+    // EAGER localCheckpoint before the write: the fetch is side-effecting,
+    // so it must run exactly once per missing row — a lazy plan would
+    // re-download everything for each consumer, and any post-append read
+    // of `missing`/the store would see the mutated inventory and lie
     val fetched = missing.as[(String, String)]
       .mapPartitions { rows =>
         // one transport per partition; rows stream through it
@@ -50,11 +54,10 @@ object MediaFetch {
         }
       }
       .toDF("key", "url", "payload", "content_length")
+      .localCheckpoint(true)
     if (!fetched.isEmpty)
       fetched.write.mode(SaveMode.Append).parquet(storeDir)
-    spark.read.parquet(storeDir)
-      .join(missing.select("key"), Seq("key"), "left_semi")
-      .select("key", "url", "payload", "content_length")
+    fetched
   }
 
   /** The reference's candidate builder: per-post media + thumbnail keys

@@ -74,9 +74,12 @@ object PostIngest {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
       // F5: the Lambda URL-decodes the S3 event key (unquote_plus,
-      // s3-to-es_aws.py:148-149); input_file_name() is URI-encoded the
-      // same way
-      .withColumn("objectKey", url_decode(input_file_name()))
+      // s3-to-es_aws.py:148-149). input_file_name() is PERCENT-encoded
+      // (a literal '+' stays '+'), so protect '+' before the
+      // form-decoding url_decode — otherwise a file named a+b.json would
+      // corrupt to "a b.json"
+      .withColumn("objectKey",
+        url_decode(replace(input_file_name(), lit("+"), lit("%2B"))))
       .withColumn("createdDate", col("timestamp")) // replay: arrival == post time
       .withColumn("content_length", col("_metadata.file_size"))
       .withColumn("content_type",
@@ -141,7 +144,8 @@ object PostIngest {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .json(globPath)
-      .withColumn("objectKey", url_decode(input_file_name())) // F5, as batch
+      .withColumn("objectKey", // F5, as batch ('+' protected)
+        url_decode(replace(input_file_name(), lit("+"), lit("%2B"))))
       .withColumn("createdDate", col("timestamp"))
       .withColumn("content_length", col("_metadata.file_size"))
       .withColumn("content_type",

@@ -67,10 +67,12 @@ object Advanced {
   /** Approximate aggregates (HLL++): the scale path next to q20's exact
     * distinct counts. The sketch value itself is engine-specific, so the
     * driver-checked output carries the exact columns plus a boolean
-    * asserting the sketch landed within its default 5% relative-error
-    * budget — the oracle predicts TRUE, making the sketch's accuracy
-    * (not just its execution) part of the hash-checked contract; the
-    * spec additionally bounds the raw error. */
+    * asserting the sketch landed within a 15% relative-error budget —
+    * the oracle predicts TRUE, making the sketch's accuracy (not just
+    * its execution) part of the hash-checked contract. 15%, not the
+    * configured 5% rsd: rsd is a standard DEVIATION, not a bound, so a
+    * 3σ budget keeps the oracle robust on any regenerated corpus; the
+    * spec bounds the raw error at the same 15%. */
   def q25ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events")
     ev.groupBy("event_type")
@@ -80,7 +82,7 @@ object Advanced {
         count(lit(1)).as("n_events"))
       .select(col("event_type"), col("n_events"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")).cast("double")
-          <= col("exact_users").cast("double") * 0.05).as("approx_ok"))
+          <= col("exact_users").cast("double") * 0.15).as("approx_ok"))
       .orderBy("event_type")
   }
 

@@ -261,8 +261,11 @@ object TextOps {
         round(lit(1.0) - col("n_distinct").cast("double")
           / col("n_tokens").cast("double"), 6).as("dup_token_ratio"),
         col("top_bigram_n"),
-        round(col("top_bigram_n").cast("double")
-          / (col("n_tokens") - 1).cast("double"), 6).as("top_bigram_ratio"))
+        // single-token docs have no bigrams: ratio pinned to 0, not 0/0
+        when(col("n_tokens") > 1,
+          round(col("top_bigram_n").cast("double")
+            / (col("n_tokens") - 1).cast("double"), 6))
+          .otherwise(lit(0.0)).as("top_bigram_ratio"))
       .orderBy("doc_id")
   }
 

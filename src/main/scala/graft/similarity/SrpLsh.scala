@@ -47,7 +47,8 @@ object SrpLsh {
                bits: Int = 8, tables: Int = 8, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(dim, bits, tables)
     val buckets = emb.select(col("vec_id"), col("embedding"),
-      posexplode(graft.functions.SrpFunctions.srpBuckets(col("embedding"), planes))
+      posexplode(graft.functions.SrpFunctions
+          .srpBuckets(emb.sparkSession, col("embedding"), planes))
         .as(Seq("table_idx", "bucket")))
     val a = buckets.as("a"); val b = buckets.as("b")
     val cand = a.join(b,

@@ -57,7 +57,7 @@ class NativeFunctionsSpec extends AnyFunSuite {
     val df = Seq.tabulate(50)(i =>
       (i.toLong, Seq.fill(16)(rnd.nextGaussian()))).toDF("vec_id", "embedding")
     val fused = df.select(col("vec_id"),
-        posexplode(SrpFunctions.srpBuckets(col("embedding"), planes))
+        posexplode(SrpFunctions.srpBuckets(spark, col("embedding"), planes))
           .as(Seq("table_idx", "bucket")))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     val reference = df.select(col("vec_id"),

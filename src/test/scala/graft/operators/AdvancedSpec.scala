@@ -15,7 +15,7 @@ class AdvancedSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getAs[Boolean]("approx_ok"),
-        s"${r.getAs[String]("event_type")}: sketch outside 5% of exact")
+        s"${r.getAs[String]("event_type")}: sketch outside 15% of exact")
     }
     val raw = graft.Tables(spark, dir, "events")
       .groupBy("event_type")
