@@ -75,6 +75,8 @@ object SparkEntry {
     "qd12_repetition"      -> (TextOps.qd12Repetition _),
     "qd13_pii_redaction"   -> (TextOps.qd13PiiRedaction _),
     "qd14_contamination"   -> (TextOps.qd14Contamination _),
+    "qd15_stratified_sample" -> ((s, d) => TextOps.qd15StratifiedSample(s, d)),
+    "qd16_domain_mixture"  -> (TextOps.qd16DomainMixture _),
     "qd10_corpus_curation" -> (TextOps.qd10CorpusCuration _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
     "qs1_minhash_neardup"  -> ((s, d) => MinHashLSH.nearDups(s, d)),
@@ -501,6 +503,33 @@ object SparkEntry {
         |  coalesce(h.n_contaminated, 0) >= 1 AS flagged
         |FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Deterministic systematic sampling within lang strata (hash order,
+    // every 5th doc).
+    "qd15_stratified_sample" ->
+      """SELECT doc_id, lang, source, n_chars, rn::BIGINT AS stratum_rank
+        |FROM (
+        |  SELECT doc_id, lang, source, n_chars, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+        |  FROM documents
+        |)
+        |WHERE rn % 5 = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // Domain-mixture construction: per-source integer quotas filled in
+    // content-hash order.
+    "qd16_domain_mixture" ->
+      """SELECT doc_id, source, n_chars, rn::BIGINT AS mix_rank
+        |FROM (
+        |  SELECT doc_id, source, n_chars, row_number() OVER (
+        |    PARTITION BY source ORDER BY md5(text), doc_id) AS rn,
+        |    CASE source WHEN 'src0' THEN 20 WHEN 'src1' THEN 13
+        |      WHEN 'src2' THEN 10 WHEN 'src3' THEN 5 WHEN 'src4' THEN 3
+        |      ELSE 0 END AS quota
+        |  FROM documents
+        |)
+        |WHERE rn <= quota
+        |ORDER BY doc_id""".stripMargin,
 
     // The §3.2 flagship fact build (stage → rollup → ordered LISTAGG →
     // broadcast left joins → warehouse string render) under the oracle.

@@ -323,6 +323,47 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic stratified (systematic) sampling: within each lang
+    * stratum, order by a content-hash key and keep every k-th document —
+    * the reproducible corpus-subsampling step (Bernoulli sampling is
+    * seeded-RNG and engine-specific; systematic sampling over a hash
+    * order gives the same statistical spread with an exact SQL mirror).
+    * One window shuffle on the stratum key. */
+  def qd15StratifiedSample(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        row_number().over(w).as("rn"))
+      .filter(pmod(col("rn"), lit(k)) === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("rn").cast("long").as("stratum_rank"))
+      .orderBy("doc_id")
+  }
+
+  /** Domain-mixture construction (data mixing): build a training mix with
+    * per-source quotas — each source contributes `weight × total_budget`
+    * documents, chosen deterministically by content-hash order (so the
+    * mix is reproducible run-to-run and engine-to-engine). The classic
+    * pretraining "domain weights" step, as one windowed query. */
+  def qd16DomainMixture(spark: SparkSession, dir: String): DataFrame = {
+    // fixed per-source document quotas (the 40/25/20/10/5% mixture over a
+    // 50-doc budget, pre-resolved to integers so both engines share the
+    // exact numbers; sources outside the mix contribute nothing)
+    val quota = Seq("src0" -> 20, "src1" -> 13, "src2" -> 10,
+      "src3" -> 5, "src4" -> 3)
+    val quotaCol = quota.foldLeft(lit(0)) { case (acc, (s, n)) =>
+      when(col("source") === s, lit(n)).otherwise(acc)
+    }
+    val w = Window.partitionBy("source").orderBy(md5(col("text")), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        row_number().over(w).as("rn"), quotaCol.as("quota"))
+      .filter(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("rn").cast("long").as("mix_rank"))
+      .orderBy("doc_id")
+  }
+
   /** F13: keyword / token search — tokenize + explode + equi-filter, the
     * engine-native form of the reference's delegated ES full-text search. */
   def qd7KeywordSearch(spark: SparkSession, dir: String): DataFrame = {

@@ -55,6 +55,29 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sample keeps ~1/k of every stratum deterministically") {
+    val sample = TextOps.qd15StratifiedSample(spark, dir, k = 5)
+    val byLang = sample.collect().groupBy(_.getString(1)).view.mapValues(_.length)
+    val corpus = graft.Tables(spark, dir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    corpus.foreach { case (lang, n) =>
+      val expected = (n + 4) / 5 // ceil(n/5): ranks 1, 6, 11, ...
+      assert(byLang(lang).toLong == expected,
+        s"$lang: ${byLang(lang)} sampled of $n")
+    }
+    val again = TextOps.qd15StratifiedSample(spark, dir, k = 5).collect().toSeq
+    assert(again == TextOps.qd15StratifiedSample(spark, dir, k = 5).collect().toSeq)
+  }
+
+  test("domain mixture fills exact per-source quotas") {
+    val mix = TextOps.qd16DomainMixture(spark, dir).collect()
+    val bySource = mix.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(bySource == Map("src0" -> 20, "src1" -> 13, "src2" -> 10,
+      "src3" -> 5, "src4" -> 3))
+    assert(mix.forall(r => r.getLong(3) <= 20))
+  }
+
   test("contamination screen flags the benchmark docs themselves fully") {
     val rows = TextOps.qd14Contamination(spark, dir).collect()
     rows.filter(_.getLong(0) < 5).foreach { r =>
