@@ -106,9 +106,13 @@ object MinHashLSH {
   // shared by qs1 / q33 / qd10 instead of being recomputed three times.
   // (At 100 TB the equivalent move is materializing the signature and
   // pair tables; a session-scoped persist is the single-job analog.)
-  // Keyed WEAKLY on the session object itself: no identity-hash reuse
-  // hazard, and a stopped-then-collected session's entries (with their
-  // dead-context DataFrames) evaporate instead of pinning forever.
+  // Keyed on the session OBJECT (not an identity hash, which the JVM can
+  // reuse after GC and hand a new session a dead-context DataFrame).
+  // NOTE the retention contract: cached DataFrames reference their own
+  // session, so an entry is NOT reclaimable while it exists (WeakHashMap
+  // values must not strongly refer to their keys) — callers disposing a
+  // session should clearCache(). Within the driver contract (one session
+  // per Verify/Bench JVM) nothing accumulates.
   private val cache = new java.util.WeakHashMap[
     SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
@@ -154,9 +158,12 @@ object MinHashLSH {
   /** Full near-dup query: LSH candidates verified with exact shingle-set
     * Jaccard (integer-count ratio → bit-exact vs the oracle). Memoized
     * per (session, corpus, threshold) — see the cache note above. */
-  def nearDups(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+  def nearDups(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    // resolve signatures BEFORE entering computeIfAbsent: a nested
+    // computeIfAbsent on the same ConcurrentHashMap is a recursive-update
+    // violation (IllegalStateException when the two keys share a bin)
+    val sigs = signatures(spark, dir)
     perSession(spark).computeIfAbsent(s"pairs|$dir|$threshold", _ => {
-      val sigs = signatures(spark, dir)
       val sh = sigs.select(col("doc_id"), col("sh"))
       val overlap = graft.functions.SetFunctions
         .sortedOverlap(col("sh_a"), col("sh_b"))
@@ -171,4 +178,5 @@ object MinHashLSH {
         .orderBy("doc_a", "doc_b")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+  }
 }

@@ -114,14 +114,15 @@ case class SrpBucketHashes(child: Expression, planesFlat: Array[Double],
 }
 
 object SrpFunctions {
-  val BucketsName = "graft_srp_buckets"
 
   /** Column builder over a plane set `planes(table)(bit)(dim)` — same
-    * temp-function-registry pattern as graft_dot: the plane matrix is
-    * closed over in the registered builder (one fixed plane set per
-    * registration; SrpLsh uses a single seeded set). The registration
-    * targets an explicit session — `SparkSession.active` is the wrong
-    * registry when the caller's DataFrame belongs to another session. */
+    * temp-function-registry pattern as graft_dot, but the registered name
+    * carries the PLANE-SET identity (content hash + shape): two callers
+    * with different planes in one session register distinct functions, so
+    * an interleaved registration can never silently resolve a plan
+    * against the wrong matrix. The registration targets an explicit
+    * session — `SparkSession.active` is the wrong registry when the
+    * caller's DataFrame belongs to another session. */
   def srpBuckets(spark: SparkSession, vec: Column,
                  planes: IndexedSeq[IndexedSeq[Array[Double]]]): Column = {
     val tables = planes.length
@@ -130,9 +131,11 @@ object SrpFunctions {
     val flat = new Array[Double](tables * bits * dim)
     for (t <- 0 until tables; b <- 0 until bits; d <- 0 until dim)
       flat((t * bits + b) * dim + d) = planes(t)(b)(d)
+    val name = f"graft_srp_buckets_${tables}x${bits}x${dim}_" +
+      (java.util.Arrays.hashCode(flat) & 0xFFFFFFFFL).toHexString
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      BucketsName, exprs => SrpBucketHashes(exprs(0), flat, tables, bits, dim),
+      name, exprs => SrpBucketHashes(exprs(0), flat, tables, bits, dim),
       "scala_udf")
-    call_function(BucketsName, vec)
+    call_function(name, vec)
   }
 }

@@ -73,19 +73,22 @@ object PostIngest {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
-      // F5: the Lambda URL-decodes the S3 event key (unquote_plus,
-      // s3-to-es_aws.py:148-149). input_file_name() is PERCENT-encoded
-      // (a literal '+' stays '+'), so protect '+' before the
-      // form-decoding url_decode — otherwise a file named a+b.json would
-      // corrupt to "a b.json"
-      .withColumn("objectKey",
-        url_decode(replace(input_file_name(), lit("+"), lit("%2B"))))
+      .withColumn("objectKey", decodedObjectKey) // F5
       .withColumn("createdDate", col("timestamp")) // replay: arrival == post time
       .withColumn("content_length", col("_metadata.file_size"))
       .withColumn("content_type",
         when(col("objectKey").endsWith(".json"), lit("application/json"))
           .otherwise(lit("application/octet-stream")))
   }
+
+  /** F5: the Lambda URL-decodes the S3 event key (unquote_plus,
+    * s3-to-es_aws.py:148-149). `input_file_name()` is PERCENT-encoded (a
+    * literal '+' stays '+'), so '+' is protected before the form-decoding
+    * url_decode — otherwise a file named a+b.json would corrupt to
+    * "a b.json". Shared by the batch and streaming readers so their
+    * objectKey values can never diverge. */
+  private def decodedObjectKey =
+    url_decode(replace(input_file_name(), lit("+"), lit("%2B")))
 
   private val extPattern = "\\.(\\w{3,4})\\?" // F1: reference regex uses a
   // lookahead `\.\w{3,4}(?=\?)` (s3-to-es_aws.py:92); Spark's RE2-style
@@ -137,6 +140,7 @@ object PostIngest {
                      maxFilesPerTrigger: Int = 3): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val work = java.nio.file.Files.createTempDirectory("graft_posts").toString
+    graft.streaming.Replay.cleanupAtExit(work)
     @volatile var latest: Option[String] = None
     val stream = spark.readStream
       .schema(postSchema)
@@ -144,8 +148,7 @@ object PostIngest {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .json(globPath)
-      .withColumn("objectKey", // F5, as batch ('+' protected)
-        url_decode(replace(input_file_name(), lit("+"), lit("%2B"))))
+      .withColumn("objectKey", decodedObjectKey) // F5, identical to batch
       .withColumn("createdDate", col("timestamp"))
       .withColumn("content_length", col("_metadata.file_size"))
       .withColumn("content_type",

@@ -21,6 +21,19 @@ import org.apache.spark.sql.types._
   */
 object Replay {
 
+  /** Best-effort JVM-exit cleanup for streaming work dirs (checkpoint +
+    * versioned state): the final state stays readable for the returned
+    * DataFrame's lifetime, but repeated runs must not accumulate /tmp
+    * garbage on a shared machine. */
+  private[graft] def cleanupAtExit(dir: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }))
+
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // TIMESTAMP(NANOS) read as long (legacy conf)
@@ -43,6 +56,7 @@ object Replay {
     * AvailableNow replay of the whole lake == batch q8_latest_per_key. */
   def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
     val work = Files.createTempDirectory("graft_upsert").toString
+    cleanupAtExit(work)
     @volatile var latest: Option[String] = None
 
     val q = eventStream(spark, dir).writeStream
@@ -95,11 +109,13 @@ object Replay {
     * against the batch SQL oracle. At 100 TB the state table would be a
     * transactional keyed table; versioned parquet keeps the semantics. */
   def streamCorpusDedup(spark: SparkSession, dir: String,
-                        maxFilesPerTrigger: Int = 1): DataFrame = {
+                        maxFilesPerTrigger: Int = 1,
+                        pathGlobFilter: String = "*.parquet"): DataFrame = {
     val work = Files.createTempDirectory("graft_sdedup").toString
+    cleanupAtExit(work)
     @volatile var latest: Option[String] = None
     val q = spark.readStream.schema(docsSchema)
-      .option("pathGlobFilter", "*.parquet")
+      .option("pathGlobFilter", pathGlobFilter)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(dir)
       .writeStream
@@ -134,16 +150,11 @@ object Replay {
     }
   }
 
-  /** qs10 entry: stream the documents table. */
-  def qs10StreamDedup(spark: SparkSession, dir: String): DataFrame = {
-    // the shared sfDir holds all tables; stage just documents.parquet into
-    // a stream-source directory (the streaming file source lists dirs)
-    val src = Files.createTempDirectory("graft_sdedup_src")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(dir, "documents.parquet"),
-      src.resolve("documents.parquet"))
-    streamCorpusDedup(spark, src.toString)
-  }
+  /** qs10 entry: stream the documents table straight out of the shared
+    * sfDir via a glob filter (same pattern as eventStream — no staging
+    * copy of the corpus). */
+  def qs10StreamDedup(spark: SparkSession, dir: String): DataFrame =
+    streamCorpusDedup(spark, dir, pathGlobFilter = "documents.parquet")
 
   /** Event row / session-state types for the stateful sessionizer. */
   case class Ev(user_id: Long, event_id: Long, ts_us: Long)

@@ -48,6 +48,19 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "corpus should contain planted near-dups")
   }
 
+  test("near-dup pair graph is memoized per session and corpus") {
+    val a = MinHashLSH.nearDups(spark, SparkTestSession.sfDir)
+    val b = MinHashLSH.nearDups(spark, SparkTestSession.sfDir)
+    assert(a eq b, "same session+corpus+threshold must reuse the pair graph")
+    val sig1 = MinHashLSH.signatures(spark, SparkTestSession.sfDir)
+    val sig2 = MinHashLSH.signatures(spark, SparkTestSession.sfDir)
+    assert(sig1 eq sig2, "signature pass must run once per session+corpus")
+    // different threshold = different verified graph, same signatures
+    val c = MinHashLSH.nearDups(spark, SparkTestSession.sfDir, threshold = 0.9)
+    assert(!(a eq c))
+    assert(c.collect().length <= a.collect().length)
+  }
+
   test("simhash kernel: identical → 0, near-dup → small, unrelated → large") {
     val a = SimHash.simhash64(base.split(" ").toSeq)
     val a2 = SimHash.simhash64(base.split(" ").toSeq)
