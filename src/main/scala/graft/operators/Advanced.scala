@@ -86,6 +86,30 @@ object Advanced {
       .orderBy("event_type")
   }
 
+  /** Approximate percentiles (GK sketch) beside the exact interpolated
+    * percentile, with an accuracy-bound boolean the oracle predicts —
+    * the q25 pattern extended to the quantile-sketch family. The bound
+    * is range-relative (±5% of the group's value range), far wider than
+    * the sketch's configured accuracy, so it is robust on regenerated
+    * corpora while still asserting genuine sketch correctness. */
+  def q36ApproxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        expr("approx_percentile(value, 0.5, 10000)").as("approx_p50"),
+        expr("percentile(value, 0.5)").as("exact_p50_raw"),
+        min("value").as("vmin_raw"),
+        max("value").as("vmax_raw"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        round(col("exact_p50_raw"), 4).as("exact_p50"),
+        round(col("vmin_raw"), 2).as("vmin"),
+        round(col("vmax_raw"), 2).as("vmax"),
+        (abs(col("approx_p50") - col("exact_p50_raw"))
+          <= (col("vmax_raw") - col("vmin_raw")) * 0.05).as("approx_ok"))
+      .orderBy("event_type")
+  }
+
   /** Custom physical operator (plans.BandJoinExec): purchases joined to
     * the same user's errors within ±5 minutes. The strategy rewrites the
     * natural equi+band join condition into a sorted sweep instead of the

@@ -323,6 +323,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Edit-distance verification of the MinHash near-dup pairs: exact
+    * Levenshtein distance and a length-normalized similarity for every
+    * verified pair — the character-level confirmation layer a dedup
+    * pipeline runs on its (tiny) candidate output before dropping
+    * documents. Reuses the memoized pair graph; the quadratic DP runs
+    * only on |pairs| rows, never the corpus. */
+  def qd17EditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val pairs = graft.dedup.MinHashLSH.nearDups(spark, dir)
+      .select("doc_a", "doc_b")
+    pairs
+      .join(d.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("text", "text_a"), "doc_a")
+      .join(d.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("text", "text_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
+        round(lit(1.0) - levenshtein(col("text_a"), col("text_b")).cast("double")
+          / greatest(length(col("text_a")), length(col("text_b"))).cast("double"),
+          6).as("edit_sim"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Deterministic stratified (systematic) sampling: within each lang
     * stratum, order by a content-hash key and keep every k-th document —
     * the reproducible corpus-subsampling step (Bernoulli sampling is
