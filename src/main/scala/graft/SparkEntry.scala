@@ -78,6 +78,8 @@ object SparkEntry {
     "qd15_stratified_sample" -> ((s, d) => TextOps.qd15StratifiedSample(s, d)),
     "qd16_domain_mixture"  -> (TextOps.qd16DomainMixture _),
     "qd17_edit_distance"   -> (TextOps.qd17EditDistance _),
+    "qd18_unigram_logprob" -> (TextOps.qd18UnigramLogprob _),
+    "qd19_tfidf_keywords"  -> (TextOps.qd19TfidfKeywords _),
     "q36_approx_percentile" -> (Advanced.q36ApproxPercentile _),
     "qd10_corpus_curation" -> (TextOps.qd10CorpusCuration _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
@@ -505,6 +507,48 @@ object SparkEntry {
         |  coalesce(h.n_contaminated, 0) >= 1 AS flagged
         |FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Mean negative unigram log-probability per document (perplexity
+    // filter stand-in).
+    "qd18_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), counts AS (
+        |  SELECT term, count(*) AS c FROM toks GROUP BY term
+        |), total AS (
+        |  SELECT sum(c)::DOUBLE AS n_total FROM counts
+        |)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(-ln(c::DOUBLE / n_total)), 6) AS avg_neg_logprob
+        |FROM toks
+        |JOIN counts USING (term)
+        |CROSS JOIN total
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // Top-3 characteristic terms per document by tf·ln(N/df).
+    "qd19_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), postings AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        |), dfreq AS (
+        |  SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term
+        |), nd AS (
+        |  SELECT count(*)::DOUBLE AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT p.doc_id, p.term,
+        |    round(p.tf::DOUBLE * ln(n_docs / d.df), 6) AS score
+        |  FROM postings p JOIN dfreq d USING (term) CROSS JOIN nd
+        |)
+        |SELECT doc_id,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank,
+        |  term, score
+        |FROM scored
+        |QUALIFY rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
 
     // Exact Levenshtein over the (tiny) verified near-dup pair set.
     "qd17_edit_distance" ->

@@ -323,6 +323,56 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Unigram log-probability scoring — the perplexity-filter stand-in
+    * (a real pipeline swaps the corpus unigram model for KenLM): each
+    * document scores the mean negative log-probability of its tokens
+    * under the corpus unigram distribution. Degenerate/boilerplate text
+    * scores low (common tokens), lorem-ipsum-like noise scores high.
+    * Plan: one explode pass builds corpus counts, the total is a
+    * broadcast scalar (BM25's stats pattern), and the per-doc average
+    * joins tokens to the (vocab-sized) count table. */
+  def qd18UnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").cast("double").as("n_total"))
+    toks
+      .join(counts, "term")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("c").cast("double") / col("n_total"))), 6)
+          .as("avg_neg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** TF-IDF keyword extraction: the top-3 most characteristic terms per
+    * document (tf × ln(N/df), ties broken lexically) — the per-document
+    * counterpart of the corpus-level qd9 term stats and the ranked qd8
+    * retrieval. One explode pass; tf and df come from the same postings
+    * aggregate; ranking is a per-doc window over the scored postings. */
+  def qd19TfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+    val postings = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = postings.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val nDocs = docs(spark, dir).select(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    postings
+      .join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        round(col("tf").cast("double") * log(col("n_docs") / col("df")), 6)
+          .as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Edit-distance verification of the MinHash near-dup pairs: exact
     * Levenshtein distance and a length-normalized similarity for every
     * verified pair — the character-level confirmation layer a dedup
