@@ -131,8 +131,15 @@ object SrpFunctions {
     val flat = new Array[Double](tables * bits * dim)
     for (t <- 0 until tables; b <- 0 until bits; d <- 0 until dim)
       flat((t * bits + b) * dim + d) = planes(t)(b)(d)
+    // content identity = MD5 of the plane bytes (a 32-bit hashCode can
+    // collide across same-shape plane sets); registry growth is bounded
+    // by the number of DISTINCT plane sets a session uses (one or two in
+    // this engine)
+    val bb = java.nio.ByteBuffer.allocate(flat.length * 8)
+    flat.foreach(bb.putDouble)
+    val digest = java.security.MessageDigest.getInstance("MD5").digest(bb.array())
     val name = f"graft_srp_buckets_${tables}x${bits}x${dim}_" +
-      (java.util.Arrays.hashCode(flat) & 0xFFFFFFFFL).toHexString
+      digest.take(8).map(b => f"$b%02x").mkString
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => SrpBucketHashes(exprs(0), flat, tables, bits, dim),
       "scala_udf")

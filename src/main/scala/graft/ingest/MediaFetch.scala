@@ -40,10 +40,10 @@ object MediaFetch {
         spark.emptyDataset[String].toDF("key")
       }
     val missing = candidates.select("key", "url")
-      // one fetch per key even if a batch repeats a key (the reference's
-      // per-key existence probe would see the first upload; within one
-      // batch the anti join alone cannot)
-      .dropDuplicates("key")
+      // one fetch per key even if a batch repeats a key; min(url) makes
+      // the surviving row DETERMINISTIC (dropDuplicates would keep an
+      // arbitrary one and the mirrored payload would vary run to run)
+      .groupBy("key").agg(min("url").as("url"))
       .join(inventory, Seq("key"), "left_anti") // K1 existence check
     // EAGER localCheckpoint before the write: the fetch is side-effecting,
     // so it must run exactly once per missing row — a lazy plan would

@@ -89,15 +89,21 @@ object Advanced {
   /** Approximate percentiles (GK sketch) beside the exact interpolated
     * percentile, with an accuracy-bound boolean the oracle predicts —
     * the q25 pattern extended to the quantile-sketch family. The bound
-    * is range-relative (±5% of the group's value range), far wider than
-    * the sketch's configured accuracy, so it is robust on regenerated
-    * corpora while still asserting genuine sketch correctness. */
+    * is RANK-based, which is what the sketch actually guarantees: the
+    * returned element's rank is within ε·n of the median, so its VALUE
+    * must lie between the interpolated p45 and p55 (rank window ±5% ≫
+    * ε = 1/accuracy; a value-distance bound would falsely fail on
+    * gapped/bimodal data where the interpolated median sits between two
+    * distant elements). Tiny groups (< 11 rows), where the ±5% rank
+    * window can exclude the median element, fall back to [min, max]. */
   def q36ApproxPercentile(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir, "events")
       .groupBy("event_type")
       .agg(
         expr("approx_percentile(value, 0.5, 10000)").as("approx_p50"),
         expr("percentile(value, 0.5)").as("exact_p50_raw"),
+        expr("percentile(value, 0.45)").as("p45_raw"),
+        expr("percentile(value, 0.55)").as("p55_raw"),
         min("value").as("vmin_raw"),
         max("value").as("vmax_raw"),
         count(lit(1)).as("n"))
@@ -105,8 +111,10 @@ object Advanced {
         round(col("exact_p50_raw"), 4).as("exact_p50"),
         round(col("vmin_raw"), 2).as("vmin"),
         round(col("vmax_raw"), 2).as("vmax"),
-        (abs(col("approx_p50") - col("exact_p50_raw"))
-          <= (col("vmax_raw") - col("vmin_raw")) * 0.05).as("approx_ok"))
+        when(col("n") >= 11,
+          col("approx_p50").between(col("p45_raw"), col("p55_raw")))
+          .otherwise(col("approx_p50").between(col("vmin_raw"), col("vmax_raw")))
+          .as("approx_ok"))
       .orderBy("event_type")
   }
 

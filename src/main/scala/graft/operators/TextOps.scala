@@ -23,6 +23,14 @@ object TextOps {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
 
+  /** doc_id → exploded whitespace terms — THE tokenization contract every
+    * `string_split_regex('\s+')` oracle mirrors; keep it in one place so
+    * a tokenizer change cannot diverge Spark vs DuckDB for only some
+    * queries. */
+  private def terms(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+
   /** Exact dedup: group identical texts, keep the smallest doc_id as the
     * canonical representative (hash-groupBy — one shuffle on the text key;
     * at 100 TB, group on md5(text) rather than raw text to keep shuffle
@@ -192,8 +200,7 @@ object TextOps {
     * document frequency — the classic word-count shape (explode → one
     * shuffle on the term key → distributed top-K). */
   def qd9TermStats(spark: SparkSession, dir: String): DataFrame = {
-    docs(spark, dir)
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+    terms(spark, dir)
       .groupBy("term")
       .agg(count(lit(1)).as("occurrences"),
         countDistinct("doc_id").as("doc_freq"))
@@ -332,8 +339,7 @@ object TextOps {
     * broadcast scalar (BM25's stats pattern), and the per-doc average
     * joins tokens to the (vocab-sized) count table. */
   def qd18UnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    val toks = docs(spark, dir)
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+    val toks = terms(spark, dir)
     val counts = toks.groupBy("term").agg(count(lit(1)).as("c"))
     val total = counts.agg(sum("c").cast("double").as("n_total"))
     toks
@@ -353,9 +359,8 @@ object TextOps {
     * retrieval. One explode pass; tf and df come from the same postings
     * aggregate; ranking is a per-doc window over the scored postings. */
   def qd19TfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
-    val toks = docs(spark, dir)
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
-    val postings = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val postings = terms(spark, dir)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = postings.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
     val nDocs = docs(spark, dir).select(count(lit(1)).cast("double").as("n_docs"))

@@ -24,15 +24,24 @@ object Replay {
   /** Best-effort JVM-exit cleanup for streaming work dirs (checkpoint +
     * versioned state): the final state stays readable for the returned
     * DataFrame's lifetime, but repeated runs must not accumulate /tmp
-    * garbage on a shared machine. */
-  private[graft] def cleanupAtExit(dir: String): Unit =
+    * garbage on a shared machine. ONE shutdown hook drains a shared
+    * queue — registering a hook thread per call would pin a thread per
+    * streaming invocation for the process lifetime. */
+  private val exitDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val exitHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(); ()
       }
-      rm(new java.io.File(dir))
+      exitDirs.forEach(d => rm(new java.io.File(d)))
     }))
+  }
+  private[graft] def cleanupAtExit(dir: String): Unit = {
+    exitHook
+    exitDirs.add(dir)
+    ()
+  }
 
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),

@@ -59,6 +59,10 @@ class DedupSpec extends AnyFunSuite {
     val c = MinHashLSH.nearDups(spark, SparkTestSession.sfDir, threshold = 0.9)
     assert(!(a eq c))
     assert(c.collect().length <= a.collect().length)
+    // test hygiene: nothing else reads the 0.9 graph — release its
+    // persisted blocks instead of pinning them for the rest of the suite
+    c.unpersist()
+    ()
   }
 
   test("simhash kernel: identical → 0, near-dup → small, unrelated → large") {
