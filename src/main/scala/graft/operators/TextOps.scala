@@ -314,19 +314,28 @@ object TextOps {
     // expression: projection collapse re-inlines split() under every
     // element access and goes O(tokens²) per doc — measured 46s vs <2s
     // at sf0.1 for this query
-    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    def shingled(base: DataFrame) = base.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, t) => (id, graft.dedup.MinHashLSH.shingleSet(t)) }
       .toDF("doc_id", "sh")
-    val exploded = d.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val bench = exploded.filter(col("doc_id") < 5).select("shingle").distinct()
-    val hits = exploded.join(broadcast(bench), "shingle")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
-    d.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-        (coalesce(col("n_contaminated"), lit(0L)) >= 1L).as("flagged"))
+    // benchmark side as its OWN plan: the doc_id < 5 predicate reaches
+    // the parquet scan, so its kernel runs over 5 docs. (Filtering the
+    // shared shingled corpus instead cannot push through the opaque
+    // typed map — the kernel would run over the whole corpus once per
+    // branch.) Corpus side: ONE kernel pass; explode_outer keeps
+    // zero-shingle docs so the rollup needs no second pass for them.
+    val bench = shingled(docs(spark, dir).filter(col("doc_id") < 5))
+      .select(explode(col("sh")).as("shingle")).distinct()
+      .withColumn("hit", lit(1L))
+    shingled(docs(spark, dir))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        explode_outer(col("sh")).as("shingle"))
+      .join(broadcast(bench), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(first("n_shingles").as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        (col("n_contaminated") >= 1L).as("flagged"))
       .orderBy("doc_id")
   }
 
