@@ -82,7 +82,10 @@ object SimHash {
   def nearDups(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"4-chunk pigeonhole guarantees recall only for maxDist <= 3, got $maxDist")
-    val fp = fingerprints(spark, dir)
+    // materialize the (doc_id, simhash) table once: both sides of the
+    // chunk self-join would otherwise re-run the fingerprint kernel over
+    // the corpus (self-joins recompute their common subtree)
+    val fp = fingerprints(spark, dir).localCheckpoint(true)
     val chunked = fp.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(i =>
           shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))

@@ -64,7 +64,11 @@ object Fingerprint {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) => (id, winnow(text.trim.split("\\s+"), k, w)) }
       .toDF("doc_id", "fps")
+    // materialize the skinny (doc_id, fp) posting rows once: the df
+    // aggregate, the pruning join, and the pair self-join all consume
+    // this subtree, and each would re-run the winnow kernel otherwise
     val exploded = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+      .localCheckpoint(true)
     val rare = exploded.groupBy("fp")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
