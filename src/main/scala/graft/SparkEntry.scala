@@ -99,15 +99,24 @@ object SparkEntry {
 
   /** DuckDB-runnable oracle SQL, one per `queries` key. */
   def oracleSql: Map[String, String] = Map(
+    // avg_* columns use the engine-exact integer half-up mean (see
+    // graft.functions.ExactStats): q = (2·|S·1e6| + 100·n) // (200·n),
+    // sign reapplied, ÷ 1e4 — identical in any engine.
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_base_price,
         | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
         | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
-        | round(avg(l_quantity), 4) AS avg_qty,
-        | round(avg(l_extendedprice), 4) AS avg_price,
-        | round(avg(l_discount), 4) AS avg_disc,
+        | ((abs((sum(l_quantity::DECIMAL(20,6)) * 1000000)::BIGINT) * 2
+        |    + 100 * count(l_quantity)) // (200 * count(l_quantity)))::DOUBLE
+        |   / 10000 AS avg_qty,
+        | ((abs((sum(l_extendedprice::DECIMAL(20,6)) * 1000000)::BIGINT) * 2
+        |    + 100 * count(l_extendedprice)) // (200 * count(l_extendedprice)))::DOUBLE
+        |   / 10000 AS avg_price,
+        | ((abs((sum(l_discount::DECIMAL(20,6)) * 1000000)::BIGINT) * 2
+        |    + 100 * count(l_discount)) // (200 * count(l_discount)))::DOUBLE
+        |   / 10000 AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -165,7 +174,9 @@ object SparkEntry {
 
     "q7_topk_groups" ->
       """SELECT user_id, count(*) AS doc_count,
-        | round(avg(value), 4) AS val_avg,
+        | ((abs((sum(value::DECIMAL(20,6)) * 1000000)::BIGINT) * 2
+        |    + 100 * count(value)) // (200 * count(value)))::DOUBLE
+        |   / 10000 AS val_avg,
         | round(sum(value), 2) AS val_sum
         |FROM events
         |WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-15 00:00:00'
@@ -635,8 +646,12 @@ object SparkEntry {
         |  FROM staged GROUP BY id
         |), aggs AS (
         |  SELECT user_id AS id, count(*) AS doc_count,
-        |    round(avg(value), 4) AS fol_avg,
-        |    round(avg(value * 2), 4) AS eng_avg
+        |    ((abs((sum(value::DECIMAL(20,6)) * 1000000)::BIGINT) * 2
+        |       + 100 * count(value)) // (200 * count(value)))::DOUBLE
+        |      / 10000 AS fol_avg,
+        |    ((abs((sum((value * 2)::DECIMAL(20,6)) * 1000000)::BIGINT) * 2
+        |       + 100 * count(value)) // (200 * count(value)))::DOUBLE
+        |      / 10000 AS eng_avg
         |  FROM events
         |  WHERE ts::TIMESTAMP >= TIMESTAMP '2024-02-15' - INTERVAL 60 DAY
         |  GROUP BY user_id

@@ -19,13 +19,17 @@ object History {
     * grouped by owner, top `maxGroups` owners by post count. */
   def engagementRollup(posts: DataFrame, now: Column, days: Int = 60,
                        maxGroups: Int = 10000): DataFrame = {
+    val spark = posts.sparkSession
     posts
       .filter(col("ts") >= now - expr(s"INTERVAL $days DAYS")) // P9
       .groupBy(col("owner_id").as("id"))
       .agg(
         count(lit(1)).as("doc_count"),
-        avg("followers").as("fol_avg"),
-        avg("engagement").as("eng_avg"))
+        // engine-exact half-up 4dp means (functions.ExactStats scaladoc:
+        // double avg is order-dependent AND Spark/DuckDB round() disagree
+        // exactly on the quantized-mean midpoints these metrics produce)
+        graft.functions.ExactStats.avg4dp(spark, col("followers")).as("fol_avg"),
+        graft.functions.ExactStats.avg4dp(spark, col("engagement")).as("eng_avg"))
       .orderBy(desc("doc_count"), col("id")) // ES terms order, size cap
       .limit(maxGroups)
   }

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+import org.apache.spark.sql.functions._
+
+/** Engine-exact aggregate statistics for decimal-quantized metrics.
+  *
+  * A plain double `avg` is DOUBLY non-deterministic for oracle parity:
+  * the summation order varies with partitioning (±1 ULP), and on
+  * quantized inputs the true mean lands exactly on `round()` midpoints,
+  * where Spark (decimal-string HALF_UP) and DuckDB (binary-value
+  * rounding) disagree even on the SAME double — observed at sf0.1:
+  * 3148.24/64 = 49.19125 rounds to .1913 in Spark and .1912 in DuckDB.
+  *
+  * `avg4dp` removes both hazards: the sum is an exact decimal, and the
+  * half-up rounding to 4 decimals is pure integer arithmetic —
+  * q = floor((2·|S·10⁶| + 100·n) / (200·n)), sign reapplied — so every
+  * engine computes the identical value. DuckDB mirror:
+  * `(( |S6| * 2 + 100*n ) // (200*n))::DOUBLE / 10000` with the same
+  * sign/empty-group guards. Long bounds: |sum| < 4.6e12 (1e9 rows of
+  * magnitude ≤ 4600) before 2·S·10⁶ would overflow — far beyond any
+  * per-group cardinality the fact shapes here produce. */
+object ExactStats {
+  private val IdivName = "graft_idiv"
+
+  /** Integral (floor-for-positives) division as a Column — Spark exposes
+    * no integer-div function API, so register the Catalyst expression. */
+  private def idiv(spark: SparkSession, a: Column, b: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      IdivName, exprs => IntegralDivide(exprs(0), exprs(1)), "scala_udf")
+    call_function(IdivName, a, b)
+  }
+
+  /** Half-up 4-decimal mean of a decimal-quantized column, NULL-skipping
+    * like `avg` (empty/all-null group → NULL). Use inside an `agg`. */
+  def avg4dp(spark: SparkSession, c: Column): Column = {
+    val s6 = (sum(c.cast("decimal(20,6)")) * lit(1000000L)).cast("long")
+    val n = count(c)
+    val q = idiv(spark, abs(s6) * 2 + n * 100, n * 200)
+    when(n > 0,
+      (when(s6 < 0, -q).otherwise(q)).cast("double") / 10000.0)
+      .otherwise(lit(null))
+  }
+}

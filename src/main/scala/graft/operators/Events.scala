@@ -35,7 +35,8 @@ object Events {
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("doc_count"),
-        round(avg("value"), 4).as("val_avg"),
+        // engine-exact half-up 4dp mean (functions.ExactStats)
+        graft.functions.ExactStats.avg4dp(spark, col("value")).as("val_avg"),
         round(sum("value"), 2).as("val_sum"))
       .orderBy(desc("doc_count"), col("user_id"))
       .limit(10)

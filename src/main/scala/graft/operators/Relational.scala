@@ -26,6 +26,11 @@ object Relational {
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
     val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    // engine-exact half-up 4dp means over decimal-quantized columns —
+    // see functions.ExactStats (double avg is summation-order-dependent
+    // and the engines' round() disagree on quantized-mean midpoints)
+    def eAvg(c: String) =
+      graft.functions.ExactStats.avg4dp(spark, col(c))
     li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
@@ -33,9 +38,9 @@ object Relational {
         round(sum("l_extendedprice"), 2).as("sum_base_price"),
         round(sum(disc), 2).as("sum_disc_price"),
         round(sum(disc * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        eAvg("l_quantity").as("avg_qty"),
+        eAvg("l_extendedprice").as("avg_price"),
+        eAvg("l_discount").as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
