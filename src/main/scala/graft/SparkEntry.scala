@@ -86,12 +86,22 @@ object SparkEntry {
     "qs1_minhash_neardup"  -> ((s, d) => MinHashLSH.nearDups(s, d)),
     "qs2_simhash_neardup"  -> ((s, d) => SimHash.nearDups(s, d)),
     "qs3_palette_by_source" -> (Palette.paletteBySource _),
+    // the SEPARABLE palette configuration: constant-color images, ≤ 5
+    // colors per group → converged KMeans == exact color histogram, so
+    // the flagship kernel gets a hard SQL oracle (qs3 stays as the
+    // non-separable compute benchmark)
+    "qs11_palette_exact"   -> (Palette.qs11PaletteExact _),
     // full probe: provably equals brute force (see Ann.knn scaladoc) →
     // shares qe1's oracle; low-probe recall is covered by AnnSpec
     "qs4_ann_ivf"          -> ((s, d) => Ann.knn(s, d, nprobe = Int.MaxValue)),
+    // the REAL ANN configuration: nprobe=2 of 10 cells — cell restriction
+    // actually bites, and the oracle reproduces the whole deterministic
+    // pipeline (centroids → argmax assignment → probe ranking) in SQL
+    "qs12_ann_lowprobe"    -> ((s, d) => Ann.knn(s, d, nprobe = 2)),
     "qs5_stream_upsert"    -> (Replay.streamUpsert _),
     "qs6_stream_hourly"    -> (Replay.streamHourlyRollup _),
     "qm1_multimodal_features" -> (Multimodal.featureRollup _),
+    "qm2_media_byteclass"  -> (Multimodal.qm2MediaByteclass _),
     "qs8_winnow_candidates" -> (graft.text.Fingerprint.fingerprintCandidates(_, _)),
     "qs9_srp_lsh_neardup"  -> (graft.similarity.SrpLsh.qs9NearDups _),
     "qs10_stream_dedup"    -> (Replay.qs10StreamDedup _),
@@ -1172,9 +1182,144 @@ object SparkEntry {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
-    // qs3_palette_by_source and qm1_multimodal_features are intentionally
-    // omitted: per-group KMeans and the stubbed multimodal decode have no
-    // SQL-expressible oracle → driver rows-only check; their correctness
-    // specs live in src/test/scala/graft.
+    // The SEPARABLE palette configuration (Palette.qs11PaletteExact
+    // scaladoc): constant-color images, ≤ 5 distinct colors per group →
+    // the converged KMeans palette equals the exact color histogram, and
+    // the pixel share equals the document-count share (each doc
+    // contributes exactly 75×75 pixels; IEEE division of the same two
+    // exact integers is bit-equal in both engines).
+    "qs11_palette_exact" ->
+      """WITH d AS (
+        |  SELECT source, (doc_id % 5) * 40 + 20 AS cval FROM documents
+        |), g AS (
+        |  SELECT source, cval, count(*) AS n FROM d GROUP BY source, cval
+        |), t AS (
+        |  SELECT source, sum(n) AS total FROM g GROUP BY source
+        |)
+        |SELECT g.source, cval::BIGINT AS red, cval::BIGINT AS green,
+        |  cval::BIGINT AS blue,
+        |  printf('#%02x%02x%02x', cval, cval, cval) AS hex,
+        |  n::DOUBLE / total::DOUBLE AS pct
+        |FROM g JOIN t ON g.source = t.source
+        |ORDER BY source, red""".stripMargin,
+
+    // qm1: n_items/total_bytes are exact integers; duration_avg uses the
+    // avg4dp integer formula (duration_ms is integral); f1_avg — the mean
+    // share of payload bytes in [0x00,0x10) — is COMPUTED per doc here,
+    // and is exactly 0.0 on this control-char-free ASCII corpus in both
+    // engines (so the video frame-pooling order, which the spec covers
+    // with synthetic payloads, cannot diverge). The populated-bucket
+    // integer signal is qm2.
+    "qm1_multimodal_features" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'video'
+        |      ELSE 'audio' END AS kind,
+        |    n_chars::BIGINT AS payload_bytes,
+        |    (n_chars * 10)::BIGINT AS duration_ms,
+        |    CASE WHEN n_chars = 0 THEN 0.0
+        |      ELSE (n_chars - length(regexp_replace(text, '[\x00-\x0f]', '', 'g')))::DOUBLE
+        |        / n_chars::DOUBLE END AS f1
+        |  FROM documents
+        |)
+        |SELECT kind, count(*) AS n_items,
+        |  sum(payload_bytes)::BIGINT AS total_bytes,
+        |  round(avg(f1), 6) AS f1_avg,
+        |  ((abs((sum(duration_ms::DECIMAL(20,6)) * 1000000)::BIGINT) * 2
+        |     + 100 * count(duration_ms)) // (200 * count(duration_ms)))::DOUBLE
+        |    / 10000 AS duration_avg
+        |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // qm2: exact-integer byte-class rollup through the same sampling
+    // geometry as the feature extractor — videos inspect only the
+    // stride-4 sampled 64-byte frames (positions i with (i-1)//64 ≡ 0
+    // mod 4), images/audio the whole payload. ASCII corpus ⇒ char
+    // position == byte position (TESTDATA: octet_length == n_chars).
+    "qm2_media_byteclass" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'video'
+        |      ELSE 'audio' END AS kind,
+        |    text, n_chars::BIGINT AS len
+        |  FROM documents
+        |), nv AS (
+        |  SELECT kind, doc_id, len, len AS sampled,
+        |    (len - length(regexp_replace(text, '[\x20-\x2f]', '', 'g')))::BIGINT AS punct
+        |  FROM m WHERE kind <> 'video'
+        |), v AS (
+        |  SELECT kind, doc_id, len, count(*)::BIGINT AS sampled,
+        |    sum(CASE WHEN ascii(substr(text, i::INT, 1)) BETWEEN 32 AND 47
+        |      THEN 1 ELSE 0 END)::BIGINT AS punct
+        |  FROM m CROSS JOIN unnest(range(1, len + 1)) r(i)
+        |  WHERE kind = 'video' AND ((i - 1) // 64) % 4 = 0
+        |  GROUP BY kind, doc_id, len
+        |), v0 AS (
+        |  SELECT kind, doc_id, len, 0::BIGINT AS sampled, 0::BIGINT AS punct
+        |  FROM m WHERE kind = 'video' AND len = 0
+        |)
+        |SELECT kind, count(*) AS n_items, sum(len)::BIGINT AS total_bytes,
+        |  sum(sampled)::BIGINT AS sampled_bytes, sum(punct)::BIGINT AS punct_bytes
+        |FROM (SELECT * FROM nv UNION ALL SELECT * FROM v UNION ALL SELECT * FROM v0) u
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // The REAL low-probe IVF configuration (nprobe = 2 of 10 cells):
+    // every stage is deterministic — per-(cell,dim) label means, argmax
+    // assignment and probe ranking over 6dp-ROUNDED centroid cosines
+    // (ties → lowest cell), exact 6dp cosine within probed cells (ties →
+    // cand_id). The 6dp pre-round makes the discrete cell decisions
+    // immune to summation-order noise in the means; candidate sims use
+    // raw vectors only (qe1-proven bit parity).
+    "qs12_ann_lowprobe" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |), comp AS (
+        |  SELECT label AS cell, i AS dim, avg(v[i::INT]) AS m
+        |  FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
+        |  GROUP BY label, i
+        |), cents AS (
+        |  SELECT cell, list(m ORDER BY dim) AS centroid FROM comp GROUP BY cell
+        |), assign AS (
+        |  SELECT vec_id, cell, v FROM (
+        |    SELECT e.vec_id, c.cell, e.v,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_inner_product(e.v, c.centroid)
+        |          / (sqrt(list_inner_product(e.v, e.v))
+        |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
+        |        c.cell) AS rk
+        |    FROM e CROSS JOIN cents c
+        |  ) WHERE rk = 1
+        |), q AS (
+        |  SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 5
+        |), probed AS (
+        |  SELECT q_id, q_vec, cell FROM (
+        |    SELECT q.q_id, q.q_vec, c.cell,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        round(list_inner_product(q.q_vec, c.centroid)
+        |          / (sqrt(list_inner_product(q.q_vec, q.q_vec))
+        |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
+        |        c.cell) AS crk
+        |    FROM q CROSS JOIN cents c
+        |  ) WHERE crk <= 2
+        |), s AS (
+        |  SELECT p.q_id, a.vec_id AS cand_id,
+        |    round(list_inner_product(p.q_vec, a.v)
+        |      / (sqrt(list_inner_product(p.q_vec, p.q_vec))
+        |         * sqrt(list_inner_product(a.v, a.v))), 6) AS sim
+        |  FROM probed p JOIN assign a USING (cell)
+        |  WHERE p.q_id <> a.vec_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rank
+        |  FROM s
+        |)
+        |SELECT q_id, rank, cand_id, sim FROM r
+        |WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // qs3_palette_by_source is intentionally the one remaining rows-only
+    // entry: the NON-separable per-group KMeans (arbitrary text-derived
+    // pixels) has no SQL-expressible oracle. Its semantics are
+    // driver-checked through qs11_palette_exact (same kernel, separable
+    // configuration) and spec-checked for determinism/golden palettes.
   )
 }

@@ -45,11 +45,18 @@ object Clusters {
         .localCheckpoint(true)
       val changed = next.as("n").join(labels.as("o"), "doc_id")
         .filter(col("n.comp") =!= col("o.comp")).count()
+      // release the superseded generation: the iteration-0 `.cache()` is
+      // dropped from the SQL cache here (it was never unpersisted before —
+      // one leaked cached DF per invocation); later generations are
+      // localCheckpoints whose blocks the ContextCleaner reclaims once the
+      // rebind drops the last reference
+      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
     edges.unpersist()
+    labels.unpersist() // no-op unless the loop never ran (maxIter == 0)
     // size-gated sort: cluster labels grow with the pair graph; the
     // localCheckpoint'd labels make the gate + sort read materialized data
     graft.plans.ScaleTechniques.sortedOutput(

@@ -33,7 +33,17 @@ object ExactStats {
   }
 
   /** Half-up 4-decimal mean of a decimal-quantized column, NULL-skipping
-    * like `avg` (empty/all-null group → NULL). Use inside an `agg`. */
+    * like `avg` (empty/all-null group → NULL). Use inside an `agg`.
+    *
+    * PRECONDITION — inputs must be exactly representable at ≤ 6 decimal
+    * places (integers, cents, basis points…): the per-row
+    * double→DECIMAL(20,6) cast itself diverges between Spark
+    * (shortest-repr string, HALF_UP) and DuckDB (scaled-double rounding)
+    * for full-precision doubles near 6dp midpoints, and past the
+    * documented |sum| bound the `(S·10⁶)::BIGINT` cast silently nulls in
+    * non-ANSI mode. Do NOT point this at unquantized metrics (ratios,
+    * cosines, log-probs); for those, emit unrounded per-row doubles
+    * instead and let both engines compute them bit-identically. */
   def avg4dp(spark: SparkSession, c: Column): Column = {
     val s6 = (sum(c.cast("decimal(20,6)")) * lit(1000000L)).cast("long")
     val n = count(c)

@@ -33,12 +33,20 @@ object MediaFetch {
                    fetch: String => Array[Byte]): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val storePath = new org.apache.hadoop.fs.Path(
+      new java.io.File(storeDir).toURI)
+    val fs = storePath.getFileSystem(hconf)
+    // first-run probe by LISTING, not by catching a read failure: a
+    // missing dir and an existing-but-empty dir are both "first run"
+    // (the AnalysisException catch treated them differently), and
+    // leftover non-parquet temp files don't count as data
+    val hasData = fs.exists(storePath) &&
+      fs.listStatus(storePath).exists(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet"))
     val inventory: DataFrame =
-      try spark.read.parquet(storeDir).select("key")
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        // first run: empty store
-        spark.emptyDataset[String].toDF("key")
-      }
+      if (hasData) spark.read.parquet(storeDir).select("key")
+      else spark.emptyDataset[String].toDF("key")
     val missing = candidates.select("key", "url")
       // one fetch per key even if a batch repeats a key; min(url) makes
       // the surviving row DETERMINISTIC (dropDuplicates would keep an
@@ -59,8 +67,24 @@ object MediaFetch {
       }
       .toDF("key", "url", "payload", "content_length")
       .localCheckpoint(true)
-    if (!fetched.isEmpty)
-      fetched.write.mode(SaveMode.Append).parquet(storeDir)
+    if (!fetched.isEmpty) {
+      // ATOMIC-ish append: write the batch to a dot-prefixed staging dir
+      // (invisible to parquet listings), then move the completed part
+      // files into the store one rename at a time. A crash mid-write
+      // leaves only the staging dir (ignored by the next inventory read);
+      // a crash mid-move leaves some COMPLETE files in the store — the
+      // idempotent anti join simply refetches the remainder. The direct
+      // `mode(Append)` it replaces could die mid-part-file and poison
+      // every subsequent inventory read with a truncated footer.
+      val staging = new org.apache.hadoop.fs.Path(
+        storePath, s".staging-${java.util.UUID.randomUUID}")
+      fetched.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      fs.listStatus(staging)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .foreach(f => fs.rename(f.getPath,
+          new org.apache.hadoop.fs.Path(storePath, f.getPath.getName)))
+      fs.delete(staging, true)
+    }
     fetched
   }
 

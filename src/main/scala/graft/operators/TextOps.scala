@@ -402,11 +402,17 @@ object TextOps {
         .withColumnRenamed("text", "text_a"), "doc_a")
       .join(d.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("text", "text_b"), "doc_b")
+      // evaluate the quadratic DP once per pair and derive the
+      // similarity from the resulting column (subexpression elimination
+      // usually catches the duplicate, but one evaluation is free
+      // certainty)
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
-        round(lit(1.0) - levenshtein(col("text_a"), col("text_b")).cast("double")
-          / greatest(length(col("text_a")), length(col("text_b"))).cast("double"),
-          6).as("edit_sim"))
+        greatest(length(col("text_a")), length(col("text_b")))
+          .cast("double").as("max_len"))
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+        round(lit(1.0) - col("edit_dist").cast("double") / col("max_len"), 6)
+          .as("edit_sim"))
       .orderBy("doc_a", "doc_b")
   }
 

@@ -19,7 +19,17 @@ object ScaleTechniques {
     * bounds. So: materialize the result once (localCheckpoint — the
     * count and the sort then read materialized blocks, not the plan),
     * gate on the actual row count, and fall back to a distributed range
-    * sort only when the result is genuinely large. */
+    * sort only when the result is genuinely large.
+    *
+    * CONTRACT — this call EXECUTES the upstream plan eagerly:
+    * `localCheckpoint(true)` + `count()` run the full job at
+    * DataFrame-construction time, even if the result is never consumed.
+    * Callers therefore use it only as the FINAL presentation step of a
+    * query they are about to execute anyway (qd6/qs8/qs9/q33/qs3/qs11 all
+    * sink the result immediately). The checkpoint blocks live until the
+    * returned DataFrame is garbage-collected, when the ContextCleaner
+    * reclaims them — repeated calls in one session pin nothing once their
+    * results go out of scope. */
   def sortedOutput(df: DataFrame, sortCols: Seq[String],
                    smallThreshold: Long = 100000L): DataFrame = {
     val mat = df.localCheckpoint(true)

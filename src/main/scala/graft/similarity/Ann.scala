@@ -40,7 +40,11 @@ object Ann {
     val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
     emb.select(col("vec_id"), col("label"), col("embedding").as("v"))
       .crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(col("v"), col("centroid")))
+      // round to 6dp BEFORE the argmax (ties then break on cell id): the
+      // discrete cell choice must not hinge on sub-1e-6 noise in the
+      // centroid means, or the SQL mirror of the low-probe configuration
+      // (qs12) could diverge on summation order
+      .withColumn("csim", round(cosine(col("v"), col("centroid")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("cell"), col("v"))
@@ -55,8 +59,14 @@ object Ann {
     * candidate, so the result provably equals the brute-force top-k
     * (qe1's oracle modulo the label column): both sides round cosine to 6
     * decimals BEFORE ranking and break ties on cand_id, making the
-    * correspondence exact, not approximate. That is the driver-checked
-    * configuration; low-probe recall is spec-checked on clustered data. */
+    * correspondence exact, not approximate.
+    *
+    * The REAL low-probe configuration is ALSO driver-checked (qs12,
+    * nprobe = 2): the whole pipeline — label-mean centroids, 6dp-rounded
+    * argmax assignment, 6dp-rounded probe ranking, in-cell exact cosine —
+    * is deterministic SQL, so the oracle reproduces the identical cell
+    * restriction in DuckDB. Low-probe *recall* is additionally
+    * spec-checked on clustered data (AnnSpec). */
   def knn(spark: SparkSession, dir: String, k: Int = 5, nprobe: Int = 3,
           queryPred: String = "vec_id < 5"): DataFrame =
     knnFrom(Tables(spark, dir, "embeddings"), k, nprobe, queryPred)
@@ -77,7 +87,8 @@ object Ann {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val cellRank = Window.partitionBy("q_id").orderBy(col("qsim").desc, col("cell"))
     val probed = queries.crossJoin(broadcast(cents))
-      .withColumn("qsim", cosine(col("q_vec"), col("centroid")))
+      // same 6dp pre-rounding as the assignment argmax (see above)
+      .withColumn("qsim", round(cosine(col("q_vec"), col("centroid")), 6))
       .withColumn("crk", row_number().over(cellRank))
       .filter(col("crk") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("cell"))

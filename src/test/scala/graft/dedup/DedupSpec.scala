@@ -23,12 +23,46 @@ class DedupSpec extends AnyFunSuite {
       (0L, base), (1L, nearDup), (2L, unrelated),
       (3L, "totally other text about spark engines and query planning at scale today ok"),
       (4L, base + " extra")).toDF("doc_id", "text")
-    val sigs = MinHashLSH.docSignatures(spark, docs).toDF("doc_id", "sh", "bands")
+    val sigs = MinHashLSH.docSignatures(spark, docs)
+      .toDF("doc_id", "txt_md5", "sh", "bands")
     val cands = MinHashLSH.candidatePairs(sigs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cands.contains((0L, 1L)), s"missing planted pair in $cands")
     assert(cands.contains((0L, 4L)))
     assert(!cands.contains((0L, 2L)) && !cands.contains((1L, 2L)))
+  }
+
+  test("exact-dup collapse bounds band buckets and preserves the pair set") {
+    // a planted 150-copy exact-dup cluster (the web-boilerplate case that
+    // makes naive banding quadratic), plus the usual near-dup/unrelated mix
+    val copies = (100L until 250L).map(i => (i, base))
+    val docs = (Seq((0L, nearDup), (1L, unrelated),
+      (2L, base + " extra"), (3L, "short one")) ++ copies).toDF("doc_id", "text")
+    val sigs = MinHashLSH.docSignatures(spark, docs)
+      .toDF("doc_id", "txt_md5", "sh", "bands").localCheckpoint(true)
+
+    // banding sees each distinct text once: candidate volume is bounded by
+    // distinct-text pairs (≤ C(4,2) with ≥1 shared band), not C(153,2)
+    val reps = sigs.groupBy("txt_md5").agg(min("doc_id").as("doc_id"))
+    val repSigs = sigs.join(reps, Seq("txt_md5", "doc_id"))
+    val candCount = MinHashLSH.candidatePairs(repSigs).count()
+    assert(candCount <= 6, s"collapsed candidates not bounded: $candCount")
+
+    val got = MinHashLSH.pairsFromSigs(sigs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // reference: exact all-pairs over the full (uncollapsed) corpus
+    val kern = docs.as[(Long, String)].collect()
+      .map { case (id, t) => (id, MinHashLSH.shingleSet(t).toSet) }
+    val exact = (for {
+      (ia, sa) <- kern; (ib, sb) <- kern
+      if ia < ib && sa.nonEmpty && sb.nonEmpty
+      j = (sa & sb).size.toDouble / (sa | sb).size
+      if j >= 0.8
+    } yield (ia, ib, j)).toSet
+    assert(got == exact,
+      s"collapse changed the output: got=${got.size} exact=${exact.size}")
+    // the 150-copy cluster's C(150,2) intra pairs are all present at 1.0
+    assert(got.count(t => t._3 == 1.0) >= 150 * 149 / 2)
   }
 
   test("minhash nearDups equals exact all-pairs shingle Jaccard at sf0.001") {
