@@ -50,21 +50,35 @@ object Bench {
       }
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] pass $p $name failed: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        // a failed pass records NO time: its elapsed is time-to-failure,
+        // which would skew the median indistinguishably from a real run
+        val elapsed =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] pass $p $name failed: ${e.getMessage}")
+            None
+          }
+        name -> elapsed
       }
     }
+    // median over SUCCESSFUL passes only; a query with zero successes is
+    // reported null and counted in `failures` so it can't silently vanish
     val results = ordered.map { case (name, _) =>
-      val runs = passes.map(_.toMap.apply(name)).sorted
-      name -> runs(runs.length / 2)
+      val byName = passes.map(_.toMap.apply(name))
+      val runs = byName.flatten.sorted
+      val median = if (runs.isEmpty) None else Some(runs(runs.length / 2))
+      (name, median, byName.count(_.isEmpty))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) =>
+      "\"" + k + "\":" + v.fold("null")(_.toString)
+    }.mkString("{", ",", "}")
+    val failed = results.filter(_._3 > 0)
+    val failures = failed.map { case (k, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$Passes,"stat":"median"}""")
+    val total = results.flatMap(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir","runs":$Passes,"stat":"median"}""")
     spark.stop()
   }
 }

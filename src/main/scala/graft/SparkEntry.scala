@@ -1190,7 +1190,7 @@ object SparkEntry {
     // exact integers is bit-equal in both engines).
     "qs11_palette_exact" ->
       """WITH d AS (
-        |  SELECT source, (doc_id % 5) * 40 + 20 AS cval FROM documents
+        |  SELECT source, ((doc_id // 20) % 5) * 40 + 20 AS cval FROM documents
         |), g AS (
         |  SELECT source, cval, count(*) AS n FROM d GROUP BY source, cval
         |), t AS (
@@ -1201,7 +1201,7 @@ object SparkEntry {
         |  printf('#%02x%02x%02x', cval, cval, cval) AS hex,
         |  n::DOUBLE / total::DOUBLE AS pct
         |FROM g JOIN t ON g.source = t.source
-        |ORDER BY source, red""".stripMargin,
+        |ORDER BY g.source, red""".stripMargin,
 
     // qm1: n_items/total_bytes are exact integers; duration_avg uses the
     // avg4dp integer formula (duration_ms is integral); f1_avg — the mean

@@ -161,10 +161,18 @@ object MinHashLSH {
     cache.clear()
   }
 
-  /** Candidate pairs (doc_a < doc_b) via band-bucket collision. */
+  /** Candidate pairs (doc_a < doc_b) via band-bucket collision.
+    *
+    * Docs with an EMPTY shingle set (< 3 tokens) never band: `bands` is
+    * always 16 elements, and for an empty signature every slot is the
+    * constant mix of Long.MaxValue — all such docs would collide in every
+    * band and then "verify" at 0/0 = NaN Jaccard, which passes any
+    * threshold under Spark's NaN-is-greatest comparison. The oracle (and
+    * the exact all-pairs reference) requires both shingle sets non-empty,
+    * so they are excluded at the source. */
   def candidatePairs(sigs: DataFrame): DataFrame = {
     val exploded = sigs
-      .filter(size(col("bands")) > 0)
+      .filter(size(col("sh")) > 0)
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
     val a = exploded.as("a"); val b = exploded.as("b")
     a.join(b,

@@ -225,7 +225,12 @@ object Palette {
     val n = math.max(spark.sparkContext.defaultParallelism, 2)
     Tables(spark, dir, "documents")
       .select(col("source"),
-        (pmod(col("doc_id"), lit(5)) * lit(40) + lit(20)).cast("int").as("cval"))
+        // doc_id round-robins over sources, so doc_id % 5 is CONSTANT per
+        // source (degenerate 1-cluster groups); (doc_id div 20) % 5 yields
+        // all five colors in every group — the configuration the
+        // separability argument above is actually about.
+        (pmod(expr("doc_id div 20"), lit(5)) * lit(40) + lit(20))
+          .cast("int").as("cval"))
       .repartitionByRange(n, col("source"))
       .sortWithinPartitions(col("source"), col("cval"))
       .as[(String, Int)]

@@ -34,9 +34,12 @@ object MediaFetch {
     val spark = candidates.sparkSession
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
-    val storePath = new org.apache.hadoop.fs.Path(
-      new java.io.File(storeDir).toURI)
-    val fs = storePath.getFileSystem(hconf)
+    // resolve through the Hadoop FS layer, NOT java.io.File: the store may
+    // be any Hadoop-supported URI (s3a://, hdfs://, file:); a local-file
+    // round trip would silently rebase remote URIs onto the local disk
+    val fs = new org.apache.hadoop.fs.Path(storeDir).getFileSystem(hconf)
+    val storePath =
+      fs.makeQualified(new org.apache.hadoop.fs.Path(storeDir))
     // first-run probe by LISTING, not by catching a read failure: a
     // missing dir and an existing-but-empty dir are both "first run"
     // (the AnalysisException catch treated them differently), and
@@ -81,8 +84,15 @@ object MediaFetch {
       fetched.write.mode(SaveMode.Overwrite).parquet(staging.toString)
       fs.listStatus(staging)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .foreach(f => fs.rename(f.getPath,
-          new org.apache.hadoop.fs.Path(storePath, f.getPath.getName)))
+        .foreach { f =>
+          val dest = new org.apache.hadoop.fs.Path(storePath, f.getPath.getName)
+          // a silently-false rename would DROP a completed batch part (the
+          // rows were fetched and returned, but never reach the store, and
+          // the next run's anti join re-downloads them) — fail loudly
+          if (!fs.rename(f.getPath, dest))
+            throw new java.io.IOException(
+              s"failed to move completed media batch part ${f.getPath} -> $dest")
+        }
       fs.delete(staging, true)
     }
     fetched

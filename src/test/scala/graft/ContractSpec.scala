@@ -20,7 +20,10 @@ class ContractSpec extends AnyFunSuite {
 
   test("rows-only queries are the documented hash-seeded/approx/stub set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("qs3_palette_by_source", "qm1_multimodal_features"),
+    // qs3 (non-separable KMeans) is the single remaining rows-only query;
+    // its separable twin qs11 and the multimodal features (qm1/qm2) are
+    // oracle-checked since round 3
+    assert(rowsOnly == Set("qs3_palette_by_source"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

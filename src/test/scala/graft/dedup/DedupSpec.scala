@@ -65,6 +65,30 @@ class DedupSpec extends AnyFunSuite {
     assert(got.count(t => t._3 == 1.0) >= 150 * 149 / 2)
   }
 
+  test("empty-shingle docs (< 3 tokens) never band, verify, or pair") {
+    // two DISTINCT short texts and two IDENTICAL short texts: an empty
+    // shingle signature is the constant all-MaxValue vector, so without
+    // the size(sh) > 0 guard every short doc collides in every band and
+    // "verifies" at 0/0 = NaN Jaccard (NaN >= t is true in Spark SQL).
+    // The oracle requires both shingle sets non-empty: none of these docs
+    // may produce a pair — not distinct-short pairs (NaN), not
+    // identical-short pairs (0/0 is undefined, not 1.0).
+    val docs = Seq(
+      (0L, "hi there"), (1L, "bye now"), (2L, "same two"), (3L, "same two"),
+      (4L, base), (5L, base + " extra")).toDF("doc_id", "text")
+    val sigs = MinHashLSH.docSignatures(spark, docs)
+      .toDF("doc_id", "txt_md5", "sh", "bands").localCheckpoint(true)
+    val cands = MinHashLSH.candidatePairs(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.forall { case (a, b) => a >= 4L && b >= 4L },
+      s"short docs entered the band join: $cands")
+    val pairs = MinHashLSH.pairsFromSigs(sigs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.forall(p => !p._3.isNaN), s"NaN jaccard emitted: ${pairs.toSeq}")
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((4L, 5L)),
+      s"expected only the planted near-dup pair, got ${pairs.toSeq}")
+  }
+
   test("minhash nearDups equals exact all-pairs shingle Jaccard at sf0.001") {
     val got = MinHashLSH.nearDups(spark, SparkTestSession.sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
