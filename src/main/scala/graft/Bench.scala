@@ -19,7 +19,8 @@ import org.apache.spark.sql.SparkSession
   * WITHIN a pass is the production composition and stays.
   */
 object Bench {
-  val Passes = 3
+  val Passes: Int =
+    sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -40,7 +41,11 @@ object Bench {
     Tables.all.foreach(t =>
       Tables(spark, sfDir, t).limit(1000).write.format("noop").mode("overwrite").save())
 
+    // optional comma-separated query filter (scale-soak / local iteration
+    // aid; the driver sets only SF_DIR and CPUS → full suite)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     val passes = (1 to Passes).map { p =>
       if (p > 1) {
         // each pass pays the shared signature/pair-graph kernel once, via

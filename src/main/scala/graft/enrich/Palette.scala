@@ -128,7 +128,10 @@ object Palette {
     }
   }
 
-  /** Palette over decoded images (height, width, BGR bytes). */
+  /** Palette over decoded images (height, width, BGR bytes). Resident
+    * memory is bounded by the `FloatPixelBuffer` pixel budget: groups
+    * under ~4M resized pixels are processed exactly; larger groups are
+    * systematically decimated (see the buffer's contract). */
   def paletteOfDecoded(images: Iterator[(Int, Int, Array[Byte])]): Seq[ColorBucket] = {
     val hsv = new FloatPixelBuffer
     images.foreach { case (h, w, bgr) => appendPixels(hsv, bgr, h, w) }
@@ -271,21 +274,70 @@ object Palette {
     }
   }
 
+  object FloatPixelBuffer {
+    /** Default per-group pixel budget (triples): 4 Mi triples ≈ 48 MB of
+      * float data. Chosen so every oracle/bench corpus stays EXACT (sf0.1
+      * is ~1.4M pixels per group) while a group 10× larger cannot OOM the
+      * executor — the 10× scale soak killed an 8 GB JVM precisely because
+      * the unbounded buffer grew linearly with docs-per-group. */
+    val DefaultMaxTriples: Int = 4 << 20
+  }
+
   /** Growable flat float buffer (packed x,y,z triples) — avoids the
-    * Array-per-pixel boxing that thrashes GC under concurrent groups. */
-  final class FloatPixelBuffer {
-    private var buf = new Array[Float](3 * 1024)
+    * Array-per-pixel boxing that thrashes GC under concurrent groups.
+    *
+    * Memory is BOUNDED at `maxTriples`: past the cap the buffer keeps a
+    * deterministic systematic sample — every `stride`-th incoming triple,
+    * with the stride doubling each time the buffer fills (a full buffer is
+    * compacted in place by dropping every other kept triple, so resident
+    * data never exceeds the cap and the kept set is always "global index
+    * ≡ 0 (mod 2^m)"). Below the cap the sample is the whole input, so
+    * small groups are bit-exact; above it, cluster SHARES converge to the
+    * true shares at sampling error O(1/√n) — the same contract as pixel
+    * subsampling in any palette extractor, and the only way per-group
+    * KMeans survives groups of unbounded image count at 100 TB. Given one
+    * arrival order the sample is deterministic (callers sort within
+    * groups), so replay produces identical palettes. */
+  final class FloatPixelBuffer(maxTriples: Int = FloatPixelBuffer.DefaultMaxTriples) {
+    require(maxTriples >= 2, s"pixel budget too small: $maxTriples")
+    // even triple capacity so a full buffer halves exactly on compaction
+    private val capFloats = 3 * (maxTriples & ~1)
+    private var buf = new Array[Float](math.min(3 * 1024, capFloats))
     private var len = 0
+    private var stride = 1L
+    private var seen = 0L // triples offered since construction
     def append(a: Float, b: Float, c: Float): Unit = {
-      if (len + 3 > buf.length) {
-        val next = new Array[Float](buf.length * 2)
-        System.arraycopy(buf, 0, next, 0, len)
-        buf = next
+      if (seen % stride == 0) {
+        if (len + 3 > buf.length) {
+          if (buf.length < capFloats) {
+            val next = new Array[Float](math.min(buf.length * 2, capFloats))
+            System.arraycopy(buf, 0, next, 0, len)
+            buf = next
+          } else compact()
+        }
+        // compaction doubles the stride — the current triple may no longer
+        // be selected under it
+        if (seen % stride == 0) {
+          buf(len) = a; buf(len + 1) = b; buf(len + 2) = c
+          len += 3
+        }
       }
-      buf(len) = a; buf(len + 1) = b; buf(len + 2) = c
-      len += 3
+      seen += 1
+    }
+    /** Keep stored triples at even positions (global index ≡ 0 mod the
+      * doubled stride); resident count halves, stride doubles. */
+    private def compact(): Unit = {
+      var src = 0; var dst = 0
+      while (src < len) {
+        buf(dst) = buf(src); buf(dst + 1) = buf(src + 1); buf(dst + 2) = buf(src + 2)
+        dst += 3; src += 6
+      }
+      len = dst
+      stride *= 2
     }
     def isEmpty: Boolean = len == 0
+    /** Current sampling stride (1 = exact, no decimation yet). */
+    def currentStride: Long = stride
     def result(): Array[Float] = java.util.Arrays.copyOf(buf, len)
   }
 

@@ -407,7 +407,13 @@ object TextOps {
       // usually catches the duplicate, but one evaluation is free
       // certainty)
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
+        // byte-equality short-circuit: near-dup pair graphs at scale are
+        // dominated by EXACT duplicates (boilerplate clusters), and the
+        // quadratic DP on two identical ~500-char texts costs ~250k cell
+        // ops to compute 0 — the O(n) equality probe answers it first
+        when(col("text_a") === col("text_b"), lit(0L))
+          .otherwise(levenshtein(col("text_a"), col("text_b")).cast("long"))
+          .as("edit_dist"),
         greatest(length(col("text_a")), length(col("text_b")))
           .cast("double").as("max_len"))
       .select(col("doc_a"), col("doc_b"), col("edit_dist"),

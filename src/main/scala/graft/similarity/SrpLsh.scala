@@ -38,29 +38,72 @@ object SrpLsh {
       when(VectorFunctions.dot(vec, typedlit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Near-dup pairs (id_a < id_b) with exact cosine ≥ threshold, found
-    * via multi-table SRP bucket collisions. Bucket hashing runs in ONE
+  /** Candidate pairs (id_a < id_b, with both vectors carried) via
+    * multi-table SRP bucket collisions. Bucket hashing runs in ONE
     * codegen'd pass over the vector per table set
     * (functions.SrpBucketHashes) instead of tables×bits separate dot
     * expressions per row. */
-  def nearDups(emb: DataFrame, threshold: Double,
-               bits: Int = 8, tables: Int = 8, dim: Int = 64): DataFrame = {
+  def candidatePairs(emb: DataFrame, bits: Int = 8, tables: Int = 8,
+                     dim: Int = 64): DataFrame = {
     val planes = hyperplanes(dim, bits, tables)
     val buckets = emb.select(col("vec_id"), col("embedding"),
       posexplode(graft.functions.SrpFunctions
           .srpBuckets(emb.sparkSession, col("embedding"), planes))
         .as(Seq("table_idx", "bucket")))
     val a = buckets.as("a"); val b = buckets.as("b")
-    val cand = a.join(b,
+    a.join(b,
         col("a.table_idx") === col("b.table_idx") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         col("a.embedding").as("vec_a"), col("b.embedding").as("vec_b"))
       .dropDuplicates("id_a", "id_b")
-    val result = cand.select(col("id_a"), col("id_b"),
+  }
+
+  /** Near-dup pairs (id_a < id_b) with exact cosine ≥ threshold, found
+    * via multi-table SRP bucket collisions — with the same exact-duplicate
+    * collapse as `dedup.MinHashLSH.pairsFromSigs`: byte-identical vectors
+    * share every bucket in every table, so a B-copy embedding (mirrored
+    * media, re-crawled pages) contributes ~tables·B² candidate rows to the
+    * bucket self-join. Instead:
+    *
+    *   1. collapse to one representative per DISTINCT vector (min vec_id
+    *      per embedding; array equality is exact — at warehouse scale the
+    *      group key would be a digest of the vector bytes) and bucket only
+    *      representatives: B² → B;
+    *   2. verify representative candidates with exact cosine;
+    *   3. expand back through the member→representative map, and emit each
+    *      multi-member group's intra pairs directly with their actual
+    *      cosine (identical vectors → 1.0) — row-identical to the
+    *      uncollapsed join (spec-asserted on a planted 10-copy corpus). */
+  def nearDups(emb: DataFrame, threshold: Double,
+               bits: Int = 8, tables: Int = 8, dim: Int = 64): DataFrame = {
+    val reps = emb.groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
+    val verified = candidatePairs(reps, bits, tables, dim)
+      .select(col("id_a"), col("id_b"),
         round(VectorFunctions.cosine(col("vec_a"), col("vec_b")), 6).as("sim"))
       .filter(col("sim") >= threshold)
+    val memRep = emb.select(col("vec_id"), col("embedding"))
+      .join(reps.withColumnRenamed("vec_id", "rep"), "embedding")
+      .select(col("vec_id"), col("rep"))
+    val cross = verified
+      .join(memRep.withColumnRenamed("rep", "id_a").withColumnRenamed("vec_id", "m_a"), "id_a")
+      .join(memRep.withColumnRenamed("rep", "id_b").withColumnRenamed("vec_id", "m_b"), "id_b")
+      .select(least(col("m_a"), col("m_b")).as("id_a"),
+        greatest(col("m_a"), col("m_b")).as("id_b"), col("sim"))
+    // intra-group pairs: byte-identical vectors; compute the cosine rather
+    // than assume 1.0 so degenerate inputs (zero vectors → NaN) behave
+    // exactly as the uncollapsed join did
+    val members = emb.select(col("vec_id"), col("embedding"))
+      .join(reps.withColumnRenamed("vec_id", "rep"), "embedding")
+    val intra = members.as("a")
+      .join(members.as("b"),
+        col("a.rep") === col("b.rep") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(VectorFunctions.cosine(col("a.embedding"), col("b.embedding")), 6)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+    val result = cross.unionByName(intra)
     // size-gated sort: near-dup pair sets grow with the corpus — never
     // assume they stay one-partition small
     graft.plans.ScaleTechniques.sortedOutput(result, Seq("id_a", "id_b"))

@@ -72,6 +72,41 @@ class PaletteSpec extends AnyFunSuite {
     assert(out.size == 9) // remaining groups still produced
   }
 
+  test("pixel buffer is exact below the cap") {
+    val buf = new Palette.FloatPixelBuffer(maxTriples = 1000)
+    (0 until 999).foreach(i => buf.append(i.toFloat, 0f, 0f))
+    assert(buf.currentStride == 1L)
+    assert(buf.result().length == 999 * 3)
+    assert(buf.result()(3 * 500) == 500f) // order + values preserved
+  }
+
+  test("pixel buffer decimation bounds memory and preserves proportions") {
+    // 2M pixels in 70/30 blocks through a 64k cap: the resident sample
+    // must stay under the cap, remain deterministic, and keep the color
+    // shares within sampling error
+    val cap = 64 * 1024
+    def fill(): Palette.FloatPixelBuffer = {
+      val b = new Palette.FloatPixelBuffer(maxTriples = cap)
+      var i = 0
+      while (i < 2000000) {
+        // interleave at block granularity like images arriving in a group:
+        // 7 red images then 3 green, 1000 px each
+        val block = (i / 1000) % 10
+        if (block < 7) b.append(1f, 0f, 0f) else b.append(0f, 1f, 0f)
+        i += 1
+      }
+      b
+    }
+    val b1 = fill(); val b2 = fill()
+    val s1 = b1.result(); val s2 = b2.result()
+    assert(s1.length <= cap * 3, s"resident ${s1.length / 3} > cap $cap")
+    assert(s1.length >= cap * 3 / 2 - 3, "decimation overshot: kept under half the cap")
+    assert(s1.toSeq == s2.toSeq, "sample not deterministic")
+    val red = s1.grouped(3).count(t => t(0) == 1f).toDouble
+    val share = red / (s1.length / 3)
+    assert(math.abs(share - 0.7) < 0.02, s"red share $share drifted from 0.7")
+  }
+
   test("paletteBySource is deterministic under replay") {
     val spark = graft.SparkTestSession.spark
     val a = Palette.paletteBySource(spark, graft.SparkTestSession.sfDir)

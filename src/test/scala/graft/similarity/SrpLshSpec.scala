@@ -43,6 +43,45 @@ class SrpLshSpec extends AnyFunSuite {
       "found a non-planted pair at cosine >= 0.95")
   }
 
+  test("exact-duplicate collapse bounds candidates and preserves the pair set") {
+    import spark.implicits._
+    // a planted 10-copy exact-dup cluster per base vector (mirrored media /
+    // re-crawled pages): naive bucketing would see ~tables·B² candidates
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val bases = IndexedSeq.fill(30)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = for {
+      (v, i) <- bases.zipWithIndex
+      c <- 0 until 10
+    } yield ((i * 100 + c).toLong, v.toSeq, 0)
+    val df = rows.toDF("vec_id", "embedding", "label")
+
+    // collapsed candidate volume is bounded by DISTINCT-vector pairs
+    val reps = df.groupBy(org.apache.spark.sql.functions.col("embedding"))
+      .agg(org.apache.spark.sql.functions.min("vec_id").as("vec_id"))
+    val candCount = SrpLsh.candidatePairs(reps).count()
+    assert(candCount <= 30L * 29 / 2,
+      s"collapsed candidates not bounded by distinct pairs: $candCount")
+
+    val got = SrpLsh.nearDups(df, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // reference: brute-force all-pairs exact cosine over the full corpus
+    val kern = rows.map { case (id, v, _) => (id, v.toArray) }
+    val exact = (for {
+      (ia, va) <- kern; (ib, vb) <- kern
+      if ia < ib
+      dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      na = math.sqrt(va.map(x => x * x).sum); nb = math.sqrt(vb.map(x => x * x).sum)
+      sim = BigDecimal(dot / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if sim >= 0.95
+    } yield (ia, ib, sim)).toSet
+    assert(got == exact,
+      s"collapse changed the output: got=${got.size} exact=${exact.size}")
+    // every intra-cluster pair is present: C(10,2) per base
+    assert(got.count(_._3 == 1.0) >= 30 * 45)
+  }
+
   test("bucket ids are deterministic across invocations") {
     val (df, _) = planted()
     val a = SrpLsh.nearDups(df, 0.95).collect().toSeq
