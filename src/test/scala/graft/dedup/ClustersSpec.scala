@@ -26,6 +26,44 @@ class ClustersSpec extends AnyFunSuite {
     assert(got.size == 12)
   }
 
+  test("rep-graph CC equals member-level CC on the corpus") {
+    // the optimized q33 (CC over collapsed representatives, members
+    // attached after) must give exactly the clusters of CC over the full
+    // expanded pair graph
+    val viaReps = Clusters.q33DedupClusters(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaMembers = Clusters.connectedComponents(
+        MinHashLSH.nearDups(spark, SparkTestSession.sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaReps == viaMembers,
+      s"reps=${viaReps.size} members=${viaMembers.size}")
+    assert(viaReps.nonEmpty)
+  }
+
+  test("rep-graph CC handles duplicate groups with and without cross edges") {
+    import spark.implicits._
+    // planted corpus: a 5-copy duplicate group with NO near-dup neighbors
+    // (its own cluster, labeled by its min id), a 3-copy group near-dup to
+    // a distinct single doc (one merged cluster), and an unrelated doc
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val lone = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = (
+      (0 until 5).map(i => (100L + i, lone)) ++          // isolated dup group
+      (0 until 3).map(i => (200L + i, base)) ++          // dup group with a neighbor
+      Seq((300L, base + " extra"),                       // near-dup of the group
+          (400L, "completely different unrelated content with many plain words here okay"))
+    ).toDF("doc_id", "text")
+    val sigs = MinHashLSH.docSignatures(spark, docs)
+      .toDF("doc_id", "txt_md5", "sh", "bands").localCheckpoint(true)
+    val pairs = MinHashLSH.pairsFromSigs(sigs, 0.8).localCheckpoint(true)
+    val member = Clusters.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // expected: {100..104} -> 100, {200..202, 300} -> 200; 400 absent
+    assert(member == Map(100L -> 100L, 101L -> 100L, 102L -> 100L,
+      103L -> 100L, 104L -> 100L,
+      200L -> 200L, 201L -> 200L, 202L -> 200L, 300L -> 200L))
+  }
+
   test("corpus clusters: every member pair is a verified near-dup") {
     val clusters = Clusters.q33DedupClusters(spark, SparkTestSession.sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
