@@ -57,29 +57,75 @@ object Fingerprint {
     * its fingerprint's pair list quadratic while carrying no near-dup
     * signal — the same reason search engines cap posting lists. At 100 TB
     * this bound is what keeps the candidate join linear-ish. */
+  /** The winnowing face of the exact-duplicate collapse (same move as
+    * MinHash/SimHash/SRP): byte-identical texts have identical fingerprint
+    * sets, so a B-copy cluster contributes B rows to every shared posting
+    * list and B² rows to the pair join. Winnow one REPRESENTATIVE per
+    * distinct text; document frequency is the group-size-weighted sum
+    * (each member counts), so pruning decisions are bit-identical to the
+    * uncollapsed pipeline; expand after the rep-level join — cross pairs
+    * inherit the rep pair's shared count (identical fingerprint sets),
+    * and each multi-member group emits its intra pairs with its own
+    * kept-fingerprint count, subject to the same ≥ 3 floor. */
   def fingerprintCandidates(spark: SparkSession, dir: String,
                             k: Int = 3, w: Int = 4, maxDf: Int = 20): DataFrame = {
     import spark.implicits._
-    val fps = graft.Tables(spark, dir, "documents")
+    val docs = graft.Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) => (id, winnow(text.trim.split("\\s+"), k, w)) }
-      .toDF("doc_id", "fps")
-    // materialize the skinny (doc_id, fp) posting rows once: the df
+    // one representative (min doc_id) per distinct text; winnow runs once
+    // per distinct text, not once per copy
+    val keyed = docs.map { case (id, text) =>
+      (id, graft.dedup.MinHashLSH.textMd5(text), text)
+    }.toDF("doc_id", "txt_md5", "text")
+    val groups = keyed.groupBy("txt_md5")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("gsize"))
+    val memRep = keyed.select(col("doc_id"), col("txt_md5"))
+      .join(groups, "txt_md5")
+      .select(col("doc_id"), col("rep"))
+    val repDocs = keyed
+      .join(groups.withColumnRenamed("rep", "doc_id"), Seq("txt_md5", "doc_id"))
+      .select(col("doc_id"), col("text"), col("gsize"))
+    val fps = repDocs.as[(Long, String, Long)]
+      .map { case (id, text, gsize) =>
+        (id, gsize, winnow(text.trim.split("\\s+"), k, w))
+      }
+      .toDF("doc_id", "gsize", "fps")
+    // materialize the skinny (rep, gsize, fp) posting rows once: the df
     // aggregate, the pruning join, and the pair self-join all consume
     // this subtree, and each would re-run the winnow kernel otherwise
-    val exploded = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val exploded = fps.select(col("doc_id"), col("gsize"),
+        explode(col("fps")).as("fp"))
       .localCheckpoint(true)
+    // weighted df == member-level document frequency
     val rare = exploded.groupBy("fp")
-      .agg(count(lit(1)).as("df"))
+      .agg(sum("gsize").as("df"))
       .filter(col("df") <= maxDf)
       .select("fp")
-    val pruned = exploded.join(rare, "fp")
+    val pruned = exploded.join(rare, "fp").select("doc_id", "fp")
     val a = pruned.as("a"); val b = pruned.as("b")
-    val result = a.join(b,
+    val repPairs = a.join(b,
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= 3)
+    val cross = repPairs
+      .join(memRep.withColumnRenamed("rep", "doc_a").withColumnRenamed("doc_id", "m_a"), "doc_a")
+      .join(memRep.withColumnRenamed("rep", "doc_b").withColumnRenamed("doc_id", "m_b"), "doc_b")
+      .select(least(col("m_a"), col("m_b")).as("doc_a"),
+        greatest(col("m_a"), col("m_b")).as("doc_b"), col("shared_fps"))
+    // intra pairs: identical texts share exactly the group's KEPT
+    // fingerprints — emitted only when ≥ 3 survive pruning, same floor
+    // as any other pair
+    val keptPerRep = pruned.groupBy(col("doc_id").as("rep"))
+      .agg(count(lit(1)).as("n_kept"))
+      .filter(col("n_kept") >= 3)
+    val intraMembers = memRep.join(keptPerRep, "rep")
+    val intra = intraMembers.as("a")
+      .join(intraMembers.as("b"),
+        col("a.rep") === col("b.rep") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_kept").as("shared_fps"))
+    val result = cross.unionByName(intra)
     // size-gated sort (ScaleTechniques.sortedOutput): single-partition
     // presentation sort only while the candidate set is actually tiny
     graft.plans.ScaleTechniques.sortedOutput(result, Seq("doc_a", "doc_b"))
