@@ -78,28 +78,33 @@ object SrpLsh {
     *      uncollapsed join (spec-asserted on a planted 10-copy corpus). */
   def nearDups(emb: DataFrame, threshold: Double,
                bits: Int = 8, tables: Int = 8, dim: Int = 64): DataFrame = {
-    val reps = emb.groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
+    // ONE shuffle builds the whole collapse structure: representative id,
+    // the distinct vector, and the member list (bounded by the duplicate
+    // cluster size) — avoids re-joining members to reps on array equality
+    val groups = emb.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("vec_id"),
+        collect_list(col("vec_id")).as("members"))
+    val reps = groups.select(col("vec_id"), col("embedding"))
     val verified = candidatePairs(reps, bits, tables, dim)
       .select(col("id_a"), col("id_b"),
         round(VectorFunctions.cosine(col("vec_a"), col("vec_b")), 6).as("sim"))
       .filter(col("sim") >= threshold)
-    val memRep = emb.select(col("vec_id"), col("embedding"))
-      .join(reps.withColumnRenamed("vec_id", "rep"), "embedding")
-      .select(col("vec_id"), col("rep"))
+    val memRep = groups.select(col("vec_id").as("rep"),
+      explode(col("members")).as("m"))
     val cross = verified
-      .join(memRep.withColumnRenamed("rep", "id_a").withColumnRenamed("vec_id", "m_a"), "id_a")
-      .join(memRep.withColumnRenamed("rep", "id_b").withColumnRenamed("vec_id", "m_b"), "id_b")
+      .join(memRep.withColumnRenamed("rep", "id_a").withColumnRenamed("m", "m_a"), "id_a")
+      .join(memRep.withColumnRenamed("rep", "id_b").withColumnRenamed("m", "m_b"), "id_b")
       .select(least(col("m_a"), col("m_b")).as("id_a"),
         greatest(col("m_a"), col("m_b")).as("id_b"), col("sim"))
     // intra-group pairs: byte-identical vectors; compute the cosine rather
     // than assume 1.0 so degenerate inputs (zero vectors → NaN) behave
     // exactly as the uncollapsed join did
-    val members = emb.select(col("vec_id"), col("embedding"))
-      .join(reps.withColumnRenamed("vec_id", "rep"), "embedding")
-    val intra = members.as("a")
-      .join(members.as("b"),
-        col("a.rep") === col("b.rep") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+    val mem = groups.select(col("vec_id").as("rep"), col("embedding"),
+      explode(col("members")).as("m"))
+    val intra = mem.as("a")
+      .join(mem.as("b"),
+        col("a.rep") === col("b.rep") && col("a.m") < col("b.m"))
+      .select(col("a.m").as("id_a"), col("b.m").as("id_b"),
         round(VectorFunctions.cosine(col("a.embedding"), col("b.embedding")), 6)
           .as("sim"))
       .filter(col("sim") >= threshold)
