@@ -1,20 +1,12 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Local stand-in for the driver's flagship smoke check: calls
   * `SparkEntry.entry` exactly as the driver does and prints the row count
   * (driver contract: rows > 0). */
 object EntrySmoke {
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.driverLocal()
     val n = SparkEntry.entry(spark).count()
     println(s"ENTRY_ROWS=$n")
     spark.stop()

@@ -16,6 +16,23 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString), appName)
       .getOrCreate()
 
+  /** The driver-contract session shared by the `Verify`/`Bench`/
+    * `EntrySmoke` mains — ONE definition so the smoke/bench/correctness
+    * paths cannot drift apart in config: `local[$SPARK_GRAFT_CPUS]`,
+    * shuffle partitions matched to cores, UTC, UI off, WARN logs. */
+  def driverLocal(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
   /** Shared tuning, cluster or local. The settings and their 100 TB
     * rationale:
     *  - AQE on: runtime re-planning (skew-join splitting, join-strategy

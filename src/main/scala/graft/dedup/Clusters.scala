@@ -77,9 +77,14 @@ object Clusters {
     * over representatives; a multi-member group with no cross edges is
     * its own cluster labeled by its rep. Spec-asserted equal to
     * member-level CC on a planted duplicate-heavy corpus. */
-  def q33DedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = MinHashLSH.nearDups(spark, dir) // memoized + materialized
-    val sigs = MinHashLSH.signatures(spark, dir)
+  def q33DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    repClusters(
+      MinHashLSH.signatures(spark, dir),       // memoized + persisted
+      MinHashLSH.nearDups(spark, dir))         // memoized + materialized
+
+  /** The collapse/attach body of q33, factored so specs can drive planted
+    * in-memory corpora through the SAME path the query uses. */
+  private[dedup] def repClusters(sigs: DataFrame, pairs: DataFrame): DataFrame = {
     val nonEmpty = sigs.filter(size(col("sh")) > 0)
     val groups = nonEmpty.groupBy("txt_md5")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("gsize"))

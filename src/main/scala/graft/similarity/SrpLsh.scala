@@ -81,9 +81,13 @@ object SrpLsh {
     // ONE shuffle builds the whole collapse structure: representative id,
     // the distinct vector, and the member list (bounded by the duplicate
     // cluster size) — avoids re-joining members to reps on array equality
+    // eager materialization: five subtrees (two of them self-joins)
+    // consume this wide groupBy — self-joins recompute their common
+    // subtree, so without it the dominant vector shuffle re-runs ~6×
     val groups = emb.groupBy(col("embedding"))
       .agg(min(col("vec_id")).as("vec_id"),
         collect_list(col("vec_id")).as("members"))
+      .localCheckpoint(true)
     val reps = groups.select(col("vec_id"), col("embedding"))
     val verified = candidatePairs(reps, bits, tables, dim)
       .select(col("id_a"), col("id_b"),

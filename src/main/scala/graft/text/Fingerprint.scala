@@ -74,14 +74,21 @@ object Fingerprint {
       .select(col("doc_id"), col("text")).as[(Long, String)]
     // one representative (min doc_id) per distinct text; winnow runs once
     // per distinct text, not once per copy
+    // eager materialization discipline (same as the sibling LSH families):
+    // keyed feeds three subtrees (the md5 kernel + corpus scan must not
+    // re-run per consumer), groups two, and memRep four including a
+    // self-join — each checkpoint is linear and skinny except keyed,
+    // which is the one-pass corpus materialization
     val keyed = docs.map { case (id, text) =>
       (id, graft.dedup.MinHashLSH.textMd5(text), text)
-    }.toDF("doc_id", "txt_md5", "text")
+    }.toDF("doc_id", "txt_md5", "text").localCheckpoint(true)
     val groups = keyed.groupBy("txt_md5")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("gsize"))
+      .localCheckpoint(true)
     val memRep = keyed.select(col("doc_id"), col("txt_md5"))
       .join(groups, "txt_md5")
       .select(col("doc_id"), col("rep"))
+      .localCheckpoint(true)
     val repDocs = keyed
       .join(groups.withColumnRenamed("rep", "doc_id"), Seq("txt_md5", "doc_id"))
       .select(col("doc_id"), col("text"), col("gsize"))

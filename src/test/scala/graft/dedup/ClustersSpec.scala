@@ -56,12 +56,18 @@ class ClustersSpec extends AnyFunSuite {
     val sigs = MinHashLSH.docSignatures(spark, docs)
       .toDF("doc_id", "txt_md5", "sh", "bands").localCheckpoint(true)
     val pairs = MinHashLSH.pairsFromSigs(sigs, 0.8).localCheckpoint(true)
+    val expected = Map(100L -> 100L, 101L -> 100L, 102L -> 100L,
+      103L -> 100L, 104L -> 100L,
+      200L -> 200L, 201L -> 200L, 202L -> 200L, 300L -> 200L)
+    // expected: {100..104} -> 100 (isolated dup group, no cross edges —
+    // exercises the coalesce(comp, rep) branch), {200..202, 300} -> 200
+    // (dup group merged with a near-dup neighbor); 400 absent
+    val viaReps = Clusters.repClusters(sigs, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaReps == expected, s"q33 rep path: $viaReps")
     val member = Clusters.connectedComponents(pairs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    // expected: {100..104} -> 100, {200..202, 300} -> 200; 400 absent
-    assert(member == Map(100L -> 100L, 101L -> 100L, 102L -> 100L,
-      103L -> 100L, 104L -> 100L,
-      200L -> 200L, 201L -> 200L, 202L -> 200L, 300L -> 200L))
+    assert(member == expected, s"member-level CC: $member")
   }
 
   test("corpus clusters: every member pair is a verified near-dup") {
