@@ -105,6 +105,9 @@ object SparkEntry {
     "qs8_winnow_candidates" -> (graft.text.Fingerprint.fingerprintCandidates(_, _)),
     "qs9_srp_lsh_neardup"  -> (graft.similarity.SrpLsh.qs9NearDups _),
     "qs10_stream_dedup"    -> (Replay.qs10StreamDedup _),
+    // streaming incremental NEAR-dup: per-batch signature kernel + band
+    // probe against accumulated state; emission union == batch qs1
+    "qs13_stream_neardup"  -> (Replay.qs13StreamNearDup _),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key. */
@@ -991,6 +994,28 @@ object SparkEntry {
     // 16-band/4-row S-curve has recall ≥ 0.9998, so the LSH result equals
     // the exact all-pairs answer below.
     "qs1_minhash_neardup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN list_distinct(
+        |      list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE [] END AS sh
+        |  FROM t
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.sh, b.sh))::DOUBLE
+        |    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Streaming incremental near-dup == batch qs1 (same pair set, same
+    // exact-Jaccard values), so it shares qs1's full SQL recompute.
+    "qs13_stream_neardup" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
         |  FROM documents

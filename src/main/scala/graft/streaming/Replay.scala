@@ -165,6 +165,147 @@ object Replay {
   def qs10StreamDedup(spark: SparkSession, dir: String): DataFrame =
     streamCorpusDedup(spark, dir, pathGlobFilter = "documents.parquet")
 
+  /** Streaming incremental NEAR-duplicate detection — the arrival-time
+    * form of qs1_minhash_neardup: documents stream in, each micro-batch
+    * pays only its own signature kernel plus a band probe against the
+    * accumulated state, and the union of per-batch emissions equals the
+    * batch pair set exactly, regardless of arrival order or batch
+    * boundaries.
+    *
+    * State (versioned parquet, one logical table each):
+    *   - mem(txt_md5, doc_id): every non-empty-shingle doc seen;
+    *   - reps(txt_md5, rep, sh, bands): one representative per DISTINCT
+    *     text — the exact-dup collapse carried into streaming, so band
+    *     buckets stay linear under boilerplate floods;
+    *   - repPairs(rep_a, rep_b, jaccard): verified rep-level pairs.
+    *
+    * Per batch: (1) kernel over the batch only; (2) NOVEL texts band
+    * against all representatives (bands are static, so a rep pair is
+    * discovered exactly when its later text first arrives — never
+    * re-probed); (3) emit the pairs involving at least one new member:
+    * intra-group (identical texts, Jaccard 1.0), expansions of newly
+    * verified rep pairs, and new members inheriting their group's
+    * previously verified rep pairs. Each pair is emitted exactly once —
+    * in the batch where its later member arrives. */
+  def streamNearDup(spark: SparkSession, dir: String,
+                    threshold: Double = 0.8,
+                    maxFilesPerTrigger: Int = 1,
+                    pathGlobFilter: String = "*.parquet"): DataFrame = {
+    import graft.dedup.MinHashLSH
+    val work = Files.createTempDirectory("graft_sneardup").toString
+    cleanupAtExit(work)
+    val outDir = s"$work/pairs_out"
+    @volatile var state: Option[(String, String, String)] = None // mem, reps, repPairs
+    @volatile var emittedAny = false
+    val q = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", pathGlobFilter)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(dir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        import ss.implicits._
+        // (1) batch kernel; empty shingle sets never band or pair (0/0
+        // Jaccard — same exclusion as the batch pipeline and the oracle)
+        val bSigs = MinHashLSH.docSignatures(ss, batch)
+          .toDF("doc_id", "txt_md5", "sh", "bands")
+          .filter(size(col("sh")) > 0)
+          .localCheckpoint(true)
+        val (prevMem, prevReps, prevPairs) = state match {
+          case Some((m, r, p)) =>
+            (ss.read.parquet(m), ss.read.parquet(r), ss.read.parquet(p))
+          case None => (
+            Seq.empty[(String, Long)].toDF("txt_md5", "doc_id"),
+            Seq.empty[(String, Long, Array[String], Array[Long])]
+              .toDF("txt_md5", "rep", "sh", "bands"),
+            Seq.empty[(Long, Long, Double)].toDF("rep_a", "rep_b", "jaccard"))
+        }
+        val bGroups = bSigs.groupBy("txt_md5")
+          .agg(min("doc_id").as("cand_rep"))
+        val newMem = bSigs.select(col("txt_md5"), col("doc_id"))
+        // (2) novel texts: their first-arrival minimum becomes the rep
+        val novelReps = bGroups
+          .join(prevReps.select("txt_md5"), Seq("txt_md5"), "left_anti")
+          .withColumnRenamed("cand_rep", "rep")
+          .join(bSigs.select(col("txt_md5"), col("doc_id").as("rep"),
+            col("sh"), col("bands")), Seq("txt_md5", "rep"))
+          .localCheckpoint(true)
+        val repsAfter = prevReps.unionByName(novelReps).localCheckpoint(true)
+        def bands(df: DataFrame) = df.select(col("rep"),
+          posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+        val cands = bands(novelReps).as("a").join(bands(repsAfter).as("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.rep") =!= col("b.rep"))
+          .select(least(col("a.rep"), col("b.rep")).as("rep_a"),
+            greatest(col("a.rep"), col("b.rep")).as("rep_b"))
+          .distinct()
+        val sh = repsAfter.select(col("rep"), col("sh"))
+        val overlap = graft.functions.SetFunctions
+          .sortedOverlap(col("sh_a"), col("sh_b"))
+        val newRepPairs = cands
+          .join(sh.withColumnRenamed("rep", "rep_a").withColumnRenamed("sh", "sh_a"), "rep_a")
+          .join(sh.withColumnRenamed("rep", "rep_b").withColumnRenamed("sh", "sh_b"), "rep_b")
+          .select(col("rep_a"), col("rep_b"),
+            (overlap.cast("double") /
+              (size(col("sh_a")) + size(col("sh_b")) - overlap).cast("double"))
+              .as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+          .localCheckpoint(true)
+        // (3) member-level emissions — every pair involves a new member
+        val memAfter = prevMem.unionByName(newMem).localCheckpoint(true)
+        val groupRep = repsAfter.select(col("txt_md5"), col("rep"))
+        val memRepAfter = memAfter.join(groupRep, "txt_md5")
+          .select(col("doc_id"), col("rep")).localCheckpoint(true)
+        val newMemRep = newMem.join(groupRep, "txt_md5")
+          .select(col("doc_id"), col("rep"))
+        val intra = newMem.as("a").join(memAfter.as("b"),
+            col("a.txt_md5") === col("b.txt_md5") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+            lit(1.0).as("jaccard"))
+          .filter(lit(1.0) >= threshold)
+        def expand(pairs: DataFrame, left: DataFrame, right: DataFrame) = pairs
+          .join(left.withColumnRenamed("rep", "rep_a").withColumnRenamed("doc_id", "m_a"), "rep_a")
+          .join(right.withColumnRenamed("rep", "rep_b").withColumnRenamed("doc_id", "m_b"), "rep_b")
+          .select(least(col("m_a"), col("m_b")).as("doc_a"),
+            greatest(col("m_a"), col("m_b")).as("doc_b"), col("jaccard"))
+        val eNew = expand(newRepPairs, memRepAfter, memRepAfter)
+        val eOld = expand(prevPairs, newMemRep, memRepAfter)
+          .unionByName(expand(prevPairs, memRepAfter, newMemRep))
+        val emitted = intra.unionByName(eNew).unionByName(eOld).distinct()
+          .localCheckpoint(true)
+        if (!emitted.isEmpty) {
+          emitted.write.mode("append").parquet(outDir)
+          emittedAny = true
+        }
+        // versioned state rollover
+        val (m2, r2, p2) = (s"$work/mem_v$batchId", s"$work/reps_v$batchId",
+          s"$work/pairs_v$batchId")
+        memAfter.write.mode("overwrite").parquet(m2)
+        repsAfter.write.mode("overwrite").parquet(r2)
+        prevPairs.unionByName(newRepPairs).write.mode("overwrite").parquet(p2)
+        state = Some((m2, r2, p2))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    if (emittedAny)
+      spark.read.parquet(outDir).orderBy("doc_a", "doc_b")
+    else {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard")
+    }
+  }
+
+  /** qs13 entry: streaming near-dup over the shared corpus — equals the
+    * batch qs1 pair set, so it shares qs1's oracle. */
+  def qs13StreamNearDup(spark: SparkSession, dir: String): DataFrame =
+    streamNearDup(spark, dir, pathGlobFilter = "documents.parquet")
+
   /** Event row / session-state types for the stateful sessionizer. */
   case class Ev(user_id: Long, event_id: Long, ts_us: Long)
   case class OpenSession(session_id: Long, n_events: Long, start_us: Long, end_us: Long)

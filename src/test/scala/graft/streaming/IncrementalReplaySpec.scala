@@ -65,6 +65,25 @@ class IncrementalReplaySpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("multi-batch incremental near-dup equals batch pair graph") {
+    // documents split 4 ways and consumed one file per micro-batch: a
+    // near-dup pair whose members arrive in DIFFERENT batches must be
+    // discovered by the state band-probe, exact-dup groups must collapse
+    // across batches, and the emission union must equal batch qs1 exactly
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sneardup_multi").toString
+    Tables(spark, SparkTestSession.sfDir, "documents")
+      .withColumn("bucket", pmod(col("doc_id"), lit(4)))
+      .repartition(4, col("bucket")).drop("bucket")
+      .write.mode("overwrite").parquet(tmp)
+    val streamed = Replay.streamNearDup(spark, tmp, maxFilesPerTrigger = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = graft.dedup.MinHashLSH.nearDups(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("multi-batch incremental corpus dedup equals batch exact dedup") {
     // split documents into 4 files; one file per micro-batch forces the
     // per-hash (min, sum) state fold to merge across batches
