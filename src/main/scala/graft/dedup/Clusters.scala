@@ -85,12 +85,11 @@ object Clusters {
   /** The collapse/attach body of q33, factored so specs can drive planted
     * in-memory corpora through the SAME path the query uses. */
   private[dedup] def repClusters(sigs: DataFrame, pairs: DataFrame): DataFrame = {
-    val nonEmpty = sigs.filter(size(col("sh")) > 0)
-    val groups = nonEmpty.groupBy("txt_md5")
-      .agg(min("doc_id").as("rep"), count(lit(1)).as("gsize"))
-    val memRep = nonEmpty.select(col("doc_id"), col("txt_md5"))
-      .join(groups, "txt_md5")
-      .select(col("doc_id"), col("rep"), col("gsize"))
+    val groups = Collapse.groups(
+      sigs.filter(size(col("sh")) > 0).select(col("txt_md5"), col("doc_id")),
+      Seq(col("txt_md5")), col("doc_id"))
+    val memRep = groups.select(explode(col("members")).as("doc_id"),
+      col("rep"), size(col("members")).as("gsize"))
     // rep-level cross edges: both endpoints are representatives (intra
     // pairs never qualify — a group has one rep, so they drop out here)
     val repSet = groups.select(col("rep"))

@@ -204,8 +204,13 @@ object MinHashLSH {
     * verification threshold, and jaccard values are all preserved
     * (DedupSpec asserts equality, including on a planted 150-copy doc). */
   def pairsFromSigs(sigs: DataFrame, threshold: Double): DataFrame = {
-    val reps = sigs.groupBy("txt_md5").agg(min("doc_id").as("doc_id"))
-    val repSigs = sigs.join(reps, Seq("txt_md5", "doc_id"))
+    // empty shingle sets (< 3 tokens) are excluded BEFORE grouping: they
+    // never band, never pair, and 0/0 Jaccard is undefined (NaN would pass
+    // any >= threshold) — same exclusion the uncollapsed join applied
+    val groups = Collapse.groups(sigs.filter(size(col("sh")) > 0),
+      Seq(col("txt_md5")), col("doc_id"),
+      first(col("sh")).as("sh"), first(col("bands")).as("bands"))
+    val repSigs = groups.select(col("rep").as("doc_id"), col("sh"), col("bands"))
     val sh = repSigs.select(col("doc_id"), col("sh"))
     val overlap = graft.functions.SetFunctions
       .sortedOverlap(col("sh_a"), col("sh_b"))
@@ -217,27 +222,11 @@ object MinHashLSH {
           (size(col("sh_a")) + size(col("sh_b")) - overlap).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-
-    // member → representative map (small: one row per doc, two longs)
-    val memRep = sigs.select(col("doc_id"), col("txt_md5"))
-      .join(reps.withColumnRenamed("doc_id", "rep"), "txt_md5")
-      .select(col("doc_id"), col("rep"))
-    val cross = verified
-      .join(memRep.withColumnRenamed("rep", "doc_a").withColumnRenamed("doc_id", "m_a"), "doc_a")
-      .join(memRep.withColumnRenamed("rep", "doc_b").withColumnRenamed("doc_id", "m_b"), "doc_b")
-      .select(least(col("m_a"), col("m_b")).as("doc_a"),
-        greatest(col("m_a"), col("m_b")).as("doc_b"), col("jaccard"))
-    // intra-group pairs: identical texts, jaccard exactly 1.0 — but only
-    // where the shingle set is non-empty (two < 3-token docs never collide
-    // in the uncollapsed band join, and 0/0 Jaccard is undefined)
-    val dupMembers = sigs.filter(size(col("sh")) > 0)
-      .select(col("txt_md5"), col("doc_id"))
-    val intra = dupMembers.as("a")
-      .join(dupMembers.as("b"),
-        col("a.txt_md5") === col("b.txt_md5") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        lit(1.0).as("jaccard"))
-      // jaccard 1.0 passes the threshold filter iff threshold ≤ 1
+    val cross = Collapse.expand(verified, Collapse.memRep(groups), "doc_a", "doc_b")
+    // intra-group pairs: identical non-empty texts, jaccard exactly 1.0 —
+    // which passes the threshold filter iff threshold ≤ 1
+    val intra = Collapse.intraPairs(groups, "doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
       .filter(lit(1.0) >= threshold)
     cross.unionByName(intra)
   }

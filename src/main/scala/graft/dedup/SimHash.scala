@@ -82,20 +82,18 @@ object SimHash {
   def nearDups(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"4-chunk pigeonhole guarantees recall only for maxDist <= 3, got $maxDist")
-    // materialize the (doc_id, simhash) table once: both sides of the
-    // chunk self-join would otherwise re-run the fingerprint kernel over
-    // the corpus (self-joins recompute their common subtree)
-    val fp = fingerprints(spark, dir).localCheckpoint(true)
     // Collapse identical FINGERPRINTS before the chunk join (the SimHash
-    // face of the LSH hot-bucket failure mode): a B-copy boilerplate
-    // cluster shares all 4 chunks, contributing ~4·B² rows to the
-    // self-join. Chunk one representative per distinct fingerprint
-    // (B² → B), then expand — members inherit their representatives'
-    // Hamming distance exactly (identical fingerprints ⇒ identical XOR),
-    // and intra-group pairs are distance 0, always ≤ maxDist. Output is
-    // row-identical to the uncollapsed join (10× soak: qs2 27 s → ~1 s).
-    val reps = fp.groupBy("simhash").agg(min("doc_id").as("doc_id"))
-    val chunked = reps.select(col("doc_id"), col("simhash"),
+    // face of the LSH hot-bucket failure mode, via the shared
+    // dedup.Collapse skeleton): a B-copy boilerplate cluster shares all 4
+    // chunks, contributing ~4·B² rows to the self-join. Chunk one
+    // representative per distinct fingerprint (B² → B), then expand —
+    // members inherit their representatives' Hamming distance exactly
+    // (identical fingerprints ⇒ identical XOR), and intra-group pairs are
+    // distance 0, always ≤ maxDist. Output is row-identical to the
+    // uncollapsed join (10× soak: qs2 27 s → ~1 s).
+    val groups = Collapse.groups(fingerprints(spark, dir),
+      Seq(col("simhash")), col("doc_id"))
+    val chunked = groups.select(col("rep").as("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(i =>
           shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
           .as(Seq("chunk_idx", "chunk_val")))
@@ -109,19 +107,9 @@ object SimHash {
           .cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
-    val memRep = fp
-      .join(reps.withColumnRenamed("doc_id", "rep"), "simhash")
-      .select(col("doc_id"), col("rep"))
-    val cross = verified
-      .join(memRep.withColumnRenamed("rep", "doc_a").withColumnRenamed("doc_id", "m_a"), "doc_a")
-      .join(memRep.withColumnRenamed("rep", "doc_b").withColumnRenamed("doc_id", "m_b"), "doc_b")
-      .select(least(col("m_a"), col("m_b")).as("doc_a"),
-        greatest(col("m_a"), col("m_b")).as("doc_b"), col("hamming"))
-    val intra = memRep.as("a")
-      .join(memRep.as("b"),
-        col("a.rep") === col("b.rep") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        lit(0L).as("hamming"))
+    val cross = Collapse.expand(verified, Collapse.memRep(groups), "doc_a", "doc_b")
+    val intra = Collapse.intraPairs(groups, "doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"))
     cross.unionByName(intra)
       .orderBy("doc_a", "doc_b")
   }

@@ -61,55 +61,42 @@ object SrpLsh {
   }
 
   /** Near-dup pairs (id_a < id_b) with exact cosine ≥ threshold, found
-    * via multi-table SRP bucket collisions — with the same exact-duplicate
-    * collapse as `dedup.MinHashLSH.pairsFromSigs`: byte-identical vectors
+    * via multi-table SRP bucket collisions — with the shared
+    * exact-duplicate collapse (`dedup.Collapse`): byte-identical vectors
     * share every bucket in every table, so a B-copy embedding (mirrored
     * media, re-crawled pages) contributes ~tables·B² candidate rows to the
-    * bucket self-join. Instead:
+    * bucket self-join. Instead: collapse to one representative per
+    * DISTINCT vector, bucket only representatives (B² → B), verify with
+    * exact cosine, expand back — row-identical to the uncollapsed join
+    * (spec-asserted on a planted 10-copy corpus).
     *
-    *   1. collapse to one representative per DISTINCT vector (min vec_id
-    *      per embedding; array equality is exact — at warehouse scale the
-    *      group key would be a digest of the vector bytes) and bucket only
-    *      representatives: B² → B;
-    *   2. verify representative candidates with exact cosine;
-    *   3. expand back through the member→representative map, and emit each
-    *      multi-member group's intra pairs directly with their actual
-    *      cosine (identical vectors → 1.0) — row-identical to the
-    *      uncollapsed join (spec-asserted on a planted 10-copy corpus). */
+    * The collapse is keyed on a 128-bit DIGEST of the vector — two
+    * independent xxhash64s (distinct constant-seed leading args) — not the
+    * raw `array<double>`: the group shuffle and both expansion joins move
+    * 16-byte keys and skinny (m, rep) rows instead of ~512-byte arrays,
+    * ~8× fewer shuffle bytes; the vector itself rides the group only as a
+    * `first()` payload (members are byte-identical), partial-aggregated
+    * map-side so a B-copy cluster ships one vector, not B. */
   def nearDups(emb: DataFrame, threshold: Double,
                bits: Int = 8, tables: Int = 8, dim: Int = 64): DataFrame = {
-    // ONE shuffle builds the whole collapse structure: representative id,
-    // the distinct vector, and the member list (bounded by the duplicate
-    // cluster size) — avoids re-joining members to reps on array equality
-    // eager materialization: five subtrees (two of them self-joins)
-    // consume this wide groupBy — self-joins recompute their common
-    // subtree, so without it the dominant vector shuffle re-runs ~6×
-    val groups = emb.groupBy(col("embedding"))
-      .agg(min(col("vec_id")).as("vec_id"),
-        collect_list(col("vec_id")).as("members"))
-      .localCheckpoint(true)
-    val reps = groups.select(col("vec_id"), col("embedding"))
+    import graft.dedup.Collapse
+    val keyed = emb.select(col("vec_id"), col("embedding"),
+      xxhash64(lit(1), col("embedding")).as("k1"),
+      xxhash64(lit(2), col("embedding")).as("k2"))
+    val groups = Collapse.groups(keyed, Seq(col("k1"), col("k2")), col("vec_id"),
+      first(col("embedding")).as("embedding"))
+    val reps = groups.select(col("rep").as("vec_id"), col("embedding"))
     val verified = candidatePairs(reps, bits, tables, dim)
       .select(col("id_a"), col("id_b"),
         round(VectorFunctions.cosine(col("vec_a"), col("vec_b")), 6).as("sim"))
       .filter(col("sim") >= threshold)
-    val memRep = groups.select(col("vec_id").as("rep"),
-      explode(col("members")).as("m"))
-    val cross = verified
-      .join(memRep.withColumnRenamed("rep", "id_a").withColumnRenamed("m", "m_a"), "id_a")
-      .join(memRep.withColumnRenamed("rep", "id_b").withColumnRenamed("m", "m_b"), "id_b")
-      .select(least(col("m_a"), col("m_b")).as("id_a"),
-        greatest(col("m_a"), col("m_b")).as("id_b"), col("sim"))
+    val cross = Collapse.expand(verified, Collapse.memRep(groups), "id_a", "id_b")
     // intra-group pairs: byte-identical vectors; compute the cosine rather
     // than assume 1.0 so degenerate inputs (zero vectors → NaN) behave
     // exactly as the uncollapsed join did
-    val mem = groups.select(col("vec_id").as("rep"), col("embedding"),
-      explode(col("members")).as("m"))
-    val intra = mem.as("a")
-      .join(mem.as("b"),
-        col("a.rep") === col("b.rep") && col("a.m") < col("b.m"))
-      .select(col("a.m").as("id_a"), col("b.m").as("id_b"),
-        round(VectorFunctions.cosine(col("a.embedding"), col("b.embedding")), 6)
+    val intra = Collapse.intraPairs(groups, "id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(VectorFunctions.cosine(col("embedding"), col("embedding")), 6)
           .as("sim"))
       .filter(col("sim") >= threshold)
     val result = cross.unionByName(intra)

@@ -268,11 +268,13 @@ object Replay {
             greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
             lit(1.0).as("jaccard"))
           .filter(lit(1.0) >= threshold)
-        def expand(pairs: DataFrame, left: DataFrame, right: DataFrame) = pairs
-          .join(left.withColumnRenamed("rep", "rep_a").withColumnRenamed("doc_id", "m_a"), "rep_a")
-          .join(right.withColumnRenamed("rep", "rep_b").withColumnRenamed("doc_id", "m_b"), "rep_b")
-          .select(least(col("m_a"), col("m_b")).as("doc_a"),
-            greatest(col("m_a"), col("m_b")).as("doc_b"), col("jaccard"))
+        // shared collapse expansion (dedup.Collapse): member maps are
+        // (doc_id, rep) — positionally (m, rep); asymmetric left/right
+        // lets the incremental form expand old rep pairs against only the
+        // NEW members on one side
+        def expand(pairs: DataFrame, left: DataFrame, right: DataFrame) =
+          graft.dedup.Collapse.expand(pairs.toDF("doc_a", "doc_b", "jaccard"),
+            left, right, "doc_a", "doc_b")
         val eNew = expand(newRepPairs, memRepAfter, memRepAfter)
         val eOld = expand(prevPairs, newMemRep, memRepAfter)
           .unionByName(expand(prevPairs, memRepAfter, newMemRep))

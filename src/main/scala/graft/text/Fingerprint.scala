@@ -69,29 +69,22 @@ object Fingerprint {
     * kept-fingerprint count, subject to the same ≥ 3 floor. */
   def fingerprintCandidates(spark: SparkSession, dir: String,
                             k: Int = 3, w: Int = 4, maxDf: Int = 20): DataFrame = {
+    import graft.dedup.Collapse
     import spark.implicits._
     val docs = graft.Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
     // one representative (min doc_id) per distinct text; winnow runs once
-    // per distinct text, not once per copy
-    // eager materialization discipline (same as the sibling LSH families):
-    // keyed feeds three subtrees (the md5 kernel + corpus scan must not
-    // re-run per consumer), groups two, and memRep four including a
-    // self-join — each checkpoint is linear and skinny except keyed,
-    // which is the one-pass corpus materialization
+    // per distinct text, not once per copy — the shared dedup.Collapse
+    // structure, with the text itself riding the group as a first()
+    // payload (members are byte-identical) so a B-copy cluster ships one
+    // text through the shuffle, not B
     val keyed = docs.map { case (id, text) =>
       (id, graft.dedup.MinHashLSH.textMd5(text), text)
-    }.toDF("doc_id", "txt_md5", "text").localCheckpoint(true)
-    val groups = keyed.groupBy("txt_md5")
-      .agg(min("doc_id").as("rep"), count(lit(1)).as("gsize"))
-      .localCheckpoint(true)
-    val memRep = keyed.select(col("doc_id"), col("txt_md5"))
-      .join(groups, "txt_md5")
-      .select(col("doc_id"), col("rep"))
-      .localCheckpoint(true)
-    val repDocs = keyed
-      .join(groups.withColumnRenamed("rep", "doc_id"), Seq("txt_md5", "doc_id"))
-      .select(col("doc_id"), col("text"), col("gsize"))
+    }.toDF("doc_id", "txt_md5", "text")
+    val groups = Collapse.groups(keyed, Seq(col("txt_md5")), col("doc_id"),
+      first(col("text")).as("text"))
+    val repDocs = groups.select(col("rep").as("doc_id"), col("text"),
+      size(col("members")).cast("long").as("gsize"))
     val fps = repDocs.as[(Long, String, Long)]
       .map { case (id, text, gsize) =>
         (id, gsize, winnow(text.trim.split("\\s+"), k, w))
@@ -115,23 +108,17 @@ object Fingerprint {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= 3)
-    val cross = repPairs
-      .join(memRep.withColumnRenamed("rep", "doc_a").withColumnRenamed("doc_id", "m_a"), "doc_a")
-      .join(memRep.withColumnRenamed("rep", "doc_b").withColumnRenamed("doc_id", "m_b"), "doc_b")
-      .select(least(col("m_a"), col("m_b")).as("doc_a"),
-        greatest(col("m_a"), col("m_b")).as("doc_b"), col("shared_fps"))
+    val cross = Collapse.expand(repPairs, Collapse.memRep(groups), "doc_a", "doc_b")
     // intra pairs: identical texts share exactly the group's KEPT
     // fingerprints — emitted only when ≥ 3 survive pruning, same floor
     // as any other pair
     val keptPerRep = pruned.groupBy(col("doc_id").as("rep"))
       .agg(count(lit(1)).as("n_kept"))
       .filter(col("n_kept") >= 3)
-    val intraMembers = memRep.join(keptPerRep, "rep")
-    val intra = intraMembers.as("a")
-      .join(intraMembers.as("b"),
-        col("a.rep") === col("b.rep") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_kept").as("shared_fps"))
+    val intra = Collapse.intraPairs(
+        groups.select(col("rep"), col("members")).join(keptPerRep, "rep"),
+        "doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_kept").as("shared_fps"))
     val result = cross.unionByName(intra)
     // size-gated sort (ScaleTechniques.sortedOutput): single-partition
     // presentation sort only while the candidate set is actually tiny
