@@ -29,19 +29,26 @@ object Replay {
     * streaming invocation for the process lifetime. */
   private val exitDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private lazy val exitHook: Unit = {
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      exitDirs.forEach(d => rm(new java.io.File(d)))
-    }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      exitDirs.forEach(d => deleteRecursively(new java.io.File(d)))))
   }
   private[graft] def cleanupAtExit(dir: String): Unit = {
     exitHook
     exitDirs.add(dir)
     ()
   }
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
+  /** Per-batch band-explode row counts of the most recent `streamNearDup`
+    * run — spec instrumentation proving per-batch band work is
+    * proportional to the BATCH (16 bands × novel texts), not the
+    * accumulated state. Cleared at each invocation; foreachBatch runs
+    * sequentially within a stream, and concurrent streams would
+    * interleave (test-only surface). */
+  private[graft] val bandRowsPerBatch = new scala.collection.mutable.ArrayBuffer[Long]()
 
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -62,7 +69,12 @@ object Replay {
   }
 
   /** K2 streaming form: latest-wins keyed upsert via foreachBatch merge.
-    * AvailableNow replay of the whole lake == batch q8_latest_per_key. */
+    * AvailableNow replay of the whole lake == batch q8_latest_per_key.
+    * Restart contract (shared by all foreachBatch state in this object):
+    * merge state lives in a JVM-local var beside a fresh per-invocation
+    * checkpoint dir — never reuse a checkpointLocation across
+    * invocations, or the restarted stream skips already-ingested files
+    * against empty state. */
   def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
     val work = Files.createTempDirectory("graft_upsert").toString
     cleanupAtExit(work)
@@ -116,7 +128,9 @@ object Replay {
     * the batch answer REGARDLESS of arrival order or batch boundaries —
     * which is exactly what lets the driver hash-check a streaming query
     * against the batch SQL oracle. At 100 TB the state table would be a
-    * transactional keyed table; versioned parquet keeps the semantics. */
+    * transactional keyed table; versioned parquet keeps the semantics.
+    * Same restart contract as `streamUpsert`: never reuse a
+    * checkpointLocation across invocations. */
   def streamCorpusDedup(spark: SparkSession, dir: String,
                         maxFilesPerTrigger: Int = 1,
                         pathGlobFilter: String = "*.parquet"): DataFrame = {
@@ -172,31 +186,62 @@ object Replay {
     * batch pair set exactly, regardless of arrival order or batch
     * boundaries.
     *
-    * State (versioned parquet, one logical table each):
+    * State is APPEND-ONLY parquet (near-dup state is purely additive —
+    * members, representatives, band postings, and verified rep pairs are
+    * only ever added), one logical table each:
     *   - mem(txt_md5, doc_id): every non-empty-shingle doc seen;
     *   - reps(txt_md5, rep, sh, bands): one representative per DISTINCT
     *     text — the exact-dup collapse carried into streaming, so band
     *     buckets stay linear under boilerplate floods;
-    *   - repPairs(rep_a, rep_b, jaccard): verified rep-level pairs.
+    *   - pairs(rep_a, rep_b, jaccard): verified rep-level pairs;
+    *   - bands(rep, band_idx, band_hash): the exploded band INDEX of all
+    *     representatives, written once per rep when it first arrives.
     *
-    * Per batch: (1) kernel over the batch only; (2) NOVEL texts band
-    * against all representatives (bands are static, so a rep pair is
-    * discovered exactly when its later text first arrives — never
-    * re-probed); (3) emit the pairs involving at least one new member:
-    * intra-group (identical texts, Jaccard 1.0), expansions of newly
-    * verified rep pairs, and new members inheriting their group's
-    * previously verified rep pairs. Each pair is emitted exactly once —
-    * in the batch where its later member arrives. */
+    * Per batch: (1) kernel over the batch only; (2) NOVEL texts explode
+    * their bands (O(batch) band rows — `bandRowsPerBatch` records this,
+    * spec-asserted proportional to the batch, not the state) and probe
+    * the persisted band index; accumulated reps are never re-exploded.
+    * The probe broadcasts the new batch's skinny band rows, so the state
+    * index streams through without a shuffle; (3) emit the pairs
+    * involving at least one new member: intra-group (identical texts,
+    * Jaccard 1.0), expansions of newly verified rep pairs, and new
+    * members inheriting their group's previously verified rep pairs.
+    * Each pair is emitted exactly once — in the batch where its later
+    * member arrives. Per-batch writes are O(batch); every `compactEvery`
+    * batches the per-batch parquet files are compacted into a fresh
+    * generation dir and the superseded generation is deleted.
+    *
+    * Restart contract: the dedup state lives NEXT TO the streaming
+    * checkpoint, in a fresh temp dir per invocation. The
+    * checkpointLocation must never be reused across invocations — a
+    * restart against an existing checkpoint would skip already-ingested
+    * files while the state starts empty, silently dropping cross-batch
+    * pairs. (A durable deployment would derive the state paths from the
+    * checkpoint dir and reload both together.) */
   def streamNearDup(spark: SparkSession, dir: String,
                     threshold: Double = 0.8,
                     maxFilesPerTrigger: Int = 1,
-                    pathGlobFilter: String = "*.parquet"): DataFrame = {
+                    pathGlobFilter: String = "*.parquet",
+                    compactEvery: Int = 16): DataFrame = {
     import graft.dedup.MinHashLSH
     val work = Files.createTempDirectory("graft_sneardup").toString
     cleanupAtExit(work)
     val outDir = s"$work/pairs_out"
-    @volatile var state: Option[(String, String, String)] = None // mem, reps, repPairs
+    val memSchema = StructType(Seq(StructField("txt_md5", StringType),
+      StructField("doc_id", LongType)))
+    val repsSchema = StructType(Seq(StructField("txt_md5", StringType),
+      StructField("rep", LongType),
+      StructField("sh", ArrayType(StringType)),
+      StructField("bands", ArrayType(LongType))))
+    val pairsSchema = StructType(Seq(StructField("rep_a", LongType),
+      StructField("rep_b", LongType), StructField("jaccard", DoubleType)))
+    val bandsSchema = StructType(Seq(StructField("rep", LongType),
+      StructField("band_idx", IntegerType), StructField("band_hash", LongType)))
+    @volatile var gen = 0
+    @volatile var batchesInGen = 0
+    @volatile var hasState = false
     @volatile var emittedAny = false
+    bandRowsPerBatch.clear()
     val q = spark.readStream.schema(docsSchema)
       .option("pathGlobFilter", pathGlobFilter)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
@@ -206,22 +251,24 @@ object Replay {
       .option("checkpointLocation", s"$work/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ss = batch.sparkSession
-        import ss.implicits._
         // (1) batch kernel; empty shingle sets never band or pair (0/0
         // Jaccard — same exclusion as the batch pipeline and the oracle)
         val bSigs = MinHashLSH.docSignatures(ss, batch)
           .toDF("doc_id", "txt_md5", "sh", "bands")
           .filter(size(col("sh")) > 0)
           .localCheckpoint(true)
-        val (prevMem, prevReps, prevPairs) = state match {
-          case Some((m, r, p)) =>
-            (ss.read.parquet(m), ss.read.parquet(r), ss.read.parquet(p))
-          case None => (
-            Seq.empty[(String, Long)].toDF("txt_md5", "doc_id"),
-            Seq.empty[(String, Long, Array[String], Array[Long])]
-              .toDF("txt_md5", "rep", "sh", "bands"),
-            Seq.empty[(Long, Long, Double)].toDF("rep_a", "rep_b", "jaccard"))
-        }
+        // explicit-schema reads: an append dir whose only batches were
+        // empty has no data files to infer from. All state reads are
+        // consumed (via the eager newRepPairs/emitted checkpoints) BEFORE
+        // this batch appends — a parquet DataFrame re-lists files at each
+        // action, so a late-bound read would see this batch's own writes.
+        def readState(table: String, schema: StructType): DataFrame =
+          if (hasState) ss.read.schema(schema).parquet(s"$work/g$gen/$table")
+          else ss.createDataFrame(ss.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        val prevMem = readState("mem", memSchema)
+        val prevReps = readState("reps", repsSchema)
+        val prevPairs = readState("pairs", pairsSchema)
+        val prevBandIdx = readState("bands", bandsSchema)
         val bGroups = bSigs.groupBy("txt_md5")
           .agg(min("doc_id").as("cand_rep"))
         val newMem = bSigs.select(col("txt_md5"), col("doc_id"))
@@ -232,10 +279,14 @@ object Replay {
           .join(bSigs.select(col("txt_md5"), col("doc_id").as("rep"),
             col("sh"), col("bands")), Seq("txt_md5", "rep"))
           .localCheckpoint(true)
-        val repsAfter = prevReps.unionByName(novelReps).localCheckpoint(true)
-        def bands(df: DataFrame) = df.select(col("rep"),
+        val repsAfter = prevReps.unionByName(novelReps)
+        // band explode of the NEW reps only — O(batch), never O(state)
+        val newBands = novelReps.select(col("rep"),
           posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-        val cands = bands(novelReps).as("a").join(bands(repsAfter).as("b"),
+          .localCheckpoint(true)
+        bandRowsPerBatch += newBands.count()
+        val cands = broadcast(newBands).as("a")
+          .join(prevBandIdx.unionByName(newBands).as("b"),
             col("a.band_idx") === col("b.band_idx") &&
             col("a.band_hash") === col("b.band_hash") &&
             col("a.rep") =!= col("b.rep"))
@@ -254,11 +305,15 @@ object Replay {
               .as("jaccard"))
           .filter(col("jaccard") >= threshold)
           .localCheckpoint(true)
-        // (3) member-level emissions — every pair involves a new member
-        val memAfter = prevMem.unionByName(newMem).localCheckpoint(true)
+        // (3) member-level emissions — every pair involves a new member.
+        // These unions/joins read the state dirs LAZILY and are fully
+        // consumed when `emitted` materializes below (before this batch
+        // appends) — materializing them per batch would be O(state) work;
+        // only the joins that genuinely need all members pay that read
+        val memAfter = prevMem.unionByName(newMem)
         val groupRep = repsAfter.select(col("txt_md5"), col("rep"))
         val memRepAfter = memAfter.join(groupRep, "txt_md5")
-          .select(col("doc_id"), col("rep")).localCheckpoint(true)
+          .select(col("doc_id"), col("rep"))
         val newMemRep = newMem.join(groupRep, "txt_md5")
           .select(col("doc_id"), col("rep"))
         val intra = newMem.as("a").join(memAfter.as("b"),
@@ -284,13 +339,31 @@ object Replay {
           emitted.write.mode("append").parquet(outDir)
           emittedAny = true
         }
-        // versioned state rollover
-        val (m2, r2, p2) = (s"$work/mem_v$batchId", s"$work/reps_v$batchId",
-          s"$work/pairs_v$batchId")
-        memAfter.write.mode("overwrite").parquet(m2)
-        repsAfter.write.mode("overwrite").parquet(r2)
-        prevPairs.unionByName(newRepPairs).write.mode("overwrite").parquet(p2)
-        state = Some((m2, r2, p2))
+        // append-only state rollover: O(batch) rows written per table per
+        // batch (the r4 versioned-dir scheme rewrote the FULL state each
+        // batch — O(total) I/O)
+        val stateDir = s"$work/g$gen"
+        newMem.write.mode("append").parquet(s"$stateDir/mem")
+        novelReps.write.mode("append").parquet(s"$stateDir/reps")
+        newRepPairs.write.mode("append").parquet(s"$stateDir/pairs")
+        newBands.write.mode("append").parquet(s"$stateDir/bands")
+        hasState = true
+        batchesInGen += 1
+        // generational compaction: fold the accumulated per-batch files
+        // into a few larger ones so a long-running stream's state dirs
+        // stay readable; the superseded generation is deleted (a durable
+        // deployment would size the coalesce by bytes, not a constant)
+        if (batchesInGen >= compactEvery) {
+          val next = s"$work/g${gen + 1}"
+          Seq(("mem", memSchema), ("reps", repsSchema), ("pairs", pairsSchema),
+            ("bands", bandsSchema)).foreach { case (t, sch) =>
+            ss.read.schema(sch).parquet(s"$stateDir/$t")
+              .coalesce(4).write.mode("overwrite").parquet(s"$next/$t")
+          }
+          deleteRecursively(new java.io.File(stateDir))
+          gen += 1
+          batchesInGen = 0
+        }
         ()
       }
       .start()

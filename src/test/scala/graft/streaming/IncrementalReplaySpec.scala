@@ -84,6 +84,35 @@ class IncrementalReplaySpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("near-dup band work is batch-proportional and compaction preserves the answer") {
+    // 4 micro-batches with compactEvery = 2 → two state compactions
+    // mid-stream; the answer must still equal batch qs1, and the total
+    // band-explode work across ALL batches must equal ONE explode of the
+    // final rep set (16 bands × distinct texts) — the r4 code re-exploded
+    // the full accumulated state every batch, making the sum O(batches ×
+    // state) instead
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sneardup_cmp").toString
+    Tables(spark, SparkTestSession.sfDir, "documents")
+      .withColumn("bucket", pmod(col("doc_id"), lit(4)))
+      .repartition(4, col("bucket")).drop("bucket")
+      .write.mode("overwrite").parquet(tmp)
+    val streamed = Replay.streamNearDup(spark, tmp, maxFilesPerTrigger = 1,
+        compactEvery = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = graft.dedup.MinHashLSH.nearDups(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed == batch)
+    val counts = Replay.bandRowsPerBatch.toList
+    assert(counts.size >= 2, s"expected multiple micro-batches, got $counts")
+    val distinctTexts = graft.dedup.MinHashLSH
+      .docSignatures(spark, Tables(spark, SparkTestSession.sfDir, "documents"))
+      .toDF("doc_id", "txt_md5", "sh", "bands")
+      .filter(size(col("sh")) > 0)
+      .select("txt_md5").distinct().count()
+    assert(counts.sum == graft.dedup.MinHashLSH.NumBands * distinctTexts,
+      s"band rows $counts should sum to 16 x $distinctTexts distinct texts")
+  }
+
   test("multi-batch incremental corpus dedup equals batch exact dedup") {
     // split documents into 4 files; one file per micro-batch forces the
     // per-hash (min, sum) state fold to merge across batches
