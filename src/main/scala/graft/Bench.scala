@@ -34,15 +34,18 @@ object Bench {
 
     // optional comma-separated query filter (scale-soak / local iteration
     // aid; the driver sets only SF_DIR and CPUS → full suite)
+    // the bench clock covers the oracle-checked suite PLUS the
+    // bench-only entries (compute-shape benchmarks with no SQL oracle)
+    val benched = SparkEntry.queries ++ SparkEntry.benchOnlyQueries
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet
+      val unknown = names -- benched.keySet
       // fail fast on typos: a silently-dropped name makes a benchmark
       // "measure" a query that never ran
       require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(",")}")
     }
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = benched.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val passes = (1 to Passes).map { p =>
       if (p > 1) {

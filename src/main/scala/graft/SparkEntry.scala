@@ -85,11 +85,10 @@ object SparkEntry {
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
     "qs1_minhash_neardup"  -> ((s, d) => MinHashLSH.nearDups(s, d)),
     "qs2_simhash_neardup"  -> ((s, d) => SimHash.nearDups(s, d)),
-    "qs3_palette_by_source" -> (Palette.paletteBySource _),
     // the SEPARABLE palette configuration: constant-color images, ≤ 5
     // colors per group → converged KMeans == exact color histogram, so
-    // the flagship kernel gets a hard SQL oracle (qs3 stays as the
-    // non-separable compute benchmark)
+    // the flagship kernel gets a hard SQL oracle (the non-separable
+    // compute benchmark qs3 lives in `benchOnlyQueries`)
     "qs11_palette_exact"   -> (Palette.qs11PaletteExact _),
     // full probe: provably equals brute force (see Ann.knn scaladoc) →
     // shares qe1's oracle; low-probe recall is covered by AnnSpec
@@ -108,6 +107,17 @@ object SparkEntry {
     // streaming incremental NEAR-dup: per-batch signature kernel + band
     // probe against accumulated state; emission union == batch qs1
     "qs13_stream_neardup"  -> (Replay.qs13StreamNearDup _),
+  )
+
+  /** Benchmark-only queries: measured by `graft.Bench` but NOT part of
+    * the oracle-checked correctness surface. qs3 is the NON-separable
+    * per-group KMeans over arbitrary text-derived pixels — no
+    * SQL-expressible oracle exists; its semantics are driver-checked
+    * through `qs11_palette_exact` (same kernel, separable configuration)
+    * and spec-checked for determinism/golden palettes, while this entry
+    * keeps the production compute shape on the benchmark clock. */
+  def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qs3_palette_by_source" -> (Palette.paletteBySource _),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key. */
@@ -589,7 +599,9 @@ object SparkEntry {
         |), p AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |  -- non-empty guard: 0/0 is NaN and NaN >= 0.8 is TRUE in DuckDB
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE
         |      / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.8
         |)
         |SELECT p.doc_a, p.doc_b,
@@ -698,7 +710,9 @@ object SparkEntry {
         |), p AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |  -- non-empty guard: 0/0 is NaN and NaN >= 0.8 is TRUE in DuckDB
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE
         |      / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.8
         |), e AS (
         |  SELECT doc_a AS a, doc_b AS b FROM p
@@ -1009,7 +1023,10 @@ object SparkEntry {
         |  len(list_intersect(a.sh, b.sh))::DOUBLE
         |    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |-- both shingle sets non-empty: 0/0 is NaN, and NaN >= 0.8 is TRUE
+        |-- under NaN-is-greatest — the engine excludes such docs at source
+        |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |  AND len(list_intersect(a.sh, b.sh))::DOUBLE
         |    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
 
@@ -1031,7 +1048,10 @@ object SparkEntry {
         |  len(list_intersect(a.sh, b.sh))::DOUBLE
         |    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |-- both shingle sets non-empty: 0/0 is NaN, and NaN >= 0.8 is TRUE
+        |-- under NaN-is-greatest — the engine excludes such docs at source
+        |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |  AND len(list_intersect(a.sh, b.sh))::DOUBLE
         |    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
 
@@ -1071,7 +1091,9 @@ object SparkEntry {
         |), p AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |  -- non-empty guard: 0/0 is NaN and NaN >= 0.8 is TRUE in DuckDB
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE
         |      / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.8
         |), e AS (
         |  SELECT doc_a AS a, doc_b AS b FROM p
@@ -1341,10 +1363,8 @@ object SparkEntry {
         |WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
 
-    // qs3_palette_by_source is intentionally the one remaining rows-only
-    // entry: the NON-separable per-group KMeans (arbitrary text-derived
-    // pixels) has no SQL-expressible oracle. Its semantics are
-    // driver-checked through qs11_palette_exact (same kernel, separable
-    // configuration) and spec-checked for determinism/golden palettes.
+    // Every `queries` entry has an oracle: the one query with no
+    // SQL-expressible oracle (qs3, non-separable KMeans) is bench-only —
+    // see `benchOnlyQueries`.
   )
 }

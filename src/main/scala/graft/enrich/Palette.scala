@@ -132,9 +132,28 @@ object Palette {
     * memory is bounded by the `FloatPixelBuffer` pixel budget: groups
     * under ~4M resized pixels are processed exactly; larger groups are
     * systematically decimated (see the buffer's contract). */
-  def paletteOfDecoded(images: Iterator[(Int, Int, Array[Byte])]): Seq[ColorBucket] = {
-    val hsv = new FloatPixelBuffer
+  def paletteOfDecoded(images: Iterator[(Int, Int, Array[Byte])],
+                       maxTriples: Int = FloatPixelBuffer.DefaultMaxTriples): Seq[ColorBucket] = {
+    val hsv = new FloatPixelBuffer(maxTriples)
     images.foreach { case (h, w, bgr) => appendPixels(hsv, bgr, h, w) }
+    if (hsv.isEmpty) return Seq.empty
+    bucketize(hsv.result())
+  }
+
+  /** EXACT-mode palette: like `paletteOfDecoded`, but FAILS LOUDLY if the
+    * group exceeded the pixel budget and the buffer started decimating.
+    * For paths checked against an exact oracle (qs11): the oracle is a
+    * plain histogram and cannot model sampling, so silently crossing the
+    * budget would be a parity break that no one notices — a group too big
+    * for exact processing must surface as an error, not a skew. */
+  def paletteOfDecodedExact(images: Iterator[(Int, Int, Array[Byte])],
+                            maxTriples: Int = FloatPixelBuffer.DefaultMaxTriples): Seq[ColorBucket] = {
+    val hsv = new FloatPixelBuffer(maxTriples)
+    images.foreach { case (h, w, bgr) => appendPixels(hsv, bgr, h, w) }
+    require(hsv.currentStride == 1L,
+      s"palette group exceeded the exact pixel budget ($maxTriples triples; " +
+        s"stride ${hsv.currentStride}): the exact-oracle path cannot decimate — " +
+        "raise the budget or route the group through paletteOfDecoded")
     if (hsv.isEmpty) return Seq.empty
     bucketize(hsv.result())
   }
@@ -222,7 +241,14 @@ object Palette {
     * The oracle is therefore a plain GROUP BY + count ratio in DuckDB,
     * while the engine side exercises `kmeans`/`bucketize`/`ColorSpace`
     * end-to-end (spark/spark_image.py:75-118 semantics). qs3 remains the
-    * non-separable compute-shape benchmark. */
+    * non-separable compute-shape benchmark.
+    *
+    * Exactness ceiling: each document contributes 75×75 = 5,625 resized
+    * pixels, so the default 4Mi-triple budget covers ~745 documents per
+    * source; beyond that the buffer would decimate and the exact oracle
+    * would silently diverge — so this path uses `paletteOfDecodedExact`,
+    * which FAILS rather than decimates (spec-asserted). All driver
+    * corpora are far below the ceiling (sf0.1: ~250 docs/source). */
   def qs11PaletteExact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val n = math.max(spark.sparkContext.defaultParallelism, 2)
@@ -250,7 +276,7 @@ object Palette {
                 (FakeDecoder.H, FakeDecoder.W, FakeDecoder.decode(Array(cv.toByte)))
               }
             }
-            paletteOfDecoded(group).map(b =>
+            paletteOfDecodedExact(group).map(b =>
               (k, b.red.toLong, b.green.toLong, b.blue.toLong, b.hex, b.percentage))
           }
         }

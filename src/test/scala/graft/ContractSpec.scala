@@ -18,13 +18,19 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
-  test("rows-only queries are the documented hash-seeded/approx/stub set") {
+  test("every correctness-gate query is oracle-checked") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // qs3 (non-separable KMeans) is the single remaining rows-only query;
-    // its separable twin qs11 and the multimodal features (qm1/qm2) are
-    // oracle-checked since round 3
-    assert(rowsOnly == Set("qs3_palette_by_source"),
-      s"unexpected rows-only set: $rowsOnly")
+    // queries with no SQL-expressible oracle (qs3, non-separable KMeans)
+    // are bench-only, not silent rows-only rows in the correctness gate
+    assert(rowsOnly.isEmpty, s"unexpected rows-only set: $rowsOnly")
+  }
+
+  test("bench-only queries are disjoint from the oracle-checked suite") {
+    val overlap = SparkEntry.benchOnlyQueries.keySet & SparkEntry.queries.keySet
+    assert(overlap.isEmpty, s"bench-only entries shadow queries: $overlap")
+    SparkEntry.benchOnlyQueries.keys.foreach { name =>
+      assert(name.matches("[a-z][a-z0-9_]*"), s"bad query name: $name")
+    }
   }
 
   test("flagship entry returns rows (driver smoke)") {

@@ -107,6 +107,25 @@ class PaletteSpec extends AnyFunSuite {
     assert(math.abs(share - 0.7) < 0.02, s"red share $share drifted from 0.7")
   }
 
+  test("exact-mode palette fails loudly instead of decimating") {
+    // the qs11 oracle is an exact histogram and cannot model sampling: a
+    // group past the budget must ERROR on the exact path, not silently
+    // skew (ADVICE r4). Same input under the budget must succeed.
+    def imgs(n: Int) = Iterator.tabulate(n)(i =>
+      (Palette.FakeDecoder.H, Palette.FakeDecoder.W,
+        Palette.FakeDecoder.decode(Array((i % 5).toByte))))
+    // each image resizes to 75x75 = 5625 triples; 2 images fit a 12k
+    // budget, 3 do not
+    val ok = Palette.paletteOfDecodedExact(imgs(2), maxTriples = 12000)
+    assert(ok.nonEmpty)
+    val e = intercept[IllegalArgumentException] {
+      Palette.paletteOfDecodedExact(imgs(3), maxTriples = 12000)
+    }
+    assert(e.getMessage.contains("exact pixel budget"))
+    // the sampling path accepts the same group
+    assert(Palette.paletteOfDecoded(imgs(3), maxTriples = 12000).nonEmpty)
+  }
+
   test("paletteBySource is deterministic under replay") {
     val spark = graft.SparkTestSession.spark
     val a = Palette.paletteBySource(spark, graft.SparkTestSession.sfDir)
