@@ -37,7 +37,6 @@ object Ann {
   /** Corpus vectors re-assigned to their nearest centroid (the honest IVF
     * assignment — label is only the seed partition). */
   def assignments(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
     emb.select(col("vec_id"), col("label"), col("embedding").as("v"))
       .crossJoin(broadcast(cents))
       // round to 6dp BEFORE the argmax (ties then break on cell id): the
@@ -45,9 +44,16 @@ object Ann {
       // centroid means, or the SQL mirror of the low-probe configuration
       // (qs12) could diverge on summation order
       .withColumn("csim", round(cosine(col("v"), col("centroid")), 6))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cell"), col("v"))
+      // argmax as max(struct(csim, -cell, …)): lexicographic struct max =
+      // highest csim, ties to the LOWEST cell — same deterministic choice
+      // as a (csim DESC, cell) row_number window, but a groupBy aggregate
+      // PARTIAL-aggregates map-side (k candidates collapse to one row per
+      // vector before the exchange), where a window must shuffle and sort
+      // all k rows per vector — the difference that matters at 100 TB
+      .groupBy("vec_id")
+      .agg(max(struct(col("csim"), (-col("cell")).as("neg_cell"),
+        col("cell"), col("v"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"), col("m.v").as("v"))
   }
 
   /** ANN top-k over the embeddings table: probe the `nprobe` best cells
@@ -106,6 +112,9 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"),
         col("cand_id"), col("sim"))
-      .orderBy("q_id", "rank")
+      // size-gated sort: a bare orderBy re-executes the whole probe/rank
+      // subtree for range-partition sampling; the gate materializes once
+      .transform(df =>
+        graft.plans.ScaleTechniques.sortedOutput(df, Seq("q_id", "rank")))
   }
 }
