@@ -30,17 +30,27 @@ object Tables {
     * Long via the legacy conf and convert to a microsecond timestamp by
     * truncation — the same truncation DuckDB applies when casting
     * TIMESTAMP_NS to TIMESTAMP, so oracle comparisons line up.
+    *
+    * Synthesized corpora (tools/make_sf.py, written by DuckDB) carry
+    * TIMESTAMP_MICROS without timezone metadata instead, which Spark
+    * surfaces as TIMESTAMP_NTZ — `unix_micros` and friends reject that
+    * type. Under the engine's UTC session an NTZ wall-clock IS the UTC
+    * instant, so it is normalized to a plain TIMESTAMP here; every
+    * downstream operator sees one ts type regardless of lake flavor.
     */
   private def readEvents(spark: SparkSession, path: String): DataFrame = {
     val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try {
       val raw = spark.read.parquet(path)
-      if (raw.schema("ts").dataType == LongType) {
+      raw.schema("ts").dataType match {
         // integral `div`, NOT `/`: ns-epoch longs exceed 2^53, so double
         // division (what `/` does on longs) loses the low microsecond bits.
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      } else raw
+        case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)

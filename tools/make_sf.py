@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Synthesize a larger scale factor from an existing sf dir by key-offset
+replication of ALL 10 tables (driver-side tooling only; never imported by
+engine code).
+
+Unlike make_soak.py (EXACT duplicate documents/embeddings — the
+duplicate-heavy LSH stressor), copies here are made DISTINCT so the suite
+runs in the mostly-unique regime a real sf1 corpus has:
+
+  - document copy k > 0 replaces every 3rd token with a copy-tagged
+    positional token: every 3-shingle contains a replaced token, so no
+    cross-copy near-dup pairs exist, while the planted near-dup structure
+    WITHIN each copy is preserved (same positions replaced with the same
+    tokens in similar docs); n_chars is recomputed;
+  - embedding copy k > 0 cyclically rotates the vector by k components:
+    rotations of isotropic vectors are ~orthogonal (no cross-copy cosine
+    pairs), and the per-copy successor-blend structure qs9 plants in-query
+    is preserved;
+  - entity/fact keys (custkey, suppkey, partkey, orderkey, event/user
+    ids, doc/vec ids) offset by k * 10_000_000 CONSISTENTLY across tables
+    so joins stay referentially intact; dimension tables (region, nation)
+    and nation FKs copy through.
+
+Usage: python3 tools/make_sf.py <src_sf_dir> <out_dir> <factor>
+"""
+import sys
+from pathlib import Path
+
+import duckdb
+
+OFF = 10_000_000
+
+
+def main() -> None:
+    src, out, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    srcp, outp = Path(src), Path(out)
+    outp.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+
+    def rp(t: str) -> str:
+        return f"read_parquet('{srcp}/{t}.parquet')"
+
+    def write(t: str, selects: list[str]) -> None:
+        q = " UNION ALL ".join(selects)
+        con.execute(f"COPY ({q}) TO '{outp}/{t}.parquet' (FORMAT PARQUET)")
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{outp}/{t}.parquet')").fetchone()[0]
+        print(f"{t}: {n} rows")
+
+    # dimensions copy through once
+    for t in ("region", "nation"):
+        write(t, [f"SELECT * FROM {rp(t)}"])
+
+    write("customer", [
+        f"SELECT c_custkey + {k * OFF} AS c_custkey, c_name, c_nationkey, "
+        f"c_acctbal, c_mktsegment FROM {rp('customer')}" for k in range(factor)])
+    write("supplier", [
+        f"SELECT s_suppkey + {k * OFF} AS s_suppkey, s_name, s_nationkey, "
+        f"s_acctbal FROM {rp('supplier')}" for k in range(factor)])
+    write("part", [
+        f"SELECT p_partkey + {k * OFF} AS p_partkey, p_name, p_brand, p_type, "
+        f"p_size, p_retailprice FROM {rp('part')}" for k in range(factor)])
+    write("orders", [
+        f"SELECT o_orderkey + {k * OFF} AS o_orderkey, "
+        f"o_custkey + {k * OFF} AS o_custkey, o_orderstatus, o_totalprice, "
+        f"o_orderdate, o_orderpriority FROM {rp('orders')}" for k in range(factor)])
+    write("lineitem", [
+        f"SELECT l_orderkey + {k * OFF} AS l_orderkey, "
+        f"l_partkey + {k * OFF} AS l_partkey, "
+        f"l_suppkey + {k * OFF} AS l_suppkey, l_linenumber, l_quantity, "
+        f"l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
+        f"l_shipdate FROM {rp('lineitem')}" for k in range(factor)])
+    write("events", [
+        f"SELECT event_id + {k * OFF} AS event_id, ts, "
+        f"user_id + {k * OFF} AS user_id, event_type, value, props "
+        f"FROM {rp('events')}" for k in range(factor)])
+
+    doc_sel = [f"SELECT * FROM {rp('documents')}"]
+    for k in range(1, factor):
+        doc_sel.append(
+            f"SELECT doc_id + {k * OFF} AS doc_id, "
+            "array_to_string(list_transform(string_split(text, ' '), "
+            f"(t, i) -> CASE WHEN i % 3 = 0 THEN 'v{k}p' || i ELSE t END), ' ') AS text, "
+            f"lang, source, 0 AS n_chars FROM {rp('documents')}")
+    # n_chars participates in the qd6 length band — recompute it
+    con.execute(
+        f"COPY (SELECT doc_id, text, lang, source, length(text)::BIGINT AS n_chars "
+        f"FROM ({' UNION ALL '.join(doc_sel)})) "
+        f"TO '{outp}/documents.parquet' (FORMAT PARQUET)")
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{outp}/documents.parquet')").fetchone()[0]
+    print(f"documents: {n} rows")
+
+    emb_sel = [f"SELECT * FROM {rp('embeddings')}"]
+    dim = con.execute(
+        f"SELECT len(embedding) FROM {rp('embeddings')} LIMIT 1").fetchone()[0]
+    for k in range(1, factor):
+        r = k % dim
+        emb_sel.append(
+            f"SELECT vec_id + {k * OFF} AS vec_id, "
+            f"embedding[{r + 1}:{dim}] || embedding[1:{r}] AS embedding, "
+            f"label FROM {rp('embeddings')}")
+    write("embeddings", emb_sel)
+
+
+if __name__ == "__main__":
+    main()
