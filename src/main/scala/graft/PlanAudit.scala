@@ -36,7 +36,8 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    (SparkEntry.queries ++ SparkEntry.benchOnlyQueries)
+      .toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
