@@ -114,6 +114,15 @@ object Palette {
     paletteOfDecoded(images.map(raw =>
       (FakeDecoder.H, FakeDecoder.W, FakeDecoder.decode(raw))))
 
+  /** Resolve the per-group pixel budget ON THE DRIVER, where the query is
+    * planned: Spark conf `spark.graft.palette.maxTriples` first (the
+    * resolved Int is captured in the task closure, so it PROPAGATES to
+    * executors — an executor JVM does not see driver env vars), then the
+    * env var via `DefaultMaxTriples` (single-JVM local runs), then 4Mi. */
+  def pixelBudget(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.palette.maxTriples")
+      .map(_.toInt).getOrElse(FloatPixelBuffer.DefaultMaxTriples)
+
   /** Pixel ingestion for already-decoded BGR buffers (the Spark image
     * source's layout: 8-bit BGR interleaved, mode 16 = CV_8UC3) —
     * resize 75×75 INTER_AREA → HSV, appended to `buf`. */
@@ -166,7 +175,8 @@ object Palette {
     * a slowdown. Requires the partition to be sorted by key, which the
     * callers establish with sortWithinPartitions — Spark's sort is
     * spillable, so the sort itself is also memory-safe.) */
-  private[enrich] def groupPalettes[R](rows: Iterator[R])(
+  private[enrich] def groupPalettes[R](rows: Iterator[R],
+      maxTriples: Int = FloatPixelBuffer.DefaultMaxTriples)(
       key: R => String, decoded: R => (Int, Int, Array[Byte])): Iterator[(String, String, Long, Double)] = {
     val it = rows.buffered
     new Iterator[(String, String, Long, Double)] {
@@ -177,7 +187,7 @@ object Palette {
           def hasNext: Boolean = it.hasNext && key(it.head) == k
           def next(): (Int, Int, Array[Byte]) = decoded(it.next())
         }
-        val buckets = paletteOfDecoded(group)
+        val buckets = paletteOfDecoded(group, maxTriples)
         (k, paletteJson(buckets), buckets.length.toLong,
           buckets.headOption.map(_.percentage).getOrElse(0.0))
       }
@@ -195,6 +205,7 @@ object Palette {
   def paletteFromImages(spark: SparkSession, imageDir: String): DataFrame = {
     import spark.implicits._
     val n = math.max(spark.sparkContext.defaultParallelism, 2)
+    val budget = pixelBudget(spark) // resolved on the driver, closure-captured
     spark.read.format("image").option("dropInvalid", "true").load(imageDir)
       .select(col("image.*"))
       .filter(col("mode") === 16) // CV_8UC3: 8-bit BGR
@@ -207,7 +218,7 @@ object Palette {
       .sortWithinPartitions(col("igId"), length(col("data")), hash(col("data")))
       .as[(String, Int, Int, Array[Byte])]
       .mapPartitions(rows =>
-        groupPalettes(rows)(_._1, r => (r._2, r._3, r._4)))
+        groupPalettes(rows, budget)(_._1, r => (r._2, r._3, r._4)))
       .toDF("igId", "colors", "n_buckets", "top_share")
       .transform(df =>
         // size-gated: one output row per user — NOT one-partition small
@@ -252,6 +263,7 @@ object Palette {
   def qs11PaletteExact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val n = math.max(spark.sparkContext.defaultParallelism, 2)
+    val budget = pixelBudget(spark) // resolved on the driver, closure-captured
     Tables(spark, dir, "documents")
       .select(col("source"),
         // doc_id round-robins over sources, so doc_id % 5 is CONSTANT per
@@ -276,7 +288,7 @@ object Palette {
                 (FakeDecoder.H, FakeDecoder.W, FakeDecoder.decode(Array(cv.toByte)))
               }
             }
-            paletteOfDecodedExact(group).map(b =>
+            paletteOfDecodedExact(group, budget).map(b =>
               (k, b.red.toLong, b.green.toLong, b.blue.toLong, b.hex, b.percentage))
           }
         }
@@ -307,10 +319,14 @@ object Palette {
       * executor — the 10× scale soak killed an 8 GB JVM precisely because
       * the unbounded buffer grew linearly with docs-per-group.
       *
-      * Env-overridable (`SPARK_GRAFT_PALETTE_MAX_TRIPLES`): the budget is
-      * an executor-memory sizing knob — a deployment with bigger heaps
-      * (or an exact-oracle soak whose groups exceed 4 Mi pixels, e.g. sf1
-      * at ~14 M pixels/source) raises it rather than changing code. */
+      * Overridable as a plain integer triple count: Spark conf
+      * `spark.graft.palette.maxTriples` (cluster-safe — resolved on the
+      * driver via `pixelBudget` and closure-captured, since executors do
+      * not see driver env vars) or env `SPARK_GRAFT_PALETTE_MAX_TRIPLES`
+      * (single-JVM local runs). The budget is an executor-memory sizing
+      * knob — a deployment with bigger heaps (or an exact-oracle soak
+      * whose groups exceed 4 Mi pixels, e.g. sf1 at ~14 M pixels/source,
+      * `=16777216`) raises it rather than changing code. */
     val DefaultMaxTriples: Int =
       sys.env.get("SPARK_GRAFT_PALETTE_MAX_TRIPLES").map(_.toInt)
         .getOrElse(4 << 20)
@@ -396,6 +412,7 @@ object Palette {
   def paletteBySource(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val n = math.max(spark.sparkContext.defaultParallelism, 2)
+    val budget = pixelBudget(spark) // resolved on the driver, closure-captured
     Tables(spark, dir, "documents")
       .select(col("source"), encode(col("text"), "UTF-8").as("payload"))
       // range partitioning: with ~#groups ≈ n, each key gets its own
@@ -408,7 +425,7 @@ object Palette {
       .sortWithinPartitions(col("source"), length(col("payload")), hash(col("payload")))
       .as[(String, Array[Byte])]
       .mapPartitions(rows =>
-        groupPalettes(rows)(_._1,
+        groupPalettes(rows, budget)(_._1,
           r => (FakeDecoder.H, FakeDecoder.W, FakeDecoder.decode(r._2))))
       .toDF("source", "colors", "n_buckets", "top_share")
       // size-gated sort: materializes once, single-partition only while

@@ -131,8 +131,12 @@ object SrpLsh {
     * successor, `w_i = 0.95·v_i + 0.05·v_{i+1}`, sits at cosine ≈ 0.9986
     * to `v_i` while every other pairing stays ≈ 0. The blend is pure
     * double arithmetic, so the DuckDB oracle reproduces it bit-exactly
-    * and the expected output is exactly the n−1 planted pairs (miss
-    * probability per pair at this angle: (1−0.983^8)^8 ≈ 1e-7). */
+    * and the expected output is exactly the n−1 planted pairs. Bucket
+    * width is size-matched via `adaptiveBits` (see its scaladoc for the
+    * width-vs-recall numbers): the sf0.01 oracle gate lands at b = 8,
+    * where the per-pair miss probability (1−0.983^8)^8 ≈ 7e-8 keeps the
+    * correctness run deterministic in practice; larger corpora trade a
+    * little recall for linear candidates. */
   def qs9NearDups(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))

@@ -45,10 +45,13 @@ object Replay {
   /** Per-batch band-explode row counts of the most recent `streamNearDup`
     * run — spec instrumentation proving per-batch band work is
     * proportional to the BATCH (16 bands × novel texts), not the
-    * accumulated state. Cleared at each invocation; foreachBatch runs
-    * sequentially within a stream, and concurrent streams would
-    * interleave (test-only surface). */
+    * accumulated state. OFF by default: the count is one extra Spark job
+    * per micro-batch, which production/bench runs must not pay — a spec
+    * flips `recordBandRows` on around its invocation. Cleared at each
+    * invocation; foreachBatch runs sequentially within a stream, and
+    * concurrent streams would interleave (test-only surface). */
   private[graft] val bandRowsPerBatch = new scala.collection.mutable.ArrayBuffer[Long]()
+  @volatile private[graft] var recordBandRows = false
 
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -65,22 +68,26 @@ object Replay {
     //
     // The driver lake carries TIMESTAMP(NANOS) (long under the legacy
     // conf, `div 1000` to micros); synthesized corpora (tools/make_sf.py,
-    // DuckDB-written) carry TIMESTAMP_MICROS without tz metadata (NTZ).
-    // A long-typed stream schema over a micros file would silently read
-    // micros AS nanos — timestamps 1000× off — so probe the footer once
-    // (batch read) and pick the matching schema + normalization; both
-    // flavors land on the same UTC-instant TIMESTAMP column.
-    val nanos = spark.read.option("pathGlobFilter", "events.parquet")
-      .parquet(dir).schema("ts").dataType == LongType
-    val schema =
-      if (nanos) eventsSchema
-      else StructType(eventsSchema.map(f =>
-        if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+    // DuckDB-written) carry TIMESTAMP_MICROS without tz metadata (NTZ);
+    // a Spark-written lake carries tz-adjusted TIMESTAMP. A long-typed
+    // stream schema over a micros file would silently read micros AS
+    // nanos — timestamps 1000× off — so probe the footer once (batch
+    // read), build the stream schema with the PROBED ts type, and apply
+    // the matching normalization; all three flavors land on the same
+    // UTC-instant TIMESTAMP column (same three-way contract as
+    // Tables.readEvents).
+    val probed = spark.read.option("pathGlobFilter", "events.parquet")
+      .parquet(dir).schema("ts").dataType
+    val schema = StructType(eventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = probed) else f))
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    if (nanos) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw.withColumn("ts", col("ts").cast("timestamp"))
+    probed match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** K2 streaming form: latest-wins keyed upsert via foreachBatch merge.
@@ -299,7 +306,7 @@ object Replay {
         val newBands = novelReps.select(col("rep"),
           posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
           .localCheckpoint(true)
-        bandRowsPerBatch += newBands.count()
+        if (recordBandRows) bandRowsPerBatch += newBands.count()
         val cands = broadcast(newBands).as("a")
           .join(prevBandIdx.unionByName(newBands).as("b"),
             col("a.band_idx") === col("b.band_idx") &&

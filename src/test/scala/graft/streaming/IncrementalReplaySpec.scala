@@ -96,9 +96,12 @@ class IncrementalReplaySpec extends AnyFunSuite {
       .withColumn("bucket", pmod(col("doc_id"), lit(4)))
       .repartition(4, col("bucket")).drop("bucket")
       .write.mode("overwrite").parquet(tmp)
-    val streamed = Replay.streamNearDup(spark, tmp, maxFilesPerTrigger = 1,
-        compactEvery = 2)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    Replay.recordBandRows = true
+    val streamed =
+      try Replay.streamNearDup(spark, tmp, maxFilesPerTrigger = 1,
+          compactEvery = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      finally Replay.recordBandRows = false
     val batch = graft.dedup.MinHashLSH.nearDups(spark, SparkTestSession.sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(streamed == batch)

@@ -94,12 +94,19 @@ def main() -> None:
     emb_sel = [f"SELECT * FROM {rp('embeddings')}"]
     dim = con.execute(
         f"SELECT len(embedding) FROM {rp('embeddings')} LIMIT 1").fetchone()[0]
+    # copies coincide iff k1 == k2 (mod 2*dim): rotation alone wraps to
+    # the identity at k == dim (which would silently reintroduce exact
+    # duplicates and quadratic cross-copy pairs), so odd wraps negate
+    assert factor <= 2 * dim, f"distinct copies exhausted: factor {factor} > {2 * dim}"
     for k in range(1, factor):
         r = k % dim
+        rot = (f"embedding[{r + 1}:{dim}] || embedding[1:{r}]" if r != 0
+               else "embedding")
+        if (k // dim) % 2 == 1:
+            rot = f"list_transform({rot}, x -> -x)"
         emb_sel.append(
             f"SELECT vec_id + {k * OFF} AS vec_id, "
-            f"embedding[{r + 1}:{dim}] || embedding[1:{r}] AS embedding, "
-            f"label FROM {rp('embeddings')}")
+            f"{rot} AS embedding, label FROM {rp('embeddings')}")
     write("embeddings", emb_sel)
 
 
