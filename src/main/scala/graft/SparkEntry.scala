@@ -127,10 +127,10 @@ object SparkEntry {
     // sign reapplied, ÷ 1e4 — identical in any engine.
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity), 2) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        | round(sum((l_quantity)::DECIMAL(20,6)), 2)::DOUBLE AS sum_qty,
+        | round(sum((l_extendedprice)::DECIMAL(20,6)), 2)::DOUBLE AS sum_base_price,
+        | round(sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(20,6)), 2)::DOUBLE AS sum_disc_price,
+        | round(sum((l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax))::DECIMAL(20,6)), 2)::DOUBLE AS sum_charge,
         | ((abs((sum(l_quantity::DECIMAL(20,6)) * 1000000)::BIGINT) * 2
         |    + 100 * count(l_quantity)) // (200 * count(l_quantity)))::DOUBLE
         |   / 10000 AS avg_qty,
@@ -159,7 +159,7 @@ object SparkEntry {
     "q3_join_agg" ->
       """SELECT n_name,
         | count(*) AS n_orders,
-        | round(sum(o_totalprice), 2) AS revenue
+        | round(sum((o_totalprice)::DECIMAL(20,6)), 2)::DOUBLE AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -177,7 +177,7 @@ object SparkEntry {
         |FROM customer
         |LEFT JOIN (
         |  SELECT o_custkey, count(*) AS order_cnt,
-        |    round(sum(o_totalprice), 2) AS total_spent
+        |    round(sum((o_totalprice)::DECIMAL(20,6)), 2)::DOUBLE AS total_spent
         |  FROM orders GROUP BY o_custkey
         |) ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin,
@@ -200,7 +200,7 @@ object SparkEntry {
         | ((abs((sum(value::DECIMAL(20,6)) * 1000000)::BIGINT) * 2
         |    + 100 * count(value)) // (200 * count(value)))::DOUBLE
         |   / 10000 AS val_avg,
-        | round(sum(value), 2) AS val_sum
+        | round(sum((value)::DECIMAL(20,6)), 2)::DOUBLE AS val_sum
         |FROM events
         |WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-15 00:00:00'
         |GROUP BY user_id
@@ -320,7 +320,7 @@ object SparkEntry {
     "q18_hourly_rollup" ->
       """SELECT epoch_us(date_trunc('hour', ts::TIMESTAMP)) AS hour_us,
         | event_type, count(*) AS n_events,
-        | round(sum(value), 2) AS value_sum
+        | round(sum((value)::DECIMAL(20,6)), 2)::DOUBLE AS value_sum
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_us, event_type""".stripMargin,
@@ -832,7 +832,7 @@ object SparkEntry {
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         | coalesce(o_orderpriority, 'ALL') AS priority,
         | count(*) AS n_orders,
-        | round(sum(o_totalprice), 2) AS revenue
+        | round(sum((o_totalprice)::DECIMAL(20,6)), 2)::DOUBLE AS revenue
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
@@ -968,7 +968,7 @@ object SparkEntry {
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         | coalesce(o_orderpriority, 'ALL') AS priority,
         | count(*) AS n_orders,
-        | round(sum(o_totalprice), 2) AS revenue
+        | round(sum((o_totalprice)::DECIMAL(20,6)), 2)::DOUBLE AS revenue
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |  (o_orderstatus), (o_orderpriority), ())
@@ -1070,7 +1070,7 @@ object SparkEntry {
     "qs6_stream_hourly" ->
       """SELECT epoch_us(date_trunc('hour', ts::TIMESTAMP)) AS hour_us,
         | event_type, count(*) AS n_events,
-        | round(sum(value), 2) AS value_sum
+        | round(sum((value)::DECIMAL(20,6)), 2)::DOUBLE AS value_sum
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_us, event_type""".stripMargin,

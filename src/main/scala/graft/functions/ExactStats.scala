@@ -52,4 +52,18 @@ object ExactStats {
       (when(s6 < 0, -q).otherwise(q)).cast("double") / 10000.0)
       .otherwise(lit(null))
   }
+
+  /** Order-independent 2dp group sum of a ≤6dp-quantized double metric
+    * (prices, 2dp event values, and their ≤6dp products). Double sums are
+    * summation-order-dependent: at sf1 magnitudes (~1e11) the ~1e-5
+    * partitioning noise crosses a 0.005 rounding boundary in a few
+    * percent of groups per run — q1's sum_charge flaked exactly this way
+    * on the sf1 parity sweep. Casting each row to DECIMAL(20,6) recovers
+    * the exact quantized value (same avg4dp caveat: NOT for
+    * full-precision doubles), decimal addition is associative so the
+    * shuffle cannot change the sum, and both engines round the exact
+    * decimal half-up. DuckDB mirror:
+    * `round(sum((x)::DECIMAL(20,6)), 2)::DOUBLE`. */
+  def sum2dp(c: Column): Column =
+    round(sum(c.cast("decimal(20,6)")), 2).cast("double")
 }

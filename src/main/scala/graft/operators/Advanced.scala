@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.ExactStats
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -32,7 +33,7 @@ object Advanced {
     val o = Tables(spark, dir, "orders")
     o.rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum("o_totalprice"), 2).as("revenue"))
+        ExactStats.sum2dp(col("o_totalprice")).as("revenue"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -156,7 +157,7 @@ object Advanced {
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
         |  count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS revenue
+        |  cast(round(sum(cast(o_totalprice AS DECIMAL(20,6))), 2) AS DOUBLE) AS revenue
         |FROM v_orders_gs
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |  (o_orderstatus), (o_orderpriority), ())

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.ExactStats
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -37,7 +38,7 @@ object Events {
         count(lit(1)).as("doc_count"),
         // engine-exact half-up 4dp mean (functions.ExactStats)
         graft.functions.ExactStats.avg4dp(spark, col("value")).as("val_avg"),
-        round(sum("value"), 2).as("val_sum"))
+        ExactStats.sum2dp(col("value")).as("val_sum"))
       .orderBy(desc("doc_count"), col("user_id"))
       .limit(10)
   }
@@ -128,7 +129,7 @@ object Events {
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum("value"), 2).as("value_sum"))
+        ExactStats.sum2dp(col("value")).as("value_sum"))
       .orderBy("hour_us", "event_type")
   }
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.ExactStats
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -34,10 +35,12 @@ object Relational {
     li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(disc), 2).as("sum_disc_price"),
-        round(sum(disc * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        // order-independent decimal sums (ExactStats.sum2dp): at sf1 the
+        // double-sum partitioning noise crossed a 2dp rounding boundary
+        ExactStats.sum2dp(col("l_quantity")).as("sum_qty"),
+        ExactStats.sum2dp(col("l_extendedprice")).as("sum_base_price"),
+        ExactStats.sum2dp(disc).as("sum_disc_price"),
+        ExactStats.sum2dp(disc * (lit(1.0) + col("l_tax"))).as("sum_charge"),
         eAvg("l_quantity").as("avg_qty"),
         eAvg("l_extendedprice").as("avg_price"),
         eAvg("l_discount").as("avg_disc"),
@@ -78,7 +81,7 @@ object Relational {
       .groupBy(n("n_name").as("n_name"))
       .agg(
         count(lit(1)).as("n_orders"),
-        round(sum(o("o_totalprice")), 2).as("revenue"))
+        ExactStats.sum2dp(o("o_totalprice")).as("revenue"))
       .orderBy("n_name")
   }
 
@@ -90,7 +93,7 @@ object Relational {
     val perCust = o.groupBy(col("o_custkey"))
       .agg(
         count(lit(1)).as("order_cnt"),
-        round(sum("o_totalprice"), 2).as("total_spent"))
+        ExactStats.sum2dp(col("o_totalprice")).as("total_spent"))
     c.join(perCust, c("c_custkey") === perCust("o_custkey"), "left")
       .select(
         c("c_custkey"), c("c_name"),

@@ -474,7 +474,8 @@ object Replay {
     val q = eventStream(spark, dir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("value_sum"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.ExactStats.sum2dp(col("value")).as("value_sum"))
       .writeStream
       .outputMode("complete")
       .format("memory")
