@@ -62,4 +62,55 @@ class SourcesRoundTripSpec extends AnyFunSuite {
     val names = back.orderBy("id").collect().map(r => Option(r.getString(1)))
     assert(names.toSeq == Seq(Some("alice"), None, None))
   }
+
+  test("events timestamp-flavor normalization (nanos / NTZ / adjusted-UTC lakes)") {
+    // the driver lake is TIMESTAMP(NANOS); DuckDB-synthesized corpora are
+    // TIMESTAMP_MICROS without tz (Spark: TIMESTAMP_NTZ); a Spark-written
+    // lake is tz-adjusted TIMESTAMP. Tables.readEvents and the streaming
+    // reader must land all three on the same UTC-instant TIMESTAMP column
+    // (the sf1 soak caught batch failing on NTZ and streaming silently
+    // reading micros as nanos)
+    val canonical = Tables(spark, SparkTestSession.sfDir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .orderBy("event_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    def rewrite(dir: String, tsCol: org.apache.spark.sql.Column): Unit = {
+      // the lake layout is a single FILE named events.parquet (what the
+      // streaming reader's pathGlobFilter matches) — write via a staging
+      // dir and move the lone part file into place
+      val stage = s"$dir/_stage"
+      Tables(spark, SparkTestSession.sfDir, "events")
+        .select(col("event_id"), tsCol.as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      ()
+    }
+
+    val ntzDir = java.nio.file.Files.createTempDirectory("graft_evntz").toString
+    rewrite(ntzDir, col("ts").cast(TimestampNTZType))
+    val ltzDir = java.nio.file.Files.createTempDirectory("graft_evltz").toString
+    rewrite(ltzDir, col("ts"))
+
+    for (d <- Seq(ntzDir, ltzDir)) {
+      val back = Tables(spark, d, "events")
+      assert(back.schema("ts").dataType == TimestampType, s"dir $d")
+      val got = back.select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .orderBy("event_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == canonical, s"batch values diverged for $d")
+      // streaming path: the latest-wins upsert replays the same lake and
+      // emits epoch micros — equality proves the stream schema/conversion
+      // matched the flavor (a micros-as-nanos misread would shift every ts)
+      val up = graft.streaming.Replay.streamUpsert(spark, d)
+        .select("user_id", "ts_us").orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val ref = graft.streaming.Replay.streamUpsert(spark, SparkTestSession.sfDir)
+        .select("user_id", "ts_us").orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(up == ref, s"stream values diverged for $d")
+    }
+  }
 }
