@@ -117,17 +117,23 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** N-gram (token-set) Jaccard near-dup with banding: candidate pairs are
-    * restricted to (lang, source, |Δn_chars| ≤ 16) blocks, then exact
-    * token-set Jaccard is computed per pair. Blocking keeps the self-join
-    * from going quadratic — the LSH generalization handles unblocked scale.
+  /** N-gram (token-set) Jaccard near-dup: exact pairs at J ≥ 0.5 within
+    * (lang, source, |Δn_chars| ≤ 16) blocks.
     *
-    * The length band is part of the JOIN KEY, not a post-join filter: docs
-    * bucket at n_chars div 16, and the probe side expands to its three
-    * adjacent buckets — |Δn| ≤ 16 implies |Δbucket| ≤ 1, so each
-    * qualifying pair matches on exactly one (equi) key and the per-key
-    * cross product shrinks from the whole (lang, source) block to one
-    * 16-char band. The residual abs() filter only trims the bucket edges.
+    * Candidate generation is the AllPairs PREFIX FILTER (Bayardo et al.,
+    * WWW'07 — the standard exact set-similarity join), not an
+    * all-pairs-within-band self-join: order every document's distinct
+    * tokens rarest-first (global df, token tie-break — any consistent
+    * total order is correct; rarest-first keeps posting lists short), and
+    * keep only each document's first ⌊(1−t)·|A|⌋ + 1 tokens as its
+    * prefix. For any pair with J(A,B) ≥ t, the MINIMAL shared token lies
+    * in BOTH prefixes (tokens before it in either doc are outside the
+    * intersection, and |A∖B| ≤ |A| − t·|A|), so an equi-join on prefix
+    * tokens finds every qualifying pair. Band predicates ride the same
+    * join; verification is exact. The r4 band join was all-pairs within
+    * each band cell — quadratic in cell occupancy (21.7 s at sf1);
+    * posting-list candidates scale with shared-rare-token co-occurrence
+    * instead.
     *
     * Token sets are sorted once per document so the per-pair Jaccard is a
     * single allocation-free merge (graft.functions.SortedOverlapCount):
@@ -142,31 +148,42 @@ object TextOps {
     * assert the band is an equi key (the sink's checkpoint hides the join
     * stage from post-hoc plan inspection). */
   private[graft] def qd6Pairs(spark: SparkSession, dir: String): DataFrame = {
+    val t = 0.5
+    // consumed by the postings explode, the prefix-length meta join, and
+    // both verification joins — materialize the tokenized corpus once
     val d = docs(spark, dir).select(
-      col("doc_id"), col("lang"), col("source"), col("n_chars"),
-      array_sort(array_distinct(split(trim(col("text")), "\\s+"))).as("toks"))
-    val bucket = floor(col("n_chars") / 16).cast("long")
-    // probe side: own bucket plus both neighbors; build side: own bucket.
-    // |Δbucket| ≤ 1 for any pair with |Δn_chars| ≤ 16, and each pair has
-    // exactly one matching (probe_bucket = bucket) key → no dedup needed.
-    val a = d.withColumn("probe_bucket",
-        explode(array(bucket - 1, bucket, bucket + 1))).as("a")
-    val b = d.withColumn("bucket", bucket).as("b")
-    val overlap = graft.functions.SetFunctions
-      .sortedOverlap(col("a.toks"), col("b.toks"))
-    a.join(b,
+        col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        array_sort(array_distinct(split(trim(col("text")), "\\s+"))).as("toks"))
+      .localCheckpoint(true)
+    val posts = d.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val dfreq = posts.groupBy("tok").agg(count(lit(1)).as("df"))
+    // rarest-first rank within each doc; prefix = first ⌊(1−t)·|A|⌋ + 1
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    val prefix = posts.join(dfreq, "tok")
+      .withColumn("rk", row_number().over(w))
+      .join(d.select(col("doc_id"), size(col("toks")).as("sz"),
+        col("lang"), col("source"), col("n_chars")), "doc_id")
+      .filter(col("rk") <= floor((lit(1.0) - lit(t)) * col("sz")) + 1)
+      .select(col("doc_id"), col("tok"), col("lang"), col("source"), col("n_chars"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") &&
         col("a.lang") === col("b.lang") &&
         col("a.source") === col("b.source") &&
-        col("a.probe_bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id") &&
         abs(col("a.n_chars") - col("b.n_chars")) <= 16)
-      .select(
-        col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"),
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val tk = d.select(col("doc_id"), col("toks"))
+    val overlap = graft.functions.SetFunctions
+      .sortedOverlap(col("toks_a"), col("toks_b"))
+    cand
+      .join(tk.toDF("doc_a", "toks_a"), "doc_a")
+      .join(tk.toDF("doc_b", "toks_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
         (overlap.cast("double") /
-          (size(col("a.toks")) + size(col("b.toks")) - overlap).cast("double"))
+          (size(col("toks_a")) + size(col("toks_b")) - overlap).cast("double"))
           .as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= t)
   }
 
   /** The composed training-corpus curation pipeline — the end-to-end
