@@ -107,6 +107,34 @@ class PaletteSpec extends AnyFunSuite {
     assert(math.abs(share - 0.7) < 0.02, s"red share $share drifted from 0.7")
   }
 
+  test("small-palette fast path equals converged Lloyd's exactly (d <= 6)") {
+    // the <= 6-distinct shortcut must reproduce the kmeans fixed point
+    // bit-exactly: same centers, same cluster indices (init order), same
+    // counts — across random color sets, counts, and arrival orders
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 25; d = 1 + trial % 6) {
+      val colors = Seq.fill(d)((rnd.nextInt(180).toFloat,
+        rnd.nextInt(256).toFloat, rnd.nextInt(256).toFloat)).distinct
+      val pixels = rnd.shuffle(colors.zipWithIndex.flatMap { case (c, i) =>
+        Seq.fill(1 + rnd.nextInt(50))(c) })
+      val pts = pixels.flatMap(c => Seq(c._1, c._2, c._3)).toArray
+      val fast = Palette.smallPalette(pts)
+      assert(fast.isDefined, s"trial $trial: fast path refused ${colors.size} colors")
+      val (fc, fn) = fast.get
+      val (kc, labels) = Palette.kmeans(pts, 6)
+      val kCounts = labels.groupBy(identity).view.mapValues(_.length).toMap
+      val fastRanked = fn.zipWithIndex.map { case (n, c) => (c, n) }
+        .sortBy { case (c, n) => (-n, c) }
+        .map { case (c, n) => (fc(c).toSeq, n) }
+      val kRanked = kCounts.toSeq.sortBy { case (c, n) => (-n, c) }
+        .map { case (c, n) => (kc(c).toSeq, n) }
+      assert(fastRanked == kRanked, s"trial $trial diverged (d=${colors.size})")
+    }
+    // 7 distinct colors must fall through to the full kernel
+    val seven = (0 until 7).flatMap(i => Seq(i * 20f, 10f, 10f)).toArray
+    assert(Palette.smallPalette(seven).isEmpty)
+  }
+
   test("exact-mode palette fails loudly instead of decimating") {
     // the qs11 oracle is an exact histogram and cannot model sampling: a
     // group past the budget must ERROR on the exact path, not silently
