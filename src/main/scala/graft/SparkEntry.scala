@@ -80,6 +80,7 @@ object SparkEntry {
     "qd17_edit_distance"   -> (TextOps.qd17EditDistance _),
     "qd18_unigram_logprob" -> (TextOps.qd18UnigramLogprob _),
     "qd19_tfidf_keywords"  -> (TextOps.qd19TfidfKeywords _),
+    "qd20_sequence_pack"   -> ((s, d) => TextOps.qd20SequencePack(s, d)),
     "q36_approx_percentile" -> (Advanced.q36ApproxPercentile _),
     "qd10_corpus_curation" -> (TextOps.qd10CorpusCuration _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
@@ -583,6 +584,28 @@ object SparkEntry {
         |FROM scored
         |QUALIFY rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+
+    // Concat-and-chunk sequence packing: integer window cumsum → integer
+    // division — bit-exact layout in both engines (budget 512, qd2's
+    // whitespace tokenizer).
+    "qd20_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS tok_cnt
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, tok_cnt,
+        |    (sum(tok_cnt) OVER (ORDER BY doc_id
+        |       ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, tok_cnt,
+        |  (cum - tok_cnt) AS tok_offset,
+        |  ((cum - tok_cnt) // 512) AS start_chunk,
+        |  ((cum - tok_cnt) % 512) AS start_slot,
+        |  ((cum - 1) // 512 - (cum - tok_cnt) // 512 + 1) AS n_chunks
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
 
     // Exact Levenshtein over the (tiny) verified near-dup pair set.
     "qd17_edit_distance" ->

@@ -491,4 +491,35 @@ object TextOps {
       .agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id")
   }
+
+  /** Corpus-level sequence-packing planner — the concat-and-chunk layout
+    * pretraining pipelines use: documents are concatenated in doc_id
+    * order and cut into fixed `budget`-token training sequences
+    * (documents may straddle a boundary; qd11 is the per-document
+    * chunker, this is the corpus-level packer). Emits each document's
+    * placement: global token offset, first chunk and offset within it,
+    * and how many chunks it spans. Token counts use qd2's whitespace
+    * tokenizer, so the two operators agree on what a token is.
+    *
+    * One window cumsum over the corpus; integer arithmetic end to end,
+    * so the layout is deterministic and fully SQL-oracle-able. The
+    * global-order window is the honest semantic here; at 100 TB it
+    * becomes per-shard windows plus broadcast shard base offsets (one
+    * extra tiny agg) with the per-document math unchanged. */
+  def qd20SequencePack(spark: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tok_cnt"))
+      .withColumn("cum", sum("tok_cnt").over(w))
+      .withColumn("tok_offset", col("cum") - col("tok_cnt"))
+      .select(
+        col("doc_id"), col("tok_cnt"), col("tok_offset"),
+        expr(s"tok_offset div $budget").as("start_chunk"),
+        (col("tok_offset") % budget).as("start_slot"),
+        (expr(s"(cum - 1) div $budget") - expr(s"tok_offset div $budget") + 1L)
+          .as("n_chunks"))
+      .orderBy("doc_id")
+  }
 }

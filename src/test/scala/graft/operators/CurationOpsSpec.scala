@@ -87,4 +87,24 @@ class CurationOpsSpec extends AnyFunSuite {
     }
     assert(rows.length == graft.Tables(spark, dir, "documents").count())
   }
+
+  test("sequence packing lays out a gapless, budget-aligned corpus") {
+    val budget = 512L
+    val rows = graft.operators.TextOps.qd20SequencePack(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // contiguous concat: each doc starts exactly where the previous ended
+    rows.sliding(2).foreach {
+      case Array((_, cnt, off, _, _, _), (_, _, off2, _, _, _)) =>
+        assert(off + cnt == off2, s"gap between offsets $off+$cnt and $off2")
+      case _ =>
+    }
+    rows.foreach { case (id, cnt, off, startChunk, startSlot, nChunks) =>
+      assert(startChunk == off / budget && startSlot == off % budget, s"doc $id")
+      // spans exactly the chunks its token range touches
+      assert(nChunks == (off + cnt - 1) / budget - off / budget + 1, s"doc $id")
+      assert(cnt >= 1)
+    }
+  }
 }
