@@ -337,49 +337,53 @@ object Palette {
     * per-center pixel counts; None when more than 6 distinct colors. */
   private[enrich] def smallPalette(pts: Array[Float]): Option[(IndexedSeq[Array[Double]], IndexedSeq[Int])] = {
     if (pts.isEmpty) return None
-    val colors = scala.collection.mutable.LinkedHashMap.empty[(Float, Float, Float), Int]
+    // allocation-free distinct scan: parallel primitive arrays for the
+    // ≤ 6 colors (a per-pixel boxed-tuple map would reintroduce exactly
+    // the GC storm the flat-float buffer design exists to avoid)
+    val ch = new Array[Float](6); val cs = new Array[Float](6)
+    val cv = new Array[Float](6)
+    val cnt = new Array[Int](6)
+    var d = 0
     var i = 0
     while (i < pts.length) {
-      val key = (pts(i), pts(i + 1), pts(i + 2))
-      colors.get(key) match {
-        case Some(c) => colors(key) = c + 1
-        case None =>
-          if (colors.size == 6) return None
-          colors(key) = 1
-      }
+      val h = pts(i); val s = pts(i + 1); val v = pts(i + 2)
+      var j = 0
+      while (j < d && !(ch(j) == h && cs(j) == s && cv(j) == v)) j += 1
+      if (j == d) {
+        if (d == 6) return None
+        ch(d) = h; cs(d) = s; cv(d) = v; cnt(d) = 1; d += 1
+      } else cnt(j) += 1
       i += 3
     }
-    val arr = colors.toArray // first-occurrence order
-    val d = arr.length
-    def dist(a: (Float, Float, Float), b: (Float, Float, Float)): Double = {
-      val d0 = a._1.toDouble - b._1; val d1 = a._2.toDouble - b._2
-      val d2 = a._3.toDouble - b._3
+    // farthest-point order over the distinct colors in first-occurrence
+    // order; selection is tracked entirely through minD (chosen colors
+    // sit at distance 0 and never win while an unchosen one remains)
+    def dist(a: Int, b: Int): Double = {
+      val d0 = ch(a).toDouble - ch(b); val d1 = cs(a).toDouble - cs(b)
+      val d2 = cv(a).toDouble - cv(b)
       d0 * d0 + d1 * d1 + d2 * d2
     }
     val order = new Array[Int](d)
-    val chosen = Array.fill(d)(false)
-    order(0) = 0; chosen(0) = true
+    order(0) = 0
     val minD = Array.fill(d)(Double.MaxValue)
     var ci = 1
     while (ci < d) {
-      val last = arr(order(ci - 1))._1
+      val last = order(ci - 1)
       var bestI = -1; var bestD = -1.0
       var j = 0
       while (j < d) {
-        val dd = dist(arr(j)._1, last)
+        val dd = dist(j, last)
         if (dd < minD(j)) minD(j) = dd
         // strict >: earliest first-occurrence wins ties, like the buffer
         if (minD(j) > bestD) { bestD = minD(j); bestI = j }
         j += 1
       }
-      order(ci) = bestI; chosen(bestI) = true
+      order(ci) = bestI
       ci += 1
     }
-    val centers = order.toIndexedSeq.map { j =>
-      val c = arr(j)._1
-      Array(c._1.toDouble, c._2.toDouble, c._3.toDouble)
-    }
-    val counts = order.toIndexedSeq.map(j => arr(j)._2)
+    val centers = order.toIndexedSeq.map(j =>
+      Array(ch(j).toDouble, cs(j).toDouble, cv(j).toDouble))
+    val counts = order.toIndexedSeq.map(cnt)
     Some((centers, counts))
   }
 

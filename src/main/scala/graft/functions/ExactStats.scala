@@ -63,7 +63,12 @@ object ExactStats {
     * full-precision doubles), decimal addition is associative so the
     * shuffle cannot change the sum, and both engines round the exact
     * decimal half-up. DuckDB mirror:
-    * `round(sum((x)::DECIMAL(20,6)), 2)::DOUBLE`. */
+    * `round(sum((x)::DECIMAL(20,6)), 2)::DOUBLE`.
+    *
+    * Domain bound: DECIMAL(20,6) holds |x| < 1e14. Past it, Spark's
+    * non-ANSI cast silently NULLs the row (a silently-short sum) while
+    * DuckDB ERRORS — keep metrics within 14 integer digits or widen the
+    * precision on BOTH sides together. */
   def sum2dp(c: Column): Column =
     round(sum(c.cast("decimal(20,6)")), 2).cast("double")
 }

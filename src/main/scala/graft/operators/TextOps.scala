@@ -11,12 +11,13 @@ import org.apache.spark.sql.functions._
   * delegated full-text capability (SURVEY §2.7 F13) into first-class
   * engine operators.
   *
-  * Scale notes: every operator is a narrow per-row map plus at most one
-  * shuffle (groupBy text-hash for dedup, bucketed self-join for near-dup).
-  * The near-dup join is banded (lang, source, length band) so the candidate
-  * pair count stays linear-ish rather than quadratic — the same blocking
-  * idea MinHash LSH generalizes (see graft.dedup.MinHashLSH for the
-  * at-scale variant).
+  * Scale notes: the per-document operators are narrow per-row maps plus
+  * at most one shuffle (groupBy text-hash for dedup). Exact near-dup
+  * candidates (qd6) come from the AllPairs prefix-filter posting join —
+  * a df aggregation, a per-doc rarest-first ranking window, and an
+  * equi-join on prefix tokens (all skinny-row shuffles), replacing the
+  * r4 in-band cross product that was quadratic in band occupancy;
+  * graft.dedup.MinHashLSH remains the approximate at-scale variant.
   */
 object TextOps {
 

@@ -95,6 +95,9 @@ class SourcesRoundTripSpec extends AnyFunSuite {
     val ltzDir = java.nio.file.Files.createTempDirectory("graft_evltz").toString
     rewrite(ltzDir, col("ts"))
 
+    val ref = graft.streaming.Replay.streamUpsert(spark, SparkTestSession.sfDir)
+      .select("user_id", "ts_us").orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     for (d <- Seq(ntzDir, ltzDir)) {
       val back = Tables(spark, d, "events")
       assert(back.schema("ts").dataType == TimestampType, s"dir $d")
@@ -105,9 +108,6 @@ class SourcesRoundTripSpec extends AnyFunSuite {
       // emits epoch micros — equality proves the stream schema/conversion
       // matched the flavor (a micros-as-nanos misread would shift every ts)
       val up = graft.streaming.Replay.streamUpsert(spark, d)
-        .select("user_id", "ts_us").orderBy("user_id")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      val ref = graft.streaming.Replay.streamUpsert(spark, SparkTestSession.sfDir)
         .select("user_id", "ts_us").orderBy("user_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(up == ref, s"stream values diverged for $d")
