@@ -79,16 +79,31 @@ object Ann {
 
   /** ANN top-k over any (vec_id, embedding, label) DataFrame. */
   def knnFrom(emb: DataFrame, k: Int, nprobe: Int, queryPred: String): DataFrame = {
-    // centroids are k×dim — materialize the tiny table once to the driver
-    // and rebuild it as a local relation instead of recomputing the
-    // posexplode aggregation per consumer (audit showed the shared plan
-    // paid 12 shuffles: both branches re-derived it). Unlike `.cache()`
-    // this leaves nothing persisted behind after repeated calls.
-    val centsPlan = centroids(emb)
-    val cents = emb.sparkSession.createDataFrame(
-      java.util.Arrays.asList(centsPlan.collect(): _*), centsPlan.schema)
-    val assigned = assignments(emb, cents)
+    val cents = localCentroids(emb)
+    sink(probeRank(emb, cents, assignments(emb, cents), k, nprobe, queryPred))
+  }
 
+  /** Size-gated presentation sort shared by both search forms. NOTE the
+    * gate's localCheckpoint hides the probe plan from post-hoc inspection
+    * — plan specs assert on the pre-sink frame (`knnIndexedRaw`). */
+  private def sink(ranked: DataFrame): DataFrame =
+    graft.plans.ScaleTechniques.sortedOutput(ranked, Seq("q_id", "rank"))
+
+  /** Centroids are k×dim — materialize the tiny table once to the driver
+    * and rebuild it as a local relation instead of recomputing the
+    * posexplode aggregation per consumer (audit showed the shared plan
+    * paid 12 shuffles: both branches re-derived it). Unlike `.cache()`
+    * this leaves nothing persisted behind after repeated calls. */
+  private def localCentroids(emb: DataFrame): DataFrame = {
+    val centsPlan = centroids(emb)
+    emb.sparkSession.createDataFrame(
+      java.util.Arrays.asList(centsPlan.collect(): _*), centsPlan.schema)
+  }
+
+  /** Shared probe/rank tail: rank cells per query, restrict candidates to
+    * the probed cells, exact cosine + top-k. */
+  private def probeRank(emb: DataFrame, cents: DataFrame, assigned: DataFrame,
+                        k: Int, nprobe: Int, queryPred: String): DataFrame = {
     val queries = emb.filter(expr(queryPred))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val cellRank = Window.partitionBy("q_id").orderBy(col("qsim").desc, col("cell"))
@@ -102,8 +117,8 @@ object Ann {
     val rank = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id"))
     // probed = n_queries × nprobe rows — broadcast it so the corpus side
     // streams once instead of shuffling on the low-cardinality cell key
-    // (at real scale the corpus would also be *stored* partitioned by
-    // cell, making this a partition-pruned scan)
+    // (against the materialized index of `knnIndexed`, this same join
+    // triggers dynamic partition pruning on the cell-partitioned store)
     broadcast(probed).join(assigned.withColumnRenamed("vec_id", "cand_id"), Seq("cell"))
       .filter(col("q_id") =!= col("cand_id"))
       .select(col("q_id"), col("cand_id"),
@@ -112,9 +127,40 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"),
         col("cand_id"), col("sim"))
-      // size-gated sort: a bare orderBy re-executes the whole probe/rank
-      // subtree for range-partition sampling; the gate materializes once
-      .transform(df =>
-        graft.plans.ScaleTechniques.sortedOutput(df, Seq("q_id", "rank")))
   }
+
+  /** The MATERIALIZED-index form of the search — the 100 TB shape the
+    * in-memory variant's scaladoc promises, made real: the assigned
+    * corpus is written `partitionBy(cell)`, and the broadcast probe join
+    * on the partition column triggers DYNAMIC PARTITION PRUNING, so a
+    * low-probe search physically reads only the probed cells' files
+    * (spec-asserted on the executed scan), never the whole store. Same
+    * deterministic pipeline as `knnFrom` — label-mean centroids,
+    * 6dp-rounded argmax assignment, 6dp-rounded probe ranking — so the
+    * result is row-identical to the in-memory form and shares qs12's
+    * full SQL oracle. */
+  private[similarity] def knnIndexedRaw(spark: SparkSession, dir: String,
+      k: Int = 5, nprobe: Int = 2, queryPred: String = "vec_id < 5"): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val cents = localCentroids(emb)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    graft.streaming.Replay.cleanupAtExit(idx)
+    // build: one pass over the corpus, stored bucketed by cell id (at
+    // warehouse scale this is the persisted index table, built once and
+    // probed by every query; here build+probe share the query entry)
+    assignments(emb, cents).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$idx/assign")
+    val assigned = spark.read.parquet(s"$idx/assign")
+      .select(col("vec_id"), col("cell"), col("v"))
+    probeRank(emb, cents, assigned, k, nprobe, queryPred)
+  }
+
+  def knnIndexed(spark: SparkSession, dir: String, k: Int, nprobe: Int,
+                 queryPred: String): DataFrame =
+    sink(knnIndexedRaw(spark, dir, k, nprobe, queryPred))
+
+  /** qs14 entry: indexed low-probe ANN — row-identical to qs12, probed
+    * through the cell-partitioned store with partition pruning. */
+  def qs14AnnIndexed(spark: SparkSession, dir: String): DataFrame =
+    knnIndexed(spark, dir, k = 5, nprobe = 2, queryPred = "vec_id < 5")
 }

@@ -57,4 +57,37 @@ class AnnSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(ann == brute)
   }
+
+  test("indexed IVF equals the in-memory probe and prunes the store to probed cells") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val mem = rows(Ann.knn(spark, SparkTestSession.sfDir, nprobe = 2))
+    // the RAW pre-sink frame: the gated sort's localCheckpoint would hide
+    // the probe plan (and its pruning filters) from inspection — collect
+    // THIS frame so its own adaptive plan finalizes
+    val idx = Ann.knnIndexedRaw(spark, SparkTestSession.sfDir, nprobe = 2)
+    val got = rows(idx)
+    assert(got == mem, "indexed probe diverged from the in-memory pipeline")
+    // the executed scan over the cell-partitioned store must carry a
+    // dynamic partition pruning filter — the physical proof that a probe
+    // reads only the probed cells' files, not the whole index
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flatten(q.plan)
+        case _ => p.children.flatMap(flatten)
+      }
+      p +: inner
+    }
+    val scans = flatten(idx.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.partitionSchema.fieldNames.contains("cell") => s
+    }
+    assert(scans.nonEmpty, s"no cell-partitioned scan:\n${idx.queryExecution.executedPlan}")
+    assert(scans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      s"no dynamic partition pruning on the index scan: " +
+        scans.map(_.partitionFilters).mkString("; "))
+  }
 }
