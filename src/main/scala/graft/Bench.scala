@@ -49,9 +49,11 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val passes = (1 to Passes).map { p =>
       if (p > 1) {
-        // each pass pays the shared signature/pair-graph kernel once, via
-        // the same (alphabetically first) consumer as every other pass
+        // each pass pays the shared signature/pair-graph kernel (and the
+        // materialized ANN index build) once, via the same (alphabetically
+        // first) consumer as every other pass
         graft.dedup.MinHashLSH.clearCache()
+        graft.similarity.Ann.clearCache()
         System.gc() // let the ContextCleaner reclaim dropped checkpoints
       }
       ordered.map { case (name, fn) =>

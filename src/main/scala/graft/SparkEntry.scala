@@ -124,6 +124,57 @@ object SparkEntry {
     "qs3_palette_by_source" -> (Palette.paletteBySource _),
   )
 
+  /** The low-probe IVF oracle, shared VERBATIM by qs12 (in-memory) and
+    * qs14 (materialized index): the two queries are row-identical by
+    * construction, and binding one SQL value to both keys makes that
+    * invariant un-driftable. */
+  private val annLowProbeOracle: String =
+    """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |), comp AS (
+        |  SELECT label AS cell, i AS dim, avg(v[i::INT]) AS m
+        |  FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
+        |  GROUP BY label, i
+        |), cents AS (
+        |  SELECT cell, list(m ORDER BY dim) AS centroid FROM comp GROUP BY cell
+        |), assign AS (
+        |  SELECT vec_id, cell, v FROM (
+        |    SELECT e.vec_id, c.cell, e.v,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_inner_product(e.v, c.centroid)
+        |          / (sqrt(list_inner_product(e.v, e.v))
+        |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
+        |        c.cell) AS rk
+        |    FROM e CROSS JOIN cents c
+        |  ) WHERE rk = 1
+        |), q AS (
+        |  SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 5
+        |), probed AS (
+        |  SELECT q_id, q_vec, cell FROM (
+        |    SELECT q.q_id, q.q_vec, c.cell,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        round(list_inner_product(q.q_vec, c.centroid)
+        |          / (sqrt(list_inner_product(q.q_vec, q.q_vec))
+        |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
+        |        c.cell) AS crk
+        |    FROM q CROSS JOIN cents c
+        |  ) WHERE crk <= 2
+        |), s AS (
+        |  SELECT p.q_id, a.vec_id AS cand_id,
+        |    round(list_inner_product(p.q_vec, a.v)
+        |      / (sqrt(list_inner_product(p.q_vec, p.q_vec))
+        |         * sqrt(list_inner_product(a.v, a.v))), 6) AS sim
+        |  FROM probed p JOIN assign a USING (cell)
+        |  WHERE p.q_id <> a.vec_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rank
+        |  FROM s
+        |)
+        |SELECT q_id, rank, cand_id, sim FROM r
+        |WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin
+
   /** DuckDB-runnable oracle SQL, one per `queries` key. */
   def oracleSql: Map[String, String] = Map(
     // avg_* columns use the engine-exact integer half-up mean (see
@@ -1342,103 +1393,13 @@ object SparkEntry {
     // cand_id). The 6dp pre-round makes the discrete cell decisions
     // immune to summation-order noise in the means; candidate sims use
     // raw vectors only (qe1-proven bit parity).
-    "qs12_ann_lowprobe" ->
-      """WITH e AS (
-        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-        |), comp AS (
-        |  SELECT label AS cell, i AS dim, avg(v[i::INT]) AS m
-        |  FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
-        |  GROUP BY label, i
-        |), cents AS (
-        |  SELECT cell, list(m ORDER BY dim) AS centroid FROM comp GROUP BY cell
-        |), assign AS (
-        |  SELECT vec_id, cell, v FROM (
-        |    SELECT e.vec_id, c.cell, e.v,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        round(list_inner_product(e.v, c.centroid)
-        |          / (sqrt(list_inner_product(e.v, e.v))
-        |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
-        |        c.cell) AS rk
-        |    FROM e CROSS JOIN cents c
-        |  ) WHERE rk = 1
-        |), q AS (
-        |  SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 5
-        |), probed AS (
-        |  SELECT q_id, q_vec, cell FROM (
-        |    SELECT q.q_id, q.q_vec, c.cell,
-        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
-        |        round(list_inner_product(q.q_vec, c.centroid)
-        |          / (sqrt(list_inner_product(q.q_vec, q.q_vec))
-        |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
-        |        c.cell) AS crk
-        |    FROM q CROSS JOIN cents c
-        |  ) WHERE crk <= 2
-        |), s AS (
-        |  SELECT p.q_id, a.vec_id AS cand_id,
-        |    round(list_inner_product(p.q_vec, a.v)
-        |      / (sqrt(list_inner_product(p.q_vec, p.q_vec))
-        |         * sqrt(list_inner_product(a.v, a.v))), 6) AS sim
-        |  FROM probed p JOIN assign a USING (cell)
-        |  WHERE p.q_id <> a.vec_id
-        |), r AS (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rank
-        |  FROM s
-        |)
-        |SELECT q_id, rank, cand_id, sim FROM r
-        |WHERE rank <= 5
-        |ORDER BY q_id, rank""".stripMargin,
+    "qs12_ann_lowprobe" -> annLowProbeOracle,
 
     // qs14: the materialized cell-partitioned index probed with
     // dynamic partition pruning — row-identical to qs12 by construction
     // (same centroids, assignment, and probe pipeline), so it shares
     // the same full SQL recompute.
-    "qs14_ann_indexed" ->
-      """WITH e AS (
-        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-        |), comp AS (
-        |  SELECT label AS cell, i AS dim, avg(v[i::INT]) AS m
-        |  FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
-        |  GROUP BY label, i
-        |), cents AS (
-        |  SELECT cell, list(m ORDER BY dim) AS centroid FROM comp GROUP BY cell
-        |), assign AS (
-        |  SELECT vec_id, cell, v FROM (
-        |    SELECT e.vec_id, c.cell, e.v,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        round(list_inner_product(e.v, c.centroid)
-        |          / (sqrt(list_inner_product(e.v, e.v))
-        |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
-        |        c.cell) AS rk
-        |    FROM e CROSS JOIN cents c
-        |  ) WHERE rk = 1
-        |), q AS (
-        |  SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 5
-        |), probed AS (
-        |  SELECT q_id, q_vec, cell FROM (
-        |    SELECT q.q_id, q.q_vec, c.cell,
-        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
-        |        round(list_inner_product(q.q_vec, c.centroid)
-        |          / (sqrt(list_inner_product(q.q_vec, q.q_vec))
-        |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
-        |        c.cell) AS crk
-        |    FROM q CROSS JOIN cents c
-        |  ) WHERE crk <= 2
-        |), s AS (
-        |  SELECT p.q_id, a.vec_id AS cand_id,
-        |    round(list_inner_product(p.q_vec, a.v)
-        |      / (sqrt(list_inner_product(p.q_vec, p.q_vec))
-        |         * sqrt(list_inner_product(a.v, a.v))), 6) AS sim
-        |  FROM probed p JOIN assign a USING (cell)
-        |  WHERE p.q_id <> a.vec_id
-        |), r AS (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rank
-        |  FROM s
-        |)
-        |SELECT q_id, rank, cand_id, sim FROM r
-        |WHERE rank <= 5
-        |ORDER BY q_id, rank""".stripMargin,
+    "qs14_ann_indexed" -> annLowProbeOracle,
 
     // Every `queries` entry has an oracle: the one query with no
     // SQL-expressible oracle (qs3, non-separable KMeans) is bench-only —
