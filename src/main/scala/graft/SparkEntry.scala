@@ -111,6 +111,9 @@ object SparkEntry {
     // streaming incremental NEAR-dup: per-batch signature kernel + band
     // probe against accumulated state; emission union == batch qs1
     "qs13_stream_neardup"  -> (Replay.qs13StreamNearDup _),
+    // SemDeDup-style semantic dedup: k-means cell × sign-bit sub-bucket
+    // quantizer, within-cell exact cosine, rep-graph components → keep-list
+    "qe4_semantic_dedup"   -> (graft.similarity.SemDedup.qe4SemanticDedup _),
   )
 
   /** Benchmark-only queries: measured by `graft.Bench` but NOT part of
@@ -884,6 +887,79 @@ object SparkEntry {
         |    / (sqrt(list_inner_product(a.v, a.v))
         |       * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // SemDeDup keep-list over the corpus ∪ its perturbed copy (the qs9
+    // construction). The oracle reproduces the ENTIRE deterministic
+    // pipeline: label-mean centroids over the full union, 6dp-rounded
+    // argmax cell assignment (qs12's construction), sign-bit sub-bucket
+    // (s = clamp(4, 16, ⌊log2 n⌋ − 7), computed in-SQL from the union
+    // count via length(bin(n)) − 1), within-(cell, sub) exact cosine
+    // pairs, then a recursive-CTE component resolution (q33's
+    // construction) and a left join back to every union document.
+    // isfinite guard: 0/0 cosine is NaN, and NaN >= t is TRUE under
+    // DuckDB's NaN-is-greatest but FALSE in Spark — degenerate vectors
+    // must form no pairs on either side.
+    "qe4_semantic_dedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |), pert AS (
+        |  SELECT a.vec_id + 100000 AS vec_id, a.label,
+        |    list_transform(range(1, len(a.v) + 1),
+        |      i -> 0.95 * a.v[i] + 0.05 * c.v[i]) AS v
+        |  FROM e a JOIN e c ON c.vec_id = a.vec_id + 1
+        |), u AS (
+        |  SELECT vec_id, label, v FROM e
+        |  UNION ALL SELECT vec_id, label, v FROM pert
+        |), params AS (
+        |  SELECT greatest(4, least(16, length(bin(count(*))) - 1 - 7)) AS s
+        |  FROM u
+        |), comp AS (
+        |  SELECT label AS cell, i AS dim, avg(v[i::INT]) AS m
+        |  FROM u CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
+        |  GROUP BY label, i
+        |), cents AS (
+        |  SELECT cell, list(m ORDER BY dim) AS centroid FROM comp GROUP BY cell
+        |), assign AS (
+        |  SELECT vec_id, cell, v FROM (
+        |    SELECT u.vec_id, c.cell, u.v,
+        |      row_number() OVER (PARTITION BY u.vec_id ORDER BY
+        |        round(list_inner_product(u.v, c.centroid)
+        |          / (sqrt(list_inner_product(u.v, u.v))
+        |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
+        |        c.cell) AS rk
+        |    FROM u CROSS JOIN cents c
+        |  ) WHERE rk = 1
+        |), sb AS (
+        |  SELECT vec_id, cell, v,
+        |    list_sum(list_transform(range(0, p.s),
+        |      i -> CASE WHEN v[(i + 1)::INT] >= 0 THEN (1::BIGINT << i)
+        |           ELSE 0 END)) AS sub
+        |  FROM assign CROSS JOIN params p
+        |), pr AS (
+        |  SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b
+        |  FROM sb a JOIN sb b2
+        |    ON a.cell = b2.cell AND a.sub = b2.sub AND a.vec_id < b2.vec_id
+        |  WHERE isfinite(round(list_inner_product(a.v, b2.v)
+        |      / (sqrt(list_inner_product(a.v, a.v))
+        |         * sqrt(list_inner_product(b2.v, b2.v))), 6))
+        |    AND round(list_inner_product(a.v, b2.v)
+        |      / (sqrt(list_inner_product(a.v, a.v))
+        |         * sqrt(list_inner_product(b2.v, b2.v))), 6) >= 0.95
+        |), ed AS (
+        |  SELECT doc_a AS ea, doc_b AS eb FROM pr
+        |  UNION SELECT doc_b, doc_a FROM pr
+        |), rr(src, reach) AS (
+        |  SELECT ea, ea FROM (SELECT DISTINCT ea FROM ed)
+        |  UNION
+        |  SELECT rr.src, ed.eb FROM rr JOIN ed ON rr.reach = ed.ea
+        |), cc AS (
+        |  SELECT src AS vec_id, min(reach) AS cmin FROM rr GROUP BY src
+        |)
+        |SELECT u.vec_id,
+        |  coalesce(cc.cmin, u.vec_id) AS cluster_rep,
+        |  (coalesce(cc.cmin, u.vec_id) = u.vec_id) AS keep
+        |FROM u LEFT JOIN cc USING (vec_id)
+        |ORDER BY u.vec_id""".stripMargin,
 
     "qe3_label_stats" ->
       """WITH e AS (

@@ -1,0 +1,155 @@
+package graft.similarity
+
+import graft.Tables
+import graft.dedup.{Clusters, Collapse}
+import graft.operators.VectorOps.{cosine, dot}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-style semantic deduplication over an embedding corpus: partition
+  * the corpus with a cheap geometric quantizer, find near-duplicate pairs by
+  * exact cosine WITHIN each cell only, resolve duplicate components, and emit
+  * a per-document keep/drop decision — the embedding-space analog of the
+  * text-side curation keep-list (TextOps.qd10CorpusCuration). The documented
+  * approximation of the method (Abbas et al. 2023, "SemDeDup") is pairs whose
+  * endpoints land in different cells: they are simply not compared.
+  *
+  * Quantizer = the IVF coarse level composed with a sign-bit refinement:
+  *   1. k-means cell — the SAME deterministic label-mean centroid / 6dp-rounded
+  *      argmax assignment as the ANN family (similarity.Ann, qs12's full SQL
+  *      oracle), computed over the FULL corpus (k-means means weight every
+  *      member, so duplicates pull their cell's centroid — the collapse below
+  *      deliberately does NOT apply to centroid estimation);
+  *   2. sign-bit sub-bucket — bit i of the sub-cell key is `v[i] >= 0`, i.e.
+  *      an SRP hash whose hyperplanes are the coordinate planes (on an
+  *      isotropic corpus these are exactly as good as random Gaussian planes,
+  *      and unlike seeded-random planes they are reproducible in ANSI SQL,
+  *      which keeps the whole operator oracle-checkable). `subBits` sizes the
+  *      width like SrpLsh.adaptiveBits: s ≈ ⌊log2 n⌋ − 7 (clamped [4, 16])
+  *      holds per-cell occupancy ~constant, so within-cell pair work stays
+  *      LINEAR in the corpus; the price is the standard LSH recall trade —
+  *      a pair at angle θ splits some sub-bucket bit with probability
+  *      1 − (1 − θ/π)^s (≈ 6% at the planted-oracle cosine 0.9986, s = 4).
+  *
+  * Scale shape: centroids are k×dim (broadcast); assignment is a broadcast
+  * join + map-side argmax (Ann.assignments); the only corpus shuffles are the
+  * collapse groupBy and the (cell, sub) self-join. Exact-duplicate clusters
+  * (byte-identical vectors — mirrored media, re-crawled pages) ride the shared
+  * collapse (dedup.Collapse): only distinct vectors are assigned and paired
+  * (B² → B), and components are resolved on the REPRESENTATIVE graph with
+  * members attached after (same argument as Clusters.repClusters: the rep is
+  * the group minimum, so component minima are unchanged) — member-level work
+  * is linear in the copy count. At 100 TB the assigned corpus would
+  * additionally be written `partitionBy(cell)` like Ann.knnIndexed so repeated
+  * curation passes probe, not re-assign.
+  *
+  * Reference provenance: the reference pipeline has no embedding operators —
+  * this is part of the training-data-curation extension surface, next to
+  * qs9 (SRP near-dup pairs) and qd10 (text curation keep-list).
+  */
+object SemDedup {
+
+  /** Sub-bucket width matched to the corpus: s ≈ ⌊log2 n⌋ − 7, clamped to
+    * [4, 16] — with k coarse cells this targets n / (k·2^s) ≈ 128/k vectors
+    * per (cell, sub) group, keeping within-cell pairs linear in n. */
+  def subBits(n: Long): Int = {
+    val lg = 63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))
+    math.min(16, math.max(4, lg - 7))
+  }
+
+  /** Sign-bit sub-bucket key: bit i set iff component i+1 is >= 0 — an SRP
+    * hash over the coordinate hyperplanes, fully reproducible in SQL. */
+  def signBucket(v: Column, s: Int): Column =
+    (0 until s).map(i =>
+      when(element_at(v, i + 1) >= lit(0.0), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Per-document semantic-dedup decision over `emb`
+    * (vec_id bigint, label, embedding array<double>): one output row per
+    * input document — (vec_id, cluster_rep = min vec_id of its duplicate
+    * component, keep = is it that minimum). Documents with no near-duplicate
+    * are their own singleton component (keep = true).
+    *
+    * Degenerate vectors (zero/NaN) have NaN cosine to everything — including
+    * themselves — so they form no pairs and always keep; the per-group
+    * `self_ok` guard reproduces that exactly for byte-identical copies of a
+    * degenerate vector (members must NOT inherit their representative's
+    * label through an edge that the uncollapsed graph would never have). */
+  def keepList(emb: DataFrame, threshold: Double, s: Int): DataFrame = {
+    // exact-dup collapse keyed on a 128-bit digest of the vector (two
+    // independent xxhash64s), same shape as SrpLsh.nearDups: the group
+    // shuffle moves 16-byte keys; each group ships ONE vector via first()
+    val keyed = emb.select(col("vec_id"), col("label"), col("embedding"),
+      xxhash64(lit(1), col("embedding")).as("k1"),
+      xxhash64(lit(2), col("embedding")).as("k2"))
+    val groups = Collapse.groups(keyed, Seq(col("k1"), col("k2")), col("vec_id"),
+      first(col("embedding")).as("embedding"), first(col("label")).as("label"))
+    val reps = groups.select(col("rep").as("vec_id"), col("label"), col("embedding"))
+
+    // k-means cells from the FULL corpus (duplicates weight the means,
+    // exactly as Lloyd's assignment step would); only REPS get assigned.
+    // Zero-NORM vectors are routed around assignment entirely: their cosine
+    // is 0/0 — an ANSI-mode DIVIDE_BY_ZERO, and semantically they can never
+    // pair (the oracle's isfinite guard excludes them) — they fall through
+    // to the self_ok=false singleton path below.
+    // centroids are k×dim — materialize once as a local relation (the
+    // (cell, sub) SELF-join below would otherwise recompute the centroid
+    // aggregation per side); the assigned reps are checkpointed for the
+    // same reason
+    val cents = Ann.localCentroids(emb)
+    val live = reps.filter(dot(col("embedding"), col("embedding")) =!= 0)
+    val assigned = Ann.assignments(live, cents)
+      .withColumn("sub", signBucket(col("v"), s))
+      .localCheckpoint(true)
+
+    // within-(cell, sub) exact-cosine verification over representatives
+    val a = assigned.as("a"); val b = assigned.as("b")
+    val repPairs = a.join(b,
+        col("a.cell") === col("b.cell") && col("a.sub") === col("b.sub") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(round(cosine(col("a.v"), col("b.v")), 6) >= threshold)
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+
+    // components on the representative graph; members attach to their rep's
+    // component iff their (byte-identical) self-cosine passes the threshold
+    val repCC = Clusters.connectedComponents(repPairs)
+      .withColumnRenamed("doc_id", "rep").withColumnRenamed("cluster_rep", "comp")
+    // CaseWhen branches evaluate lazily, so the zero-norm guard reliably
+    // prevents the 0/0 ANSI error (an AND conjunct could be reordered)
+    val labels = groups
+      .select(col("rep"), explode(col("members")).as("vec_id"),
+        when(dot(col("embedding"), col("embedding")) === 0, lit(false))
+          .otherwise(round(cosine(col("embedding"), col("embedding")), 6)
+            >= threshold).as("self_ok"))
+      .join(repCC, Seq("rep"), "left")
+      .select(col("vec_id"),
+        when(col("self_ok"), coalesce(col("comp"), col("rep")))
+          .otherwise(col("vec_id")).as("cluster_rep"))
+      .withColumn("keep", col("cluster_rep") === col("vec_id"))
+    graft.plans.ScaleTechniques.sortedOutput(labels, Seq("vec_id"))
+  }
+
+  /** qe4 entry: semantic dedup at cosine >= 0.95 over the corpus UNION its
+    * deterministic perturbed copy (the qs9 construction: w_i = 0.95·v_i +
+    * 0.05·v_{i+1}, id +100000, pure double arithmetic the oracle reproduces
+    * bit-exactly) — the raw isotropic corpus has no semantic duplicates, so
+    * the query plants its own ground truth: each perturbed copy should DROP
+    * (cluster_rep = its source, keep = false) whenever the pair survives the
+    * quantizer, and every original should KEEP. */
+  def qe4SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val successors = e.select((col("vec_id") - 1).as("vec_id"),
+      col("embedding").as("next_emb"))
+    val perturbed = e.join(successors, "vec_id")
+      .select((col("vec_id") + 100000L).as("vec_id"), col("label"),
+        zip_with(col("embedding"), col("next_emb"),
+          (x, y) => lit(0.95) * x + lit(0.05) * y).as("embedding"))
+    // materialize the derived union once: the centroid aggregation, the
+    // collapse groupBy, and the width count would each recompute the
+    // perturbation join otherwise
+    val u = e.unionByName(perturbed).localCheckpoint(true)
+    keepList(u, threshold = 0.95, s = subBits(u.count()))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.similarity
+
+import graft.SparkTestSession
+import graft.dedup.Clusters
+import graft.operators.VectorOps.cosine
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SemDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** Member-level reference: assign EVERY vector (no collapse), pair within
+    * (cell, sub), resolve components over the full member graph — the
+    * uncollapsed semantics keepList must reproduce exactly. */
+  private def naive(emb: DataFrame, threshold: Double, s: Int): DataFrame = {
+    val cents = Ann.centroids(emb)
+    // same zero-norm routing as keepList: 0/0 cosine is an ANSI error and
+    // degenerate vectors can never pair — they stay unpaired singletons
+    val live = emb.filter(
+      graft.operators.VectorOps.dot(col("embedding"), col("embedding")) =!= 0)
+    val assigned = Ann.assignments(live, cents)
+      .withColumn("sub", SemDedup.signBucket(col("v"), s))
+    val a = assigned.as("a"); val b = assigned.as("b")
+    val pairs = a.join(b,
+        col("a.cell") === col("b.cell") && col("a.sub") === col("b.sub") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(round(cosine(col("a.v"), col("b.v")), 6) >= threshold)
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+    val cc = Clusters.connectedComponents(pairs)
+      .withColumnRenamed("doc_id", "vec_id").withColumnRenamed("cluster_rep", "cmin")
+    emb.select(col("vec_id")).join(cc, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("cmin"), col("vec_id")).as("cluster_rep"))
+      .withColumn("keep", col("cluster_rep") === col("vec_id"))
+  }
+
+  /** Duplicate-heavy planted corpus: 30 random bases; the first 6 appear as
+    * 5-copy exact-duplicate clusters; one near-parallel (but not identical)
+    * copy of base 0 links two collapse groups through a cross edge; three
+    * byte-identical ZERO vectors (NaN cosine to everything, including
+    * themselves) must each stay a keep=true singleton. */
+  private def planted() = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val dim = 16
+    val bases = IndexedSeq.fill(30)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows =
+      bases.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq, i % 3) } ++
+      (0 until 6).flatMap(i => (1 to 4).map(c =>
+        ((100 + 10 * i + c).toLong, bases(i).toSeq, i % 3))) ++
+      Seq((200L, bases(0).map(x => x * (1 + 1e-9)).toSeq, 0)) ++
+      (0 until 3).map(z => ((300 + z).toLong, Seq.fill(dim)(0.0), 1))
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("collapse path equals member-level semantic dedup on a dup-heavy corpus") {
+    val emb = planted()
+    val got = SemDedup.keepList(emb, threshold = 0.95, s = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val want = naive(emb, threshold = 0.95, s = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == want)
+    // zero vectors: all keep, each its own singleton cluster
+    assert((300L to 302L).forall(z => got.contains((z, z, true))))
+    // the 5-copy cluster of base 1 collapses to its minimum id
+    assert(got.contains((1L, 1L, true)) &&
+      (111L to 114L).forall(m => got.contains((m, 1L, false))))
+    // the near-parallel copy of base 0 joins base 0's component
+    assert(got.contains((200L, 0L, false)))
+  }
+
+  test("qe4 keeps every original and drops surviving perturbed copies") {
+    val out = SemDedup.qe4SemanticDedup(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val n = graft.Tables(spark, SparkTestSession.sfDir, "embeddings").count()
+    assert(out.length.toLong == 2 * n - 1)
+    // originals always keep (nothing maps to a lower id)
+    assert(out.filter(_._1 < 100000L).forall(r => r._2 == r._1 && r._3))
+    // dropped perturbed copies point at exactly their source vector; the
+    // quantizer may split some planted pairs across cells (the documented
+    // SemDeDup approximation) but must catch a clear majority
+    val dropped = out.filter(r => !r._3)
+    assert(dropped.forall(r => r._1 == r._2 + 100000L))
+    assert(dropped.length >= (n - 1) * 7 / 10,
+      s"only ${dropped.length} of ${n - 1} planted duplicates dropped")
+  }
+
+  test("subBits clamps to [4, 16] and tracks log2 n - 7") {
+    assert(SemDedup.subBits(1L) == 4)
+    assert(SemDedup.subBits(999L) == 4)        // floor(log2) = 9 -> 2 -> clamp 4
+    assert(SemDedup.subBits(19999L) == 7)      // floor(log2) = 14
+    assert(SemDedup.subBits(1L << 30) == 16)   // 23 -> clamp 16
+  }
+}
