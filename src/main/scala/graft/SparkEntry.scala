@@ -896,9 +896,13 @@ object SparkEntry {
     // count via length(bin(n)) − 1), within-(cell, sub) exact cosine
     // pairs, then a recursive-CTE component resolution (q33's
     // construction) and a left join back to every union document.
-    // isfinite guard: 0/0 cosine is NaN, and NaN >= t is TRUE under
-    // DuckDB's NaN-is-greatest but FALSE in Spark — degenerate vectors
-    // must form no pairs on either side.
+    // isfinite guard: degenerate vectors must form no pairs on either
+    // side. In DuckDB a 0/0 cosine is NaN and NaN >= t is TRUE
+    // (NaN-is-greatest), hence the explicit isfinite. Spark shares the
+    // NaN-is-greatest ordering (and additionally THROWS on double 0/0
+    // under ANSI mode), so the engine routes zero-norm/NaN vectors
+    // around pairing and !isnan-guards its pair filter — the same
+    // exclusion, enforced explicitly on both sides.
     "qe4_semantic_dedup" ->
       """WITH RECURSIVE e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings

@@ -46,16 +46,23 @@ import org.apache.spark.sql.functions._
   * Reference provenance: the reference pipeline has no embedding operators —
   * this is part of the training-data-curation extension surface, next to
   * qs9 (SRP near-dup pairs) and qd10 (text curation keep-list).
+  *
+  * Caveat for dirty corpora: a NaN-component vector is excluded from
+  * PAIRING (it keeps, forms no edges — spec-asserted), but it still
+  * participates in centroid ESTIMATION, where one NaN poisons its cell's
+  * mean and the NaN-is-greatest argmax then attracts every vector to that
+  * cell — quadratic within-cell work at scale. Both engines compute this
+  * identically (parity holds); the operator deliberately does not repair
+  * it. Gate NaN embeddings upstream (the qd3-style quality pass) before
+  * running semantic dedup on uncurated data.
   */
 object SemDedup {
 
   /** Sub-bucket width matched to the corpus: s ≈ ⌊log2 n⌋ − 7, clamped to
     * [4, 16] — with k coarse cells this targets n / (k·2^s) ≈ 128/k vectors
-    * per (cell, sub) group, keeping within-cell pairs linear in n. */
-  def subBits(n: Long): Int = {
-    val lg = 63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))
-    math.min(16, math.max(4, lg - 7))
-  }
+    * per (cell, sub) group, keeping within-cell pairs linear in n. Shares
+    * SrpLsh's clamped-log sizing (the SQL mirror is length(bin(n)) − 1). */
+  def subBits(n: Long): Int = SrpLsh.clampedLogWidth(n, offset = 7, lo = 4, hi = 16)
 
   /** Sign-bit sub-bucket key: bit i set iff component i+1 is >= 0 — an SRP
     * hash over the coordinate hyperplanes, fully reproducible in SQL. */
@@ -70,57 +77,78 @@ object SemDedup {
     * component, keep = is it that minimum). Documents with no near-duplicate
     * are their own singleton component (keep = true).
     *
-    * Degenerate vectors (zero/NaN) have NaN cosine to everything — including
-    * themselves — so they form no pairs and always keep; the per-group
-    * `self_ok` guard reproduces that exactly for byte-identical copies of a
-    * degenerate vector (members must NOT inherit their representative's
-    * label through an edge that the uncollapsed graph would never have). */
+    * Degenerate vectors (zero norm, NaN components) form no pairs and always
+    * keep — enforced EXPLICITLY, because neither engine does it for free:
+    * Spark ANSI mode throws on the 0/0 cosine, and both engines order NaN
+    * greater than any threshold. The per-group `self_ok` guard reproduces
+    * the same exclusion for byte-identical copies of a degenerate vector
+    * (members must NOT inherit their representative's label through an edge
+    * the uncollapsed graph would never have). */
   def keepList(emb: DataFrame, threshold: Double, s: Int): DataFrame = {
     // exact-dup collapse keyed on a 128-bit digest of the vector (two
     // independent xxhash64s), same shape as SrpLsh.nearDups: the group
     // shuffle moves 16-byte keys; each group ships ONE vector via first()
-    val keyed = emb.select(col("vec_id"), col("label"), col("embedding"),
+    val keyed = emb.select(col("vec_id"), col("embedding"),
       xxhash64(lit(1), col("embedding")).as("k1"),
       xxhash64(lit(2), col("embedding")).as("k2"))
     val groups = Collapse.groups(keyed, Seq(col("k1"), col("k2")), col("vec_id"),
-      first(col("embedding")).as("embedding"), first(col("label")).as("label"))
-    val reps = groups.select(col("rep").as("vec_id"), col("label"), col("embedding"))
+      first(col("embedding")).as("embedding"))
+    // label is NOT carried through the collapse: the digest keys only the
+    // vector, so byte-identical embeddings with different labels would make
+    // first(label) partition-order dependent — and assignment depends on
+    // the vector alone (Ann.assignments requires the column but ignores it)
+    val reps = groups.select(col("rep").as("vec_id"), lit(0).as("label"),
+      col("embedding"))
 
     // k-means cells from the FULL corpus (duplicates weight the means,
     // exactly as Lloyd's assignment step would); only REPS get assigned.
-    // Zero-NORM vectors are routed around assignment entirely: their cosine
-    // is 0/0 — an ANSI-mode DIVIDE_BY_ZERO, and semantically they can never
-    // pair (the oracle's isfinite guard excludes them) — they fall through
-    // to the self_ok=false singleton path below.
-    // centroids are k×dim — materialize once as a local relation (the
+    // DEGENERATE vectors are routed around assignment entirely, for two
+    // distinct reasons the oracle's isfinite guard covers with one clause:
+    //   - zero NORM: cosine is 0/0, which under Spark's ANSI mode is a
+    //     DIVIDE_BY_ZERO error on doubles, not an IEEE NaN;
+    //   - NaN self-dot (a NaN/overflowing component): cosine evaluates to
+    //     NaN without error, and Spark's nan-safe ordering makes
+    //     `NaN >= threshold` TRUE (NaN is greatest — same as DuckDB), so
+    //     an unguarded NaN vector would pair with every bucket-mate.
+    // Both fall through to the self_ok=false singleton path below.
+    // Centroids are k×dim — materialize once as a local relation (the
     // (cell, sub) SELF-join below would otherwise recompute the centroid
     // aggregation per side); the assigned reps are checkpointed for the
-    // same reason
+    // same reason.
     val cents = Ann.localCentroids(emb)
-    val live = reps.filter(dot(col("embedding"), col("embedding")) =!= 0)
+    val norm2 = dot(col("embedding"), col("embedding"))
+    val live = reps.filter(norm2 =!= 0 && !isnan(norm2))
     val assigned = Ann.assignments(live, cents)
       .withColumn("sub", signBucket(col("v"), s))
       .localCheckpoint(true)
 
-    // within-(cell, sub) exact-cosine verification over representatives
+    // within-(cell, sub) exact-cosine verification over representatives.
+    // The !isnan guard mirrors the oracle's isfinite clause: component
+    // overflow can still produce a NaN cosine between two finite-norm
+    // vectors, and NaN passes >= under nan-safe ordering.
     val a = assigned.as("a"); val b = assigned.as("b")
+    val sim = round(cosine(col("a.v"), col("b.v")), 6)
     val repPairs = a.join(b,
         col("a.cell") === col("b.cell") && col("a.sub") === col("b.sub") &&
         col("a.vec_id") < col("b.vec_id"))
-      .filter(round(cosine(col("a.v"), col("b.v")), 6) >= threshold)
+      .filter(!isnan(sim) && sim >= threshold)
       .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
 
     // components on the representative graph; members attach to their rep's
     // component iff their (byte-identical) self-cosine passes the threshold
     val repCC = Clusters.connectedComponents(repPairs)
       .withColumnRenamed("doc_id", "rep").withColumnRenamed("cluster_rep", "comp")
-    // CaseWhen branches evaluate lazily, so the zero-norm guard reliably
-    // prevents the 0/0 ANSI error (an AND conjunct could be reordered)
+    // self_ok must be EXACTLY "would the uncollapsed (member, rep) pair
+    // have been emitted": the CaseWhen routes zero-norm around the 0/0
+    // ANSI error (branches evaluate lazily; an AND conjunct could be
+    // reordered), and the otherwise-branch repeats the pair filter's
+    // !isnan >= predicate so NaN self-similarity never attaches members
+    val selfNorm = dot(col("embedding"), col("embedding"))
+    val selfSim = round(cosine(col("embedding"), col("embedding")), 6)
     val labels = groups
       .select(col("rep"), explode(col("members")).as("vec_id"),
-        when(dot(col("embedding"), col("embedding")) === 0, lit(false))
-          .otherwise(round(cosine(col("embedding"), col("embedding")), 6)
-            >= threshold).as("self_ok"))
+        when(selfNorm === 0 || isnan(selfNorm), lit(false))
+          .otherwise(!isnan(selfSim) && selfSim >= threshold).as("self_ok"))
       .join(repCC, Seq("rep"), "left")
       .select(col("vec_id"),
         when(col("self_ok"), coalesce(col("comp"), col("rep")))

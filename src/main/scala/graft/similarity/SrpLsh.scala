@@ -43,9 +43,15 @@ object SrpLsh {
     * ~6e−6 at b = 13 (sf1 bench scale); pairs exactly AT 0.95 see the
     * standard LSH S-curve decay, the documented approximation trade of
     * width-vs-recall every production SRP index makes. */
-  def adaptiveBits(n: Long): Int = {
+  def adaptiveBits(n: Long): Int = clampedLogWidth(n, offset = 2, lo = 8, hi = 20)
+
+  /** Shared clamped-log bucket-width policy: ⌊log2 n⌋ − offset in [lo, hi].
+    * Kept in one place so the SRP table width and SemDedup's sub-bucket
+    * width (and their in-SQL mirror, length(bin(n)) − 1 − offset) cannot
+    * drift apart. */
+  private[similarity] def clampedLogWidth(n: Long, offset: Int, lo: Int, hi: Int): Int = {
     val lg = 63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))
-    math.min(20, math.max(8, lg - 2))
+    math.min(hi, math.max(lo, lg - offset))
   }
 
   /** b-bit bucket id of an embedding column for one table's planes

@@ -15,17 +15,18 @@ class SemDedupSpec extends AnyFunSuite {
     * uncollapsed semantics keepList must reproduce exactly. */
   private def naive(emb: DataFrame, threshold: Double, s: Int): DataFrame = {
     val cents = Ann.centroids(emb)
-    // same zero-norm routing as keepList: 0/0 cosine is an ANSI error and
-    // degenerate vectors can never pair — they stay unpaired singletons
-    val live = emb.filter(
-      graft.operators.VectorOps.dot(col("embedding"), col("embedding")) =!= 0)
+    // same degenerate-vector routing as keepList: 0/0 cosine is an ANSI
+    // error, NaN passes >= under nan-safe ordering — neither may pair
+    val norm2 = graft.operators.VectorOps.dot(col("embedding"), col("embedding"))
+    val live = emb.filter(norm2 =!= 0 && !isnan(norm2))
     val assigned = Ann.assignments(live, cents)
       .withColumn("sub", SemDedup.signBucket(col("v"), s))
     val a = assigned.as("a"); val b = assigned.as("b")
+    val sim = round(cosine(col("a.v"), col("b.v")), 6)
     val pairs = a.join(b,
         col("a.cell") === col("b.cell") && col("a.sub") === col("b.sub") &&
         col("a.vec_id") < col("b.vec_id"))
-      .filter(round(cosine(col("a.v"), col("b.v")), 6) >= threshold)
+      .filter(!isnan(sim) && sim >= threshold)
       .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
     val cc = Clusters.connectedComponents(pairs)
       .withColumnRenamed("doc_id", "vec_id").withColumnRenamed("cluster_rep", "cmin")
@@ -37,19 +38,23 @@ class SemDedupSpec extends AnyFunSuite {
   /** Duplicate-heavy planted corpus: 30 random bases; the first 6 appear as
     * 5-copy exact-duplicate clusters; one near-parallel (but not identical)
     * copy of base 0 links two collapse groups through a cross edge; three
-    * byte-identical ZERO vectors (NaN cosine to everything, including
-    * themselves) must each stay a keep=true singleton. */
+    * byte-identical ZERO vectors (0/0 cosine — an ANSI error if ever
+    * divided) and two byte-identical NaN-component vectors (NaN cosine,
+    * which passes >= under nan-safe ordering if unguarded) must each stay
+    * a keep=true singleton. */
   private def planted() = {
     import spark.implicits._
     val rnd = new scala.util.Random(19)
     val dim = 16
     val bases = IndexedSeq.fill(30)(Array.fill(dim)(rnd.nextGaussian()))
+    val nanVec = bases(2).updated(3, Double.NaN)
     val rows =
       bases.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq, i % 3) } ++
       (0 until 6).flatMap(i => (1 to 4).map(c =>
         ((100 + 10 * i + c).toLong, bases(i).toSeq, i % 3))) ++
       Seq((200L, bases(0).map(x => x * (1 + 1e-9)).toSeq, 0)) ++
-      (0 until 3).map(z => ((300 + z).toLong, Seq.fill(dim)(0.0), 1))
+      (0 until 3).map(z => ((300 + z).toLong, Seq.fill(dim)(0.0), 1)) ++
+      (0 until 2).map(z => ((400 + z).toLong, nanVec.toSeq, 2))
     rows.toDF("vec_id", "embedding", "label")
   }
 
@@ -60,8 +65,11 @@ class SemDedupSpec extends AnyFunSuite {
     val want = naive(emb, threshold = 0.95, s = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
     assert(got == want)
-    // zero vectors: all keep, each its own singleton cluster
+    // zero and NaN vectors: all keep, each its own singleton cluster —
+    // even though the NaN pair is byte-identical and would share every
+    // bucket if it were assigned
     assert((300L to 302L).forall(z => got.contains((z, z, true))))
+    assert((400L to 401L).forall(z => got.contains((z, z, true))))
     // the 5-copy cluster of base 1 collapses to its minimum id
     assert(got.contains((1L, 1L, true)) &&
       (111L to 114L).forall(m => got.contains((m, 1L, false))))
