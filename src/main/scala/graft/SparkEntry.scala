@@ -114,6 +114,11 @@ object SparkEntry {
     // SemDeDup-style semantic dedup: k-means cell × sign-bit sub-bucket
     // quantizer, within-cell exact cosine, rep-graph components → keep-list
     "qe4_semantic_dedup"   -> (graft.similarity.SemDedup.qe4SemanticDedup _),
+    // streaming incremental semantic dedup: frozen quantizer, per-batch
+    // novel-digest assignment probing the persisted cell index, final
+    // keep-list == batch qe4 (shares its oracle)
+    "qs15_stream_semdedup" -> ((s, d) =>
+      graft.streaming.SemDedupStream.qs15StreamSemDedup(s, d)),
   )
 
   /** Benchmark-only queries: measured by `graft.Bench` but NOT part of
@@ -177,6 +182,70 @@ object SparkEntry {
         |SELECT q_id, rank, cand_id, sim FROM r
         |WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin
+
+  /** DuckDB oracle for semantic dedup — shared by qe4 (batch) and
+    * qs15 (streaming): see the binding comment in oracleSql. */
+  private val semanticDedupOracle: String =
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |), pert AS (
+        |  SELECT a.vec_id + 100000 AS vec_id, a.label,
+        |    list_transform(range(1, len(a.v) + 1),
+        |      i -> 0.95 * a.v[i] + 0.05 * c.v[i]) AS v
+        |  FROM e a JOIN e c ON c.vec_id = a.vec_id + 1
+        |), u AS (
+        |  SELECT vec_id, label, v FROM e
+        |  UNION ALL SELECT vec_id, label, v FROM pert
+        |), params AS (
+        |  SELECT greatest(4, least(16, length(bin(count(*))) - 1 - 7)) AS s
+        |  FROM u
+        |), comp AS (
+        |  SELECT label AS cell, i AS dim, avg(v[i::INT]) AS m
+        |  FROM u CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
+        |  GROUP BY label, i
+        |), cents AS (
+        |  SELECT cell, list(m ORDER BY dim) AS centroid FROM comp GROUP BY cell
+        |), assign AS (
+        |  SELECT vec_id, cell, v FROM (
+        |    SELECT u.vec_id, c.cell, u.v,
+        |      row_number() OVER (PARTITION BY u.vec_id ORDER BY
+        |        round(list_inner_product(u.v, c.centroid)
+        |          / (sqrt(list_inner_product(u.v, u.v))
+        |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
+        |        c.cell) AS rk
+        |    FROM u CROSS JOIN cents c
+        |  ) WHERE rk = 1
+        |), sb AS (
+        |  SELECT vec_id, cell, v,
+        |    list_sum(list_transform(range(0, p.s),
+        |      i -> CASE WHEN v[(i + 1)::INT] >= 0 THEN (1::BIGINT << i)
+        |           ELSE 0 END)) AS sub
+        |  FROM assign CROSS JOIN params p
+        |), pr AS (
+        |  SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b
+        |  FROM sb a JOIN sb b2
+        |    ON a.cell = b2.cell AND a.sub = b2.sub AND a.vec_id < b2.vec_id
+        |  WHERE isfinite(round(list_inner_product(a.v, b2.v)
+        |      / (sqrt(list_inner_product(a.v, a.v))
+        |         * sqrt(list_inner_product(b2.v, b2.v))), 6))
+        |    AND round(list_inner_product(a.v, b2.v)
+        |      / (sqrt(list_inner_product(a.v, a.v))
+        |         * sqrt(list_inner_product(b2.v, b2.v))), 6) >= 0.95
+        |), ed AS (
+        |  SELECT doc_a AS ea, doc_b AS eb FROM pr
+        |  UNION SELECT doc_b, doc_a FROM pr
+        |), rr(src, reach) AS (
+        |  SELECT ea, ea FROM (SELECT DISTINCT ea FROM ed)
+        |  UNION
+        |  SELECT rr.src, ed.eb FROM rr JOIN ed ON rr.reach = ed.ea
+        |), cc AS (
+        |  SELECT src AS vec_id, min(reach) AS cmin FROM rr GROUP BY src
+        |)
+        |SELECT u.vec_id,
+        |  coalesce(cc.cmin, u.vec_id) AS cluster_rep,
+        |  (coalesce(cc.cmin, u.vec_id) = u.vec_id) AS keep
+        |FROM u LEFT JOIN cc USING (vec_id)
+        |ORDER BY u.vec_id""".stripMargin
 
   /** DuckDB-runnable oracle SQL, one per `queries` key. */
   def oracleSql: Map[String, String] = Map(
@@ -903,67 +972,13 @@ object SparkEntry {
     // under ANSI mode), so the engine routes zero-norm/NaN vectors
     // around pairing and !isnan-guards its pair filter — the same
     // exclusion, enforced explicitly on both sides.
-    "qe4_semantic_dedup" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-        |), pert AS (
-        |  SELECT a.vec_id + 100000 AS vec_id, a.label,
-        |    list_transform(range(1, len(a.v) + 1),
-        |      i -> 0.95 * a.v[i] + 0.05 * c.v[i]) AS v
-        |  FROM e a JOIN e c ON c.vec_id = a.vec_id + 1
-        |), u AS (
-        |  SELECT vec_id, label, v FROM e
-        |  UNION ALL SELECT vec_id, label, v FROM pert
-        |), params AS (
-        |  SELECT greatest(4, least(16, length(bin(count(*))) - 1 - 7)) AS s
-        |  FROM u
-        |), comp AS (
-        |  SELECT label AS cell, i AS dim, avg(v[i::INT]) AS m
-        |  FROM u CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
-        |  GROUP BY label, i
-        |), cents AS (
-        |  SELECT cell, list(m ORDER BY dim) AS centroid FROM comp GROUP BY cell
-        |), assign AS (
-        |  SELECT vec_id, cell, v FROM (
-        |    SELECT u.vec_id, c.cell, u.v,
-        |      row_number() OVER (PARTITION BY u.vec_id ORDER BY
-        |        round(list_inner_product(u.v, c.centroid)
-        |          / (sqrt(list_inner_product(u.v, u.v))
-        |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
-        |        c.cell) AS rk
-        |    FROM u CROSS JOIN cents c
-        |  ) WHERE rk = 1
-        |), sb AS (
-        |  SELECT vec_id, cell, v,
-        |    list_sum(list_transform(range(0, p.s),
-        |      i -> CASE WHEN v[(i + 1)::INT] >= 0 THEN (1::BIGINT << i)
-        |           ELSE 0 END)) AS sub
-        |  FROM assign CROSS JOIN params p
-        |), pr AS (
-        |  SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b
-        |  FROM sb a JOIN sb b2
-        |    ON a.cell = b2.cell AND a.sub = b2.sub AND a.vec_id < b2.vec_id
-        |  WHERE isfinite(round(list_inner_product(a.v, b2.v)
-        |      / (sqrt(list_inner_product(a.v, a.v))
-        |         * sqrt(list_inner_product(b2.v, b2.v))), 6))
-        |    AND round(list_inner_product(a.v, b2.v)
-        |      / (sqrt(list_inner_product(a.v, a.v))
-        |         * sqrt(list_inner_product(b2.v, b2.v))), 6) >= 0.95
-        |), ed AS (
-        |  SELECT doc_a AS ea, doc_b AS eb FROM pr
-        |  UNION SELECT doc_b, doc_a FROM pr
-        |), rr(src, reach) AS (
-        |  SELECT ea, ea FROM (SELECT DISTINCT ea FROM ed)
-        |  UNION
-        |  SELECT rr.src, ed.eb FROM rr JOIN ed ON rr.reach = ed.ea
-        |), cc AS (
-        |  SELECT src AS vec_id, min(reach) AS cmin FROM rr GROUP BY src
-        |)
-        |SELECT u.vec_id,
-        |  coalesce(cc.cmin, u.vec_id) AS cluster_rep,
-        |  (coalesce(cc.cmin, u.vec_id) = u.vec_id) AS keep
-        |FROM u LEFT JOIN cc USING (vec_id)
-        |ORDER BY u.vec_id""".stripMargin,
+    // Shared by qe4 (batch) and qs15 (streaming): the stream's frozen
+    // quantizer is trained on the same full union, its pair graph is
+    // digest-identical, and its final resolution re-minimizes labels
+    // over members, so both forms compute this exact result.
+    "qe4_semantic_dedup" -> semanticDedupOracle,
+    "qs15_stream_semdedup" -> semanticDedupOracle,
+
 
     "qe3_label_stats" ->
       """WITH e AS (

@@ -94,7 +94,7 @@ object Ann {
     * posexplode aggregation per consumer (audit showed the shared plan
     * paid 12 shuffles: both branches re-derived it). Unlike `.cache()`
     * this leaves nothing persisted behind after repeated calls. */
-  private[similarity] def localCentroids(emb: DataFrame): DataFrame = {
+  private[graft] def localCentroids(emb: DataFrame): DataFrame = {
     val centsPlan = centroids(emb)
     emb.sparkSession.createDataFrame(
       java.util.Arrays.asList(centsPlan.collect(): _*), centsPlan.schema)

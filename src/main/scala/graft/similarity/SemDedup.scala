@@ -157,14 +157,15 @@ object SemDedup {
     graft.plans.ScaleTechniques.sortedOutput(labels, Seq("vec_id"))
   }
 
-  /** qe4 entry: semantic dedup at cosine >= 0.95 over the corpus UNION its
+  /** The planted ground-truth corpus shared by qe4 and its streaming form
+    * (streaming.SemDedupStream): the embeddings table UNION its
     * deterministic perturbed copy (the qs9 construction: w_i = 0.95·v_i +
     * 0.05·v_{i+1}, id +100000, pure double arithmetic the oracle reproduces
-    * bit-exactly) — the raw isotropic corpus has no semantic duplicates, so
-    * the query plants its own ground truth: each perturbed copy should DROP
-    * (cluster_rep = its source, keep = false) whenever the pair survives the
-    * quantizer, and every original should KEEP. */
-  def qe4SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    * bit-exactly). The raw isotropic corpus has no semantic duplicates, so
+    * the union plants its own: each perturbed copy should DROP
+    * (cluster_rep = its source, keep = false) whenever the pair survives
+    * the quantizer, and every original should KEEP. */
+  def plantedUnion(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("embedding"))
@@ -174,10 +175,15 @@ object SemDedup {
       .select((col("vec_id") + 100000L).as("vec_id"), col("label"),
         zip_with(col("embedding"), col("next_emb"),
           (x, y) => lit(0.95) * x + lit(0.05) * y).as("embedding"))
+    e.unionByName(perturbed)
+  }
+
+  /** qe4 entry: semantic dedup at cosine >= 0.95 over the planted union. */
+  def qe4SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     // materialize the derived union once: the centroid aggregation, the
     // collapse groupBy, and the width count would each recompute the
     // perturbation join otherwise
-    val u = e.unionByName(perturbed).localCheckpoint(true)
+    val u = plantedUnion(spark, dir).localCheckpoint(true)
     keepList(u, threshold = 0.95, s = subBits(u.count()))
   }
 }
