@@ -71,6 +71,42 @@ object SemDedup {
       when(element_at(v, i + 1) >= lit(0.0), lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /** Self-pair admission predicate — EXACTLY "would the uncollapsed
+    * (member, rep) pair have been emitted": the CaseWhen routes zero-norm
+    * around the 0/0 ANSI error (branches evaluate lazily; an AND conjunct
+    * could be reordered), and the otherwise-branch repeats the pair
+    * filter's !isnan >= shape so NaN self-similarity never attaches
+    * members. Shared by the batch keepList and the streaming form. */
+  private[graft] def selfOkCol(v: Column, threshold: Double): Column = {
+    val n2 = dot(v, v)
+    val s = round(cosine(v, v), 6)
+    when(n2 === 0 || isnan(n2), lit(false)).otherwise(!isnan(s) && s >= threshold)
+  }
+
+  /** Shared label-resolution tail: member rows (vec_id, rep, self_ok) ×
+    * rep-level components (rep, comp) → (vec_id, cluster_rep, keep).
+    * The component label is re-MINIMIZED over member ids per group
+    * partition: in the batch form reps are already group minima (so this
+    * equals the direct coalesce labeling), and in the streaming form a
+    * group's first-arriving member need not be its minimum — one formula
+    * serves both, keeping the shared-oracle contract in one place. */
+  private[graft] def resolveLabels(members: DataFrame, repCC: DataFrame): DataFrame = {
+    // base feeds both the group-minimum aggregate and the label join —
+    // checkpoint so the member/component joins run once
+    val base = members.join(repCC, Seq("rep"), "left")
+      .select(col("vec_id"), col("self_ok"),
+        when(col("self_ok"), coalesce(col("comp"), col("rep")))
+          .otherwise(col("vec_id")).as("grp"))
+      .localCheckpoint(true)
+    val grpMin = base.filter(col("self_ok"))
+      .groupBy("grp").agg(min("vec_id").as("cluster_rep"))
+    val labels = base.join(grpMin, Seq("grp"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_rep"), col("vec_id")).as("cluster_rep"))
+      .withColumn("keep", col("cluster_rep") === col("vec_id"))
+    graft.plans.ScaleTechniques.sortedOutput(labels, Seq("vec_id"))
+  }
+
   /** Per-document semantic-dedup decision over `emb`
     * (vec_id bigint, label, embedding array<double>): one output row per
     * input document — (vec_id, cluster_rep = min vec_id of its duplicate
@@ -136,25 +172,13 @@ object SemDedup {
 
     // components on the representative graph; members attach to their rep's
     // component iff their (byte-identical) self-cosine passes the threshold
+    // (selfOkCol), with labels resolved by the shared tail
     val repCC = Clusters.connectedComponents(repPairs)
       .withColumnRenamed("doc_id", "rep").withColumnRenamed("cluster_rep", "comp")
-    // self_ok must be EXACTLY "would the uncollapsed (member, rep) pair
-    // have been emitted": the CaseWhen routes zero-norm around the 0/0
-    // ANSI error (branches evaluate lazily; an AND conjunct could be
-    // reordered), and the otherwise-branch repeats the pair filter's
-    // !isnan >= predicate so NaN self-similarity never attaches members
-    val selfNorm = dot(col("embedding"), col("embedding"))
-    val selfSim = round(cosine(col("embedding"), col("embedding")), 6)
-    val labels = groups
+    val members = groups
       .select(col("rep"), explode(col("members")).as("vec_id"),
-        when(selfNorm === 0 || isnan(selfNorm), lit(false))
-          .otherwise(!isnan(selfSim) && selfSim >= threshold).as("self_ok"))
-      .join(repCC, Seq("rep"), "left")
-      .select(col("vec_id"),
-        when(col("self_ok"), coalesce(col("comp"), col("rep")))
-          .otherwise(col("vec_id")).as("cluster_rep"))
-      .withColumn("keep", col("cluster_rep") === col("vec_id"))
-    graft.plans.ScaleTechniques.sortedOutput(labels, Seq("vec_id"))
+        selfOkCol(col("embedding"), threshold).as("self_ok"))
+    resolveLabels(members, repCC)
   }
 
   /** The planted ground-truth corpus shared by qe4 and its streaming form

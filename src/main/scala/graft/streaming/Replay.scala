@@ -259,9 +259,9 @@ object Replay {
       StructField("rep_b", LongType), StructField("jaccard", DoubleType)))
     val bandsSchema = StructType(Seq(StructField("rep", LongType),
       StructField("band_idx", IntegerType), StructField("band_hash", LongType)))
-    @volatile var gen = 0
-    @volatile var batchesInGen = 0
-    @volatile var hasState = false
+    val state = new AppendOnlyState(work,
+      Seq(("mem", memSchema), ("reps", repsSchema), ("pairs", pairsSchema),
+        ("bands", bandsSchema)), compactEvery)
     @volatile var emittedAny = false
     bandRowsPerBatch.clear()
     val q = spark.readStream.schema(docsSchema)
@@ -279,18 +279,13 @@ object Replay {
           .toDF("doc_id", "txt_md5", "sh", "bands")
           .filter(size(col("sh")) > 0)
           .localCheckpoint(true)
-        // explicit-schema reads: an append dir whose only batches were
-        // empty has no data files to infer from. All state reads are
-        // consumed (via the eager newRepPairs/emitted checkpoints) BEFORE
-        // this batch appends — a parquet DataFrame re-lists files at each
-        // action, so a late-bound read would see this batch's own writes.
-        def readState(table: String, schema: StructType): DataFrame =
-          if (hasState) ss.read.schema(schema).parquet(s"$work/g$gen/$table")
-          else ss.createDataFrame(ss.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        val prevMem = readState("mem", memSchema)
-        val prevReps = readState("reps", repsSchema)
-        val prevPairs = readState("pairs", pairsSchema)
-        val prevBandIdx = readState("bands", bandsSchema)
+        // all state reads are consumed (via the eager newRepPairs/emitted
+        // checkpoints) BEFORE this batch's endBatch appends — the
+        // read-before-append contract documented on AppendOnlyState
+        val prevMem = state.read(ss, "mem")
+        val prevReps = state.read(ss, "reps")
+        val prevPairs = state.read(ss, "pairs")
+        val prevBandIdx = state.read(ss, "bands")
         val bGroups = bSigs.groupBy("txt_md5")
           .agg(min("doc_id").as("cand_rep"))
         val newMem = bSigs.select(col("txt_md5"), col("doc_id"))
@@ -363,29 +358,10 @@ object Replay {
         }
         // append-only state rollover: O(batch) rows written per table per
         // batch (the r4 versioned-dir scheme rewrote the FULL state each
-        // batch — O(total) I/O)
-        val stateDir = s"$work/g$gen"
-        newMem.write.mode("append").parquet(s"$stateDir/mem")
-        novelReps.write.mode("append").parquet(s"$stateDir/reps")
-        newRepPairs.write.mode("append").parquet(s"$stateDir/pairs")
-        newBands.write.mode("append").parquet(s"$stateDir/bands")
-        hasState = true
-        batchesInGen += 1
-        // generational compaction: fold the accumulated per-batch files
-        // into a few larger ones so a long-running stream's state dirs
-        // stay readable; the superseded generation is deleted (a durable
-        // deployment would size the coalesce by bytes, not a constant)
-        if (batchesInGen >= compactEvery) {
-          val next = s"$work/g${gen + 1}"
-          Seq(("mem", memSchema), ("reps", repsSchema), ("pairs", pairsSchema),
-            ("bands", bandsSchema)).foreach { case (t, sch) =>
-            ss.read.schema(sch).parquet(s"$stateDir/$t")
-              .coalesce(4).write.mode("overwrite").parquet(s"$next/$t")
-          }
-          deleteRecursively(new java.io.File(stateDir))
-          gen += 1
-          batchesInGen = 0
-        }
+        // batch — O(total) I/O); generational compaction handled by the
+        // shared AppendOnlyState
+        state.endBatch(ss, "mem" -> newMem, "reps" -> novelReps,
+          "pairs" -> newRepPairs, "bands" -> newBands)
         ()
       }
       .start()

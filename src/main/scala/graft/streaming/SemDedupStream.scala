@@ -91,9 +91,9 @@ object SemDedupStream {
       StructField("v", ArrayType(DoubleType))))
     val pairsSchema = StructType(Seq(StructField("rep_a", LongType),
       StructField("rep_b", LongType)))
-    @volatile var gen = 0
-    @volatile var batchesInGen = 0
-    @volatile var hasState = false
+    val state = new AppendOnlyState(work,
+      Seq(("mem", memSchema), ("reps", repsSchema), ("pairs", pairsSchema)),
+      compactEvery)
     probeRowsPerBatch.clear()
     val q = spark.readStream.schema(embStreamSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
@@ -103,10 +103,7 @@ object SemDedupStream {
       .option("checkpointLocation", s"$work/ckpt")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val ss = batch.sparkSession
-        def readState(table: String, schema: StructType): DataFrame =
-          if (hasState) ss.read.schema(schema).parquet(s"$work/g$gen/$table")
-          else ss.createDataFrame(ss.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        val prevReps = readState("reps", repsSchema)
+        val prevReps = state.read(ss, "reps")
         // (1) digest + within-batch collapse (first-arrival minimum is the
         // candidate rep; the final resolution re-minimizes over members, so
         // arrival order cannot leak into the answer)
@@ -151,59 +148,34 @@ object SemDedupStream {
           .distinct()
           .localCheckpoint(true)
         // (3) O(batch) appends
-        val stateDir = s"$work/g$gen"
-        newMem.write.mode("append").parquet(s"$stateDir/mem")
-        newAssigned.unionByName(degenerate).write.mode("append").parquet(s"$stateDir/reps")
-        newPairs.write.mode("append").parquet(s"$stateDir/pairs")
-        hasState = true
-        batchesInGen += 1
-        if (batchesInGen >= compactEvery) {
-          val next = s"$work/g${gen + 1}"
-          Seq(("mem", memSchema), ("reps", repsSchema), ("pairs", pairsSchema))
-            .foreach { case (t, sch) =>
-              ss.read.schema(sch).parquet(s"$stateDir/$t")
-                .coalesce(4).write.mode("overwrite").parquet(s"$next/$t")
-            }
-          Replay.deleteRecursively(new java.io.File(stateDir))
-          gen += 1
-          batchesInGen = 0
-        }
+        state.endBatch(ss, "mem" -> newMem,
+          "reps" -> newAssigned.unionByName(degenerate),
+          "pairs" -> newPairs)
         ()
       }
       .start()
     q.awaitTermination()
 
-    if (!hasState) {
+    if (!state.nonEmpty) {
       import spark.implicits._
       return Seq.empty[(Long, Long, Boolean)].toDF("vec_id", "cluster_rep", "keep")
     }
     // final resolution: components over the accumulated rep pairs, members
-    // attached through the digest map, component label = MINIMUM member id
-    // (not the first-arrival rep id), so the result is arrival-order-free
-    // and equals the batch keepList exactly
-    val mem = spark.read.schema(memSchema).parquet(s"$work/g$gen/mem")
-    val reps = spark.read.schema(repsSchema).parquet(s"$work/g$gen/reps")
-    val pairs = spark.read.schema(pairsSchema).parquet(s"$work/g$gen/pairs")
+    // attached through the digest map, labels resolved by the tail SHARED
+    // with the batch form (SemDedup.resolveLabels re-minimizes over member
+    // ids, so a first-arrival rep that is not its group's minimum cannot
+    // leak arrival order into the answer)
+    val mem = state.read(spark, "mem")
+    val reps = state.read(spark, "reps")
+    val pairs = state.read(spark, "pairs")
     val repCC = graft.dedup.Clusters.connectedComponents(
         pairs.toDF("doc_a", "doc_b"))
       .withColumnRenamed("doc_id", "rep").withColumnRenamed("cluster_rep", "comp")
-    val selfNorm = dot(col("v"), col("v"))
-    val selfSim = round(cosine(col("v"), col("v")), 6)
     val repMeta = reps.select(col("k1"), col("k2"), col("rep"),
-      when(selfNorm === 0 || isnan(selfNorm), lit(false))
-        .otherwise(!isnan(selfSim) && selfSim >= threshold).as("self_ok"))
-    val base = mem.join(repMeta, Seq("k1", "k2"))
-      .join(repCC, Seq("rep"), "left")
-      .select(col("vec_id"), col("self_ok"),
-        when(col("self_ok"), coalesce(col("comp"), col("rep")))
-          .otherwise(col("vec_id")).as("grp"))
-    val grpMin = base.filter(col("self_ok"))
-      .groupBy("grp").agg(min("vec_id").as("cluster_rep"))
-    val labels = base.join(grpMin, Seq("grp"), "left")
-      .select(col("vec_id"),
-        coalesce(col("cluster_rep"), col("vec_id")).as("cluster_rep"))
-      .withColumn("keep", col("cluster_rep") === col("vec_id"))
-    graft.plans.ScaleTechniques.sortedOutput(labels, Seq("vec_id"))
+      SemDedup.selfOkCol(col("v"), threshold).as("self_ok"))
+    val members = mem.join(repMeta, Seq("k1", "k2"))
+      .select(col("vec_id"), col("rep"), col("self_ok"))
+    SemDedup.resolveLabels(members, repCC)
   }
 
   /** qs15 entry: the planted qe4 union staged as an id-range-partitioned
