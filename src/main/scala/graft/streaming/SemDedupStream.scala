@@ -181,9 +181,15 @@ object SemDedupStream {
   /** qs15 entry: the planted qe4 union staged as an id-range-partitioned
     * multi-file lake, streamed one file per micro-batch through the frozen
     * quantizer — the final keep-list equals batch qe4, so it shares qe4's
-    * oracle. */
+    * oracle. Two range files split originals from their (+100000-id)
+    * perturbed copies, so EVERY planted pair crosses the batch boundary:
+    * batch 2 finds all of them by probing batch 1's persisted index.
+    * (More batches, shuffled arrival, and mid-stream compaction are
+    * exercised in SemDedupStreamSpec; each extra micro-batch costs fixed
+    * stream machinery at bench scale, so the entry keeps the minimal
+    * boundary-crossing shape.) */
   def qs15StreamSemDedup(spark: SparkSession, dir: String,
-                         files: Int = 4): DataFrame = {
+                         files: Int = 2): DataFrame = {
     val u = SemDedup.plantedUnion(spark, dir).localCheckpoint(true)
     val staged = Files.createTempDirectory("graft_semdedup_lake").toString
     Replay.cleanupAtExit(staged)

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import graft.SparkTestSession
 import graft.similarity.{Ann, SemDedup}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -31,11 +31,11 @@ class SemDedupStreamSpec extends AnyFunSuite {
     rows.toDF("vec_id", "embedding", "label")
   }
 
-  private def stage(df: DataFrame, files: Int): String = {
+  private def stage(df: DataFrame, files: Int, byCol: Column = col("vec_id")): String = {
     val dir = Files.createTempDirectory("semdedup_stream_spec").toString
     Replay.cleanupAtExit(dir)
     df.select(col("vec_id"), col("embedding"))
-      .repartitionByRange(files, col("vec_id"))
+      .repartitionByRange(files, byCol)
       .write.mode("overwrite").parquet(dir)
     dir
   }
@@ -56,6 +56,19 @@ class SemDedupStreamSpec extends AnyFunSuite {
     // degenerate vectors survive streaming too: singletons, keep=true
     assert((300L to 302L).forall(z => got.contains((z, z, true))))
     assert((400L to 401L).forall(z => got.contains((z, z, true))))
+  }
+
+  test("final labels are independent of arrival order") {
+    val emb = planted()
+    val cents = Ann.localCentroids(emb)
+    val want = asSet(SemDedup.keepList(emb, threshold = 0.95, s = 4))
+    // stage range-partitioned on the NEGATED id: the first-listed files
+    // hold the HIGHEST ids, so duplicate groups' first-arriving members
+    // are not their minima — the resolution must re-minimize
+    val staged = stage(emb, files = 3, byCol = -col("vec_id"))
+    val got = asSet(SemDedupStream.streamKeepList(spark, staged, cents, s = 4,
+      maxFilesPerTrigger = 1, compactEvery = 2))
+    assert(got == want)
   }
 
   test("per-batch assignment work is proportional to the batch's novel digests") {
