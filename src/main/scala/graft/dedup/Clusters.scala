@@ -29,6 +29,18 @@ object Clusters {
       .distinct()
       .withColumn("comp", col("doc_id"))
       .cache()
+    // convergence detector: every step assigns comp' = least(comp, min
+    // neighbor comp) <= comp, so labels are MONOTONE NON-INCREASING and
+    // the label total strictly decreases iff any vertex changed — one
+    // cheap aggregate over the just-checkpointed frame replaces a
+    // next-vs-previous join + count per iteration (fewer driver barriers,
+    // the cost that dominates small-diameter graphs). DECIMAL(38) sum:
+    // a long sum can overflow at warehouse-scale id × vertex counts.
+    def labelTotal(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal = {
+      val t = df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (t == null) java.math.BigDecimal.ZERO else t // empty graph
+    }
+    var total = labelTotal(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -43,8 +55,7 @@ object Clusters {
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("n_comp"), col("comp"))).as("comp"))
         .localCheckpoint(true)
-      val changed = next.as("n").join(labels.as("o"), "doc_id")
-        .filter(col("n.comp") =!= col("o.comp")).count()
+      val nextTotal = labelTotal(next)
       // release the superseded generation: the iteration-0 `.cache()` is
       // dropped from the SQL cache here (it was never unpersisted before —
       // one leaked cached DF per invocation); later generations are
@@ -52,7 +63,8 @@ object Clusters {
       // rebind drops the last reference
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextTotal.compareTo(total) == 0
+      total = nextTotal
       iter += 1
     }
     edges.unpersist()
