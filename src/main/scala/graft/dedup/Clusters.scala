@@ -36,9 +36,19 @@ object Clusters {
     // next-vs-previous join + count per iteration (fewer driver barriers,
     // the cost that dominates small-diameter graphs). DECIMAL(38) sum:
     // a long sum can overflow at warehouse-scale id × vertex counts.
-    def labelTotal(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal = {
-      val t = df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
-      if (t == null) java.math.BigDecimal.ZERO else t // empty graph
+    // The sum is null in exactly three cases — empty frame (fine: ZERO),
+    // non-numeric ids whose cast nulls out, or decimal overflow — and the
+    // latter two MUST fail loudly: mapping them to ZERO would declare
+    // convergence after one hop and return partially-propagated labels.
+    def labelTotal(df: DataFrame): java.math.BigDecimal = {
+      val casted = col("comp").cast("decimal(38,0)")
+      val r = df.agg(sum(casted), count(lit(1)), count(casted)).head()
+      val (t, n, c) = (r.getDecimal(0), r.getLong(1), r.getLong(2))
+      require(n == c,
+        s"connectedComponents needs numeric ids ($c of $n rows castable)")
+      require(t != null || n == 0,
+        "label-sum overflow: id totals exceed decimal(38,0)")
+      if (t == null) java.math.BigDecimal.ZERO else t
     }
     var total = labelTotal(labels)
     var iter = 0
