@@ -21,6 +21,9 @@ object Bench {
   val Passes: Int =
     sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
 
+  /** SPARK_GRAFT_BENCH_DEBUG=1 → per-query storage census on stderr. */
+  val debug: Boolean = sys.env.get("SPARK_GRAFT_BENCH_DEBUG").contains("1")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.driverLocal()
@@ -66,8 +69,22 @@ object Bench {
             Some((System.nanoTime() - t0) / 1e9)
           } catch { case e: Throwable =>
             System.err.println(s"[bench] pass $p $name failed: ${e.getMessage}")
+            // a failure can leave a session memo PARTIALLY materialized;
+            // the boundary release below would then drop checkpoints its
+            // unmaterialized partitions still need — drop the memos too
+            // so the next consumer rebuilds them from scratch
+            graft.dedup.MinHashLSH.clearCache()
+            graft.similarity.Ann.clearCache()
             None
           }
+        // free the query's dead localCheckpoint blocks OUTSIDE its timed
+        // window — without this, checkpoints accumulate across the suite
+        // (the ContextCleaner only reclaims on driver GC) and late-order
+        // queries inflate several-fold under storage/bookkeeping pressure
+        val released = graft.plans.ScaleTechniques.releaseLocalCheckpoints(spark)
+        if (debug) System.err.println(
+          s"[bench] pass $p $name released=$released " +
+            graft.plans.ScaleTechniques.storageSummary(spark))
         name -> elapsed
       }
     }

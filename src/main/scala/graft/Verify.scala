@@ -18,7 +18,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a partially-materialized session memo must not survive the
+        // boundary release below (its remaining partitions would need
+        // the checkpoints the release drops)
+        graft.dedup.MinHashLSH.clearCache()
+        graft.similarity.Ann.clearCache()
       }
+      // query boundary: drop the dead localCheckpoint blocks so the
+      // 76-query run doesn't snowball storage (see ScaleTechniques
+      // .releaseLocalCheckpoints)
+      graft.plans.ScaleTechniques.releaseLocalCheckpoints(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

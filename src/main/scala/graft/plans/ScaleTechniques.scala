@@ -109,6 +109,53 @@ object ScaleTechniques {
     (before.size, parquetFiles(p).size)
   }
 
+  /** Free the blocks of every locally-checkpointed RDD in the session.
+    *
+    * Why this exists: `localCheckpoint(true)` persists its blocks in the
+    * block manager, and those blocks are only reclaimed when the driver
+    * GCs the RDD reference AND the ContextCleaner processes it. On a
+    * large driver heap, GC may not run for hundreds of queries, so a
+    * long session (or a benchmark suite) accumulates every dead
+    * checkpoint it ever made — storage fills, the block manager's
+    * bookkeeping grows, and unrelated late queries slow down several-fold
+    * even though their own plans are unchanged. Calling this between
+    * queries caps the session's storage footprint at one query's worth.
+    *
+    * Safe to call at any QUERY BOUNDARY (after the previous result was
+    * fully consumed): a local checkpoint is garbage once the query that
+    * made it has sunk its result. It deliberately skips DataFrame-level
+    * `.persist()` caches (session-scoped memos like the MinHash
+    * signatures): those are cached through `InMemoryRelation`, whose
+    * backing RDD is persisted but NOT checkpointed. Do NOT call
+    * it mid-query — a plan that still references a checkpointed RDD
+    * cannot recompute it (local checkpoints truncate lineage).
+    *
+    * Returns the number of RDDs released. */
+  def releaseLocalCheckpoints(spark: SparkSession): Int = {
+    // `isCheckpointed` (public) = checkpointed AND materialized; every
+    // graft checkpoint is an eager localCheckpoint(true), so at a query
+    // boundary this is exactly the dead-checkpoint set. InMemoryRelation
+    // caches (DataFrame .persist memos) are persisted but never
+    // checkpointed, so they survive.
+    val doomed = spark.sparkContext.getPersistentRDDs.values
+      .filter(_.isCheckpointed).toSeq
+    doomed.foreach(_.unpersist(blocking = true))
+    doomed.size
+  }
+
+  /** One-line storage summary (block-manager memory/disk in MB and the
+    * persistent-RDD census) — the instrumentation that pinpointed the
+    * checkpoint-accumulation bench inflation. */
+  def storageSummary(spark: SparkSession): String = {
+    val infos = spark.sparkContext.getRDDStorageInfo
+    val mem = infos.map(_.memSize).sum / (1024 * 1024)
+    val disk = infos.map(_.diskSize).sum / (1024 * 1024)
+    val rdds = spark.sparkContext.getPersistentRDDs.values
+    val ckpt = rdds.count(_.isCheckpointed)
+    s"storage: ${infos.length} cached RDDs (${rdds.size} registered, " +
+      s"$ckpt local-checkpointed), ${mem}MB mem, ${disk}MB disk"
+  }
+
   /** Count exchanges (shuffles) in the executed plan of a DataFrame,
     * traversing into AQE's materialized query stages — a plain
     * `plan.collect` stops at stage boundaries and under-counts to zero. */
