@@ -101,7 +101,7 @@ object SparkEntry {
     // the same low-probe pipeline against a MATERIALIZED cell-partitioned
     // index (dynamic partition pruning reads only the probed cells)
     "qs14_ann_indexed"     -> (Ann.qs14AnnIndexed _),
-    "qs5_stream_upsert"    -> (Replay.streamUpsert _),
+    "qs5_stream_upsert"    -> ((s, dir) => Replay.streamUpsert(s, dir)),
     "qs6_stream_hourly"    -> (Replay.streamHourlyRollup _),
     "qm1_multimodal_features" -> (Multimodal.featureRollup _),
     "qm2_media_byteclass"  -> (Multimodal.qm2MediaByteclass _),

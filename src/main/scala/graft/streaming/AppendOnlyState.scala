@@ -5,54 +5,152 @@ import org.apache.spark.sql.types.StructType
 
 /** Append-only parquet state shared by the incremental dedup streams
   * (Replay.streamNearDup, SemDedupStream.streamKeepList): a set of named
-  * tables under generation directories `work/g<N>/<table>`.
+  * tables under generation directories `work/g<N>/<table>/b<batchId>`.
   *
   * Contract (the subtle parts, kept in ONE place):
   *   - per-batch appends are O(batch) files; nothing rewrites the full
   *     state per batch;
-  *   - callers MUST fully consume (eagerly localCheckpoint) every `read`
-  *     BEFORE calling `endBatch` — a parquet DataFrame re-lists its files
-  *     at each action, so a late-bound read would see the batch's own
-  *     appends;
+  *   - `read` snapshots the table's FILE LISTING at call time, so a frame
+  *     read before `endBatch` can never observe the batch's own appends,
+  *     even if it is consumed late (the listing is fixed; a re-list after
+  *     the generation was compacted away fails loudly, never silently
+  *     double-counts);
+  *   - writes are keyed by the micro-batch id and `overwrite` their own
+  *     `b<batchId>` subdir, so a batch REPLAYED after a crash (foreachBatch
+  *     is at-least-once: the failure can land between the state append and
+  *     the checkpoint commit) lands on exactly the same rows instead of
+  *     appending twice. For that to hold, the replayed computation must see
+  *     the SAME state the original attempt saw — so per-batch reads pass
+  *     `excludeBatch = Some(batchId)` and never observe their own crashed
+  *     writes (novelty-derived appends like "reps new to the state" would
+  *     otherwise recompute EMPTY on replay and overwrite the real rows
+  *     away). A batch already folded into a compacted generation (`_upto`
+  *     manifest) cannot be excluded from reads anymore; callers check
+  *     `alreadyFolded` and skip the whole replay (its outputs necessarily
+  *     completed — compaction runs inside its `endBatch`);
   *   - every `compactEvery` batches the generation's per-batch files fold
   *     into a coalesced rewrite under `g<N+1>` and the superseded dir is
   *     deleted (a durable deployment would size the coalesce by bytes);
+  *     a registered table that no batch has appended yet compacts as the
+  *     empty frame;
+  *   - the whole clock (current generation, batches in it, fold manifest)
+  *     is reconstructed from the directory layout on construction, so an
+  *     instance opened over an existing `work` dir RESUMES that state —
+  *     this is what lets a restarted stream reload its dedup state and its
+  *     streaming checkpoint together (they live side by side under the
+  *     same dir);
   *   - single-stream use only: foreachBatch runs sequentially within a
   *     stream; concurrent streams need one instance each.
+  *
+  * Paths are driver-local `java.io.File` here; a warehouse deployment
+  * would swap in the Hadoop FileSystem API unchanged (the layout is the
+  * contract, not the filesystem).
   */
 private[streaming] final class AppendOnlyState(work: String,
     tables: Seq[(String, StructType)], compactEvery: Int) {
-  @volatile private var gen = 0
-  @volatile private var batchesInGen = 0
-  @volatile private var hasData = false
   private val schemas = tables.toMap
 
-  /** One state table as a DataFrame — explicit-schema read (an append dir
-    * whose only batches were empty has no files to infer from); an empty
-    * local frame before the first `endBatch`. */
-  def read(ss: SparkSession, table: String): DataFrame = {
+  private def genDirs: Seq[Int] =
+    Option(new java.io.File(work).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("g\\d+"))
+      .map(_.getName.drop(1).toInt).toSeq.sorted
+
+  private def parquetFilesUnder(dir: java.io.File): Seq[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) {
+        if (f.getName == "_temporary") Seq.empty // half-written crash debris
+        else Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      } else if (f.getName.endsWith(".parquet")) Seq(f)
+      else Seq.empty
+    walk(dir).map(_.getAbsolutePath)
+  }
+
+  private def batchDirsIn(g: Int): Set[Long] =
+    tables.flatMap { case (t, _) =>
+      Option(new java.io.File(s"$work/g$g/$t").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
+        .map(_.getName.drop(1).toLong)
+    }.toSet
+
+  private def uptoOf(g: Int): Option[Long] = {
+    val f = new java.io.File(s"$work/g$g/_upto")
+    if (f.isFile) Some(new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toLong)
+    else None
+  }
+
+  // --- durable recovery: reconstruct the clock from the layout alone.
+  // `_upto` doubles as the compaction COMMIT MARKER (written after the
+  // compacted tables, before the old generation is deleted): a crash
+  // mid-compaction leaves a higher gen dir without it, which recovery
+  // discards — the un-deleted previous generation is still complete. ---
+  @volatile private var gen: Int = {
+    val committed = genDirs.filter(g => g == 0 || uptoOf(g).isDefined)
+    val current = committed.lastOption.getOrElse(0)
+    genDirs.filter(_ != current).foreach(g => // partial or superseded gens
+      Replay.deleteRecursively(new java.io.File(s"$work/g$g")))
+    current
+  }
+  @volatile private var batchesInGen: Int = batchDirsIn(gen).size
+  /** Max batch id folded into the current generation by compaction
+    * (`_upto` manifest); -1 before the first compaction. */
+  @volatile private var foldedUpTo: Long = uptoOf(gen).getOrElse(-1L)
+  @volatile private var hasData: Boolean =
+    foldedUpTo >= 0 || batchesInGen > 0
+
+  /** One state table as a DataFrame over a file listing SNAPSHOTTED now —
+    * explicit-schema (an append dir whose only batches were empty has no
+    * files to infer from); an empty local frame when no files exist.
+    * Per-batch reads pass `excludeBatch` (the CURRENT batch id) so a
+    * replayed batch never observes its own crashed writes. */
+  def read(ss: SparkSession, table: String,
+           excludeBatch: Option[Long] = None): DataFrame = {
     val sch = schemas(table)
-    if (hasData) ss.read.schema(sch).parquet(s"$work/g$gen/$table")
+    val root = new java.io.File(s"$work/g$gen/$table")
+    val files = excludeBatch match {
+      case Some(b) =>
+        Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(_.getName != s"b$b")
+          .flatMap(parquetFilesUnder).toSeq
+      case None => parquetFilesUnder(root)
+    }
+    if (files.nonEmpty) ss.read.schema(sch).parquet(files: _*)
     else ss.createDataFrame(ss.sparkContext.emptyRDD[Row], sch)
   }
 
-  /** Append this batch's rows and advance the generation clock. */
-  def endBatch(ss: SparkSession, appends: (String, DataFrame)*): Unit = {
+  /** True when `batchId` was folded into a compacted generation: its rows
+    * can no longer be excluded from reads, so a replay must SKIP the batch
+    * entirely (safe — compaction runs inside its endBatch, so the
+    * original attempt completed all its writes). */
+  def alreadyFolded(batchId: Long): Boolean = batchId <= foldedUpTo
+
+  /** Write this batch's rows (idempotent on `batchId`) and advance the
+    * generation clock. A replay of a batch already folded by compaction is
+    * a no-op. */
+  def endBatch(ss: SparkSession, batchId: Long, appends: (String, DataFrame)*): Unit = {
+    if (alreadyFolded(batchId)) return // replayed batch, already compacted in
     val stateDir = s"$work/g$gen"
+    val replay = batchDirsIn(gen).contains(batchId)
     appends.foreach { case (t, df) =>
-      df.write.mode("append").parquet(s"$stateDir/$t")
+      df.write.mode("overwrite").parquet(s"$stateDir/$t/b$batchId")
     }
     hasData = true
-    batchesInGen += 1
+    if (!replay) batchesInGen += 1
     if (batchesInGen >= compactEvery) {
       val next = s"$work/g${gen + 1}"
       tables.foreach { case (t, sch) =>
-        ss.read.schema(sch).parquet(s"$stateDir/$t")
-          .coalesce(4).write.mode("overwrite").parquet(s"$next/$t")
+        val files = parquetFilesUnder(new java.io.File(s"$stateDir/$t"))
+        val df =
+          if (files.nonEmpty) ss.read.schema(sch).parquet(files: _*)
+          else ss.createDataFrame(ss.sparkContext.emptyRDD[Row], sch)
+        df.coalesce(4).write.mode("overwrite").parquet(s"$next/$t/c${gen + 1}")
       }
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$next/_upto"),
+        batchId.toString.getBytes)
       Replay.deleteRecursively(new java.io.File(stateDir))
       gen += 1
       batchesInGen = 0
+      foldedUpTo = batchId
     }
   }
 

@@ -53,6 +53,43 @@ object Replay {
   private[graft] val bandRowsPerBatch = new scala.collection.mutable.ArrayBuffer[Long]()
   @volatile private[graft] var recordBandRows = false
 
+  /** Test-only fault injection for the restart specs: when armed (>= 0),
+    * the restartable streams throw AFTER completing the given batch's
+    * state writes but BEFORE foreachBatch returns — i.e. inside the
+    * at-least-once window between the state append and the streaming
+    * checkpoint commit, the hardest crash point (the restarted stream
+    * must REPLAY that batch against state that already contains it).
+    * Disarms itself so the restart proceeds. */
+  @volatile private[graft] var poisonAfterBatch: Long = -1L
+  private[graft] def maybePoison(batchId: Long): Unit =
+    if (poisonAfterBatch >= 0 && batchId >= poisonAfterBatch) {
+      poisonAfterBatch = -1L
+      throw new RuntimeException(s"test poison: crash after batch $batchId")
+    }
+
+  /** Resolve a caller-supplied durable work dir (restartable: state and
+    * streaming checkpoint live side by side and reload together) or a
+    * fresh temp dir cleaned at JVM exit (the one-shot form). */
+  private def resolveWork(workDir: Option[String], prefix: String): String =
+    workDir match {
+      case Some(w) =>
+        Files.createDirectories(java.nio.file.Paths.get(w)); w
+      case None =>
+        val t = Files.createTempDirectory(prefix).toString
+        cleanupAtExit(t); t
+    }
+
+  /** Highest committed versioned-state dir under `work`, optionally only
+    * versions strictly below `below` — how the versioned streams recover
+    * their merge base after a restart (and ignore their own crashed
+    * partial output when replaying a batch). */
+  private def latestVersion(work: String, below: Option[Long] = None): Option[String] =
+    Option(new java.io.File(work).listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("state_v\\d+"))
+      .map(_.getName.stripPrefix("state_v").toLong)
+      .filter(v => below.forall(v < _))
+      .sorted.lastOption.map(v => s"$work/state_v$v")
+
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // TIMESTAMP(NANOS) read as long (legacy conf)
@@ -92,15 +129,20 @@ object Replay {
 
   /** K2 streaming form: latest-wins keyed upsert via foreachBatch merge.
     * AvailableNow replay of the whole lake == batch q8_latest_per_key.
+    *
     * Restart contract (shared by all foreachBatch state in this object):
-    * merge state lives in a JVM-local var beside a fresh per-invocation
-    * checkpoint dir — never reuse a checkpointLocation across
-    * invocations, or the restarted stream skips already-ingested files
-    * against empty state. */
-  def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
-    val work = Files.createTempDirectory("graft_upsert").toString
-    cleanupAtExit(work)
-    @volatile var latest: Option[String] = None
+    * every stream's state lives NEXT TO its streaming checkpoint under one
+    * `work` dir, and the merge base is derived FROM DISK per batch (the
+    * highest committed version strictly below the current batch id), so an
+    * invocation restarted over the same `workDir` reloads state and
+    * checkpoint together: already-ingested files are skipped AND their
+    * state is still there, and a batch replayed after a crash merges from
+    * its predecessor's version — never from its own crashed output. Pass
+    * `workDir` for the durable/restartable form; the default is a fresh
+    * temp dir per invocation (one-shot, cleaned at JVM exit). */
+  def streamUpsert(spark: SparkSession, dir: String,
+                   workDir: Option[String] = None): DataFrame = {
+    val work = resolveWork(workDir, "graft_upsert")
 
     val q = eventStream(spark, dir).writeStream
       .trigger(Trigger.AvailableNow())
@@ -108,7 +150,7 @@ object Replay {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ss = batch.sparkSession
         val incoming = batch.select("user_id", "event_id", "event_type", "ts")
-        val merged = latest match {
+        val merged = latestVersion(work, below = Some(batchId)) match {
           case Some(prev) => ss.read.parquet(prev).unionByName(incoming)
           case None       => incoming
         }
@@ -119,13 +161,13 @@ object Replay {
         merged.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn")
           .write.mode("overwrite").parquet(next)
-        latest = Some(next)
+        maybePoison(batchId)
         ()
       }
       .start()
     q.awaitTermination()
 
-    latest match {
+    latestVersion(work) match {
       case Some(path) =>
         spark.read.parquet(path)
           .select(col("user_id"), col("event_id"), col("event_type"),
@@ -151,14 +193,15 @@ object Replay {
     * which is exactly what lets the driver hash-check a streaming query
     * against the batch SQL oracle. At 100 TB the state table would be a
     * transactional keyed table; versioned parquet keeps the semantics.
-    * Same restart contract as `streamUpsert`: never reuse a
-    * checkpointLocation across invocations. */
+    * Same restart contract as `streamUpsert`: the disk-derived merge base
+    * (highest version BELOW the batch id) is what makes a replayed batch
+    * idempotent here — merging from its own crashed `state_v` would
+    * double-count `n_copies`. */
   def streamCorpusDedup(spark: SparkSession, dir: String,
                         maxFilesPerTrigger: Int = 1,
-                        pathGlobFilter: String = "*.parquet"): DataFrame = {
-    val work = Files.createTempDirectory("graft_sdedup").toString
-    cleanupAtExit(work)
-    @volatile var latest: Option[String] = None
+                        pathGlobFilter: String = "*.parquet",
+                        workDir: Option[String] = None): DataFrame = {
+    val work = resolveWork(workDir, "graft_sdedup")
     val q = spark.readStream.schema(docsSchema)
       .option("pathGlobFilter", pathGlobFilter)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
@@ -172,7 +215,7 @@ object Replay {
           .groupBy(md5(col("text")).as("text_hash"))
           .agg(min("doc_id").as("keep_doc_id"),
             count(lit(1)).as("n_copies"))
-        val merged = latest match {
+        val merged = latestVersion(work, below = Some(batchId)) match {
           case Some(prev) => ss.read.parquet(prev).unionByName(incoming)
           case None       => incoming
         }
@@ -181,12 +224,12 @@ object Replay {
           .agg(min("keep_doc_id").as("keep_doc_id"),
             sum("n_copies").as("n_copies"))
           .write.mode("overwrite").parquet(next)
-        latest = Some(next)
+        maybePoison(batchId)
         ()
       }
       .start()
     q.awaitTermination()
-    latest match {
+    latestVersion(work) match {
       case Some(p) =>
         spark.read.parquet(p)
           .select("text_hash", "keep_doc_id", "n_copies")
@@ -234,20 +277,24 @@ object Replay {
     * generation dir and the superseded generation is deleted.
     *
     * Restart contract: the dedup state lives NEXT TO the streaming
-    * checkpoint, in a fresh temp dir per invocation. The
-    * checkpointLocation must never be reused across invocations — a
-    * restart against an existing checkpoint would skip already-ingested
-    * files while the state starts empty, silently dropping cross-batch
-    * pairs. (A durable deployment would derive the state paths from the
-    * checkpoint dir and reload both together.) */
+    * checkpoint under one `work` dir and the two reload TOGETHER — pass
+    * `workDir` and a restarted invocation resumes where the crash left
+    * off: the checkpoint skips already-ingested files, `AppendOnlyState`
+    * reconstructs its generation clock from the directory layout, and a
+    * batch replayed from the at-least-once window (crash between the
+    * state append and the checkpoint commit) overwrites its own
+    * batch-keyed state/output subdirs instead of appending twice. Emitted
+    * pairs accumulate under batch-keyed subdirs across restarts, so the
+    * final read returns the COMPLETE pair set. The default (no `workDir`)
+    * is a fresh temp dir per invocation, cleaned at JVM exit. */
   def streamNearDup(spark: SparkSession, dir: String,
                     threshold: Double = 0.8,
                     maxFilesPerTrigger: Int = 1,
                     pathGlobFilter: String = "*.parquet",
-                    compactEvery: Int = 16): DataFrame = {
+                    compactEvery: Int = 16,
+                    workDir: Option[String] = None): DataFrame = {
     import graft.dedup.MinHashLSH
-    val work = Files.createTempDirectory("graft_sneardup").toString
-    cleanupAtExit(work)
+    val work = resolveWork(workDir, "graft_sneardup")
     val outDir = s"$work/pairs_out"
     val memSchema = StructType(Seq(StructField("txt_md5", StringType),
       StructField("doc_id", LongType)))
@@ -262,7 +309,6 @@ object Replay {
     val state = new AppendOnlyState(work,
       Seq(("mem", memSchema), ("reps", repsSchema), ("pairs", pairsSchema),
         ("bands", bandsSchema)), compactEvery)
-    @volatile var emittedAny = false
     bandRowsPerBatch.clear()
     val q = spark.readStream.schema(docsSchema)
       .option("pathGlobFilter", pathGlobFilter)
@@ -273,19 +319,26 @@ object Replay {
       .option("checkpointLocation", s"$work/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ss = batch.sparkSession
+        // a replayed batch that compaction already folded in cannot be
+        // excluded from state reads — and its writes all completed
+        // (compaction runs inside its endBatch) — so skip it wholesale
+        if (state.alreadyFolded(batchId)) { maybePoison(batchId) }
+        else {
         // (1) batch kernel; empty shingle sets never band or pair (0/0
         // Jaccard — same exclusion as the batch pipeline and the oracle)
         val bSigs = MinHashLSH.docSignatures(ss, batch)
           .toDF("doc_id", "txt_md5", "sh", "bands")
           .filter(size(col("sh")) > 0)
           .localCheckpoint(true)
-        // all state reads are consumed (via the eager newRepPairs/emitted
-        // checkpoints) BEFORE this batch's endBatch appends — the
+        // all state reads exclude this batch's own (possibly crashed)
+        // writes, so a replay computes from exactly the state the original
+        // attempt saw; reads are consumed (via the eager newRepPairs/
+        // emitted checkpoints) BEFORE this batch's endBatch appends — the
         // read-before-append contract documented on AppendOnlyState
-        val prevMem = state.read(ss, "mem")
-        val prevReps = state.read(ss, "reps")
-        val prevPairs = state.read(ss, "pairs")
-        val prevBandIdx = state.read(ss, "bands")
+        val prevMem = state.read(ss, "mem", excludeBatch = Some(batchId))
+        val prevReps = state.read(ss, "reps", excludeBatch = Some(batchId))
+        val prevPairs = state.read(ss, "pairs", excludeBatch = Some(batchId))
+        val prevBandIdx = state.read(ss, "bands", excludeBatch = Some(batchId))
         val bGroups = bSigs.groupBy("txt_md5")
           .agg(min("doc_id").as("cand_rep"))
         val newMem = bSigs.select(col("txt_md5"), col("doc_id"))
@@ -352,22 +405,26 @@ object Replay {
           .unionByName(expand(prevPairs, memRepAfter, newMemRep))
         val emitted = intra.unionByName(eNew).unionByName(eOld).distinct()
           .localCheckpoint(true)
-        if (!emitted.isEmpty) {
-          emitted.write.mode("append").parquet(outDir)
-          emittedAny = true
-        }
+        // batch-keyed overwrite: a replayed batch recomputes the SAME
+        // emission set (deterministic given idempotent state) and lands
+        // on its own subdir instead of appending a duplicate copy
+        if (!emitted.isEmpty)
+          emitted.write.mode("overwrite").parquet(s"$outDir/b$batchId")
         // append-only state rollover: O(batch) rows written per table per
         // batch (the r4 versioned-dir scheme rewrote the FULL state each
         // batch — O(total) I/O); generational compaction handled by the
         // shared AppendOnlyState
-        state.endBatch(ss, "mem" -> newMem, "reps" -> novelReps,
+        state.endBatch(ss, batchId, "mem" -> newMem, "reps" -> novelReps,
           "pairs" -> newRepPairs, "bands" -> newBands)
+        maybePoison(batchId)
+        }
         ()
       }
       .start()
     q.awaitTermination()
-    if (emittedAny)
-      spark.read.parquet(outDir).orderBy("doc_a", "doc_b")
+    if (new java.io.File(outDir).isDirectory)
+      spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+        .orderBy("doc_a", "doc_b")
     else {
       import spark.implicits._
       Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard")

@@ -56,8 +56,12 @@ import org.apache.spark.sql.types._
   * first-arriving member (the state rep) is not its minimum.
   *
   * Restart contract: same as streamNearDup — state lives next to the
-  * stream checkpoint in a fresh temp dir per invocation; never reuse a
-  * checkpointLocation across invocations. */
+  * stream checkpoint under one `work` dir and the two reload together:
+  * pass `workDir` and a restarted invocation resumes from the crash
+  * point (checkpoint skips ingested files, AppendOnlyState reconstructs
+  * its clock from the layout, a replayed batch overwrites its own
+  * batch-keyed subdirs). The caller must re-freeze the SAME quantizer
+  * (`cents`, `s`) across restarts — it is model state, trained offline. */
 object SemDedupStream {
 
   /** Per-batch novel-assignment row counts of the most recent run — spec
@@ -80,9 +84,15 @@ object SemDedupStream {
   def streamKeepList(spark: SparkSession, stagedDir: String, cents: DataFrame,
                      s: Int, threshold: Double = 0.95,
                      maxFilesPerTrigger: Int = 1,
-                     compactEvery: Int = 16): DataFrame = {
-    val work = Files.createTempDirectory("graft_ssemdedup").toString
-    Replay.cleanupAtExit(work)
+                     compactEvery: Int = 16,
+                     workDir: Option[String] = None): DataFrame = {
+    val work = workDir match {
+      case Some(w) =>
+        Files.createDirectories(java.nio.file.Paths.get(w)); w
+      case None =>
+        val t = Files.createTempDirectory("graft_ssemdedup").toString
+        Replay.cleanupAtExit(t); t
+    }
     val memSchema = StructType(Seq(StructField("k1", LongType),
       StructField("k2", LongType), StructField("vec_id", LongType)))
     val repsSchema = StructType(Seq(StructField("k1", LongType),
@@ -101,9 +111,16 @@ object SemDedupStream {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$work/ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ss = batch.sparkSession
-        val prevReps = state.read(ss, "reps")
+        // folded replay: all its writes completed; skip (see streamNearDup)
+        if (state.alreadyFolded(batchId)) { Replay.maybePoison(batchId) }
+        else {
+        // exclude this batch's own (possibly crashed) writes so a replay
+        // computes from exactly the state the original attempt saw —
+        // novelty-derived appends would otherwise recompute empty and
+        // overwrite the real rows away
+        val prevReps = state.read(ss, "reps", excludeBatch = Some(batchId))
         // (1) digest + within-batch collapse (first-arrival minimum is the
         // candidate rep; the final resolution re-minimizes over members, so
         // arrival order cannot leak into the answer)
@@ -147,10 +164,12 @@ object SemDedupStream {
             greatest(col("a.rep"), col("b.rep")).as("rep_b"))
           .distinct()
           .localCheckpoint(true)
-        // (3) O(batch) appends
-        state.endBatch(ss, "mem" -> newMem,
+        // (3) O(batch) appends, idempotent on the batch id
+        state.endBatch(ss, batchId, "mem" -> newMem,
           "reps" -> newAssigned.unionByName(degenerate),
           "pairs" -> newPairs)
+        Replay.maybePoison(batchId)
+        }
         ()
       }
       .start()

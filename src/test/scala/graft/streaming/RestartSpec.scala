@@ -1,0 +1,156 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.{SparkTestSession, Tables}
+import graft.similarity.{Ann, SemDedup}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Durable restart: a stream killed mid-run (in the at-least-once window —
+  * AFTER a batch's state writes, BEFORE its checkpoint commit) and
+  * restarted over the same `workDir` must reload its dedup state together
+  * with the streaming checkpoint, REPLAY the uncommitted batch
+  * idempotently, and finish with exactly the batch-recompute answer.
+  * Before round 6 this was a documented gap: a restart silently dropped
+  * all cross-batch state. */
+class RestartSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def docsLake(): String = {
+    val tmp = Files.createTempDirectory("graft_restart_docs").toString
+    Replay.cleanupAtExit(tmp)
+    Tables(spark, SparkTestSession.sfDir, "documents")
+      .withColumn("bucket", pmod(col("doc_id"), lit(4)))
+      .repartition(4, col("bucket")).drop("bucket")
+      .write.mode("overwrite").parquet(tmp)
+    tmp
+  }
+
+  private def work(prefix: String): String = {
+    val w = Files.createTempDirectory(prefix).toString
+    Replay.cleanupAtExit(w)
+    w
+  }
+
+  test("streamNearDup killed mid-run resumes from the checkpoint with its state") {
+    val lake = docsLake()
+    val w = work("graft_restart_neardup")
+    // crash after batch 1's state append, before its commit → the restart
+    // must replay batch 1 against state that already contains it
+    Replay.poisonAfterBatch = 1L
+    val died = intercept[Exception] {
+      Replay.streamNearDup(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w))
+    }
+    assert(died.getMessage != null)
+    assert(Replay.poisonAfterBatch == -1L, "poison should have fired")
+
+    val streamed = Replay.streamNearDup(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = graft.dedup.MinHashLSH.nearDups(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
+  test("streamKeepList killed mid-run resumes and matches the batch keep-list") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val dim = 16
+    val bases = IndexedSeq.fill(24)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows =
+      bases.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq, i % 3) } ++
+      (0 until 6).flatMap(i => (1 to 4).map(c =>
+        ((100 + 10 * i + c).toLong, bases(i).toSeq, i % 3)))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val cents = Ann.localCentroids(emb)
+    val want = SemDedup.keepList(emb, threshold = 0.95, s = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+
+    val staged = Files.createTempDirectory("graft_restart_sem_lake").toString
+    Replay.cleanupAtExit(staged)
+    emb.repartitionByRange(3, col("vec_id"))
+      .write.mode("overwrite").parquet(staged)
+    val w = work("graft_restart_sem")
+
+    Replay.poisonAfterBatch = 1L
+    intercept[Exception] {
+      SemDedupStream.streamKeepList(spark, staged, cents, s = 4,
+        maxFilesPerTrigger = 1, workDir = Some(w))
+    }
+    // restart: same workDir, same frozen quantizer (model state)
+    val got = SemDedupStream.streamKeepList(spark, staged, cents, s = 4,
+        maxFilesPerTrigger = 1, workDir = Some(w))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == want)
+  }
+
+  test("streamCorpusDedup killed mid-run resumes; replayed batch merges from its predecessor") {
+    // the versioned-state scheme (shared with streamUpsert): the replayed
+    // batch must merge from the highest version BELOW its own id — merging
+    // from its own crashed state_v would double-count n_copies, which the
+    // exact-count compare below would catch
+    val lake = docsLake()
+    val w = work("graft_restart_cdedup")
+    Replay.poisonAfterBatch = 1L
+    intercept[Exception] {
+      Replay.streamCorpusDedup(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w))
+    }
+    val streamed = Replay.streamCorpusDedup(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.operators.TextOps.qd1DedupExact(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("AppendOnlyState reconstructs its clock from the layout and replays idempotently") {
+    import spark.implicits._
+    val w = work("graft_restart_aos")
+    val sch = StructType(Seq(StructField("id", LongType)))
+    val s1 = new AppendOnlyState(w, Seq(("t", sch), ("never", sch)), compactEvery = 2)
+    def df(ids: Long*) = ids.toDF("id")
+
+    s1.endBatch(spark, 0L, "t" -> df(1, 2))
+    // replay of batch 0 (at-least-once) overwrites, never double-appends
+    s1.endBatch(spark, 0L, "t" -> df(1, 2))
+    assert(s1.read(spark, "t").count() == 2)
+    // a registered table no batch appended reads empty and must not break
+    // compaction (triggered by the second DISTINCT batch below)
+    assert(s1.read(spark, "never").count() == 0)
+    s1.endBatch(spark, 1L, "t" -> df(3))
+    assert(s1.read(spark, "t").count() == 3) // compacted generation
+    assert(s1.read(spark, "never").count() == 0)
+
+    // a fresh instance over the same dir resumes: data visible, replay of
+    // an already-COMPACTED batch is a no-op, new batches append on top
+    val s2 = new AppendOnlyState(w, Seq(("t", sch), ("never", sch)), compactEvery = 2)
+    assert(s2.nonEmpty)
+    assert(s2.read(spark, "t").count() == 3)
+    s2.endBatch(spark, 1L, "t" -> df(3)) // folded already → no-op
+    assert(s2.read(spark, "t").count() == 3)
+    s2.endBatch(spark, 2L, "t" -> df(4))
+    assert(s2.read(spark, "t").count() == 4)
+  }
+
+  test("AppendOnlyState read() snapshots the file listing at call time") {
+    import spark.implicits._
+    val w = work("graft_restart_snap")
+    val sch = StructType(Seq(StructField("id", LongType)))
+    val s = new AppendOnlyState(w, Seq(("t", sch)), compactEvery = 100)
+    s.endBatch(spark, 0L, "t" -> Seq(1L, 2L).toDF("id"))
+    val before = s.read(spark, "t") // NOT consumed yet
+    s.endBatch(spark, 1L, "t" -> Seq(3L).toDF("id"))
+    // a late consumer of the pre-append read must NOT see batch 1's rows
+    // (before round 6 a lazy parquet read re-listed the dir and silently
+    // double-counted the current batch)
+    assert(before.count() == 2)
+    assert(s.read(spark, "t").count() == 3)
+  }
+}
