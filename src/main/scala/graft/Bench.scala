@@ -57,6 +57,7 @@ object Bench {
         // first) consumer as every other pass
         graft.dedup.MinHashLSH.clearCache()
         graft.similarity.Ann.clearCache()
+        graft.similarity.SemDedup.clearCache()
         System.gc() // let the ContextCleaner reclaim dropped checkpoints
       }
       ordered.map { case (name, fn) =>

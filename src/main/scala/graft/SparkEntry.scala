@@ -114,6 +114,9 @@ object SparkEntry {
     // SemDeDup-style semantic dedup: k-means cell × sign-bit sub-bucket
     // quantizer, within-cell exact cosine, rep-graph components → keep-list
     "qe4_semantic_dedup"   -> (graft.similarity.SemDedup.qe4SemanticDedup _),
+    // indexed/incremental form == batch qe4 (shares its oracle): base
+    // materialized partitionBy(cell), increment probes with DPP
+    "qe5_semdedup_indexed" -> (graft.similarity.SemDedup.qe5SemanticDedupIndexed _),
     // streaming incremental semantic dedup: frozen quantizer, per-batch
     // novel-digest assignment probing the persisted cell index, final
     // keep-list == batch qe4 (shares its oracle)
@@ -977,6 +980,7 @@ object SparkEntry {
     // digest-identical, and its final resolution re-minimizes labels
     // over members, so both forms compute this exact result.
     "qe4_semantic_dedup" -> semanticDedupOracle,
+    "qe5_semdedup_indexed" -> semanticDedupOracle,
     "qs15_stream_semdedup" -> semanticDedupOracle,
 
 

@@ -25,6 +25,31 @@ object Tables {
     else spark.read.parquet(path)
   }
 
+  /** Contents fingerprint of a corpus dir for memo keys: the canonical
+    * path PLUS a digest of the recursive (relative path, size, mtime)
+    * listing. Session memos of derived state (MinHash signatures, the
+    * materialized ANN / semantic-dedup indexes) key on this instead of
+    * the bare path, so a corpus rewritten IN PLACE mid-session changes
+    * the key and the memo rebuilds — it can no longer serve stale
+    * results. The listing is driver-cheap: it is the same directory walk
+    * Spark's own file index pays on every read of the corpus. */
+  def contentKey(dir: String): String = {
+    val canon =
+      try java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+      catch { case _: Exception => dir }
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val listing = walk(new java.io.File(canon)).map(f =>
+      s"${f.getAbsolutePath.stripPrefix(canon)}:${f.length}:${f.lastModified}")
+      .mkString("\n")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"$canon#$digest"
+  }
+
   /** `events.parquet` carries TIMESTAMP(NANOS) which vanilla Spark parquet
     * readers reject (parquet nanos have no Catalyst type). We read nanos as
     * Long via the legacy conf and convert to a microsecond timestamp by

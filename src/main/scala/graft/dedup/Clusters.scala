@@ -19,7 +19,14 @@ import org.apache.spark.sql.functions._
 object Clusters {
 
   /** pairs(doc_a, doc_b) → (doc_id, cluster_rep) for every doc appearing
-    * in at least one pair. */
+    * in at least one pair.
+    *
+    * REQUIRES numeric ids (castable to decimal(38,0)): the convergence
+    * detector sums the label column, so a non-numeric id type fails
+    * loudly on the first iteration (`labelTotal`'s castability check) —
+    * it can never silently mis-converge. Callers with string ids should
+    * key their graph on a 128-bit numeric digest first (the same move as
+    * `dedup.Collapse`'s digest keys). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))

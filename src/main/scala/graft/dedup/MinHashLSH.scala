@@ -135,15 +135,14 @@ object MinHashLSH {
     m
   }
 
-  /** Canonical memo key for a corpus dir: the same corpus reached via
-    * different path spellings (relative vs absolute, trailing slash) must
-    * hit ONE cache entry. Staleness contract: entries are keyed on the
-    * path, not the file contents — a corpus rewritten in place mid-session
-    * serves stale signatures until `clearCache()` (the same contract as a
-    * materialized signature table at 100 TB). */
-  private def canonDir(dir: String): String =
-    try java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
-    catch { case _: Exception => dir }
+  /** Memo key for a corpus dir: canonical path + contents fingerprint
+    * (file list, sizes, mtimes — `Tables.contentKey`), so the same corpus
+    * reached via different path spellings hits ONE entry and a corpus
+    * rewritten IN PLACE mid-session misses the stale entry and rebuilds
+    * (spec-asserted). The superseded entry stays persisted until
+    * `clearCache()` — acceptable for the rewrite-mid-session edge; the
+    * bench clears between passes. */
+  private def canonDir(dir: String): String = graft.Tables.contentKey(dir)
 
   /** Memoized, persisted signature table for a corpus. */
   def signatures(spark: SparkSession, dir: String): DataFrame =

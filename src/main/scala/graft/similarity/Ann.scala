@@ -139,13 +139,14 @@ object Ann {
     * 6dp-rounded argmax assignment, 6dp-rounded probe ranking — so the
     * result is row-identical to the in-memory form and shares qs12's
     * full SQL oracle. */
-  // The built index is memoized per (session, canonical corpus dir) —
-  // the same pattern as MinHashLSH's signature memo, and the single-job
+  // The built index is memoized per (session, corpus contents) — the
+  // same pattern as MinHashLSH's signature memo, and the single-job
   // analog of "the index table is built once and probed by every query"
   // at warehouse scale. Without it every call wrote a fresh corpus-sized
-  // copy into the temp dir. Same staleness contract as the MinHash memo:
-  // keyed on the path, not the contents — a corpus rewritten in place
-  // mid-session serves a stale index until `clearCache()`.
+  // copy into the temp dir. Keys carry the corpus CONTENTS fingerprint
+  // (`Tables.contentKey`: file list + sizes + mtimes), so a corpus
+  // rewritten in place mid-session misses the stale entry and the index
+  // rebuilds (spec-asserted) instead of serving stale rows.
   private val idxCache = new java.util.WeakHashMap[
     SparkSession, java.util.concurrent.ConcurrentHashMap[String, String]]()
 
@@ -158,9 +159,7 @@ object Ann {
     m
   }
 
-  private def canonDir(dir: String): String =
-    try java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
-    catch { case _: Exception => dir }
+  private def canonDir(dir: String): String = graft.Tables.contentKey(dir)
 
   /** Drop all memoized index locations (bench inter-pass hygiene; the
     * dirs themselves are reclaimed by the JVM-exit cleanup). */

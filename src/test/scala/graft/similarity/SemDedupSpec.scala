@@ -93,6 +93,78 @@ class SemDedupSpec extends AnyFunSuite {
       s"only ${dropped.length} of ${n - 1} planted duplicates dropped")
   }
 
+  test("indexed keep-list equals the batch form and prunes the store to the increment's cells") {
+    // clustered corpus: 3 well-separated cells; the BASE holds members of
+    // all 3 cells, the INCREMENT (near-duplicates of base vectors) touches
+    // only cell-0 geometry — so the probe's dynamic pruning has something
+    // real to prune
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val dim = 16
+    val centersV = IndexedSeq.fill(3)(Array.fill(dim)(rnd.nextGaussian() * 10))
+    val base = (0 until 120).map { i =>
+      val c = centersV(i % 3)
+      (i.toLong, c.map(_ + rnd.nextGaussian() * 0.01).toSeq, i % 3)
+    }
+    val inc = (0 until 10).map { j =>
+      // near-parallel copies of cell-0 base vectors → semantic duplicates
+      val src = base(j * 3)._2.toArray
+      ((1000 + j).toLong, src.map(_ * (1 + 1e-9)).toSeq, 0)
+    }
+    val emb = (base ++ inc).toDF("vec_id", "embedding", "label")
+      .localCheckpoint(true)
+    val s = 4
+    val want = SemDedup.keepList(emb, threshold = 0.95, s = s)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val memoKey = s"spec|${java.util.UUID.randomUUID}"
+    val got = SemDedup.keepListIndexed(spark, emb,
+        basePred = col("vec_id") < 1000L, threshold = 0.95, s = s,
+        memoKey = memoKey)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == want)
+    // every increment row should have been deduplicated against the store
+    assert((0 until 10).forall(j =>
+      got.exists(t => t._1 == 1000L + j && !t._3)))
+
+    // physical proof: the executed probe scan over the cell-partitioned
+    // store carries a dynamic partition pruning filter
+    val probe = SemDedup.indexedCrossProbe(spark, emb,
+      basePred = col("vec_id") < 1000L, threshold = 0.95, s = s,
+      memoKey = memoKey)
+    probe.collect()
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flatten(q.plan)
+        case _ => p.children.flatMap(flatten)
+      }
+      p +: inner
+    }
+    val scans = flatten(probe.queryExecution.executedPlan).collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.relation.partitionSchema.fieldNames.contains("cell") => sc
+    }
+    assert(scans.nonEmpty, s"no cell-partitioned scan:\n${probe.queryExecution.executedPlan}")
+    assert(scans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      s"no dynamic partition pruning on the store scan: " +
+        scans.map(_.partitionFilters).mkString("; "))
+  }
+
+  test("indexed keep-list handles degenerate vectors like the batch form") {
+    // the dup-heavy planted corpus (zero + NaN vectors) through the
+    // indexed path: base = ids < 200, increment = the cross-edge copy,
+    // the zero vectors, and the NaN vectors
+    val emb = planted().localCheckpoint(true)
+    val want = SemDedup.keepList(emb, threshold = 0.95, s = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val got = SemDedup.keepListIndexed(spark, emb,
+        basePred = col("vec_id") < 200L, threshold = 0.95, s = 4,
+        memoKey = s"spec|${java.util.UUID.randomUUID}")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == want)
+  }
+
   test("subBits clamps to [4, 16] and tracks log2 n - 7") {
     assert(SemDedup.subBits(1L) == 4)
     assert(SemDedup.subBits(999L) == 4)        // floor(log2) = 9 -> 2 -> clamp 4
