@@ -21,15 +21,28 @@ object Clusters {
   /** pairs(doc_a, doc_b) → (doc_id, cluster_rep) for every doc appearing
     * in at least one pair.
     *
-    * REQUIRES numeric ids (castable to decimal(38,0)): the convergence
-    * detector sums the label column, so a non-numeric id type fails
-    * loudly on the first iteration (`labelTotal`'s castability check) —
-    * it can never silently mis-converge. Callers with string ids should
-    * key their graph on a 128-bit numeric digest first (the same move as
-    * `dedup.Collapse`'s digest keys). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    * REQUIRES numeric ids (castable to BIGINT): under ANSI mode the
+    * entry cast fails LOUDLY on non-numeric or overflowing ids, and the
+    * distributed loop's convergence detector additionally verifies
+    * castability per iteration — it can never silently mis-converge.
+    * Callers with string ids should key their graph on a 64/128-bit
+    * numeric digest first (the same move as `dedup.Collapse`'s digest
+    * keys).
+    *
+    * Size-gated like `ScaleTechniques.sortedOutput`: the verified
+    * near-dup REP graph is orders of magnitude smaller than the corpus
+    * (it holds only duplicate-cluster edges), so up to `localThreshold`
+    * edges the components run as driver-local union-find — two Spark
+    * jobs total (materialize + collect) instead of two PER ITERATION,
+    * which is what dominates small-diameter graphs. Past the gate, the
+    * distributed label-propagation loop (the 100 TB path) takes over. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          localThreshold: Long = 1000000L): DataFrame = {
+    val longPairs = pairs.selectExpr("cast(doc_a as long) doc_a",
+      "cast(doc_b as long) doc_b").localCheckpoint(true)
+    if (longPairs.count() <= localThreshold) return localCC(longPairs)
+    val edges = longPairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(longPairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .cache()
     var labels = edges.select(col("src").as("doc_id"))
@@ -86,11 +99,42 @@ object Clusters {
     }
     edges.unpersist()
     labels.unpersist() // no-op unless the loop never ran (maxIter == 0)
-    // size-gated sort: cluster labels grow with the pair graph; the
-    // localCheckpoint'd labels make the gate + sort read materialized data
-    graft.plans.ScaleTechniques.sortedOutput(
-      labels.select(col("doc_id"), col("comp").as("cluster_rep")),
-      Seq("doc_id"))
+    // NO presentation sort here: every caller (q33's repClusters, the
+    // semantic-dedup label resolutions) JOINS this frame and applies its
+    // own final size-gated sort — an internal sortedOutput paid an extra
+    // checkpoint + count + sort per query for row order the next join
+    // immediately destroyed. The labels frame is already materialized
+    // (localCheckpoint) by the final iteration.
+    labels.select(col("doc_id"), col("comp").as("cluster_rep"))
+  }
+
+  /** Driver-local union-find over a small (gated) edge list: one pass
+    * builds min-rooted trees with path compression, so every component
+    * is labeled by its MINIMUM member id — exactly the distributed
+    * loop's fixpoint. */
+  private def localCC(longPairs: DataFrame): DataFrame = {
+    val spark = longPairs.sparkSession
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    longPairs.collect().foreach { row =>
+      require(!row.isNullAt(0) && !row.isNullAt(1),
+        "connectedComponents: null id in the pair graph")
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    import spark.implicits._
+    parent.keysIterator.map(k => (k, find(k))).toSeq
+      .toDF("doc_id", "cluster_rep")
   }
 
   /** q33: clusters over the MinHash-LSH verified near-dup graph. The

@@ -131,9 +131,17 @@ private[streaming] final class AppendOnlyState(work: String,
     if (alreadyFolded(batchId)) return // replayed batch, already compacted in
     val stateDir = s"$work/g$gen"
     val replay = batchDirsIn(gen).contains(batchId)
-    appends.foreach { case (t, df) =>
-      df.write.mode("overwrite").parquet(s"$stateDir/$t/b$batchId")
-    }
+    // the per-table writes are independent jobs over disjoint output dirs
+    // — submit them concurrently so a batch pays ONE write-job latency,
+    // not one per table (micro-batch fixed cost is the dominant term for
+    // small batches; jobs from separate threads schedule concurrently)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    Await.result(
+      Future.traverse(appends.toSeq) { case (t, df) => Future {
+        df.write.mode("overwrite").parquet(s"$stateDir/$t/b$batchId")
+      }}, Duration.Inf)
     hasData = true
     if (!replay) batchesInGen += 1
     if (batchesInGen >= compactEvery) {

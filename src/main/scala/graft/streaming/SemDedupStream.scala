@@ -163,7 +163,9 @@ object SemDedupStream {
           .select(least(col("a.rep"), col("b.rep")).as("rep_a"),
             greatest(col("a.rep"), col("b.rep")).as("rep_b"))
           .distinct()
-          .localCheckpoint(true)
+        // newPairs has exactly ONE consumer (the state append below) and
+        // its state reads are listing-snapshotted, so it needs no eager
+        // checkpoint — one less job per micro-batch
         // (3) O(batch) appends, idempotent on the batch id
         state.endBatch(ss, batchId, "mem" -> newMem,
           "reps" -> newAssigned.unionByName(degenerate),
@@ -194,7 +196,8 @@ object SemDedupStream {
       SemDedup.selfOkCol(col("v"), threshold).as("self_ok"))
     val members = mem.join(repMeta, Seq("k1", "k2"))
       .select(col("vec_id"), col("rep"), col("self_ok"))
-    SemDedup.resolveLabels(members, repCC)
+    val r = SemDedup.resolveLabels(members, repCC)
+    r
   }
 
   /** qs15 entry: the planted qe4 union staged as an id-range-partitioned

@@ -26,6 +26,24 @@ class ClustersSpec extends AnyFunSuite {
     assert(got.size == 12)
   }
 
+  test("distributed label loop (past the local gate) equals driver-local union-find") {
+    import spark.implicits._
+    // chains, a triangle, a star, and singleton-free merges — run with
+    // localThreshold = 0 to force the distributed path the gate normally
+    // reserves for >1M-edge graphs
+    val rnd = new scala.util.Random(11)
+    val pairs = ((1L until 12L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (20L, 22L), (30L, 40L), (30L, 50L)) ++
+      (0 until 200).map(_ => { val a = rnd.nextInt(100).toLong + 100L
+        val b = rnd.nextInt(100).toLong + 100L; (math.min(a, b), math.max(a, b)) })
+    ).filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+    val local = Clusters.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val dist = Clusters.connectedComponents(pairs, localThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist == local)
+  }
+
   test("rep-graph CC equals member-level CC on the corpus") {
     // the optimized q33 (CC over collapsed representatives, members
     // attached after) must give exactly the clusters of CC over the full
