@@ -186,6 +186,49 @@ object SparkEntry {
         |WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin
 
+  /** Shared DuckDB fragment: the verified shingle-Jaccard near-dup pair
+    * graph (qs1/qs13 emit it; q33/qd10 resolve components over it).
+    *
+    * INVERTED-INDEX form, exact by construction (this is what makes the
+    * oracle feasible one SF above the gate, where the old all-pairs join
+    * ground for 15+ minutes):
+    *   - Jaccard >= 0.8 > 0 requires at least one SHARED shingle, so the
+    *     shingle self-join loses no qualifying pair;
+    *   - the length bound is implied by the threshold: |A∩B| <= min(|A|,
+    *     |B|) and J >= t force min >= t·|A∪B| >= t·max(|A|,|B|);
+    *   - the old `len(sh) > 0` NaN guard (0/0 = NaN passes >= under
+    *     NaN-is-greatest) is SUBSUMED: an empty shingle set shares no
+    *     shingle and never reaches the verify stage;
+    *   - `MATERIALIZED` pins each CTE to one evaluation (DuckDB inlines
+    *     multiply-referenced CTEs otherwise — the shingle kernel would
+    *     run once per reference). */
+  private val shinglePairGraphSql: String =
+    """t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |), d AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3 THEN list_distinct(
+      |      list_transform(range(1, len(toks) - 1),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+      |    ELSE [] END AS sh
+      |  FROM t
+      |), inv AS MATERIALIZED (
+      |  SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d
+      |), cand AS MATERIALIZED (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      |    AND least(a.n, b.n)::DOUBLE >= 0.8 * greatest(a.n, b.n)::DOUBLE
+      |), p AS MATERIALIZED (
+      |  SELECT doc_a, doc_b, j AS jaccard FROM (
+      |    SELECT c.doc_a, c.doc_b,
+      |      len(list_intersect(da.sh, db.sh))::DOUBLE
+      |        / len(list_distinct(list_concat(da.sh, db.sh)))::DOUBLE AS j
+      |    FROM cand c JOIN d da ON da.doc_id = c.doc_a
+      |                JOIN d db ON db.doc_id = c.doc_b)
+      |  WHERE j >= 0.8
+      |)""".stripMargin
+
   /** DuckDB oracle for semantic dedup — shared by qe4 (batch) and
     * qs15 (streaming): see the binding comment in oracleSql. */
   private val semanticDedupOracle: String =
@@ -849,24 +892,7 @@ object SparkEntry {
     // Composed curation pipeline: quality gate → exact dedup → near-dup
     // cluster pruning (reuses q33's recursive-CTE component resolution).
     "qd10_corpus_curation" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-        |  FROM documents
-        |), d AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 3 THEN list_distinct(
-        |      list_transform(range(1, len(toks) - 1),
-        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-        |    ELSE [] END AS sh
-        |  FROM t
-        |), p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |  -- non-empty guard: 0/0 is NaN and NaN >= 0.8 is TRUE in DuckDB
-        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
-        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE
-        |      / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.8
-        |), e AS (
+      s"""WITH RECURSIVE $shinglePairGraphSql, e AS (
         |  SELECT doc_a AS a, doc_b AS b FROM p
         |  UNION SELECT doc_b, doc_a FROM p
         |), r(s, t2) AS (
@@ -878,10 +904,10 @@ object SparkEntry {
         |), quality AS (
         |  SELECT doc_id, lang, source,
         |    length(text) AS n_chars_actual,
-        |    len(string_split_regex(trim(text), '\s+')) AS n_words,
+        |    len(string_split_regex(trim(text), '\\s+')) AS n_words,
         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |  FROM documents
-        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 30
+        |  WHERE len(string_split_regex(trim(text), '\\s+')) >= 30
         |    AND length(text) >= 200
         |)
         |SELECT doc_id, lang, source, n_chars_actual, n_words
@@ -1184,51 +1210,15 @@ object SparkEntry {
     // 16-band/4-row S-curve has recall ≥ 0.9998, so the LSH result equals
     // the exact all-pairs answer below.
     "qs1_minhash_neardup" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-        |  FROM documents
-        |), d AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 3 THEN list_distinct(
-        |      list_transform(range(1, len(toks) - 1),
-        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-        |    ELSE [] END AS sh
-        |  FROM t
-        |)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  len(list_intersect(a.sh, b.sh))::DOUBLE
-        |    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
-        |FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |-- both shingle sets non-empty: 0/0 is NaN, and NaN >= 0.8 is TRUE
-        |-- under NaN-is-greatest — the engine excludes such docs at source
-        |WHERE len(a.sh) > 0 AND len(b.sh) > 0
-        |  AND len(list_intersect(a.sh, b.sh))::DOUBLE
-        |    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.8
+      s"""WITH $shinglePairGraphSql
+        |SELECT doc_a, doc_b, jaccard FROM p
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Streaming incremental near-dup == batch qs1 (same pair set, same
     // exact-Jaccard values), so it shares qs1's full SQL recompute.
     "qs13_stream_neardup" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-        |  FROM documents
-        |), d AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 3 THEN list_distinct(
-        |      list_transform(range(1, len(toks) - 1),
-        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-        |    ELSE [] END AS sh
-        |  FROM t
-        |)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  len(list_intersect(a.sh, b.sh))::DOUBLE
-        |    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
-        |FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |-- both shingle sets non-empty: 0/0 is NaN, and NaN >= 0.8 is TRUE
-        |-- under NaN-is-greatest — the engine excludes such docs at source
-        |WHERE len(a.sh) > 0 AND len(b.sh) > 0
-        |  AND len(list_intersect(a.sh, b.sh))::DOUBLE
-        |    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.8
+      s"""WITH $shinglePairGraphSql
+        |SELECT doc_a, doc_b, jaccard FROM p
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Streaming AvailableNow replay must equal the batch recompute:
@@ -1254,24 +1244,7 @@ object SparkEntry {
     // the same graph (exact all-pairs shingle Jaccard ≥ 0.8 — see qs1)
     // and resolves min-reachable representatives with a recursive CTE.
     "q33_dedup_clusters" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-        |  FROM documents
-        |), d AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 3 THEN list_distinct(
-        |      list_transform(range(1, len(toks) - 1),
-        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-        |    ELSE [] END AS sh
-        |  FROM t
-        |), p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |  -- non-empty guard: 0/0 is NaN and NaN >= 0.8 is TRUE in DuckDB
-        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
-        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE
-        |      / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.8
-        |), e AS (
+      s"""WITH RECURSIVE $shinglePairGraphSql, e AS (
         |  SELECT doc_a AS a, doc_b AS b FROM p
         |  UNION SELECT doc_b, doc_a FROM p
         |), r(s, t2) AS (
@@ -1298,15 +1271,17 @@ object SparkEntry {
         |  FROM e a JOIN e c ON c.vec_id = a.vec_id + 1
         |), u AS (
         |  SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM b
+        |), w AS MATERIALIZED (
+        |  -- norms hoisted out of the pair loop (sf0.1+ feasibility):
+        |  -- sqrt(dot(v,v)) is per-VECTOR work, and sqrt(a)*sqrt(b) is the
+        |  -- bit-identical factorization of the original inline form
+        |  SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM u
         |)
-        |SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-        |  round(list_inner_product(a.v, b2.v)
-        |    / (sqrt(list_inner_product(a.v, a.v))
-        |       * sqrt(list_inner_product(b2.v, b2.v))), 6) AS sim
-        |FROM u a JOIN u b2 ON a.vec_id < b2.vec_id
-        |WHERE round(list_inner_product(a.v, b2.v)
-        |    / (sqrt(list_inner_product(a.v, a.v))
-        |       * sqrt(list_inner_product(b2.v, b2.v))), 6) >= 0.95
+        |SELECT id_a, id_b, sim FROM (
+        |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+        |    round(list_inner_product(a.v, b2.v) / (a.nrm * b2.nrm), 6) AS sim
+        |  FROM w a JOIN w b2 ON a.vec_id < b2.vec_id)
+        |WHERE sim >= 0.95
         |ORDER BY id_a, id_b""".stripMargin,
 
     // SimHash is fully SQL-reproducible: the token hash is the lower 64
