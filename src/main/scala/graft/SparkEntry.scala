@@ -81,6 +81,10 @@ object SparkEntry {
     "qd18_unigram_logprob" -> (TextOps.qd18UnigramLogprob _),
     "qd19_tfidf_keywords"  -> (TextOps.qd19TfidfKeywords _),
     "qd20_sequence_pack"   -> ((s, d) => TextOps.qd20SequencePack(s, d)),
+    // CCNet-style bigram-LM fluency score (add-one smoothed)
+    "qd21_bigram_logprob"  -> (TextOps.qd21BigramLogprob _),
+    // content-defined chunk dedup (stateless CDC boundaries)
+    "qd22_cdc_chunk_dedup" -> (TextOps.qd22CdcChunkDedup _),
     "q36_approx_percentile" -> (Advanced.q36ApproxPercentile _),
     "qd10_corpus_curation" -> (TextOps.qd10CorpusCuration _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
@@ -778,6 +782,66 @@ object SparkEntry {
         |  ((cum - 1) // 512 - (cum - tok_cnt) // 512 + 1) AS n_chunks
         |FROM c
         |ORDER BY doc_id""".stripMargin,
+
+    // Add-one-smoothed bigram conditionals from corpus-wide counts; the
+    // per-doc average mirrors qd18's established avg(-ln p) shape.
+    "qd21_bigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), uc AS MATERIALIZED (
+        |  SELECT term, count(*)::BIGINT AS ca
+        |  FROM (SELECT unnest(toks) AS term FROM t) GROUP BY term
+        |), v AS (
+        |  SELECT count(*)::DOUBLE AS v FROM uc
+        |), bg AS MATERIALIZED (
+        |  SELECT doc_id, toks[i] AS term, toks[i] || ' ' || toks[i+1] AS bg
+        |  FROM t CROSS JOIN unnest(range(1, len(toks))) r(i)
+        |), bc AS MATERIALIZED (
+        |  SELECT bg, count(*)::BIGINT AS cab FROM bg GROUP BY bg
+        |)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  round(avg(-ln((cab + 1)::DOUBLE / (ca + v))), 6) AS avg_neg_logprob
+        |FROM bg JOIN bc USING (bg) JOIN uc USING (term) CROSS JOIN v
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // Stateless CDC: a cut after 1-based char position i (16 <= i <
+    // length) iff md5 of the 16-char window ending at i is 0 mod 64.
+    // A mod-64 gate reads only the hash's LOW SIX BITS, i.e. the first
+    // byte of md5_number_lower's little-endian slice — the Spark side
+    // reads the same byte as hex chars 17-18 of md5(), so the two
+    // predicates are bit-identical. keep_* decodes the lexicographic
+    // min over doc_id*1e6 + chunk_idx (chunk counts are far below 1e6).
+    "qd22_cdc_chunk_dedup" ->
+      """WITH c AS MATERIALIZED (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(text) >= 17 THEN
+        |      list_filter(range(16, length(text)),
+        |        i -> md5_number_lower(substr(text, (i - 15)::INT, 16)) % 64 = 0)
+        |    ELSE [] END AS cuts
+        |  FROM documents
+        |), b AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_append(list_prepend(0::BIGINT, cuts), length(text)::BIGINT)
+        |      AS bounds,
+        |    text
+        |  FROM c
+        |), ch AS MATERIALIZED (
+        |  SELECT doc_id, (j - 1)::BIGINT AS chunk_idx,
+        |    substr(text, (bounds[(j)::INT] + 1)::INT,
+        |      (bounds[(j + 1)::INT] - bounds[(j)::INT])::INT) AS chunk
+        |  FROM b CROSS JOIN unnest(range(1, len(bounds))) r(j)
+        |)
+        |SELECT md5(chunk) AS chunk_md5, count(*)::BIGINT AS n_copies,
+        |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |  (min(doc_id * 1000000 + chunk_idx) // 1000000)::BIGINT AS keep_doc_id,
+        |  (min(doc_id * 1000000 + chunk_idx) % 1000000)::BIGINT AS keep_chunk_idx,
+        |  min(length(chunk))::BIGINT AS chunk_len
+        |FROM ch
+        |GROUP BY chunk_md5
+        |HAVING count(*) >= 2
+        |ORDER BY chunk_md5""".stripMargin,
 
     // Exact Levenshtein over the (tiny) verified near-dup pair set.
     "qd17_edit_distance" ->

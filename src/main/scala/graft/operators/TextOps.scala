@@ -523,4 +523,97 @@ object TextOps {
           .as("n_chunks"))
       .orderBy("doc_id")
   }
+
+  /** Bigram-LM fluency scoring — the CCNet-style perplexity quality
+    * filter next to qd18's unigram form: score each document by the
+    * average negative log of the add-one-smoothed bigram conditional
+    * p(b|a) = (c(a,b) + 1) / (c(a) + V), with c(·) corpus-wide counts
+    * and V the unigram vocabulary size. Lower = more fluent under the
+    * corpus's own bigram statistics; a perplexity cut on this score is
+    * the classic LM-filter pass of a pretraining pipeline.
+    *
+    * Plan: two explode aggregates build the bigram and unigram count
+    * tables (shuffles keyed on the n-gram — the counts ARE the model,
+    * maintained as derived tables at warehouse scale), V is a broadcast
+    * scalar (qd18's stats pattern), and the per-doc average is one more
+    * grouped pass. Documents with fewer than two tokens have no bigrams
+    * and emit no row (the oracle mirrors the exclusion). */
+  def qd21BigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val toksArr = docs(spark, dir).select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("toks"))
+    val uniCounts = toksArr.select(explode(col("toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("ca"))
+    val vocab = uniCounts.agg(count(lit(1)).cast("double").as("v"))
+    val bigrams = toksArr.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2)," +
+          " i -> struct(toks[i] AS a, concat(toks[i], ' ', toks[i+1]) AS bg))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.a").as("term"), col("p.bg").as("bg"))
+    val biCounts = bigrams.groupBy("bg").agg(count(lit(1)).as("cab"))
+    bigrams
+      .join(biCounts, "bg")
+      .join(uniCounts, "term")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(-log((col("cab") + 1).cast("double")
+          / (col("ca").cast("double") + col("v")))), 6).as("avg_neg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** Content-defined chunk dedup — blob-level duplicate detection whose
+    * chunk boundaries move WITH the content (a one-character insertion
+    * shifts every fixed-size chunk after it, but only the chunk it lands
+    * in under CDC), the shape file/dataset dedup pipelines use for
+    * partially-overlapping documents.
+    *
+    * STATELESS CDC so both engines reproduce the boundaries exactly: a
+    * cut falls after character position i (1-based, 16 <= i < length)
+    * whenever the low byte of the MD5 of the 16-char window ending at i
+    * is ≡ 0 (mod 64) — no minimum-chunk-size statefulness, so the
+    * boundary set is a pure per-position predicate (expressible as a
+    * higher-order filter in Spark and list_filter in DuckDB). A mod-64
+    * gate needs only the hash's LOW SIX BITS, so the Spark side reads
+    * hex chars 17-18 of `md5()` (the first byte of DuckDB's
+    * little-endian `md5_number_lower` slice) — the two predicates are
+    * bit-identical.
+    *
+    * Output: one row per chunk VALUE seen more than once — its MD5,
+    * copy/document counts, the lexicographically first (doc, chunk idx)
+    * holder (encoded min over doc_id·10⁶ + idx; texts are far below 10⁶
+    * chunks), and the chunk length. One narrow per-doc pass builds the
+    * chunks (per-position hashing is the honest CDC cost, linear in
+    * characters); ONE shuffle groups by chunk hash. */
+  def qd22CdcChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunked = docs(spark, dir).select(col("doc_id"),
+      expr(
+        """CASE WHEN length(text) >= 17 THEN
+          |  filter(sequence(16, length(text) - 1),
+          |    i -> pmod(cast(conv(substring(md5(substring(text, i - 15, 16)),
+          |                                  17, 2), 16, 10) AS INT), 64) = 0)
+          |ELSE array() END""".stripMargin).as("cuts"),
+      col("text"))
+      .select(col("doc_id"),
+        expr("concat(array(0), cuts, array(length(text)))").as("bounds"),
+        col("text"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(bounds) - 2)," +
+          " j -> substring(text, bounds[j] + 1, bounds[j+1] - bounds[j]))"))
+        .as(Seq("chunk_idx", "chunk")))
+    chunked
+      .groupBy(md5(col("chunk")).as("chunk_md5"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id") * 1000000L + col("chunk_idx")).as("enc"),
+        min(length(col("chunk"))).cast("long").as("chunk_len"))
+      .filter(col("n_copies") >= 2)
+      .select(col("chunk_md5"), col("n_copies"), col("n_docs"),
+        expr("enc div 1000000").as("keep_doc_id"),
+        (col("enc") % 1000000L).as("keep_chunk_idx"),
+        col("chunk_len"))
+      .orderBy("chunk_md5")
+  }
 }

@@ -107,4 +107,89 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(cnt >= 1)
     }
   }
+
+  test("bigram logprob matches a directly computed reference") {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def toks(s: String) = s.trim.split("\\s+").toSeq
+    val uni = docs.flatMap(d => toks(d._2)).groupBy(identity).view.mapValues(_.size)
+    val v = uni.size.toDouble
+    val bgs = docs.flatMap { case (id, t) =>
+      val ts = toks(t)
+      ts.zip(ts.drop(1)).map { case (a, b) => (id, a, s"$a $b") }
+    }
+    val bc = bgs.map(_._3).groupBy(identity).view.mapValues(_.size)
+    val want = bgs.groupBy(_._1).map { case (id, rows) =>
+      val lps = rows.map { case (_, a, bg) =>
+        -math.log((bc(bg) + 1).toDouble / (uni(a) + v))
+      }
+      // same 6dp rounding as the operator; compare at 5dp to stay clear
+      // of summation-order ULPs in this reference (the SQL oracle is the
+      // exact-parity check)
+      (id, rows.size.toLong,
+        math.round(lps.sum / lps.size * 100000.0) / 100000.0)
+    }
+    val got = graft.operators.TextOps.qd21BigramLogprob(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 100000.0) / 100000.0))).toMap
+    assert(got.size == want.size)
+    want.foreach { case w @ (id, _, _) =>
+      assert(math.abs(got(id)._3 - w._3) <= 2e-5, s"doc $id: ${got(id)} vs $w")
+      assert(got(id)._2 == w._2, s"doc $id bigram count")
+    }
+    // fluency sanity: a score exists for every multi-token doc
+    assert(want.nonEmpty)
+  }
+
+  test("CDC chunks reassemble each document and survive an offset shift") {
+    import spark.implicits._
+    // the CDC property fixed-size chunking lacks: a shared 400-char
+    // passage at DIFFERENT offsets must still produce identical chunks
+    val rnd = new scala.util.Random(5)
+    def blob(n: Int) = (0 until n).map(_ =>
+      ('a' + rnd.nextInt(26)).toChar).mkString
+    val passage = blob(400)
+    val a = blob(120) + passage + blob(90)
+    val b = blob(57) + passage + blob(33) // different prefix length → shifted
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("spec").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val dups = graft.operators.TextOps.qd22CdcChunkDedup(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // at mask 1/64 a 400-char passage has ~6 expected cuts; interior
+    // chunks between the first and last shared cut are offset-invariant
+    assert(dups.exists(_._3 == 2L),
+      s"no cross-document duplicate chunk found: ${dups.toSeq}")
+
+    // reassembly: chunks of each doc concatenate back to the document
+    val docsDf = graft.Tables(spark, tmp, "documents")
+    val chunks = docsDf.select(col("doc_id"),
+        expr("""CASE WHEN length(text) >= 17 THEN
+          filter(sequence(16, length(text) - 1),
+            i -> pmod(cast(conv(substring(md5(substring(text, i - 15, 16)),
+                                17, 2), 16, 10) AS INT), 64) = 0)
+          ELSE array() END""").as("cuts"), col("text"))
+      .select(col("doc_id"),
+        expr("concat(array(0), cuts, array(length(text)))").as("bounds"),
+        col("text"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(bounds) - 2)," +
+          " j -> substring(text, bounds[j] + 1, bounds[j+1] - bounds[j]))"))
+        .as(Seq("idx", "chunk")))
+      .orderBy("doc_id", "idx")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    val reassembled = chunks.groupBy(_._1).view.mapValues(_.map(_._2).mkString)
+    assert(reassembled(1L) == a && reassembled(2L) == b)
+    // boundary predicate agrees with the JVM md5 kernel (the same byte
+    // DuckDB's md5_number_lower slice starts with)
+    val cutsA = (16 until a.length).filter(i =>
+      (graft.dedup.SimHash.md5Lower64String(a.substring(i - 16, i)) & 63L) == 0L)
+    val sparkChunksA = chunks.filter(_._1 == 1L).map(_._2)
+    assert(sparkChunksA.size == cutsA.size + 1)
+  }
 }
