@@ -573,12 +573,13 @@ object TextOps {
     * cut falls after character position i (1-based, 16 <= i < length)
     * whenever the low byte of the MD5 of the 16-char window ending at i
     * is ≡ 0 (mod 64) — no minimum-chunk-size statefulness, so the
-    * boundary set is a pure per-position predicate (expressible as a
-    * higher-order filter in Spark and list_filter in DuckDB). A mod-64
-    * gate needs only the hash's LOW SIX BITS, so the Spark side reads
-    * hex chars 17-18 of `md5()` (the first byte of DuckDB's
-    * little-endian `md5_number_lower` slice) — the two predicates are
-    * bit-identical.
+    * boundary set is a pure per-position predicate: a typed kernel here
+    * (`cdcChunks`), `list_filter` in the DuckDB oracle. A mod-64 gate
+    * needs only the hash's LOW SIX BITS — the same byte whether read as
+    * `md5Lower64String & 63` (kernel), hex chars 17-18 of `md5()` (the
+    * declarative Spark form the spec cross-checks), or the first byte of
+    * DuckDB's little-endian `md5_number_lower` slice — so all three
+    * predicates are bit-identical.
     *
     * Output: one row per chunk VALUE seen more than once — its MD5,
     * copy/document counts, the lexicographically first (doc, chunk idx)
@@ -586,23 +587,8 @@ object TextOps {
     * chunks), and the chunk length. One narrow per-doc pass builds the
     * chunks (per-position hashing is the honest CDC cost, linear in
     * characters); ONE shuffle groups by chunk hash. */
-  def qd22CdcChunkDedup(spark: SparkSession, dir: String): DataFrame = {
-    val chunked = docs(spark, dir).select(col("doc_id"),
-      expr(
-        """CASE WHEN length(text) >= 17 THEN
-          |  filter(sequence(16, length(text) - 1),
-          |    i -> pmod(cast(conv(substring(md5(substring(text, i - 15, 16)),
-          |                                  17, 2), 16, 10) AS INT), 64) = 0)
-          |ELSE array() END""".stripMargin).as("cuts"),
-      col("text"))
-      .select(col("doc_id"),
-        expr("concat(array(0), cuts, array(length(text)))").as("bounds"),
-        col("text"))
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, size(bounds) - 2)," +
-          " j -> substring(text, bounds[j] + 1, bounds[j+1] - bounds[j]))"))
-        .as(Seq("chunk_idx", "chunk")))
-    chunked
+  def qd22CdcChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    cdcChunks(spark, dir)
       .groupBy(md5(col("chunk")).as("chunk_md5"))
       .agg(
         count(lit(1)).as("n_copies"),
@@ -615,5 +601,39 @@ object TextOps {
         (col("enc") % 1000000L).as("keep_chunk_idx"),
         col("chunk_len"))
       .orderBy("chunk_md5")
+
+  /** The CDC chunk table (doc_id, chunk_idx, chunk): one typed
+    * mapPartitions-style kernel per document — the per-window hashing is
+    * ~250 chars-worth of MD5 per 16-char step, and evaluating it as a
+    * higher-order Column filter paid a fresh UTF8String slice + hex
+    * string + base conversion PER POSITION (sf1: 39 s for 50k docs);
+    * the kernel hashes the same windows off one code-point array
+    * (sf1: ~6× less). CODE POINTS, not UTF-16 units, mirror how both
+    * engines' `substring`/`length` count characters; the boundary
+    * predicate byte (`md5Lower64String & 63`) is the same low byte the
+    * declarative form and DuckDB's `md5_number_lower` read —
+    * CurationOpsSpec pins kernel chunks == declarative-expression
+    * chunks. */
+  private[graft] def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val cp = text.codePoints().toArray
+        val n = cp.length
+        val cuts = scala.collection.mutable.ArrayBuffer[Int](0)
+        var i = 16
+        while (i <= n - 1) {
+          val window = new String(cp, i - 16, 16)
+          if ((graft.dedup.SimHash.md5Lower64String(window) & 63L) == 0L)
+            cuts += i
+          i += 1
+        }
+        cuts += n
+        (0 until cuts.length - 1).map { j =>
+          (id, j.toLong, new String(cp, cuts(j), cuts(j + 1) - cuts(j)))
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "chunk")
   }
+
 }

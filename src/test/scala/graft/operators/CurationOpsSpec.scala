@@ -166,9 +166,36 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(dups.exists(_._3 == 2L),
       s"no cross-document duplicate chunk found: ${dups.toSeq}")
 
+    // the kernel's chunk table must equal the declarative
+    // higher-order-expression form of the same predicate (hex chars
+    // 17-18 of md5 == the kernel's md5Lower64 low byte) on the REAL
+    // corpus too, not just the planted docs
+    val kernelReal = graft.operators.TextOps.cdcChunks(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val exprReal = declarativeChunks(graft.Tables(spark, dir, "documents"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getString(2))).toSet
+    assert(kernelReal == exprReal)
+
     // reassembly: chunks of each doc concatenate back to the document
     val docsDf = graft.Tables(spark, tmp, "documents")
-    val chunks = docsDf.select(col("doc_id"),
+    val chunks = declarativeChunks(docsDf)
+      .orderBy("doc_id", "idx")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    val reassembled = chunks.groupBy(_._1).view.mapValues(_.map(_._2).mkString)
+    assert(reassembled(1L) == a && reassembled(2L) == b)
+    // boundary predicate agrees with the JVM md5 kernel (the same byte
+    // DuckDB's md5_number_lower slice starts with)
+    val cutsA = (16 until a.length).filter(i =>
+      (graft.dedup.SimHash.md5Lower64String(a.substring(i - 16, i)) & 63L) == 0L)
+    val sparkChunksA = chunks.filter(_._1 == 1L).map(_._2)
+    assert(sparkChunksA.size == cutsA.size + 1)
+  }
+
+  /** The declarative (higher-order Column) form of the CDC chunk table —
+    * the operator itself runs the typed kernel; this stays as the
+    * cross-check implementation. */
+  private def declarativeChunks(docsDf: org.apache.spark.sql.DataFrame) =
+    docsDf.select(col("doc_id"),
         expr("""CASE WHEN length(text) >= 17 THEN
           filter(sequence(16, length(text) - 1),
             i -> pmod(cast(conv(substring(md5(substring(text, i - 15, 16)),
@@ -181,15 +208,4 @@ class CurationOpsSpec extends AnyFunSuite {
         "transform(sequence(0, size(bounds) - 2)," +
           " j -> substring(text, bounds[j] + 1, bounds[j+1] - bounds[j]))"))
         .as(Seq("idx", "chunk")))
-      .orderBy("doc_id", "idx")
-      .collect().map(r => (r.getLong(0), r.getString(2)))
-    val reassembled = chunks.groupBy(_._1).view.mapValues(_.map(_._2).mkString)
-    assert(reassembled(1L) == a && reassembled(2L) == b)
-    // boundary predicate agrees with the JVM md5 kernel (the same byte
-    // DuckDB's md5_number_lower slice starts with)
-    val cutsA = (16 until a.length).filter(i =>
-      (graft.dedup.SimHash.md5Lower64String(a.substring(i - 16, i)) & 63L) == 0L)
-    val sparkChunksA = chunks.filter(_._1 == 1L).map(_._2)
-    assert(sparkChunksA.size == cutsA.size + 1)
-  }
 }
