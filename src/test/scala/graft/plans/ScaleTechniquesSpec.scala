@@ -157,4 +157,25 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(candKeys.isDefined,
       s"no (tok, lang, source) prefix-join keys found, got: $allKeys")
   }
+
+  test("releaseLocalCheckpoints frees checkpoint blocks, not DataFrame persists") {
+    // the round-6 bench-inflation fix: dead localCheckpoint blocks must
+    // be releasable at a query boundary WITHOUT touching persisted memos
+    import spark.implicits._
+    val ckpt = spark.range(1000).toDF("id").localCheckpoint(true)
+    assert(ckpt.count() == 1000)
+    val memo = spark.range(500).toDF("id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(memo.count() == 500)
+    assert(spark.sparkContext.getPersistentRDDs.values.exists(_.isCheckpointed),
+      "expected a registered checkpointed RDD before the release")
+
+    val released = ScaleTechniques.releaseLocalCheckpoints(spark)
+    assert(released >= 1, s"released=$released")
+    assert(!spark.sparkContext.getPersistentRDDs.values.exists(_.isCheckpointed),
+      "checkpoint blocks must be gone after the release")
+    // the persisted memo is untouched and still readable
+    assert(memo.count() == 500)
+    memo.unpersist(blocking = true)
+  }
 }
