@@ -238,11 +238,20 @@ object Replay {
     }
   }
 
-  /** qs10 entry: stream the documents table straight out of the shared
-    * sfDir via a glob filter (same pattern as eventStream — no staging
-    * copy of the corpus). */
-  def qs10StreamDedup(spark: SparkSession, dir: String): DataFrame =
-    streamCorpusDedup(spark, dir, pathGlobFilter = "documents.parquet")
+  /** qs10 entry: the documents table staged as TWO id-range files and
+    * consumed one file per micro-batch, so the ORACLE-CHECKED run itself
+    * exercises the cross-batch (min, sum) state fold — a single-batch
+    * replay of the shared lake would check only the batch aggregate.
+    * (Same minimal boundary-crossing shape as qs15; deeper splits,
+    * shuffled arrival, and restart live in the specs.) */
+  def qs10StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val staged = Files.createTempDirectory("graft_sdedup_lake").toString
+    cleanupAtExit(staged)
+    graft.Tables(spark, dir, "documents")
+      .repartitionByRange(2, col("doc_id"))
+      .write.mode("overwrite").parquet(staged)
+    streamCorpusDedup(spark, staged, maxFilesPerTrigger = 1)
+  }
 
   /** Streaming incremental NEAR-duplicate detection — the arrival-time
     * form of qs1_minhash_neardup: documents stream in, each micro-batch
