@@ -89,6 +89,59 @@ class RestartSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("replay of a batch already folded by compaction is skipped wholesale") {
+    // compactEvery = 2: batch 1's endBatch compacts generations (folding
+    // batches 0-1, writing the _upto manifest), THEN the poison fires —
+    // so the restart replays a batch whose rows can no longer be excluded
+    // from state reads. The alreadyFolded short-circuit must skip the
+    // whole batch body (its writes necessarily completed) and the final
+    // pair set must still equal the batch recompute.
+    val lake = docsLake()
+    val w = work("graft_restart_folded")
+    Replay.poisonAfterBatch = 1L
+    intercept[Exception] {
+      Replay.streamNearDup(spark, lake, maxFilesPerTrigger = 1,
+        compactEvery = 2, workDir = Some(w))
+    }
+    val streamed = Replay.streamNearDup(spark, lake, maxFilesPerTrigger = 1,
+        compactEvery = 2, workDir = Some(w))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = graft.dedup.MinHashLSH.nearDups(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
+  test("streamKeepList folded-batch replay is skipped wholesale") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val dim = 16
+    val bases = IndexedSeq.fill(24)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows =
+      bases.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq, i % 3) } ++
+      (0 until 6).flatMap(i => (1 to 4).map(c =>
+        ((100 + 10 * i + c).toLong, bases(i).toSeq, i % 3)))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val cents = Ann.localCentroids(emb)
+    val want = SemDedup.keepList(emb, threshold = 0.95, s = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val staged = Files.createTempDirectory("graft_restart_sem_folded").toString
+    Replay.cleanupAtExit(staged)
+    emb.select(col("vec_id"), col("embedding"))
+      .repartitionByRange(4, col("vec_id"))
+      .write.mode("overwrite").parquet(staged)
+    val w = work("graft_restart_sem_folded_w")
+    Replay.poisonAfterBatch = 1L
+    intercept[Exception] {
+      SemDedupStream.streamKeepList(spark, staged, cents, s = 4,
+        maxFilesPerTrigger = 1, compactEvery = 2, workDir = Some(w))
+    }
+    val got = SemDedupStream.streamKeepList(spark, staged, cents, s = 4,
+        maxFilesPerTrigger = 1, compactEvery = 2, workDir = Some(w))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == want)
+  }
+
   test("streamCorpusDedup killed mid-run resumes; replayed batch merges from its predecessor") {
     // the versioned-state scheme (shared with streamUpsert): the replayed
     // batch must merge from the highest version BELOW its own id — merging
