@@ -33,6 +33,13 @@ import org.apache.spark.sql.types.StructType
   *     deleted (a durable deployment would size the coalesce by bytes);
   *     a registered table that no batch has appended yet compacts as the
   *     empty frame;
+  *   - a table may register a `fold` (keyed-monoid reduction, e.g.
+  *     latest-wins per key or per-key (min, sum)) applied to the unioned
+  *     generation at compaction, so the compacted state stays O(distinct
+  *     keys) instead of O(appended rows). The fold MUST be
+  *     order-insensitive and composable — `fold(fold(a) ∪ b) ==
+  *     fold(a ∪ b)` — because later appends land NEXT TO the folded
+  *     generation and readers fold the union again at read time;
   *   - the whole clock (current generation, batches in it, fold manifest)
   *     is reconstructed from the directory layout on construction, so an
   *     instance opened over an existing `work` dir RESUMES that state —
@@ -47,7 +54,8 @@ import org.apache.spark.sql.types.StructType
   * contract, not the filesystem).
   */
 private[streaming] final class AppendOnlyState(work: String,
-    tables: Seq[(String, StructType)], compactEvery: Int) {
+    tables: Seq[(String, StructType)], compactEvery: Int,
+    folds: Map[String, DataFrame => DataFrame] = Map.empty) {
   private val schemas = tables.toMap
 
   private def genDirs: Seq[Int] =
@@ -151,7 +159,8 @@ private[streaming] final class AppendOnlyState(work: String,
         val df =
           if (files.nonEmpty) ss.read.schema(sch).parquet(files: _*)
           else ss.createDataFrame(ss.sparkContext.emptyRDD[Row], sch)
-        df.coalesce(4).write.mode("overwrite").parquet(s"$next/$t/c${gen + 1}")
+        folds.get(t).fold(df)(f => f(df))
+          .coalesce(4).write.mode("overwrite").parquet(s"$next/$t/c${gen + 1}")
       }
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$next/_upto"),
         batchId.toString.getBytes)

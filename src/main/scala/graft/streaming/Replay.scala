@@ -12,11 +12,15 @@ import org.apache.spark.sql.types._
   * (the driver checks qs5 against the same oracle as the batch
   * q8_latest_per_key).
   *
-  * The upsert sink uses *versioned* parquet state dirs (state_v{batch}):
-  * each micro-batch merges the previous version with the new rows and
-  * writes a new version — never overwriting what it is reading. At
-  * production scale the same merge would target a transactional table
-  * format; the versioned-dir scheme keeps identical semantics with plain
+  * ALL durable state in this object rides `AppendOnlyState` generational
+  * appends: each micro-batch writes only its own keyed DELTA (O(batch)
+  * rows), the keyed fold (latest-wins / per-key (min, sum)) is applied at
+  * compaction and at read time, and nothing ever rewrites the full
+  * accumulated state per batch. (Rounds 4–6 used versioned full-snapshot
+  * dirs for the upsert/corpus-dedup streams — correct, but O(state) I/O
+  * per micro-batch, a scale-killer for a long-running ingest stream.) At
+  * production scale the same fold would target a transactional keyed
+  * table; the append-dir scheme keeps identical semantics with plain
   * parquet.
   */
 object Replay {
@@ -79,17 +83,6 @@ object Replay {
         cleanupAtExit(t); t
     }
 
-  /** Highest committed versioned-state dir under `work`, optionally only
-    * versions strictly below `below` — how the versioned streams recover
-    * their merge base after a restart (and ignore their own crashed
-    * partial output when replaying a batch). */
-  private def latestVersion(work: String, below: Option[Long] = None): Option[String] =
-    Option(new java.io.File(work).listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.matches("state_v\\d+"))
-      .map(_.getName.stripPrefix("state_v").toLong)
-      .filter(v => below.forall(v < _))
-      .sorted.lastOption.map(v => s"$work/state_v$v")
-
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // TIMESTAMP(NANOS) read as long (legacy conf)
@@ -98,7 +91,9 @@ object Replay {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+  private def eventStream(spark: SparkSession, dir: String,
+                          pathGlobFilter: String = "events.parquet",
+                          maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The streaming file source requires a *directory*; select just the
     // events table out of the shared sfDir with a glob filter.
@@ -113,13 +108,15 @@ object Replay {
     // the matching normalization; all three flavors land on the same
     // UTC-instant TIMESTAMP column (same three-way contract as
     // Tables.readEvents).
-    val probed = spark.read.option("pathGlobFilter", "events.parquet")
+    val probed = spark.read.option("pathGlobFilter", pathGlobFilter)
       .parquet(dir).schema("ts").dataType
     val schema = StructType(eventsSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = probed) else f))
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val reader = spark.readStream.schema(schema)
+      .option("pathGlobFilter", pathGlobFilter)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    val raw = reader.parquet(dir)
     probed match {
       case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
@@ -127,55 +124,71 @@ object Replay {
     }
   }
 
-  /** K2 streaming form: latest-wins keyed upsert via foreachBatch merge.
+  /** Latest-wins per user, deterministic tie-break on event_id — the
+    * keyed fold shared by `streamUpsert`'s per-batch reduction, its
+    * compaction, and its final read. Order-insensitive and composable
+    * (`fold(fold(a) ∪ b) == fold(a ∪ b)`), which is what lets the state
+    * live as unordered generational appends. */
+  private def latestWins(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** K2 streaming form: latest-wins keyed upsert via foreachBatch.
     * AvailableNow replay of the whole lake == batch q8_latest_per_key.
+    *
+    * Each micro-batch appends only its own within-batch winners — O(batch)
+    * rows and I/O regardless of how much state has accumulated (the
+    * reference's K2 semantics re-fire on EVERY S3 PUT, so a long-running
+    * upsert stream is the case where an O(state) per-batch rewrite would
+    * be the engine's scale-killer). `AppendOnlyState` applies the same
+    * latest-wins fold at compaction, so durable state also stays
+    * O(distinct users), and the final read folds the appended generations
+    * once.
     *
     * Restart contract (shared by all foreachBatch state in this object):
     * every stream's state lives NEXT TO its streaming checkpoint under one
-    * `work` dir, and the merge base is derived FROM DISK per batch (the
-    * highest committed version strictly below the current batch id), so an
-    * invocation restarted over the same `workDir` reloads state and
-    * checkpoint together: already-ingested files are skipped AND their
-    * state is still there, and a batch replayed after a crash merges from
-    * its predecessor's version — never from its own crashed output. Pass
-    * `workDir` for the durable/restartable form; the default is a fresh
-    * temp dir per invocation (one-shot, cleaned at JVM exit). */
+    * `work` dir and the two reload together — already-ingested files are
+    * skipped AND their state is still there. A batch replayed from the
+    * at-least-once window recomputes the same delta from the same input
+    * batch and OVERWRITES its own batch-keyed subdir instead of appending
+    * twice; a batch already folded by compaction is skipped wholesale.
+    * Pass `workDir` for the durable/restartable form; the default is a
+    * fresh temp dir per invocation (one-shot, cleaned at JVM exit). */
   def streamUpsert(spark: SparkSession, dir: String,
-                   workDir: Option[String] = None): DataFrame = {
+                   workDir: Option[String] = None,
+                   pathGlobFilter: String = "events.parquet",
+                   maxFilesPerTrigger: Option[Int] = None,
+                   compactEvery: Int = 16): DataFrame = {
     val work = resolveWork(workDir, "graft_upsert")
+    val stateSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("event_type", StringType), StructField("ts", TimestampType)))
+    val state = new AppendOnlyState(work, Seq(("latest", stateSchema)),
+      compactEvery, folds = Map("latest" -> (latestWins _)))
 
-    val q = eventStream(spark, dir).writeStream
+    val q = eventStream(spark, dir, pathGlobFilter, maxFilesPerTrigger)
+      .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$work/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val ss = batch.sparkSession
-        val incoming = batch.select("user_id", "event_id", "event_type", "ts")
-        val merged = latestVersion(work, below = Some(batchId)) match {
-          case Some(prev) => ss.read.parquet(prev).unionByName(incoming)
-          case None       => incoming
+        if (!state.alreadyFolded(batchId)) {
+          val delta = latestWins(
+            batch.select("user_id", "event_id", "event_type", "ts"))
+          state.endBatch(batch.sparkSession, batchId, "latest" -> delta)
         }
-        // latest-wins per user, deterministic tie-break on event_id
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
-        val next = s"$work/state_v$batchId"
-        merged.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).drop("rn")
-          .write.mode("overwrite").parquet(next)
         maybePoison(batchId)
         ()
       }
       .start()
     q.awaitTermination()
 
-    latestVersion(work) match {
-      case Some(path) =>
-        spark.read.parquet(path)
-          .select(col("user_id"), col("event_id"), col("event_type"),
-            unix_micros(col("ts")).as("ts_us"))
-          .orderBy("user_id")
-      case None =>
-        spark.emptyDataFrame
-    }
+    latestWins(state.read(spark, "latest"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .orderBy("user_id")
   }
 
   val docsSchema: StructType = StructType(Seq(
@@ -191,17 +204,33 @@ object Replay {
     * min/sum are order-insensitive monoids, so the converged state equals
     * the batch answer REGARDLESS of arrival order or batch boundaries —
     * which is exactly what lets the driver hash-check a streaming query
-    * against the batch SQL oracle. At 100 TB the state table would be a
-    * transactional keyed table; versioned parquet keeps the semantics.
-    * Same restart contract as `streamUpsert`: the disk-derived merge base
-    * (highest version BELOW the batch id) is what makes a replayed batch
-    * idempotent here — merging from its own crashed `state_v` would
-    * double-count `n_copies`. */
+    * against the batch SQL oracle.
+    *
+    * Each micro-batch appends only its OWN per-hash aggregate — O(batch)
+    * rows and I/O; the (min, sum) fold runs at compaction and at the
+    * final read, so accumulated state is never rewritten per batch. At
+    * 100 TB the state table would be a transactional keyed table; the
+    * append-dir scheme keeps the semantics. Same restart contract as
+    * `streamUpsert`: a replayed batch recomputes the same delta and
+    * overwrites its own batch-keyed subdir — appending a second copy
+    * would double-count `n_copies`, which the exact-count oracle would
+    * catch. */
   def streamCorpusDedup(spark: SparkSession, dir: String,
                         maxFilesPerTrigger: Int = 1,
                         pathGlobFilter: String = "*.parquet",
-                        workDir: Option[String] = None): DataFrame = {
+                        workDir: Option[String] = None,
+                        compactEvery: Int = 16): DataFrame = {
     val work = resolveWork(workDir, "graft_sdedup")
+    val aggSchema = StructType(Seq(
+      StructField("text_hash", StringType),
+      StructField("keep_doc_id", LongType),
+      StructField("n_copies", LongType)))
+    def fold(df: DataFrame): DataFrame =
+      df.groupBy("text_hash")
+        .agg(min("keep_doc_id").as("keep_doc_id"),
+          sum("n_copies").as("n_copies"))
+    val state = new AppendOnlyState(work, Seq(("agg", aggSchema)),
+      compactEvery, folds = Map("agg" -> (fold _)))
     val q = spark.readStream.schema(docsSchema)
       .option("pathGlobFilter", pathGlobFilter)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
@@ -210,32 +239,21 @@ object Replay {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$work/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val ss = batch.sparkSession
-        val incoming = batch
-          .groupBy(md5(col("text")).as("text_hash"))
-          .agg(min("doc_id").as("keep_doc_id"),
-            count(lit(1)).as("n_copies"))
-        val merged = latestVersion(work, below = Some(batchId)) match {
-          case Some(prev) => ss.read.parquet(prev).unionByName(incoming)
-          case None       => incoming
+        if (!state.alreadyFolded(batchId)) {
+          val delta = batch
+            .groupBy(md5(col("text")).as("text_hash"))
+            .agg(min("doc_id").as("keep_doc_id"),
+              count(lit(1)).as("n_copies"))
+          state.endBatch(batch.sparkSession, batchId, "agg" -> delta)
         }
-        val next = s"$work/state_v$batchId"
-        merged.groupBy("text_hash")
-          .agg(min("keep_doc_id").as("keep_doc_id"),
-            sum("n_copies").as("n_copies"))
-          .write.mode("overwrite").parquet(next)
         maybePoison(batchId)
         ()
       }
       .start()
     q.awaitTermination()
-    latestVersion(work) match {
-      case Some(p) =>
-        spark.read.parquet(p)
-          .select("text_hash", "keep_doc_id", "n_copies")
-          .orderBy("keep_doc_id")
-      case None => spark.emptyDataFrame
-    }
+    fold(state.read(spark, "agg"))
+      .select("text_hash", "keep_doc_id", "n_copies")
+      .orderBy("keep_doc_id")
   }
 
   /** qs10 entry: the documents table staged as TWO id-range files and
@@ -243,13 +261,25 @@ object Replay {
     * exercises the cross-batch (min, sum) state fold — a single-batch
     * replay of the shared lake would check only the batch aggregate.
     * (Same minimal boundary-crossing shape as qs15; deeper splits,
-    * shuffled arrival, and restart live in the specs.) */
+    * shuffled arrival, and restart live in the specs.)
+    *
+    * The two-file staging copy is INPUT scaffolding, not computed state,
+    * so it is memoized per source-corpus contents (`Tables.contentKey`)
+    * for the session — a bench suite stages once across passes instead of
+    * rewriting the full documents table per pass. The stream itself (and
+    * its state fold) still runs in full on every invocation. */
+  private val stagedLakes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   def qs10StreamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val staged = Files.createTempDirectory("graft_sdedup_lake").toString
-    cleanupAtExit(staged)
-    graft.Tables(spark, dir, "documents")
-      .repartitionByRange(2, col("doc_id"))
-      .write.mode("overwrite").parquet(staged)
+    val staged = stagedLakes.computeIfAbsent(
+      graft.Tables.contentKey(s"$dir/documents.parquet"), _ => {
+        val t = Files.createTempDirectory("graft_sdedup_lake").toString
+        cleanupAtExit(t)
+        graft.Tables(spark, dir, "documents")
+          .repartitionByRange(2, col("doc_id"))
+          .write.mode("overwrite").parquet(t)
+        t
+      })
     streamCorpusDedup(spark, staged, maxFilesPerTrigger = 1)
   }
 

@@ -142,10 +142,10 @@ class RestartSpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  test("streamCorpusDedup killed mid-run resumes; replayed batch merges from its predecessor") {
-    // the versioned-state scheme (shared with streamUpsert): the replayed
-    // batch must merge from the highest version BELOW its own id — merging
-    // from its own crashed state_v would double-count n_copies, which the
+  test("streamCorpusDedup killed mid-run resumes; replayed batch overwrites its own delta") {
+    // append-only keyed deltas (shared scheme with streamUpsert): the
+    // replayed batch must OVERWRITE its own batch-keyed delta dir —
+    // appending a second copy would double-count n_copies, which the
     // exact-count compare below would catch
     val lake = docsLake()
     val w = work("graft_restart_cdedup")
@@ -161,6 +161,58 @@ class RestartSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(streamed == batch)
     assert(streamed.nonEmpty)
+  }
+
+  test("streamUpsert killed mid-run resumes and matches the batch latest-wins") {
+    // the reference's core K2 semantics (every S3 PUT re-fires the
+    // upsert): kill in the at-least-once window, restart over the same
+    // workDir, and the folded latest-wins state must equal the batch
+    // recompute — a replay that double-applied or dropped a batch would
+    // surface as a wrong winner or a missing user
+    val lake = Files.createTempDirectory("graft_restart_events").toString
+    Replay.cleanupAtExit(lake)
+    Tables(spark, SparkTestSession.sfDir, "events")
+      .repartitionByRange(3, col("event_id"))
+      .write.mode("overwrite").parquet(lake)
+    val w = work("graft_restart_upsert")
+    Replay.poisonAfterBatch = 1L
+    intercept[Exception] {
+      Replay.streamUpsert(spark, lake, workDir = Some(w),
+        pathGlobFilter = "*.parquet", maxFilesPerTrigger = Some(1))
+    }
+    assert(Replay.poisonAfterBatch == -1L, "poison should have fired")
+    val streamed = Replay.streamUpsert(spark, lake, workDir = Some(w),
+        pathGlobFilter = "*.parquet", maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    val batch = graft.operators.Events.q8LatestPerKey(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
+  test("streamUpsert folded-batch replay is skipped wholesale") {
+    // compactEvery = 2: batch 1's endBatch folds batches 0-1 into a
+    // compacted generation (latest-wins applied), THEN the poison fires —
+    // the restart must skip the folded batch and still finish equal
+    val lake = Files.createTempDirectory("graft_restart_events_folded").toString
+    Replay.cleanupAtExit(lake)
+    Tables(spark, SparkTestSession.sfDir, "events")
+      .repartitionByRange(3, col("event_id"))
+      .write.mode("overwrite").parquet(lake)
+    val w = work("graft_restart_upsert_folded")
+    Replay.poisonAfterBatch = 1L
+    intercept[Exception] {
+      Replay.streamUpsert(spark, lake, workDir = Some(w),
+        pathGlobFilter = "*.parquet", maxFilesPerTrigger = Some(1),
+        compactEvery = 2)
+    }
+    val streamed = Replay.streamUpsert(spark, lake, workDir = Some(w),
+        pathGlobFilter = "*.parquet", maxFilesPerTrigger = Some(1),
+        compactEvery = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    val batch = graft.operators.Events.q8LatestPerKey(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(streamed == batch)
   }
 
   test("AppendOnlyState reconstructs its clock from the layout and replays idempotently") {
@@ -190,6 +242,27 @@ class RestartSpec extends AnyFunSuite {
     assert(s2.read(spark, "t").count() == 3)
     s2.endBatch(spark, 2L, "t" -> df(4))
     assert(s2.read(spark, "t").count() == 4)
+  }
+
+  test("AppendOnlyState applies a registered fold at compaction, composably") {
+    import spark.implicits._
+    val w = work("graft_restart_fold")
+    val sch = StructType(Seq(StructField("k", LongType), StructField("v", LongType)))
+    def fold(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(min("v").as("v"))
+    val s = new AppendOnlyState(w, Seq(("t", sch)), compactEvery = 2,
+      folds = Map("t" -> (fold _)))
+    def df(rows: (Long, Long)*) = rows.toDF("k", "v")
+    s.endBatch(spark, 0L, "t" -> df((1L, 10L), (2L, 20L)))
+    s.endBatch(spark, 1L, "t" -> df((1L, 5L), (3L, 30L))) // triggers compaction
+    // the compacted generation holds the FOLDED rows — one per key
+    assert(s.read(spark, "t").count() == 3)
+    // later appends land beside the folded generation; a read-time fold
+    // over the union gives the same answer as folding everything at once
+    s.endBatch(spark, 2L, "t" -> df((1L, 7L), (2L, 2L)))
+    val got = fold(s.read(spark, "t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 5L), (2L, 2L), (3L, 30L)))
   }
 
   test("AppendOnlyState read() snapshots the file listing at call time") {
