@@ -32,7 +32,15 @@ object Tables {
     * the bare path, so a corpus rewritten IN PLACE mid-session changes
     * the key and the memo rebuilds — it can no longer serve stale
     * results. The listing is driver-cheap: it is the same directory walk
-    * Spark's own file index pays on every read of the corpus. */
+    * Spark's own file index pays on every read of the corpus.
+    *
+    * Limitation (deliberate): this is a LISTING fingerprint, not a
+    * content hash — an in-place rewrite that preserves every file name,
+    * size, AND lands within the filesystem's mtime granularity keys
+    * identically. Unreachable via any Spark write path (writers emit
+    * fresh random part-file names), but hand-edited fixtures could hit
+    * it; treat `contentKey` equality as "same corpus as Spark would see
+    * it", not as cryptographic identity. */
   def contentKey(dir: String): String = {
     val canon =
       try java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString

@@ -133,8 +133,11 @@ object Clusters {
       else if (rb < ra) parent(ra) = rb
     }
     import spark.implicits._
-    parent.keysIterator.map(k => (k, find(k))).toSeq
-      .toDF("doc_id", "cluster_rep")
+    // materialize the key set BEFORE labeling: find() path-compresses the
+    // same map, and iterating a collection while mutating it (even
+    // value-only updates) is undocumented HashMap behavior
+    val keys = parent.keys.toArray
+    keys.map(k => (k, find(k))).toSeq.toDF("doc_id", "cluster_rep")
   }
 
   /** q33: clusters over the MinHash-LSH verified near-dup graph. The

@@ -130,6 +130,16 @@ object ScaleTechniques {
     * it mid-query — a plan that still references a checkpointed RDD
     * cannot recompute it (local checkpoints truncate lineage).
     *
+    * Memo-lineage assumption: a surviving session memo may have a
+    * localCheckpoint INSIDE its lineage (e.g. the MinHash pair memo is
+    * built over an eagerly-checkpointed Collapse.groups). "Safe at any
+    * query boundary" therefore also assumes memos are FULLY materialized
+    * and durably cached before release — true here (every memo is an
+    * eager MEMORY_AND_DISK persist, never evicted in a single-JVM
+    * deployment), but a multi-executor deployment that can lose cached
+    * partitions would need to exclude RDDs reachable from registered
+    * memos, or rebuild the memo on recompute failure.
+    *
     * Returns the number of RDDs released. */
   def releaseLocalCheckpoints(spark: SparkSession): Int = {
     // `isCheckpointed` (public) = checkpointed AND materialized; every

@@ -246,8 +246,13 @@ object SemDedup {
     val sim = round(cosine(col("a.v"), col("b.v")), 6)
 
     // base index: assignment written partitionBy(cell) + its internal
-    // pair set, built once per (corpus contents, quantizer) per session
-    val idx = perSession(spark).computeIfAbsent(s"$memoKey|$threshold|$s", _ => {
+    // pair set, built once per (corpus contents, base split, quantizer)
+    // per session. The base/increment SPLIT is part of the key: a second
+    // call with the same corpus but a different basePred must rebuild —
+    // reusing a store built for the old split would leave rows that moved
+    // between base and increment in neither side, silently dropping pairs
+    val idx = perSession(spark).computeIfAbsent(
+      s"$memoKey|$basePred|$threshold|$s", _ => {
       val t = java.nio.file.Files.createTempDirectory("graft_sem_idx").toString
       graft.streaming.Replay.cleanupAtExit(t)
       Ann.assignments(live.filter(basePred), cents)
@@ -300,7 +305,7 @@ object SemDedup {
     val norm2 = dot(col("embedding"), col("embedding"))
     val live = emb.select(col("vec_id"), lit(0).as("label"), col("embedding"))
       .filter(norm2 =!= 0 && !isnan(norm2))
-    val t = perSession(spark).get(s"$memoKey|$threshold|$s")
+    val t = perSession(spark).get(s"$memoKey|$basePred|$threshold|$s")
     require(t != null, "index not built — call keepListIndexed first")
     val stored = spark.read.parquet(s"$t/assign")
       .select(col("vec_id"), col("cell"), col("sub"), col("v"))

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -49,42 +50,58 @@ import org.apache.spark.sql.types.StructType
   *   - single-stream use only: foreachBatch runs sequentially within a
   *     stream; concurrent streams need one instance each.
   *
-  * Paths are driver-local `java.io.File` here; a warehouse deployment
-  * would swap in the Hadoop FileSystem API unchanged (the layout is the
-  * contract, not the filesystem).
+  * All listing/walking/deleting goes through the Hadoop `FileSystem`
+  * resolved from the `work` path (the active session's Hadoop conf when
+  * one exists), so the same layout works on a driver-local dir, an NFS
+  * mount, or a cluster filesystem — the layout is the contract, not the
+  * filesystem. The specs exercise both plain paths and explicit
+  * `file://` URIs through the same instance.
   */
 private[streaming] final class AppendOnlyState(work: String,
     tables: Seq[(String, StructType)], compactEvery: Int,
     folds: Map[String, DataFrame => DataFrame] = Map.empty) {
   private val schemas = tables.toMap
+  private val workPath = new Path(work)
+  private val fs: FileSystem = workPath.getFileSystem(
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration()))
+
+  private def listDirs(p: Path): Seq[Path] =
+    if (fs.exists(p)) fs.listStatus(p).filter(_.isDirectory).map(_.getPath).toSeq
+    else Seq.empty
 
   private def genDirs: Seq[Int] =
-    Option(new java.io.File(work).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("g\\d+"))
-      .map(_.getName.drop(1).toInt).toSeq.sorted
+    listDirs(workPath)
+      .filter(_.getName.matches("g\\d+"))
+      .map(_.getName.drop(1).toInt).sorted
 
-  private def parquetFilesUnder(dir: java.io.File): Seq[String] = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) {
-        if (f.getName == "_temporary") Seq.empty // half-written crash debris
-        else Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
-      } else if (f.getName.endsWith(".parquet")) Seq(f)
+  private def parquetFilesUnder(dir: Path): Seq[String] = {
+    def walk(st: org.apache.hadoop.fs.FileStatus): Seq[String] =
+      if (st.isDirectory) {
+        if (st.getPath.getName == "_temporary") Seq.empty // crash debris
+        else fs.listStatus(st.getPath).toSeq.flatMap(walk)
+      } else if (st.getPath.getName.endsWith(".parquet"))
+        Seq(st.getPath.toString)
       else Seq.empty
-    walk(dir).map(_.getAbsolutePath)
+    if (fs.exists(dir)) fs.listStatus(dir).toSeq.flatMap(walk) else Seq.empty
   }
 
   private def batchDirsIn(g: Int): Set[Long] =
     tables.flatMap { case (t, _) =>
-      Option(new java.io.File(s"$work/g$g/$t").listFiles())
-        .getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
+      listDirs(new Path(s"$work/g$g/$t"))
+        .filter(_.getName.matches("b\\d+"))
         .map(_.getName.drop(1).toLong)
     }.toSet
 
   private def uptoOf(g: Int): Option[Long] = {
-    val f = new java.io.File(s"$work/g$g/_upto")
-    if (f.isFile) Some(new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toLong)
-    else None
+    val p = new Path(s"$work/g$g/_upto")
+    if (fs.exists(p) && fs.getFileStatus(p).isFile) {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in)).trim.toLong)
+      finally in.close()
+    } else None
   }
 
   // --- durable recovery: reconstruct the clock from the layout alone.
@@ -96,7 +113,7 @@ private[streaming] final class AppendOnlyState(work: String,
     val committed = genDirs.filter(g => g == 0 || uptoOf(g).isDefined)
     val current = committed.lastOption.getOrElse(0)
     genDirs.filter(_ != current).foreach(g => // partial or superseded gens
-      Replay.deleteRecursively(new java.io.File(s"$work/g$g")))
+      fs.delete(new Path(s"$work/g$g"), true))
     current
   }
   @volatile private var batchesInGen: Int = batchDirsIn(gen).size
@@ -114,12 +131,13 @@ private[streaming] final class AppendOnlyState(work: String,
   def read(ss: SparkSession, table: String,
            excludeBatch: Option[Long] = None): DataFrame = {
     val sch = schemas(table)
-    val root = new java.io.File(s"$work/g$gen/$table")
+    val root = new Path(s"$work/g$gen/$table")
     val files = excludeBatch match {
       case Some(b) =>
-        Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+        (if (fs.exists(root)) fs.listStatus(root).map(_.getPath).toSeq
+         else Seq.empty)
           .filter(_.getName != s"b$b")
-          .flatMap(parquetFilesUnder).toSeq
+          .flatMap(parquetFilesUnder)
       case None => parquetFilesUnder(root)
     }
     if (files.nonEmpty) ss.read.schema(sch).parquet(files: _*)
@@ -155,16 +173,16 @@ private[streaming] final class AppendOnlyState(work: String,
     if (batchesInGen >= compactEvery) {
       val next = s"$work/g${gen + 1}"
       tables.foreach { case (t, sch) =>
-        val files = parquetFilesUnder(new java.io.File(s"$stateDir/$t"))
+        val files = parquetFilesUnder(new Path(s"$stateDir/$t"))
         val df =
           if (files.nonEmpty) ss.read.schema(sch).parquet(files: _*)
           else ss.createDataFrame(ss.sparkContext.emptyRDD[Row], sch)
         folds.get(t).fold(df)(f => f(df))
           .coalesce(4).write.mode("overwrite").parquet(s"$next/$t/c${gen + 1}")
       }
-      java.nio.file.Files.write(java.nio.file.Paths.get(s"$next/_upto"),
-        batchId.toString.getBytes)
-      Replay.deleteRecursively(new java.io.File(stateDir))
+      val upto = fs.create(new Path(s"$next/_upto"), true)
+      try upto.write(batchId.toString.getBytes) finally upto.close()
+      fs.delete(new Path(stateDir), true)
       gen += 1
       batchesInGen = 0
       foldedUpTo = batchId

@@ -244,6 +244,26 @@ class RestartSpec extends AnyFunSuite {
     assert(s2.read(spark, "t").count() == 4)
   }
 
+  test("AppendOnlyState runs through an explicit file:// Hadoop FS URI") {
+    import spark.implicits._
+    // same clock/replay/compaction behavior when the work dir is a
+    // scheme-qualified URI resolved through the Hadoop FileSystem API —
+    // the layout works off a plain local path, so a cluster path (hdfs://,
+    // s3a://) differs only in the resolved FileSystem instance
+    val w = "file://" + work("graft_restart_fsuri")
+    val sch = StructType(Seq(StructField("id", LongType)))
+    val s1 = new AppendOnlyState(w, Seq(("t", sch)), compactEvery = 2)
+    s1.endBatch(spark, 0L, "t" -> Seq(1L, 2L).toDF("id"))
+    s1.endBatch(spark, 1L, "t" -> Seq(3L).toDF("id")) // compacts
+    assert(s1.read(spark, "t").count() == 3)
+    val s2 = new AppendOnlyState(w, Seq(("t", sch)), compactEvery = 2)
+    assert(s2.nonEmpty)
+    assert(s2.read(spark, "t").count() == 3)
+    s2.endBatch(spark, 1L, "t" -> Seq(3L).toDF("id")) // folded → no-op
+    s2.endBatch(spark, 2L, "t" -> Seq(4L).toDF("id"))
+    assert(s2.read(spark, "t").count() == 4)
+  }
+
   test("AppendOnlyState applies a registered fold at compaction, composably") {
     import spark.implicits._
     val w = work("graft_restart_fold")
