@@ -806,21 +806,30 @@ object SparkEntry {
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
-    // Stateless CDC: a cut after 1-based char position i (16 <= i <
-    // length) iff md5 of the 16-char window ending at i is 0 mod 64.
-    // A mod-64 gate reads only the hash's LOW SIX BITS, i.e. the first
-    // byte of md5_number_lower's little-endian slice — the Spark side
-    // reads the same byte as hex chars 17-18 of md5(), so the two
-    // predicates are bit-identical. keep_* decodes the lexicographic
-    // min over doc_id*1e6 + chunk_idx (chunk counts are far below 1e6).
+    // Stateless gear-hash CDC: a cut after 1-based char position i
+    // (16 <= i < length) iff the 16-bit gear state at i has its top six
+    // bits zero (h < 1024). The engine's kernel rolls
+    // h = (h*2 + gear[cp%256]) mod 2^16 in O(1) per position; terms
+    // shifted >= 16 places vanish mod 2^16, so the state at i EQUALS the
+    // 16-term window sum computed here — a pure per-position predicate,
+    // no recursion. The gear table is rebuilt from md5 identically in
+    // both engines. keep_* decodes the lexicographic min over
+    // doc_id*1e6 + chunk_idx (chunk counts are far below 1e6).
     "qd22_cdc_chunk_dedup" ->
-      """WITH c AS MATERIALIZED (
+      """WITH g AS MATERIALIZED (
+        |  SELECT list((md5_number_lower('gear-' || i) % 65536)::BIGINT
+        |              ORDER BY i) AS gear
+        |  FROM range(256) t(i)
+        |), c AS MATERIALIZED (
         |  SELECT doc_id, text,
         |    CASE WHEN length(text) >= 17 THEN
         |      list_filter(range(16, length(text)),
-        |        i -> md5_number_lower(substr(text, (i - 15)::INT, 16)) % 64 = 0)
+        |        i -> list_sum(list_transform(range(0, 16),
+        |               j -> gear[(ord(substr(text, (i - j)::INT, 1))
+        |                          % 256 + 1)::INT]
+        |                    * (1::BIGINT << j::INT))) % 65536 < 1024)
         |    ELSE [] END AS cuts
-        |  FROM documents
+        |  FROM documents CROSS JOIN g
         |), b AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_append(list_prepend(0::BIGINT, cuts), length(text)::BIGINT)

@@ -569,24 +569,30 @@ object TextOps {
     * in under CDC), the shape file/dataset dedup pipelines use for
     * partially-overlapping documents.
     *
-    * STATELESS CDC so both engines reproduce the boundaries exactly: a
-    * cut falls after character position i (1-based, 16 <= i < length)
-    * whenever the low byte of the MD5 of the 16-char window ending at i
-    * is ≡ 0 (mod 64) — no minimum-chunk-size statefulness, so the
-    * boundary set is a pure per-position predicate: a typed kernel here
-    * (`cdcChunks`), `list_filter` in the DuckDB oracle. A mod-64 gate
-    * needs only the hash's LOW SIX BITS — the same byte whether read as
-    * `md5Lower64String & 63` (kernel), hex chars 17-18 of `md5()` (the
-    * declarative Spark form the spec cross-checks), or the first byte of
-    * DuckDB's little-endian `md5_number_lower` slice — so all three
-    * predicates are bit-identical.
+    * STATELESS gear-hash CDC (the FastCDC/ddelta family, Xia et al.,
+    * USENIX ATC'16) so both engines reproduce the boundaries exactly AND
+    * the kernel pays O(1) per position: a 16-bit rolling state
+    * `h = (h·2 + gear[cp mod 256]) mod 2¹⁶` over the document's code
+    * points, a cut after 1-based position i (16 ≤ i < length) whenever
+    * `h < 1024` (top-6-bits-zero gate → expected chunk ≈ 64 chars; the
+    * HIGH bits, because a power-of-2 modulus makes low bits depend on
+    * only the last lg₂ characters). Because gear values shifted ≥ 16
+    * positions vanish mod 2¹⁶, the rolling state at i equals the 16-term
+    * window sum `Σⱼ gear[cp(i−j)]·2ʲ mod 2¹⁶` — which is how the DuckDB
+    * oracle computes the SAME boundary as a pure per-position
+    * `list_filter` predicate, no recursion. The 256-entry gear table is
+    * derived identically in both engines:
+    * `md5_number_lower('gear-' || b) mod 2¹⁶` (kernel:
+    * `md5Lower64String & 0xffff` — bit-equal, pinned by SimHash specs).
+    * (Rounds ≤ 6 MD5-hashed the full 16-char window per position — ~32
+    * bytes hashed per input byte, 7.1 s isolated at sf1; the gear
+    * rewrite replaces the per-position digest with one table lookup.)
     *
     * Output: one row per chunk VALUE seen more than once — its MD5,
     * copy/document counts, the lexicographically first (doc, chunk idx)
     * holder (encoded min over doc_id·10⁶ + idx; texts are far below 10⁶
     * chunks), and the chunk length. One narrow per-doc pass builds the
-    * chunks (per-position hashing is the honest CDC cost, linear in
-    * characters); ONE shuffle groups by chunk hash. */
+    * chunks; ONE shuffle groups by chunk hash. */
   def qd22CdcChunkDedup(spark: SparkSession, dir: String): DataFrame =
     cdcChunks(spark, dir)
       .groupBy(md5(col("chunk")).as("chunk_md5"))
@@ -602,18 +608,19 @@ object TextOps {
         col("chunk_len"))
       .orderBy("chunk_md5")
 
+  /** The 256-entry gear table, derived from MD5 so DuckDB rebuilds it
+    * bit-identically (`md5_number_lower('gear-' || b) % 65536`). */
+  private[graft] val cdcGear: Array[Long] =
+    Array.tabulate(256)(b =>
+      graft.dedup.SimHash.md5Lower64String(s"gear-$b") & 0xffffL)
+
   /** The CDC chunk table (doc_id, chunk_idx, chunk): one typed
-    * mapPartitions-style kernel per document — the per-window hashing is
-    * ~250 chars-worth of MD5 per 16-char step, and evaluating it as a
-    * higher-order Column filter paid a fresh UTF8String slice + hex
-    * string + base conversion PER POSITION (sf1: 39 s for 50k docs);
-    * the kernel hashes the same windows off one code-point array
-    * (sf1: ~6× less). CODE POINTS, not UTF-16 units, mirror how both
-    * engines' `substring`/`length` count characters; the boundary
-    * predicate byte (`md5Lower64String & 63`) is the same low byte the
-    * declarative form and DuckDB's `md5_number_lower` read —
-    * CurationOpsSpec pins kernel chunks == declarative-expression
-    * chunks. */
+    * mapPartitions-style kernel per document — O(1) table-lookup rolling
+    * hash per position off one code-point array. CODE POINTS, not UTF-16
+    * units, mirror how both engines' `substring`/`length`/`ord` count
+    * characters; CurationOpsSpec pins the rolling form against an
+    * independent 16-term window-sum reference (the oracle's per-position
+    * formula). */
   private[graft] def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     docs(spark, dir).select(col("doc_id"), col("text")).as[(Long, String)]
@@ -621,12 +628,13 @@ object TextOps {
         val cp = text.codePoints().toArray
         val n = cp.length
         val cuts = scala.collection.mutable.ArrayBuffer[Int](0)
-        var i = 16
-        while (i <= n - 1) {
-          val window = new String(cp, i - 16, 16)
-          if ((graft.dedup.SimHash.md5Lower64String(window) & 63L) == 0L)
-            cuts += i
-          i += 1
+        var h = 0L
+        var k = 0
+        while (k < n) {
+          h = ((h << 1) + cdcGear(cp(k) & 255)) & 0xffffL
+          // 1-based position k+1; cuts allowed after positions 16..n-1
+          if (k + 1 >= 16 && k + 1 <= n - 1 && h < 1024L) cuts += (k + 1)
+          k += 1
         }
         cuts += n
         (0 until cuts.length - 1).map { j =>

@@ -166,46 +166,44 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(dups.exists(_._3 == 2L),
       s"no cross-document duplicate chunk found: ${dups.toSeq}")
 
-    // the kernel's chunk table must equal the declarative
-    // higher-order-expression form of the same predicate (hex chars
-    // 17-18 of md5 == the kernel's md5Lower64 low byte) on the REAL
-    // corpus too, not just the planted docs
+    // the kernel's ROLLING gear state must equal the oracle's 16-term
+    // window-sum form of the same predicate (terms shifted >= 16 places
+    // vanish mod 2^16 — the equivalence the DuckDB oracle relies on) on
+    // the REAL corpus too, not just the planted docs
     val kernelReal = graft.operators.TextOps.cdcChunks(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
-    val exprReal = declarativeChunks(graft.Tables(spark, dir, "documents"))
-      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getString(2))).toSet
-    assert(kernelReal == exprReal)
+    val refReal = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap(r => windowSumChunks(r.getLong(0), r.getString(1))).toSet
+    assert(kernelReal == refReal)
 
     // reassembly: chunks of each doc concatenate back to the document
-    val docsDf = graft.Tables(spark, tmp, "documents")
-    val chunks = declarativeChunks(docsDf)
-      .orderBy("doc_id", "idx")
-      .collect().map(r => (r.getLong(0), r.getString(2)))
-    val reassembled = chunks.groupBy(_._1).view.mapValues(_.map(_._2).mkString)
+    val chunks = Seq((1L, a), (2L, b)).flatMap {
+      case (id, t) => windowSumChunks(id, t) }
+    val reassembled = chunks.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(_._3).mkString)
     assert(reassembled(1L) == a && reassembled(2L) == b)
-    // boundary predicate agrees with the JVM md5 kernel (the same byte
-    // DuckDB's md5_number_lower slice starts with)
-    val cutsA = (16 until a.length).filter(i =>
-      (graft.dedup.SimHash.md5Lower64String(a.substring(i - 16, i)) & 63L) == 0L)
-    val sparkChunksA = chunks.filter(_._1 == 1L).map(_._2)
-    assert(sparkChunksA.size == cutsA.size + 1)
+    // and the operator's chunks over the planted lake equal the reference
+    val kernelPlanted = graft.operators.TextOps.cdcChunks(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(kernelPlanted == chunks.toSet)
   }
 
-  /** The declarative (higher-order Column) form of the CDC chunk table —
-    * the operator itself runs the typed kernel; this stays as the
-    * cross-check implementation. */
-  private def declarativeChunks(docsDf: org.apache.spark.sql.DataFrame) =
-    docsDf.select(col("doc_id"),
-        expr("""CASE WHEN length(text) >= 17 THEN
-          filter(sequence(16, length(text) - 1),
-            i -> pmod(cast(conv(substring(md5(substring(text, i - 15, 16)),
-                                17, 2), 16, 10) AS INT), 64) = 0)
-          ELSE array() END""").as("cuts"), col("text"))
-      .select(col("doc_id"),
-        expr("concat(array(0), cuts, array(length(text)))").as("bounds"),
-        col("text"))
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, size(bounds) - 2)," +
-          " j -> substring(text, bounds[j] + 1, bounds[j+1] - bounds[j]))"))
-        .as(Seq("idx", "chunk")))
+  /** Independent reference for the gear-CDC boundary predicate: the
+    * oracle's per-position 16-term window sum (no rolling state) — a cut
+    * after 1-based position i iff Σⱼ gear[cp(i−j)]·2ʲ mod 2¹⁶ < 1024. */
+  private def windowSumChunks(id: Long, text: String): Seq[(Long, Long, String)] = {
+    val cp = text.codePoints().toArray
+    val n = cp.length
+    val cuts = scala.collection.mutable.ArrayBuffer[Int](0)
+    for (i <- 16 until n) { // 1-based cut positions 16..n-1
+      val h = (0 until 16).map(j =>
+        graft.operators.TextOps.cdcGear(cp(i - 1 - j) & 255) << j).sum & 0xffffL
+      if (h < 1024L) cuts += i
+    }
+    cuts += n
+    (0 until cuts.length - 1).map { j =>
+      (id, j.toLong, new String(cp, cuts(j), cuts(j + 1) - cuts(j)))
+    }.toSeq
+  }
 }
