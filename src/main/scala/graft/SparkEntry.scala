@@ -85,6 +85,8 @@ object SparkEntry {
     "qd21_bigram_logprob"  -> (TextOps.qd21BigramLogprob _),
     // content-defined chunk dedup (stateless CDC boundaries)
     "qd22_cdc_chunk_dedup" -> (TextOps.qd22CdcChunkDedup _),
+    // substring-level dedup: maximal duplicated K-token spans
+    "qd23_dup_spans"       -> ((s, d) => TextOps.qd23DupSpans(s, d)),
     "q36_approx_percentile" -> (Advanced.q36ApproxPercentile _),
     "qd10_corpus_curation" -> (TextOps.qd10CorpusCuration _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
@@ -851,6 +853,43 @@ object SparkEntry {
         |GROUP BY chunk_md5
         |HAVING count(*) >= 2
         |ORDER BY chunk_md5""".stripMargin,
+
+    // Substring-level dedup (Lee et al. 2021 EXACTSUBSTR shape): 8-token
+    // windows repeating >= 2x corpus-wide, merged per doc into maximal
+    // spans (windows <= 8 apart touch or overlap). Positions 1-based;
+    // span covers tokens [span_start, span_start + span_len).
+    "qd23_dup_spans" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), sh AS MATERIALIZED (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(toks[i::INT:(i + 7)::INT], ' ') AS shingle
+        |  FROM t CROSS JOIN unnest(range(1, len(toks) - 8 + 2)) r(i)
+        |), dup AS MATERIALIZED (
+        |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2
+        |), lg AS (
+        |  SELECT doc_id, pos,
+        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM sh s JOIN dup d USING (shingle)
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM lg
+        |), sp AS (
+        |  SELECT doc_id, min(pos)::BIGINT AS span_start,
+        |    (max(pos) + 8 - min(pos))::BIGINT AS span_len,
+        |    count(*)::BIGINT AS n_dup_shingles
+        |  FROM isl GROUP BY doc_id, island
+        |)
+        |SELECT sp.doc_id, span_start, span_len, n_dup_shingles,
+        |  array_to_string(
+        |    t.toks[span_start::INT:(span_start + span_len - 1)::INT],
+        |    ' ') AS span_text
+        |FROM sp JOIN t USING (doc_id)
+        |ORDER BY sp.doc_id, span_start""".stripMargin,
 
     // Exact Levenshtein over the (tiny) verified near-dup pair set.
     "qd17_edit_distance" ->

@@ -644,4 +644,75 @@ object TextOps {
       .toDF("doc_id", "chunk_idx", "chunk")
   }
 
+  /** Duplicated-span detection — substring-level exact dedup in the shape
+    * of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better", EXACTSUBSTR): any K-token window occurring ≥ 2 times
+    * corpus-wide (any doc, including the same one) marks its positions;
+    * per document, overlapping or back-to-back marked windows merge into
+    * MAXIMAL duplicated spans — the unit a span-removal pass would cut.
+    * This is the missing dedup granularity between whole-document exact
+    * dedup (qd1) and chunk-value dedup (qd22): it finds the duplicated
+    * REGION inside otherwise-distinct documents. (The paper builds a
+    * suffix array; the distributed equivalent of its "duplicated
+    * substring ≥ threshold" output at a fixed window size is this
+    * shingle-count + interval-merge, which is all keyed shuffles.)
+    *
+    * Plan shape, scan → result:
+    *   1. ONE typed kernel pass emits (doc, 1-based pos, K-token window)
+    *      — a kernel, not `transform`/`element_at` expressions, for the
+    *      same projection-collapse reason as qd14 (split() re-inlines
+    *      under every element access);
+    *   2. a count window over `shingle` keeps positions whose window text
+    *      repeats (ONE shuffle; at 100 TB, key on xxhash64(shingle) so
+    *      shuffle rows stay skinny — raw text kept here for oracle
+    *      clarity);
+    *   3. per-doc gaps-and-islands (lag + running sum over the doc_id
+    *      window, one skinny shuffle) merges marked windows ≤ K apart,
+    *      then min/max per island yields the span;
+    *   4. spans join back to the token arrays (keyed on doc_id; span
+    *      count ≪ corpus) to reconstruct the span text.
+    * Every stage is a keyed shuffle over skinny rows — no all-pairs, no
+    * driver-side state; the duplicated-shingle set rides the shuffle, it
+    * is never collected or broadcast. */
+  def qd23DupSpans(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import spark.implicits._
+    val sh = docs(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.trim.split("\\s+")
+        if (t.length >= k)
+          (0 to t.length - k).map(i => (id, (i + 1).toLong, t.slice(i, i + k).mkString(" ")))
+        else Seq.empty
+      }
+      .toDF("doc_id", "pos", "shingle")
+    val wOcc = Window.partitionBy("shingle")
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val marked = sh
+      .withColumn("n_occ", count(lit(1)).over(wOcc))
+      .filter(col("n_occ") >= 2)
+      .select("doc_id", "pos")
+    val spans = marked
+      .withColumn("prev", lag("pos", 1).over(wDoc))
+      // a window at pos and one at prev overlap or touch iff
+      // pos <= prev + k (equal spans can't happen: pos strictly grows)
+      .withColumn("brk", when(col("prev").isNull || col("pos") > col("prev") + k, 1L)
+        .otherwise(0L))
+      .withColumn("island", sum("brk").over(wDoc))
+      .groupBy("doc_id", "island")
+      .agg(
+        min("pos").as("span_start"),
+        (max("pos") + k - min("pos")).as("span_len"),
+        count(lit(1)).as("n_dup_shingles"))
+    // split() appears ONCE in this projection and is consumed by a single
+    // slice per row — no repeated element access, so inlining is safe here
+    val tokArr = docs(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+    spans.join(tokArr, "doc_id")
+      .select(col("doc_id"), col("span_start"), col("span_len"), col("n_dup_shingles"),
+        array_join(
+          slice(col("toks"), col("span_start").cast("int"), col("span_len").cast("int")),
+          " ").as("span_text"))
+      .orderBy("doc_id", "span_start")
+  }
+
 }

@@ -206,4 +206,59 @@ class CurationOpsSpec extends AnyFunSuite {
       (id, j.toLong, new String(cp, cuts(j), cuts(j + 1) - cuts(j)))
     }.toSeq
   }
+
+  test("duplicated spans equal an independent shingle-count + merge recompute") {
+    val k = 8
+    val docsArr = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+"))
+    // corpus-wide window occurrence counts
+    val occ = scala.collection.mutable.HashMap.empty[String, Int]
+    for ((_, t) <- docsArr; i <- 0 to t.length - k)
+      occ.updateWith(t.slice(i, i + k).mkString(" "))(c => Some(c.getOrElse(0) + 1))
+    // per-doc marked positions (1-based), merged into maximal spans
+    val expected = docsArr.flatMap { case (id, t) =>
+      val marks = (0 to t.length - k)
+        .filter(i => occ(t.slice(i, i + k).mkString(" ")) >= 2).map(_ + 1)
+      if (marks.isEmpty) Nil
+      else {
+        val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, String)]
+        var start = marks.head; var prev = marks.head; var n = 1L
+        def flush(): Unit = {
+          val len = prev + k - start
+          res += ((id, start.toLong, len.toLong, n,
+            t.slice(start - 1, start - 1 + len).mkString(" ")))
+        }
+        for (p <- marks.tail) {
+          if (p > prev + k) { flush(); start = p; n = 0L }
+          n += 1L; prev = p
+        }
+        flush()
+        res.toSeq
+      }
+    }.toSet
+    val got = TextOps.qd23DupSpans(spark, dir, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+    assert(got.nonEmpty, "fixture must contain duplicated spans")
+    assert(got == expected)
+  }
+
+  test("duplicated spans: planted cross-doc phrase yields one maximal span each") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("qd23").toString
+    val phrase = (1 to 10).map(i => s"p$i").mkString(" ") // 10 shared tokens
+    val d1 = s"alpha beta $phrase gamma delta epsilon zeta eta theta"
+    val d2 = s"one two three four $phrase five six seven eight nine"
+    val d3 = "unique tokens only nothing repeats here at all in this text ever once"
+    Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.qd23DupSpans(spark, tmp, k = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // 10 shared tokens → 3 duplicated 8-windows per doc, one merged span
+    // of exactly the phrase; doc 3 is span-free
+    assert(got.toSeq.sortBy(r => (r._1, r._2)) == Seq(
+      (1L, 3L, 10L, 3L, phrase),
+      (2L, 5L, 10L, 3L, phrase)))
+  }
 }
