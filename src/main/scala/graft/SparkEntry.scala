@@ -114,6 +114,8 @@ object SparkEntry {
     "qs8_winnow_candidates" -> (graft.text.Fingerprint.fingerprintCandidates(_, _)),
     "qs9_srp_lsh_neardup"  -> (graft.similarity.SrpLsh.qs9NearDups _),
     "qs10_stream_dedup"    -> (Replay.qs10StreamDedup _),
+    // incremental substring-level dedup (qd23's arrival-time form)
+    "qs16_stream_dup_spans" -> (Replay.qs16StreamDupSpans _),
     // streaming incremental NEAR-dup: per-batch signature kernel + band
     // probe against accumulated state; emission union == batch qs1
     "qs13_stream_neardup"  -> (Replay.qs13StreamNearDup _),
@@ -298,6 +300,45 @@ object SparkEntry {
         |  (coalesce(cc.cmin, u.vec_id) = u.vec_id) AS keep
         |FROM u LEFT JOIN cc USING (vec_id)
         |ORDER BY u.vec_id""".stripMargin
+
+  /** The qd23/qs16 shared oracle (the streaming form converges to the
+    * same mark set, so one SQL text serves both keys — divergence would
+    * show as one of the two failing the gate). 8-token windows repeating
+    * ≥ 2× corpus-wide, merged per doc into maximal spans (windows ≤ 8
+    * apart touch or overlap); positions 1-based; span covers tokens
+    * [span_start, span_start + span_len). */
+  private val dupSpansSql: String =
+    """WITH t AS MATERIALIZED (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |), sh AS MATERIALIZED (
+      |  SELECT doc_id, i AS pos,
+      |    array_to_string(toks[i::INT:(i + 7)::INT], ' ') AS shingle
+      |  FROM t CROSS JOIN unnest(range(1, len(toks) - 8 + 2)) r(i)
+      |), dup AS MATERIALIZED (
+      |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2
+      |), lg AS (
+      |  SELECT doc_id, pos,
+      |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |  FROM sh s JOIN dup d USING (shingle)
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos
+      |            ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM lg
+      |), sp AS (
+      |  SELECT doc_id, min(pos)::BIGINT AS span_start,
+      |    (max(pos) + 8 - min(pos))::BIGINT AS span_len,
+      |    count(*)::BIGINT AS n_dup_shingles
+      |  FROM isl GROUP BY doc_id, island
+      |)
+      |SELECT sp.doc_id, span_start, span_len, n_dup_shingles,
+      |  array_to_string(
+      |    t.toks[span_start::INT:(span_start + span_len - 1)::INT],
+      |    ' ') AS span_text
+      |FROM sp JOIN t USING (doc_id)
+      |ORDER BY sp.doc_id, span_start""".stripMargin
 
   /** DuckDB-runnable oracle SQL, one per `queries` key. */
   def oracleSql: Map[String, String] = Map(
@@ -858,38 +899,12 @@ object SparkEntry {
     // windows repeating >= 2x corpus-wide, merged per doc into maximal
     // spans (windows <= 8 apart touch or overlap). Positions 1-based;
     // span covers tokens [span_start, span_start + span_len).
-    "qd23_dup_spans" ->
-      """WITH t AS MATERIALIZED (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-        |  FROM documents
-        |), sh AS MATERIALIZED (
-        |  SELECT doc_id, i AS pos,
-        |    array_to_string(toks[i::INT:(i + 7)::INT], ' ') AS shingle
-        |  FROM t CROSS JOIN unnest(range(1, len(toks) - 8 + 2)) r(i)
-        |), dup AS MATERIALIZED (
-        |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2
-        |), lg AS (
-        |  SELECT doc_id, pos,
-        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-        |  FROM sh s JOIN dup d USING (shingle)
-        |), isl AS (
-        |  SELECT doc_id, pos,
-        |    sum(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY doc_id ORDER BY pos
-        |            ROWS UNBOUNDED PRECEDING) AS island
-        |  FROM lg
-        |), sp AS (
-        |  SELECT doc_id, min(pos)::BIGINT AS span_start,
-        |    (max(pos) + 8 - min(pos))::BIGINT AS span_len,
-        |    count(*)::BIGINT AS n_dup_shingles
-        |  FROM isl GROUP BY doc_id, island
-        |)
-        |SELECT sp.doc_id, span_start, span_len, n_dup_shingles,
-        |  array_to_string(
-        |    t.toks[span_start::INT:(span_start + span_len - 1)::INT],
-        |    ' ') AS span_text
-        |FROM sp JOIN t USING (doc_id)
-        |ORDER BY sp.doc_id, span_start""".stripMargin,
+    "qd23_dup_spans" -> dupSpansSql,
+
+    // The streaming form converges to the identical mark set regardless
+    // of batch boundaries (see Replay.streamDupSpans), so it shares the
+    // batch oracle verbatim.
+    "qs16_stream_dup_spans" -> dupSpansSql,
 
     // Exact Levenshtein over the (tiny) verified near-dup pair set.
     "qd17_edit_distance" ->

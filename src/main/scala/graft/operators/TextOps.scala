@@ -679,18 +679,32 @@ object TextOps {
     val sh = docs(spark, dir).select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val t = text.trim.split("\\s+")
-        if (t.length >= k)
-          (0 to t.length - k).map(i => (id, (i + 1).toLong, t.slice(i, i + k).mkString(" ")))
-        else Seq.empty
-      }
+        positionalShingles(text, k).map { case (p, s) => (id, p, s) } }
       .toDF("doc_id", "pos", "shingle")
     val wOcc = Window.partitionBy("shingle")
-    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     val marked = sh
       .withColumn("n_occ", count(lit(1)).over(wOcc))
       .filter(col("n_occ") >= 2)
       .select("doc_id", "pos")
+    spansFromMarks(marked, tokenArrays(spark, dir), k)
+  }
+
+  /** 1-based positional K-token windows of one document — the kernel
+    * contract shared by qd23 and its streaming form (qs16), kept in one
+    * place so the two cannot diverge on tokenization or positions. */
+  private[graft] def positionalShingles(text: String, k: Int): IndexedSeq[(Long, String)] = {
+    val t = text.trim.split("\\s+")
+    if (t.length >= k)
+      (0 to t.length - k).map(i => ((i + 1).toLong, t.slice(i, i + k).mkString(" ")))
+    else IndexedSeq.empty
+  }
+
+  /** The shared qd23/qs16 resolution: merge marked (duplicated-window)
+    * positions `(doc_id, pos)` into maximal spans via gaps-and-islands
+    * windows, then reconstruct span text from the token arrays (span
+    * rows ≪ corpus → the join broadcasts the spans side). */
+  private[graft] def spansFromMarks(marked: DataFrame, tokArr: DataFrame, k: Int): DataFrame = {
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     val spans = marked
       .withColumn("prev", lag("pos", 1).over(wDoc))
       // a window at pos and one at prev overlap or touch iff
@@ -703,10 +717,6 @@ object TextOps {
         min("pos").as("span_start"),
         (max("pos") + k - min("pos")).as("span_len"),
         count(lit(1)).as("n_dup_shingles"))
-    // split() appears ONCE in this projection and is consumed by a single
-    // slice per row — no repeated element access, so inlining is safe here
-    val tokArr = docs(spark, dir)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
     spans.join(tokArr, "doc_id")
       .select(col("doc_id"), col("span_start"), col("span_len"), col("n_dup_shingles"),
         array_join(
@@ -714,5 +724,12 @@ object TextOps {
           " ").as("span_text"))
       .orderBy("doc_id", "span_start")
   }
+
+  /** (doc_id, token array) projection of the lake — split() appears ONCE
+    * and is consumed by a single slice per row downstream, so expression
+    * inlining is safe here (contrast the positional-shingle kernel). */
+  private[graft] def tokenArrays(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
 
 }

@@ -283,6 +283,120 @@ object Replay {
     streamCorpusDedup(spark, staged, maxFilesPerTrigger = 1)
   }
 
+  /** Streaming incremental duplicated-SPAN detection — the arrival-time
+    * form of qd23_dup_spans (substring-level dedup): documents stream in,
+    * each micro-batch computes only its own positional-shingle kernel and
+    * probes the accumulated occurrence index; the final read merges the
+    * accumulated duplicated-position marks into maximal spans.
+    *
+    * Per batch, with B = this batch's (shingle md5, doc, pos) rows:
+    *   - positions of shingles duplicated WITHIN B (count window) are
+    *     marked;
+    *   - B's distinct shingles BROADCAST-probe the persisted `occ` index
+    *     (the qs13 band-probe shape: the state streams through a scan,
+    *     no shuffle on state, nothing rewrites it). A hit marks the
+    *     batch positions AND the prior occurrences — the retroactive
+    *     mark for a first occurrence whose duplicate only just arrived;
+    *   - appends: `occ` += B (append-only index), `marks` += this
+    *     batch's marks. Both O(batch + probe hits); re-marking an
+    *     already-marked position on a later hit is absorbed by the
+    *     distinct fold (at-least-once-safe by construction).
+    *
+    * Mark-set equivalence to the batch operator: a position is marked iff
+    * its window text occurs ≥ 2 times corpus-wide — each position pair
+    * with equal text meets in SOME batch (the later one probes the
+    * earlier's index entry, or the same batch's count window) — so the
+    * folded marks equal qd23's count-window marks regardless of arrival
+    * order or batch boundaries, and the driver hash-checks this stream
+    * against the same SQL oracle. Span merge + text reconstruction are
+    * literally shared code (`TextOps.spansFromMarks`).
+    *
+    * Same restart contract as the sibling streams: state and checkpoint
+    * reload together under `workDir`; a replayed batch excludes its own
+    * crashed writes from the probe and overwrites its batch-keyed dirs. */
+  def streamDupSpans(spark: SparkSession, dir: String,
+                     k: Int = 8,
+                     maxFilesPerTrigger: Int = 1,
+                     pathGlobFilter: String = "*.parquet",
+                     workDir: Option[String] = None,
+                     compactEvery: Int = 16): DataFrame = {
+    val work = resolveWork(workDir, "graft_sspans")
+    val occSchema = StructType(Seq(
+      StructField("sh_md5", StringType),
+      StructField("doc_id", LongType),
+      StructField("pos", LongType)))
+    val marksSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("pos", LongType)))
+    val state = new AppendOnlyState(work,
+      Seq(("occ", occSchema), ("marks", marksSchema)), compactEvery,
+      folds = Map("marks" -> ((df: DataFrame) => df.distinct())))
+    val q = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", pathGlobFilter)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(dir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!state.alreadyFolded(batchId)) {
+          val ss = batch.sparkSession
+          import ss.implicits._
+          val b = batch.select("doc_id", "text").as[(Long, String)]
+            .flatMap { case (id, text) =>
+              graft.operators.TextOps.positionalShingles(text, k)
+                .map { case (p, s) => (id, p, s) } }
+            .toDF("doc_id", "pos", "shingle")
+            .select(md5(col("shingle")).as("sh_md5"), col("doc_id"), col("pos"))
+            .persist() // consumed by 3 jobs below; O(batch) rows
+          try {
+            val wOcc = org.apache.spark.sql.expressions.Window.partitionBy("sh_md5")
+            val dupB = b.withColumn("n", count(lit(1)).over(wOcc))
+              .filter(col("n") >= 2).select("doc_id", "pos")
+            val prior = state.read(ss, "occ", excludeBatch = Some(batchId))
+            val bSh = b.select("sh_md5").distinct()
+            // state scans through; only skinny batch shingles broadcast
+            val hitPrior = prior.join(broadcast(bSh), "sh_md5")
+            val hitSh = hitPrior.select("sh_md5").distinct()
+            val batchHitPos = b.join(broadcast(hitSh), "sh_md5")
+            val marks = dupB
+              .union(batchHitPos.select("doc_id", "pos"))
+              .union(hitPrior.select("doc_id", "pos"))
+              .distinct()
+            state.endBatch(ss, batchId,
+              "occ" -> b.select("sh_md5", "doc_id", "pos"),
+              "marks" -> marks)
+          } finally { b.unpersist(); () }
+        }
+        maybePoison(batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val marked = state.read(spark, "marks").distinct()
+    val tokArr = spark.read.schema(docsSchema)
+      .option("pathGlobFilter", pathGlobFilter).parquet(dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+    graft.operators.TextOps.spansFromMarks(marked, tokArr, k)
+  }
+
+  /** qs16 entry: the same two-id-range-file staging as qs10 (shared
+    * memo — a bench suite stages the lake once for both), so the
+    * oracle-checked run itself crosses a batch boundary and exercises
+    * the retroactive probe-mark path, not just the within-batch count. */
+  def qs16StreamDupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stagedLakes.computeIfAbsent(
+      graft.Tables.contentKey(s"$dir/documents.parquet"), _ => {
+        val t = Files.createTempDirectory("graft_sdedup_lake").toString
+        cleanupAtExit(t)
+        graft.Tables(spark, dir, "documents")
+          .repartitionByRange(2, col("doc_id"))
+          .write.mode("overwrite").parquet(t)
+        t
+      })
+    streamDupSpans(spark, staged, k = 8)
+  }
+
   /** Streaming incremental NEAR-duplicate detection — the arrival-time
     * form of qs1_minhash_neardup: documents stream in, each micro-batch
     * pays only its own signature kernel plus a band probe against the

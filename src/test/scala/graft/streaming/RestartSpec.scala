@@ -163,6 +163,32 @@ class RestartSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streamDupSpans killed mid-run resumes and matches the batch span set") {
+    // the marks table is re-emission-tolerant (distinct fold), but the
+    // occ index is append-only with NO fold — a replayed batch appending
+    // its occurrences twice would double-mark within-batch counts; the
+    // exact span compare below (n_dup_shingles included) would catch it
+    val lake = docsLake()
+    val w = work("graft_restart_spans")
+    Replay.poisonAfterBatch = 1L
+    intercept[Exception] {
+      Replay.streamDupSpans(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w))
+    }
+    assert(Replay.poisonAfterBatch == -1L, "poison should have fired")
+    val streamed = Replay.streamDupSpans(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSeq
+    val batch = graft.operators.TextOps.qd23DupSpans(spark, SparkTestSession.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streamUpsert killed mid-run resumes and matches the batch latest-wins") {
     // the reference's core K2 semantics (every S3 PUT re-fires the
     // upsert): kill in the at-least-once window, restart over the same
