@@ -662,10 +662,14 @@ object TextOps {
     *      — a kernel, not `transform`/`element_at` expressions, for the
     *      same projection-collapse reason as qd14 (split() re-inlines
     *      under every element access);
-    *   2. a count window over `shingle` keeps positions whose window text
-    *      repeats (ONE shuffle; at 100 TB, key on xxhash64(shingle) so
-    *      shuffle rows stay skinny — raw text kept here for oracle
-    *      clarity);
+    *   2. a count window over the shingle's 128-bit digest (two
+    *      independent xxhash64s — the Collapse.groups key shape) keeps
+    *      positions whose window text repeats: ONE shuffle whose rows
+    *      carry 16 bytes of key instead of the ~50-char window text.
+    *      The digest is internal — the oracle checks the reconstructed
+    *      span TEXT, and a cross-text collision needs a simultaneous
+    *      64-bit collision in two independently-seeded hashes
+    *      (~n²/2¹²⁸ over the corpus shingle count);
     *   3. per-doc gaps-and-islands (lag + running sum over the doc_id
     *      window, one skinny shuffle) merges marked windows ≤ K apart,
     *      then min/max per island yields the span;
@@ -681,7 +685,10 @@ object TextOps {
       .flatMap { case (id, text) =>
         positionalShingles(text, k).map { case (p, s) => (id, p, s) } }
       .toDF("doc_id", "pos", "shingle")
-    val wOcc = Window.partitionBy("shingle")
+      .select(col("doc_id"), col("pos"),
+        xxhash64(lit(1), col("shingle")).as("k1"),
+        xxhash64(lit(2), col("shingle")).as("k2"))
+    val wOcc = Window.partitionBy("k1", "k2")
     val marked = sh
       .withColumn("n_occ", count(lit(1)).over(wOcc))
       .filter(col("n_occ") >= 2)

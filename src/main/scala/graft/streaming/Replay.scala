@@ -289,7 +289,8 @@ object Replay {
     * probes the accumulated occurrence index; the final read merges the
     * accumulated duplicated-position marks into maximal spans.
     *
-    * Per batch, with B = this batch's (shingle md5, doc, pos) rows:
+    * Per batch, with B = this batch's (shingle digest, doc, pos) rows
+    * (digest = two independent xxhash64s, the qd23 key):
     *   - positions of shingles duplicated WITHIN B (count window) are
     *     marked;
     *   - B's distinct shingles BROADCAST-probe the persisted `occ` index
@@ -322,7 +323,8 @@ object Replay {
                      compactEvery: Int = 16): DataFrame = {
     val work = resolveWork(workDir, "graft_sspans")
     val occSchema = StructType(Seq(
-      StructField("sh_md5", StringType),
+      StructField("k1", LongType),
+      StructField("k2", LongType),
       StructField("doc_id", LongType),
       StructField("pos", LongType)))
     val marksSchema = StructType(Seq(
@@ -347,24 +349,29 @@ object Replay {
               graft.operators.TextOps.positionalShingles(text, k)
                 .map { case (p, s) => (id, p, s) } }
             .toDF("doc_id", "pos", "shingle")
-            .select(md5(col("shingle")).as("sh_md5"), col("doc_id"), col("pos"))
+            // 128-bit digest key, the qd23/Collapse shape: the count
+            // window, the state, and the probes all move 16-byte keys
+            // instead of window text (see qd23DupSpans' collision note)
+            .select(xxhash64(lit(1), col("shingle")).as("k1"),
+              xxhash64(lit(2), col("shingle")).as("k2"),
+              col("doc_id"), col("pos"))
             .persist() // consumed by 3 jobs below; O(batch) rows
           try {
-            val wOcc = org.apache.spark.sql.expressions.Window.partitionBy("sh_md5")
+            val wOcc = org.apache.spark.sql.expressions.Window.partitionBy("k1", "k2")
             val dupB = b.withColumn("n", count(lit(1)).over(wOcc))
               .filter(col("n") >= 2).select("doc_id", "pos")
             val prior = state.read(ss, "occ", excludeBatch = Some(batchId))
-            val bSh = b.select("sh_md5").distinct()
+            val bSh = b.select("k1", "k2").distinct()
             // state scans through; only skinny batch shingles broadcast
-            val hitPrior = prior.join(broadcast(bSh), "sh_md5")
-            val hitSh = hitPrior.select("sh_md5").distinct()
-            val batchHitPos = b.join(broadcast(hitSh), "sh_md5")
+            val hitPrior = prior.join(broadcast(bSh), Seq("k1", "k2"))
+            val hitSh = hitPrior.select("k1", "k2").distinct()
+            val batchHitPos = b.join(broadcast(hitSh), Seq("k1", "k2"))
             val marks = dupB
               .union(batchHitPos.select("doc_id", "pos"))
               .union(hitPrior.select("doc_id", "pos"))
               .distinct()
             state.endBatch(ss, batchId,
-              "occ" -> b.select("sh_md5", "doc_id", "pos"),
+              "occ" -> b.select("k1", "k2", "doc_id", "pos"),
               "marks" -> marks)
           } finally { b.unpersist(); () }
         }
