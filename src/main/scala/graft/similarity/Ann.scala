@@ -175,9 +175,11 @@ object Ann {
     val idx = perSession(spark).computeIfAbsent(canonDir(dir), _ => {
       val t = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
       graft.streaming.Replay.cleanupAtExit(t)
-      // build: one pass over the corpus, stored partitioned by cell id
-      assignments(emb, cents).write.mode("overwrite")
-        .partitionBy("cell").parquet(s"$t/assign")
+      // build: one pass over the corpus, stored partitioned by cell id;
+      // cluster by cell first so the store is one file per cell, not one
+      // per (cell, map task) — see SemDedup.keepListIndexed's build note
+      assignments(emb, cents).repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$t/assign")
       t
     })
     val assigned = spark.read.parquet(s"$idx/assign")

@@ -257,6 +257,11 @@ object SemDedup {
       graft.streaming.Replay.cleanupAtExit(t)
       Ann.assignments(live.filter(basePred), cents)
         .withColumn("sub", signBucket(col("v"), s))
+        // cluster rows by cell BEFORE the partitioned write: straight from
+        // the 32 assignment partitions every task would open a file per
+        // cell it touches (~cells x tasks tiny files); one trivial shuffle
+        // makes it one file per cell
+        .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$t/assign")
       val sa = spark.read.parquet(s"$t/assign")
       sa.as("a").join(sa.as("b"),

@@ -268,7 +268,7 @@ object Replay {
     * for the session — a bench suite stages once across passes instead of
     * rewriting the full documents table per pass. The stream itself (and
     * its state fold) still runs in full on every invocation. */
-  private val stagedLakes =
+  private[streaming] val stagedLakes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   def qs10StreamDedup(spark: SparkSession, dir: String): DataFrame = {
     val staged = stagedLakes.computeIfAbsent(

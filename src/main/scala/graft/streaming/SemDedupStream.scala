@@ -213,11 +213,18 @@ object SemDedupStream {
   def qs15StreamSemDedup(spark: SparkSession, dir: String,
                          files: Int = 2): DataFrame = {
     val u = SemDedup.plantedUnion(spark, dir).localCheckpoint(true)
-    val staged = Files.createTempDirectory("graft_semdedup_lake").toString
-    Replay.cleanupAtExit(staged)
-    u.select(col("vec_id"), col("embedding"))
-      .repartitionByRange(files, col("vec_id"))
-      .write.mode("overwrite").parquet(staged)
+    // staging is INPUT scaffolding, memoized per source-corpus contents
+    // like the qs10/qs16 lakes (Replay.stagedLakes' contract); the frozen
+    // quantizer below and the stream itself still run in full per pass
+    val staged = Replay.stagedLakes.computeIfAbsent(
+      s"planted|$files|${graft.Tables.contentKey(s"$dir/embeddings.parquet")}", _ => {
+        val t = Files.createTempDirectory("graft_semdedup_lake").toString
+        Replay.cleanupAtExit(t)
+        u.select(col("vec_id"), col("embedding"))
+          .repartitionByRange(files, col("vec_id"))
+          .write.mode("overwrite").parquet(t)
+        t
+      })
     // frozen quantizer: trained once over the full lake before the stream
     val cents = Ann.localCentroids(u)
     val s = SemDedup.subBits(u.count())
