@@ -87,6 +87,8 @@ object SparkEntry {
     "qd22_cdc_chunk_dedup" -> (TextOps.qd22CdcChunkDedup _),
     // substring-level dedup: maximal duplicated K-token spans
     "qd23_dup_spans"       -> ((s, d) => TextOps.qd23DupSpans(s, d)),
+    // Bloom-prefiltered eval-set decontamination keep-list
+    "qd24_bloom_decontam"  -> ((s, d) => TextOps.qd24BloomDecontam(s, d)),
     "q36_approx_percentile" -> (Advanced.q36ApproxPercentile _),
     "qd10_corpus_curation" -> (TextOps.qd10CorpusCuration _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
@@ -900,6 +902,32 @@ object SparkEntry {
     // spans (windows <= 8 apart touch or overlap). Positions 1-based;
     // span covers tokens [span_start, span_start + span_len).
     "qd23_dup_spans" -> dupSpansSql,
+
+    // Bloom-prefiltered decontamination: the Bloom filter is a map-side
+    // prefilter verified by an exact join, so the oracle is the plain
+    // eval-overlap screen — 4-token windows via the qd23 positional
+    // kernel (see qd24BloomDecontam's K sizing note).
+    "qd24_bloom_decontam" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), sh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(toks[i::INT:(i + 3)::INT], ' ') AS shingle
+        |  FROM t CROSS JOIN unnest(range(1, len(toks) - 4 + 2)) r(i)
+        |), ev AS (
+        |  SELECT DISTINCT shingle FROM sh WHERE doc_id < 5
+        |), hits AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_eval_hits
+        |  FROM sh JOIN ev USING (shingle)
+        |  WHERE doc_id >= 5
+        |  GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, coalesce(h.n_eval_hits, 0)::BIGINT AS n_eval_hits,
+        |  coalesce(h.n_eval_hits, 0) = 0 AS keep
+        |FROM t LEFT JOIN hits h USING (doc_id)
+        |WHERE t.doc_id >= 5
+        |ORDER BY t.doc_id""".stripMargin,
 
     // The streaming form converges to the identical mark set regardless
     // of batch boundaries (see Replay.streamDupSpans), so it shares the

@@ -261,4 +261,54 @@ class CurationOpsSpec extends AnyFunSuite {
       (1L, 3L, 10L, 3L, phrase),
       (2L, 5L, 10L, 3L, phrase)))
   }
+
+  test("bloom decontamination equals the exact screen, fp-rate independent") {
+    // exact reference computed directly: per-doc distinct 4-windows vs
+    // the eval (doc_id < 5) window set
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def windows(t: String): Set[String] = {
+      val toks = t.trim.split("\\s+")
+      if (toks.length < 4) Set.empty
+      else (0 to toks.length - 4).map(i => toks.slice(i, i + 4).mkString(" ")).toSet
+    }
+    val evalSet = docs.filter(_._1 < 5).flatMap(w => windows(w._2)).toSet
+    val expected = docs.filter(_._1 >= 5).map { case (id, t) =>
+      val hits = (windows(t) & evalSet).size.toLong
+      (id, hits, hits == 0L)
+    }.sortBy(_._1).toSeq
+    val got = TextOps.qd24BloomDecontam(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == expected)
+    assert(expected.exists(!_._3), "fixture must plant real contamination")
+    // a saturated-fp filter admits far more candidates but the exact
+    // verify join keeps the answer identical
+    val sloppy = TextOps.qd24BloomDecontam(spark, dir, fpp = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(sloppy == expected)
+  }
+
+  test("bloom prefilter prunes the corpus-side window stream map-side") {
+    TextOps.recordCandidates = true
+    try {
+      val result = TextOps.qd24BloomDecontam(spark, dir)
+      val trueHits = result.agg(sum("n_eval_hits")).head().getLong(0)
+      result.write.format("noop").mode("overwrite").save()
+      val candidates = TextOps.lastCandidateRows.get()
+      val corpusWindows = graft.Tables(spark, dir, "documents")
+        .filter(col("doc_id") >= 5)
+        .select(col("doc_id"), col("text")).collect()
+        .map { r =>
+          val toks = r.getString(1).trim.split("\\s+")
+          if (toks.length < 4) 0L
+          else (0 to toks.length - 4).map(i => toks.slice(i, i + 4).mkString(" ")).toSet.size.toLong
+        }.sum
+      // superset of the true hits (no false negatives), but a small
+      // fraction of the stream (fpp 1% + true hits)
+      assert(candidates >= trueHits)
+      assert(candidates < corpusWindows / 10,
+        s"bloom admitted $candidates of $corpusWindows windows")
+    } finally { TextOps.recordCandidates = false }
+  }
 }
