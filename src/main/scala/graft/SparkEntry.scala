@@ -89,6 +89,8 @@ object SparkEntry {
     "qd23_dup_spans"       -> ((s, d) => TextOps.qd23DupSpans(s, d)),
     // Bloom-prefiltered eval-set decontamination keep-list
     "qd24_bloom_decontam"  -> ((s, d) => TextOps.qd24BloomDecontam(s, d)),
+    // deterministic hash-based train/val/test split
+    "qd25_hash_split"      -> ((s, d) => TextOps.qd25HashSplit(s, d)),
     "q36_approx_percentile" -> (Advanced.q36ApproxPercentile _),
     "qd10_corpus_curation" -> (TextOps.qd10CorpusCuration _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
@@ -763,6 +765,22 @@ object SparkEntry {
         |  coalesce(h.n_contaminated, 0) >= 1 AS flagged
         |FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Deterministic hash split: md5-lower-64 of the salted id mod 100
+    // (the SimHash-family md5_number_lower contract); train/val/test
+    // at 90/5/5.
+    "qd25_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    (md5_number_lower('split:' || doc_id::VARCHAR) % 100)::INT AS bucket
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b
+        |ORDER BY doc_id""".stripMargin,
 
     // Mean negative unigram log-probability per document (perplexity
     // filter stand-in).

@@ -739,6 +739,39 @@ object TextOps {
     docs(spark, dir)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
 
+  /** Deterministic hash-based train/val/test split — the standard
+    * at-scale split: no RNG state, no shuffle, no sampling pass;
+    * membership is a pure function of the document id, so it is stable
+    * across runs, engines, partitionings, and corpus growth (adding
+    * documents never moves an existing one between splits — the
+    * property a random split lacks and the reason hash splits are the
+    * production default).
+    *
+    * bucket = (lower 64 bits of md5("split:" || doc_id), unsigned)
+    * mod 100 — the same md5-lower-64 contract the SimHash/winnowing/CDC
+    * family already reproduces in DuckDB (`md5_number_lower`); the
+    * "split:" salt domain-separates this hash from every other md5 use
+    * of the id. train < 90, val < 95, test otherwise. Fully
+    * declarative (conv/substring/pmod — codegen'd, no kernel): ONE
+    * narrow pass, the only exchange is the presentation sort. */
+  def qd25HashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val hex = md5(concat(lit("split:"), col("doc_id").cast("string")))
+    // md5_number_lower reads digest bytes 8..15 LITTLE-endian (the
+    // SimHash.md5Lower64String contract), so the hex byte pairs are
+    // reversed before conv's big-endian parse; conv yields the unsigned
+    // decimal string, exact through decimal(20,0)
+    val leHex = concat((7 to 0 by -1).map(i => substring(hex, 17 + 2 * i, 2)): _*)
+    val bucket = pmod(conv(leHex, 16, 10).cast("decimal(20,0)"),
+      lit(100)).cast("int")
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, lit("train"))
+          .when(col("bucket") < 95, lit("val"))
+          .otherwise(lit("test")))
+      .orderBy("doc_id")
+  }
+
   /** Candidate-row count of the most recent qd24 run — spec
     * instrumentation proving the Bloom prefilter PRUNES (candidates ≪
     * corpus windows) while staying a SUPERSET of the true hits. OFF by

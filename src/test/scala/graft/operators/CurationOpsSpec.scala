@@ -289,6 +289,36 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(sloppy == expected)
   }
 
+  test("hash split matches the md5-lower-64 kernel contract and the 90/5/5 design") {
+    val rows = TextOps.qd25HashSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getString(3)))
+    // declarative conv/substring path == the JVM kernel contract that
+    // DuckDB's md5_number_lower is pinned to (SimHash specs)
+    rows.foreach { case (id, bucket, split) =>
+      val exp = java.lang.Long.remainderUnsigned(
+        graft.dedup.SimHash.md5Lower64String(s"split:$id"), 100L)
+      assert(bucket.toLong == exp, s"doc $id bucket")
+      assert(split == (if (bucket < 90) "train" else if (bucket < 95) "val" else "test"))
+    }
+    // near the designed fractions (binomial noise at 500 docs)
+    val n = rows.length.toDouble
+    val frac = rows.groupBy(_._3).view.mapValues(_.length / n).toMap
+    assert(math.abs(frac("train") - 0.90) < 0.04, s"train ${frac("train")}")
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.05) < 0.03)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.05) < 0.03)
+    // growth stability: membership is a pure function of the id — the
+    // assignment computed over a physically half-size lake is the exact
+    // restriction of the full one (a random split would reshuffle)
+    val tmp = java.nio.file.Files.createTempDirectory("qd25").toString
+    graft.Tables(spark, dir, "documents").filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val halfRows = TextOps.qd25HashSplit(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val full = rows.map(t => t._1 -> t._3).toMap
+    assert(halfRows.nonEmpty)
+    halfRows.foreach { case (id, s) => assert(full(id) == s, s"doc $id moved") }
+  }
+
   test("bloom prefilter prunes the corpus-side window stream map-side") {
     TextOps.recordCandidates = true
     try {
