@@ -533,27 +533,43 @@ object TextOps {
     * the classic LM-filter pass of a pretraining pipeline.
     *
     * Plan: two explode aggregates build the bigram and unigram count
-    * tables (shuffles keyed on the n-gram — the counts ARE the model,
-    * maintained as derived tables at warehouse scale), V is a broadcast
-    * scalar (qd18's stats pattern), and the per-doc average is one more
-    * grouped pass. Documents with fewer than two tokens have no bigrams
+    * tables (the counts ARE the model, maintained as derived tables at
+    * warehouse scale), V is a broadcast scalar (qd18's stats pattern),
+    * and the per-doc average is one more grouped pass. Every wide
+    * stage is keyed on a 128-bit n-gram DIGEST (two independently-
+    * seeded xxhash64s — the qd23/Collapse key shape; a count-merging
+    * collision needs a simultaneous collision in both hashes): the
+    * token and bigram streams shuffle and join on 16-byte keys, never
+    * n-gram text. Documents with fewer than two tokens have no bigrams
     * and emit no row (the oracle mirrors the exclusion). */
   def qd21BigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     val toksArr = docs(spark, dir).select(col("doc_id"),
       split(trim(col("text")), "\\s+").as("toks"))
     val uniCounts = toksArr.select(explode(col("toks")).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("ca"))
+      .select(xxhash64(lit(1), col("term")).as("t1"),
+        xxhash64(lit(2), col("term")).as("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("ca"))
     val vocab = uniCounts.agg(count(lit(1)).cast("double").as("v"))
+    // the transform lambda keeps the MINIMAL two element accesses (the
+    // qd14/qd23 projection-collapse trap: split() re-inlines under every
+    // toks[i] access); digests are computed AFTER the explode, once per
+    // materialized row. No per-(doc, bigram) pre-aggregate: on natural
+    // text most (doc, bigram) pairs are unique, so pre-grouping shrinks
+    // nothing and just adds a full-stream shuffle (measured 2×)
     val bigrams = toksArr.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 2)," +
           " i -> struct(toks[i] AS a, concat(toks[i], ' ', toks[i+1]) AS bg))"))
         .as("p"))
-      .select(col("doc_id"), col("p.a").as("term"), col("p.bg").as("bg"))
-    val biCounts = bigrams.groupBy("bg").agg(count(lit(1)).as("cab"))
+      .select(col("doc_id"),
+        xxhash64(lit(1), col("p.a")).as("t1"),
+        xxhash64(lit(2), col("p.a")).as("t2"),
+        xxhash64(lit(1), col("p.bg")).as("b1"),
+        xxhash64(lit(2), col("p.bg")).as("b2"))
+    val biCounts = bigrams.groupBy("b1", "b2").agg(count(lit(1)).as("cab"))
     bigrams
-      .join(biCounts, "bg")
-      .join(uniCounts, "term")
+      .join(biCounts, Seq("b1", "b2"))
+      .join(uniCounts, Seq("t1", "t2"))
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id")
       .agg(
