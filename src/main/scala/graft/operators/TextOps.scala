@@ -678,14 +678,18 @@ object TextOps {
     *      — a kernel, not `transform`/`element_at` expressions, for the
     *      same projection-collapse reason as qd14 (split() re-inlines
     *      under every element access);
-    *   2. a count window over the shingle's 128-bit digest (two
-    *      independent xxhash64s — the Collapse.groups key shape) keeps
-    *      positions whose window text repeats: ONE shuffle whose rows
-    *      carry 16 bytes of key instead of the ~50-char window text.
-    *      The digest is internal — the oracle checks the reconstructed
-    *      span TEXT, and a cross-text collision needs a simultaneous
-    *      64-bit collision in two independently-seeded hashes
-    *      (~n²/2¹²⁸ over the corpus shingle count);
+    *   2. positions whose window text repeats are kept via a count
+    *      aggregate over the shingle's 128-bit digest (two independent
+    *      xxhash64s — the Collapse.groups key shape) plus a
+    *      SHUFFLE_HASH join back to the positional stream: two
+    *      digest-keyed shuffles of 16-byte keys (never window text),
+    *      and no sort — a count WINDOW computes the same mark set but
+    *      sorts the whole stream by digest inside each partition
+    *      (measured 9.4 → 7.3 s at sf1). The digest is internal — the
+    *      oracle checks the reconstructed span TEXT, and a cross-text
+    *      collision needs a simultaneous 64-bit collision in two
+    *      independently-seeded hashes (~n²/2¹²⁸ over the corpus
+    *      shingle count);
     *   3. per-doc gaps-and-islands (lag + running sum over the doc_id
     *      window, one skinny shuffle) merges marked windows ≤ K apart,
     *      then min/max per island yields the span;
@@ -704,10 +708,13 @@ object TextOps {
       .select(col("doc_id"), col("pos"),
         xxhash64(lit(1), col("shingle")).as("k1"),
         xxhash64(lit(2), col("shingle")).as("k2"))
-    val wOcc = Window.partitionBy("k1", "k2")
-    val marked = sh
-      .withColumn("n_occ", count(lit(1)).over(wOcc))
+    // repeated digests via aggregate + SHUFFLE_HASH join, not a count
+    // window: the window form sorts the whole shingle stream by digest
+    // inside each partition; the hash join moves the same two shuffles
+    // but sorts nothing
+    val dupKeys = sh.groupBy("k1", "k2").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
+    val marked = sh.join(dupKeys.hint("shuffle_hash"), Seq("k1", "k2"))
       .select("doc_id", "pos")
     spansFromMarks(marked, tokenArrays(spark, dir), k)
   }

@@ -357,6 +357,11 @@ object Replay {
               col("doc_id"), col("pos"))
             .persist() // consumed by 3 jobs below; O(batch) rows
           try {
+            // count window, NOT the qd23 aggregate+join form: inside
+            // foreachBatch AQE is off and `b` is cache-backed — the
+            // join form scans and shuffles the cached batch twice,
+            // measured 15.1 → 18.0 s at sf1; the window's single
+            // shuffle+sort of the batch wins here
             val wOcc = org.apache.spark.sql.expressions.Window.partitionBy("k1", "k2")
             val dupB = b.withColumn("n", count(lit(1)).over(wOcc))
               .filter(col("n") >= 2).select("doc_id", "pos")
