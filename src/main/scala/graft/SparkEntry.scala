@@ -134,6 +134,8 @@ object SparkEntry {
     // keep-list == batch qe4 (shares its oracle)
     "qs15_stream_semdedup" -> ((s, d) =>
       graft.streaming.SemDedupStream.qs15StreamSemDedup(s, d)),
+    // per-cell occupancy + cohesion report under the family quantizer
+    "qe6_cluster_stats"    -> (Ann.qe6ClusterStats _),
   )
 
   /** Benchmark-only queries: measured by `graft.Bench` but NOT part of
@@ -1647,6 +1649,44 @@ object SparkEntry {
     // (same centroids, assignment, and probe pipeline), so it shares
     // the same full SQL recompute.
     "qs14_ann_indexed" -> annLowProbeOracle,
+
+    // qe6: per-cell occupancy + cohesion under the same deterministic
+    // quantizer as qs12/qe4 (full-corpus label-mean centroids,
+    // 6dp-rounded argmax over finite-norm vectors); per-row cosines
+    // round to 6dp before the aggregates, the mean once more.
+    "qe6_cluster_stats" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |), comp AS (
+        |  SELECT label AS cell, i AS dim, avg(v[i::INT]) AS m
+        |  FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
+        |  GROUP BY label, i
+        |), cents AS (
+        |  SELECT cell, list(m ORDER BY dim) AS centroid FROM comp GROUP BY cell
+        |), live AS (
+        |  SELECT * FROM e
+        |  WHERE isfinite(list_inner_product(v, v)) AND list_inner_product(v, v) <> 0
+        |), assign AS (
+        |  SELECT vec_id, cell, v FROM (
+        |    SELECT l.vec_id, c.cell, l.v,
+        |      row_number() OVER (PARTITION BY l.vec_id ORDER BY
+        |        round(list_inner_product(l.v, c.centroid)
+        |          / (sqrt(list_inner_product(l.v, l.v))
+        |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
+        |        c.cell) AS rk
+        |    FROM live l CROSS JOIN cents c
+        |  ) WHERE rk = 1
+        |), cos AS (
+        |  SELECT a.cell,
+        |    round(list_inner_product(a.v, c.centroid)
+        |      / (sqrt(list_inner_product(a.v, a.v))
+        |         * sqrt(list_inner_product(c.centroid, c.centroid))), 6) AS cos
+        |  FROM assign a JOIN cents c USING (cell)
+        |)
+        |SELECT cell, count(*)::BIGINT AS n_vectors,
+        |  round(avg(cos), 6) AS avg_cos, min(cos) AS min_cos
+        |FROM cos GROUP BY cell
+        |ORDER BY cell""".stripMargin,
 
     // Every `queries` entry has an oracle: the one query with no
     // SQL-expressible oracle (qs3, non-separable KMeans) is bench-only —

@@ -1,7 +1,7 @@
 package graft.similarity
 
 import graft.Tables
-import graft.operators.VectorOps.{cosine, dvec}
+import graft.operators.VectorOps.{cosine, dot, dvec}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -195,4 +195,37 @@ object Ann {
     * through the cell-partitioned store with partition pruning. */
   def qs14AnnIndexed(spark: SparkSession, dir: String): DataFrame =
     knnIndexed(spark, dir, k = 5, nprobe = 2, queryPred = "vec_id < 5")
+
+  /** qe6 entry: per-cell occupancy + cohesion report over the embedding
+    * corpus — the diagnostic a curation pipeline runs BEFORE tuning the
+    * quantizer-dependent passes (SemDeDup's epsilon-per-cluster, IVF's
+    * nprobe): how full is each cell, how tight is it on average, and how
+    * far out does its worst member sit. Same deterministic quantizer as
+    * the whole ANN/SemDeDup family (label-mean centroids over the FULL
+    * corpus, 6dp-rounded argmax assignment of the finite-norm vectors),
+    * so the report describes exactly the cells those operators use.
+    *
+    * Plan: centroids are the k×dim local relation; assignment is the
+    * broadcast map-side argmax (Ann.assignments); the cohesion metrics
+    * ride ONE groupBy(cell) over (cell, rounded cosine) rows — a single
+    * skinny shuffle, linear at any corpus size. Per-row cosines round to
+    * 6dp BEFORE aggregation (the family's summation-order guard); the
+    * mean rounds once more on output. */
+  def qe6ClusterStats(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings").select(col("vec_id"),
+      col("label"), col("embedding").cast("array<double>").as("embedding"))
+    val cents = localCentroids(emb)
+    val norm2 = dot(col("embedding"), col("embedding"))
+    val live = emb.filter(norm2 =!= 0 && !isnan(norm2))
+    assignments(live, cents)
+      .join(broadcast(cents), "cell")
+      .select(col("cell"),
+        round(cosine(col("v"), col("centroid")), 6)
+          .as("cos"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg("cos"), 6).as("avg_cos"),
+        min("cos").as("min_cos"))
+      .orderBy("cell")
+  }
 }

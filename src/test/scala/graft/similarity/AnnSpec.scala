@@ -90,4 +90,22 @@ class AnnSpec extends AnyFunSuite {
       s"no dynamic partition pruning on the index scan: " +
         scans.map(_.partitionFilters).mkString("; "))
   }
+
+  test("cluster stats report tight, exhaustive cells on clustered data") {
+    val tmp = java.nio.file.Files.createTempDirectory("qe6").toString
+    clustered().write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Ann.qe6ClusterStats(spark, tmp).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // 8 cells, every vector assigned exactly once
+    assert(got.length == 8)
+    assert(got.map(_._2).sum == 320L)
+    // well-separated centers with 0.3-sigma noise: members hug their own
+    // centroid; the report must see that cohesion
+    got.foreach { case (cell, n, avgCos, minCos) =>
+      assert(n > 0, s"empty cell $cell")
+      assert(avgCos > 0.95, s"cell $cell avg_cos $avgCos")
+      assert(minCos > 0.85, s"cell $cell min_cos $minCos")
+      assert(minCos <= avgCos)
+    }
+  }
 }
