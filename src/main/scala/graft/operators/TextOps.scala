@@ -384,17 +384,31 @@ object TextOps {
     * document (tf × ln(N/df), ties broken lexically) — the per-document
     * counterpart of the corpus-level qd9 term stats and the ranked qd8
     * retrieval. One explode pass; tf and df come from the same postings
-    * aggregate; ranking is a per-doc window over the scored postings. */
+    * aggregate; ranking is a per-doc window over the scored postings.
+    *
+    * The postings aggregate and the df join key on the term's 128-bit
+    * digest (the qd21/qd23 key shape) so the full-stream shuffle and
+    * the join move 16-byte keys; the term STRING — which the output
+    * needs — survives through first() in the aggregation buffer. A
+    * string buffer demotes the aggregate from HashAggregate to
+    * ObjectHashAggregate, and the skinny keys still win: 5.0 vs 6.0 s
+    * five-pass A/B at sf1 against the string-keyed form. (Two earlier
+    * runs of this comparison read 14–36 s — host-side load; never trust
+    * a single window on this box.) */
   def qd19TfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
     val postings = terms(spark, dir)
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = postings.groupBy("term")
+      .select(col("doc_id"), col("term"),
+        xxhash64(lit(1), col("term")).as("t1"),
+        xxhash64(lit(2), col("term")).as("t2"))
+      .groupBy("doc_id", "t1", "t2")
+      .agg(count(lit(1)).as("tf"), first("term").as("term"))
+    val df = postings.groupBy("t1", "t2")
       .agg(count(lit(1)).cast("double").as("df"))
     val nDocs = docs(spark, dir).select(count(lit(1)).cast("double").as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term"))
     postings
-      .join(df, "term")
+      .join(df, Seq("t1", "t2"))
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"),
         round(col("tf").cast("double") * log(col("n_docs") / col("df")), 6)
