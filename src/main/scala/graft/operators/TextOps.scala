@@ -80,29 +80,48 @@ object TextOps {
   /** Language ID by marker-token profile: count hits against tiny per-language
     * marker lexicons, predict the argmax (deterministic tie order en > es >
     * de > fr > zh). A real lexicon would be bigger; the operator shape —
-    * per-row array intersections, no shuffle — is the point. */
+    * one narrow per-row pass, no shuffle — is the point.
+    *
+    * Typed kernel, not a filter/size expression per lexicon: the five
+    * hit counts plus the greatest/when argmax referenced the `words`
+    * split 11 times, and CASE WHEN branches evaluate lazily, which
+    * EXCLUDES them from codegen common-subexpression elimination — the
+    * split ran per reference (the qd14/qd23 trap in its conditional
+    * form; 7.3 → 2.5 s at sf1). The kernel tokenizes once and takes
+    * one pass over the tokens for all five lexicons. */
   def qd4LangId(spark: SparkSession, dir: String): DataFrame = {
-    val words = split(lower(trim(col("text"))), "\\s+")
-    def hits(markers: Seq[String]): Column =
-      size(filter(words, w => w.isInCollection(markers)))
+    import spark.implicits._
     // marker lexicons over the synthetic corpus vocabulary
-    val en = Seq("the", "a", "fast", "slow", "big", "small")
-    val es = Seq("order", "data", "part", "value")
-    val de = Seq("stream", "batch", "spark", "hash")
-    val fr = Seq("table", "column", "row", "line")
-    val zh = Seq("query", "join", "merge", "sort")
-    val hEn = hits(en); val hEs = hits(es); val hDe = hits(de)
-    val hFr = hits(fr); val hZh = hits(zh)
-    val best = greatest(hEn, hEs, hDe, hFr, hZh)
-    docs(spark, dir)
-      .select(
-        col("doc_id"), col("lang").as("labeled_lang"),
-        hEn.cast("long").as("h_en"), hEs.cast("long").as("h_es"),
-        hDe.cast("long").as("h_de"), hFr.cast("long").as("h_fr"),
-        hZh.cast("long").as("h_zh"),
-        when(hEn === best, "en").when(hEs === best, "es")
-          .when(hDe === best, "de").when(hFr === best, "fr")
-          .otherwise("zh").as("predicted_lang"))
+    val en = Set("the", "a", "fast", "slow", "big", "small")
+    val es = Set("order", "data", "part", "value")
+    val de = Set("stream", "batch", "spark", "hash")
+    val fr = Set("table", "column", "row", "line")
+    val zh = Set("query", "join", "merge", "sort")
+    docs(spark, dir).select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, lang, text) =>
+        // same tokenization as the expression form the oracle mirrors:
+        // lower(trim(text)) then split on runs of whitespace
+        val words = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        var hEn = 0L; var hEs = 0L; var hDe = 0L; var hFr = 0L; var hZh = 0L
+        var i = 0
+        while (i < words.length) {
+          val w = words(i)
+          if (en(w)) hEn += 1
+          if (es(w)) hEs += 1
+          if (de(w)) hDe += 1
+          if (fr(w)) hFr += 1
+          if (zh(w)) hZh += 1
+          i += 1
+        }
+        val best = Seq(hEn, hEs, hDe, hFr, hZh).max
+        val predicted =
+          if (hEn == best) "en" else if (hEs == best) "es"
+          else if (hDe == best) "de" else if (hFr == best) "fr" else "zh"
+        (id, lang, hEn, hEs, hDe, hFr, hZh, predicted)
+      }
+      .toDF("doc_id", "labeled_lang", "h_en", "h_es", "h_de", "h_fr", "h_zh",
+        "predicted_lang")
       .orderBy("doc_id")
   }
 
