@@ -91,6 +91,8 @@ object SparkEntry {
     "qd24_bloom_decontam"  -> ((s, d) => TextOps.qd24BloomDecontam(s, d)),
     // deterministic hash-based train/val/test split
     "qd25_hash_split"      -> ((s, d) => TextOps.qd25HashSplit(s, d)),
+    // DSIR hashed-bigram importance weights (data selection)
+    "qd26_dsir_weights"    -> ((s, d) => TextOps.qd26DsirWeights(s, d)),
     "q36_approx_percentile" -> (Advanced.q36ApproxPercentile _),
     "qd10_corpus_curation" -> (TextOps.qd10CorpusCuration _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
@@ -771,6 +773,41 @@ object SparkEntry {
     // Deterministic hash split: md5-lower-64 of the salted id mod 100
     // (the SimHash-family md5_number_lower contract); train/val/test
     // at 90/5/5.
+    // DSIR importance weights: hashed-bigram (B = 1024) target/raw
+    // bucket models, add-one smoothing, per-raw-doc mean log ratio.
+    // Target sample = md5_number_lower('dsir:'||doc_id) % 20 = 0.
+    "qd26_dsir_weights" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    (md5_number_lower('dsir:' || doc_id::VARCHAR) % 20 = 0) AS is_t,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 2
+        |), bi AS MATERIALIZED (
+        |  SELECT doc_id, is_t,
+        |    (md5_number_lower('dsir:' || toks[i] || ' ' || toks[i+1])
+        |      % 1024)::INT AS bucket
+        |  FROM t CROSS JOIN unnest(range(1, len(toks))) r(i)
+        |), cnt AS MATERIALIZED (
+        |  SELECT bucket,
+        |    count(*) FILTER (WHERE is_t) AS ct,
+        |    count(*) FILTER (WHERE NOT is_t) AS cr
+        |  FROM bi GROUP BY bucket
+        |), tot AS (
+        |  SELECT sum(ct)::DOUBLE AS nt, sum(cr)::DOUBLE AS nr FROM cnt
+        |), lr AS (
+        |  SELECT bucket,
+        |    ln((ct + 1)::DOUBLE / (nt + 1024))
+        |      - ln((cr + 1)::DOUBLE / (nr + 1024)) AS logratio
+        |  FROM cnt CROSS JOIN tot
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(logratio), 6) AS dsir_logratio
+        |FROM bi JOIN lr USING (bucket)
+        |WHERE NOT is_t
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     "qd25_hash_split" ->
       """WITH b AS (
         |  SELECT doc_id, lang,
@@ -1643,6 +1680,7 @@ object SparkEntry {
     // immune to summation-order noise in the means; candidate sims use
     // raw vectors only (qe1-proven bit parity).
     "qs12_ann_lowprobe" -> annLowProbeOracle,
+
 
     // qs14: the materialized cell-partitioned index probed with
     // dynamic partition pruning — row-identical to qs12 by construction

@@ -811,20 +811,92 @@ object TextOps {
     * declarative (conv/substring/pmod — codegen'd, no kernel): ONE
     * narrow pass, the only exchange is the presentation sort. */
   def qd25HashSplit(spark: SparkSession, dir: String): DataFrame = {
-    val hex = md5(concat(lit("split:"), col("doc_id").cast("string")))
-    // md5_number_lower reads digest bytes 8..15 LITTLE-endian (the
-    // SimHash.md5Lower64String contract), so the hex byte pairs are
-    // reversed before conv's big-endian parse; conv yields the unsigned
-    // decimal string, exact through decimal(20,0)
-    val leHex = concat((7 to 0 by -1).map(i => substring(hex, 17 + 2 * i, 2)): _*)
-    val bucket = pmod(conv(leHex, 16, 10).cast("decimal(20,0)"),
-      lit(100)).cast("int")
+    val bucket = pmod(md5Lower64Decimal(
+      concat(lit("split:"), col("doc_id").cast("string"))), lit(100)).cast("int")
     docs(spark, dir)
       .select(col("doc_id"), col("lang"), bucket.as("bucket"))
       .withColumn("split",
         when(col("bucket") < 90, lit("train"))
           .when(col("bucket") < 95, lit("val"))
           .otherwise(lit("test")))
+      .orderBy("doc_id")
+  }
+
+  /** Lower 64 bits of md5(input) as an UNSIGNED decimal(20,0) — the
+    * declarative (conv/substring, fully codegen'd) form of
+    * `SimHash.md5Lower64String`, bit-equal to DuckDB's
+    * `md5_number_lower`. md5_number_lower reads digest bytes 8..15
+    * LITTLE-endian, so the hex byte pairs are reversed before conv's
+    * big-endian parse; conv yields the unsigned decimal string, exact
+    * through decimal(20,0). Shared by qd25 (split buckets) and qd26
+    * (feature-hash buckets + target membership). */
+  private def md5Lower64Decimal(input: Column): Column = {
+    val hex = md5(input)
+    val leHex = concat((7 to 0 by -1).map(i => substring(hex, 17 + 2 * i, 2)): _*)
+    conv(leHex, 16, 10).cast("decimal(20,0)")
+  }
+
+  /** Hashed-bigram importance weights for data selection — the DSIR
+    * scheme (Xie et al., "Data Selection for Language Models via
+    * Importance Resampling", NeurIPS 2023): score every RAW-pool
+    * document by how much more likely its features are under a TARGET
+    * distribution than under the raw pool itself, using hashed n-gram
+    * bag-of-words models whose parameter count is FIXED (B buckets)
+    * regardless of corpus size — the property that makes the method a
+    * 100 TB staple where a full vocabulary LM would not fit a broadcast.
+    *
+    * Concretely: word bigrams hash into B = 1024 buckets
+    * (`md5_number_lower("dsir:" || bigram) mod B` — the qd25 hash
+    * contract, domain-separated by the salt); the TARGET sample is the
+    * deterministic ~5% of documents with
+    * `md5_number_lower("dsir:" || doc_id) mod 20 = 0` (standing in for
+    * the curated target corpus — Wikipedia/books in the paper — so the
+    * operator stays self-contained on the lake, the qd24 eval-set
+    * convention); both distributions are add-one smoothed over the B
+    * buckets; a raw document's score is the MEAN per-occurrence log
+    * ratio `ln p_target(b) − ln p_raw(b)` (the paper's log importance
+    * weight, length-normalized like qd18/qd21, rounded 6dp inside the
+    * avg's operand like every float oracle here).
+    *
+    * Scale shape: the bigram stream is built with the qd21 transform
+    * lambda (digests AFTER the explode — the projection-collapse trap);
+    * the two count tables partial-aggregate map-side down to ≤ B rows
+    * each, so the only full-width exchange is the per-doc groupBy, and
+    * the bucket→log-ratio table joins as a B-row BROADCAST: feature
+    * statistics never shuffle with the corpus. No per-(doc, bucket)
+    * pre-aggregate for the same measured reason as qd21 — short docs
+    * rarely repeat a bucket, so pre-grouping shrinks nothing and costs
+    * a second full shuffle. Docs with < 2 tokens have no features and
+    * are absent, as in qd21. */
+  def qd26DsirWeights(spark: SparkSession, dir: String, buckets: Int = 1024): DataFrame = {
+    val isTarget = pmod(md5Lower64Decimal(
+      concat(lit("dsir:"), col("doc_id").cast("string"))), lit(20)) === 0
+    val toksArr = docs(spark, dir)
+      .select(col("doc_id"), isTarget.as("is_t"),
+        split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bi = toksArr
+      .select(col("doc_id"), col("is_t"), explode(expr(
+        "transform(sequence(0, size(toks) - 2)," +
+          " i -> concat(toks[i], ' ', toks[i+1]))")).as("bg"))
+      .select(col("doc_id"), col("is_t"),
+        pmod(md5Lower64Decimal(concat(lit("dsir:"), col("bg"))),
+          lit(buckets)).cast("int").as("bucket"))
+    val cnt = bi.groupBy("bucket").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("is_t"), 0L).otherwise(1L)).as("cr"))
+    val tot = cnt.agg(sum("ct").cast("double").as("nt"),
+      sum("cr").cast("double").as("nr"))
+    val logRatio = cnt.crossJoin(broadcast(tot)).select(col("bucket"),
+      (log((col("ct") + 1).cast("double") / (col("nt") + buckets))
+        - log((col("cr") + 1).cast("double") / (col("nr") + buckets)))
+        .as("logratio"))
+    bi.filter(!col("is_t"))
+      .join(broadcast(logRatio), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(col("logratio")), 6).as("dsir_logratio"))
       .orderBy("doc_id")
   }
 

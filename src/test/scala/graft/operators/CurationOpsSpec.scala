@@ -341,4 +341,35 @@ class CurationOpsSpec extends AnyFunSuite {
         s"bloom admitted $candidates of $corpusWindows windows")
     } finally { TextOps.recordCandidates = false }
   }
+
+  test("DSIR weights match an independent recompute of the hashed-bigram model") {
+    val B = 1024
+    def h(s: String, m: Long): Long =
+      java.lang.Long.remainderUnsigned(
+        graft.dedup.SimHash.md5Lower64String(s"dsir:$s"), m)
+    val corpus = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+"))
+      .filter(_._2.length >= 2)
+    val isT = corpus.map { case (id, _) => id -> (h(id.toString, 20L) == 0L) }.toMap
+    val bigrams = corpus.map { case (id, toks) =>
+      id -> toks.sliding(2).map(p => h(p.mkString(" "), B.toLong).toInt).toSeq }
+    val ct = new Array[Long](B); val cr = new Array[Long](B)
+    bigrams.foreach { case (id, bs) =>
+      bs.foreach(b => if (isT(id)) ct(b) += 1 else cr(b) += 1) }
+    val (nt, nr) = (ct.sum.toDouble, cr.sum.toDouble)
+    val expected = bigrams.filterNot { case (id, _) => isT(id) }.map { case (id, bs) =>
+      val mean = bs.map(b =>
+        math.log((ct(b) + 1) / (nt + B)) - math.log((cr(b) + 1) / (nr + B))).sum / bs.size
+      (id, bs.size.toLong,
+        BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1).toSeq
+    val got = TextOps.qd26DsirWeights(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(expected.nonEmpty && isT.values.exists(identity),
+      "fixture must contain both target and raw documents")
+    assert(got.map(t => (t._1, t._2)) == expected.map(t => (t._1, t._2)))
+    got.zip(expected).foreach { case ((id, _, g), (_, _, e)) =>
+      assert(math.abs(g - e) < 2e-6, s"doc $id weight $g vs $e") }
+  }
 }
