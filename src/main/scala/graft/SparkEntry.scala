@@ -138,6 +138,9 @@ object SparkEntry {
       graft.streaming.SemDedupStream.qs15StreamSemDedup(s, d)),
     // per-cell occupancy + cohesion report under the family quantizer
     "qe6_cluster_stats"    -> (Ann.qe6ClusterStats _),
+    // recall@k of the low-probe IVF search vs exact ground truth on a
+    // deterministic query sample (the index-quality report)
+    "qe7_ann_recall"       -> ((s, d) => Ann.qe7AnnRecall(s, d)),
   )
 
   /** Benchmark-only queries: measured by `graft.Bench` but NOT part of
@@ -1680,6 +1683,77 @@ object SparkEntry {
     // immune to summation-order noise in the means; candidate sims use
     // raw vectors only (qe1-proven bit parity).
     "qs12_ann_lowprobe" -> annLowProbeOracle,
+
+    // qe7: recall@5 of the nprobe=2 IVF search vs exact brute-force
+    // ground truth on the vec_id % 25 = 0 query sample — both pipelines
+    // (the qs12 low-probe CTEs and the qe1 brute-force ranking) mirrored
+    // with the family's 6dp-round-before-rank / lowest-cand-id ties.
+    "qe7_ann_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |), comp AS (
+        |  SELECT label AS cell, i AS dim, avg(v[i::INT]) AS m
+        |  FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
+        |  GROUP BY label, i
+        |), cents AS (
+        |  SELECT cell, list(m ORDER BY dim) AS centroid FROM comp GROUP BY cell
+        |), assign AS (
+        |  SELECT vec_id, cell, v FROM (
+        |    SELECT e.vec_id, c.cell, e.v,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_inner_product(e.v, c.centroid)
+        |          / (sqrt(list_inner_product(e.v, e.v))
+        |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
+        |        c.cell) AS rk
+        |    FROM e CROSS JOIN cents c
+        |  ) WHERE rk = 1
+        |), q AS (
+        |  SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id % 25 = 0
+        |), probed AS (
+        |  SELECT q_id, q_vec, cell FROM (
+        |    SELECT q.q_id, q.q_vec, c.cell,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        round(list_inner_product(q.q_vec, c.centroid)
+        |          / (sqrt(list_inner_product(q.q_vec, q.q_vec))
+        |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
+        |        c.cell) AS crk
+        |    FROM q CROSS JOIN cents c
+        |  ) WHERE crk <= 2
+        |), ap AS (
+        |  SELECT q_id, cand_id FROM (
+        |    SELECT s.*, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rank
+        |    FROM (
+        |      SELECT p.q_id, a.vec_id AS cand_id,
+        |        round(list_inner_product(p.q_vec, a.v)
+        |          / (sqrt(list_inner_product(p.q_vec, p.q_vec))
+        |             * sqrt(list_inner_product(a.v, a.v))), 6) AS sim
+        |      FROM probed p JOIN assign a USING (cell)
+        |      WHERE p.q_id <> a.vec_id
+        |    ) s
+        |  ) WHERE rank <= 5
+        |), ex AS (
+        |  SELECT q_id, cand_id FROM (
+        |    SELECT s.*, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rank
+        |    FROM (
+        |      SELECT q.q_id, e.vec_id AS cand_id,
+        |        round(list_inner_product(q.q_vec, e.v)
+        |          / (sqrt(list_inner_product(q.q_vec, q.q_vec))
+        |             * sqrt(list_inner_product(e.v, e.v))), 6) AS sim
+        |      FROM q CROSS JOIN e
+        |      WHERE q.q_id <> e.vec_id
+        |    ) s
+        |  ) WHERE rank <= 5
+        |), hits AS (
+        |  SELECT ex.q_id, count(*) AS n
+        |  FROM ex JOIN ap ON ex.q_id = ap.q_id AND ex.cand_id = ap.cand_id
+        |  GROUP BY ex.q_id
+        |)
+        |SELECT q.q_id, coalesce(h.n, 0) AS n_hits,
+        |  round(coalesce(h.n, 0) / 5.0, 6) AS recall_at_k
+        |FROM q LEFT JOIN hits h USING (q_id)
+        |ORDER BY q.q_id""".stripMargin,
 
 
     // qs14: the materialized cell-partitioned index probed with

@@ -228,4 +228,48 @@ object Ann {
         min("cos").as("min_cos"))
       .orderBy("cell")
   }
+
+  /** qe7 entry: recall@k evaluation of the low-probe IVF search against
+    * exact brute-force ground truth — the index-quality report every ANN
+    * deployment runs before trusting an approximate index (the FAISS
+    * evaluation protocol: exact neighbors on a QUERY SAMPLE, recall =
+    * |approx top-k ∩ exact top-k| / k per query).
+    *
+    * The sample is the knob that keeps this affordable at 100 TB: exact
+    * ground truth costs one corpus stream against the BROADCAST sample
+    * (the qe1 shape, deliberately BNLJ — annotated RED like qe1, but
+    * bounded by the ~4% sample instead of all queries), while the approx
+    * side rides the qs12 low-probe pipeline unchanged. Both sides share
+    * the family's determinism contract — 6dp-rounded cosine before
+    * ranking, ties to the lowest cand_id, self-matches excluded — so
+    * recall is a pure function of the data and the full report is
+    * SQL-expressible (exact + approx pipelines both mirrored in DuckDB).
+    * Queries whose probed cells miss every true neighbor appear with
+    * n_hits = 0 (left join), so the frame covers the whole sample. */
+  def qe7AnnRecall(spark: SparkSession, dir: String, k: Int = 5,
+                   nprobe: Int = 2): DataFrame = {
+    val pred = "vec_id % 25 = 0"
+    val emb = Tables(spark, dir, "embeddings")
+    val queries = emb.filter(expr(pred))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = emb.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_vec"))
+    val exact = broadcast(queries).join(corpus, col("q_id") =!= col("cand_id"))
+      .select(col("q_id"), col("cand_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("cand_id"))
+    val approx = knnFrom(emb, k, nprobe, pred).select(col("q_id"), col("cand_id"))
+    val hits = exact.join(approx, Seq("q_id", "cand_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    queries.select(col("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble), 6)
+          .as("recall_at_k"))
+      .orderBy("q_id")
+  }
 }

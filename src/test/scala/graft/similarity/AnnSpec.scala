@@ -108,4 +108,43 @@ class AnnSpec extends AnyFunSuite {
       assert(minCos <= avgCos)
     }
   }
+
+  test("recall report matches an independent exact-vs-approx intersection") {
+    val dir = SparkTestSession.sfDir
+    val got = Ann.qe7AnnRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // independent ground truth: JVM brute force on the sample queries
+    val rows = graft.Tables(spark, dir, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val qIds = rows.map(_._1).filter(_ % 25 == 0).sorted
+    // family determinism contract: round cosine to 6dp BEFORE ranking,
+    // ties to the lowest cand_id (bruteForce above ranks unrounded)
+    val byId = rows.toMap
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val brute = qIds.flatMap { q =>
+      rows.filter(_._1 != q)
+        .map { case (id, v) => (id, cos6(byId(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+        .map { case (id, _) => (q, id) }
+    }.toSet
+    // approx side from the audited qs12 pipeline itself (its own oracle
+    // hash-matches DuckDB) — qe7 must agree with the set intersection
+    val approx = Ann.knn(spark, dir, k = 5, nprobe = 2,
+        queryPred = "vec_id % 25 = 0")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val expected = qIds.map { q =>
+      val hits = brute.filter(_._1 == q).count(approx.contains)
+      (q, hits.toLong,
+        BigDecimal(hits / 5.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got == expected)
+    // the report must be informative on the isotropic corpus: nprobe=2
+    // of 10 cells cannot be perfect everywhere
+    assert(got.map(_._3).distinct.size > 1, "recall is constant — vacuous report")
+  }
 }
