@@ -93,6 +93,8 @@ object SparkEntry {
     "qd25_hash_split"      -> ((s, d) => TextOps.qd25HashSplit(s, d)),
     // DSIR hashed-bigram importance weights (data selection)
     "qd26_dsir_weights"    -> ((s, d) => TextOps.qd26DsirWeights(s, d)),
+    // BPE merge-candidate mining over the weighted vocabulary
+    "qd27_bpe_pairs"       -> ((s, d) => TextOps.qd27BpePairs(s, d)),
     "q36_approx_percentile" -> (Advanced.q36ApproxPercentile _),
     "qd10_corpus_curation" -> (TextOps.qd10CorpusCuration _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
@@ -776,6 +778,29 @@ object SparkEntry {
     // Deterministic hash split: md5-lower-64 of the salted id mod 100
     // (the SimHash-family md5_number_lower contract); train/val/test
     // at 90/5/5.
+    // BPE merge candidates: per-word char sequences closed by '</w>',
+    // adjacent symbol pairs weighted by corpus word frequency, top-20.
+    // sum(BIGINT) is HUGEINT in DuckDB -> ::BIGINT.
+    "qd27_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT term, count(*) AS wc FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |    FROM documents
+        |  ) GROUP BY term
+        |), ch AS (
+        |  SELECT wc, string_split(term, '') || ['</w>'] AS cs FROM w
+        |), p AS (
+        |  SELECT cs[i] AS sym_a, cs[i+1] AS sym_b, sum(wc)::BIGINT AS n_occ
+        |  FROM ch CROSS JOIN unnest(range(1, len(cs))) r(i)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT * FROM (
+        |  SELECT row_number() OVER (ORDER BY n_occ DESC, sym_a, sym_b) AS rank,
+        |    sym_a, sym_b, n_occ
+        |  FROM p
+        |) WHERE rank <= 20
+        |ORDER BY rank""".stripMargin,
+
     // DSIR importance weights: hashed-bigram (B = 1024) target/raw
     // bucket models, add-one smoothing, per-raw-doc mean log ratio.
     // Target sample = md5_number_lower('dsir:'||doc_id) % 20 = 0.

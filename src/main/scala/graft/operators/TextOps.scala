@@ -900,6 +900,43 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer-vocabulary induction: the corpus-wide symbol-pair counts
+    * that drive a BPE merge step (Sennrich et al., "Neural Machine
+    * Translation of Rare Words with Subword Units", ACL 2016) — each
+    * word is a character sequence closed by the `</w>` end-of-word
+    * marker, every adjacent symbol pair is weighted by the word's corpus
+    * frequency, and the top-K pairs are the merge candidates (the
+    * argmax of iteration 1; the full training loop repeats this count
+    * after applying the winning merge).
+    *
+    * Scale shape — the reason BPE training is feasible on a 100 TB
+    * corpus at all: pair statistics are computed over the DISTINCT-WORD
+    * vocabulary (Heaps'-law sublinear, millions of rows) weighted by
+    * word counts, never over the token stream. The token-stream groupBy
+    * that builds the vocabulary is the qd9/qd18 aggregate (one shuffle,
+    * map-side partial); the char-pair explode then touches only vocab
+    * rows, and the pair aggregate is bounded by the symbol alphabet
+    * squared — tiny, so the final top-K window's single-partition sort
+    * is over an alphabet²-sized frame, not data-sized. */
+  def qd27BpePairs(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val vocab = terms(spark, dir).groupBy("term").agg(count(lit(1)).as("wc"))
+    val pairs = vocab
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(term)), i -> struct(" +
+          "substring(term, i, 1) AS a, " +
+          "CASE WHEN i = length(term) THEN '</w>'" +
+          " ELSE substring(term, i + 1, 1) END AS b))")).as("p"))
+      .groupBy(col("p.a").as("sym_a"), col("p.b").as("sym_b"))
+      .agg(sum("wc").as("n_occ"))
+    pairs
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occ").desc, col("sym_a"), col("sym_b"))))
+      .filter(col("rank") <= topK)
+      .select(col("rank").cast("long").as("rank"),
+        col("sym_a"), col("sym_b"), col("n_occ"))
+      .orderBy("rank")
+  }
+
   /** Candidate-row count of the most recent qd24 run — spec
     * instrumentation proving the Bloom prefilter PRUNES (candidates ≪
     * corpus windows) while staying a SUPERSET of the true hits. OFF by

@@ -342,6 +342,26 @@ class CurationOpsSpec extends AnyFunSuite {
     } finally { TextOps.recordCandidates = false }
   }
 
+  test("BPE merge candidates match an independent recompute over the vocabulary") {
+    val wc = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    graft.Tables(spark, dir, "documents").select("text").collect()
+      .foreach(_.getString(0).trim.split("\\s+").foreach(w => wc(w) += 1L))
+    val pc = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    wc.foreach { case (w, c) =>
+      val syms = w.map(_.toString) :+ "</w>"
+      syms.sliding(2).foreach { case Seq(a, b) => pc((a, b)) += c }
+    }
+    val expected = pc.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(20).zipWithIndex
+      .map { case (((a, b), n), i) => (i + 1L, a, b, n) }
+    val got = TextOps.qd27BpePairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // the canonical BPE sanity: end-of-word pairs must rank — a corpus
+    // where no (char, </w>) pair makes top-20 means the marker is lost
+    assert(got.exists(_._3 == "</w>"))
+  }
+
   test("DSIR weights match an independent recompute of the hashed-bigram model") {
     val B = 1024
     def h(s: String, m: Long): Long =
