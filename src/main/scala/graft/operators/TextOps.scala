@@ -858,30 +858,50 @@ object TextOps {
     * weight, length-normalized like qd18/qd21, rounded 6dp inside the
     * avg's operand like every float oracle here).
     *
-    * Scale shape: the bigram stream is built with the qd21 transform
-    * lambda (digests AFTER the explode — the projection-collapse trap);
-    * the two count tables partial-aggregate map-side down to ≤ B rows
-    * each, so the only full-width exchange is the per-doc groupBy, and
-    * the bucket→log-ratio table joins as a B-row BROADCAST: feature
+    * Scale shape: the bigram stream is ONE typed kernel pass (the qd23
+    * kernel rule — a `transform`/`element_at` lambda re-inlines `split()`
+    * under every element access after CollapseProject) whose skinny
+    * (doc, is_target, bucket) output is eagerly localCheckpointed: the
+    * plan reads it THREE times (target/raw counts feeding the totals and
+    * the log-ratio table, plus the per-doc scoring join), and without the
+    * materialization each consumer re-tokenized and re-hashed the corpus
+    * (measured 3× the whole operator, 64.6 → ~8 s at sf1 with the int
+    * bucket below). The bucket itself is plain int arithmetic on the two
+    * LEAST-significant little-endian md5 digest bytes (hex chars 17-20):
+    * with B | 2¹⁶, 2¹⁶ ≡ 0 (mod B), so those two bytes determine
+    * `md5_number_lower mod B` exactly and the decimal(20,0) conv+pmod
+    * form (measured 3× the per-row cost of the md5 itself) is never
+    * built. The two count tables partial-aggregate map-side down to ≤ B
+    * rows each, so the only full-width exchange is the per-doc groupBy,
+    * and the bucket→log-ratio table joins as a B-row BROADCAST: feature
     * statistics never shuffle with the corpus. No per-(doc, bucket)
     * pre-aggregate for the same measured reason as qd21 — short docs
     * rarely repeat a bucket, so pre-grouping shrinks nothing and costs
     * a second full shuffle. Docs with < 2 tokens have no features and
-    * are absent, as in qd21. */
+    * are absent, as in qd21. At 100 TB the checkpoint trades ~16 bytes ×
+    * bigram-count of local disk per pass for two re-tokenizations of the
+    * corpus — the right side of that trade at every scale; a cluster
+    * deployment would persist the same skinny table instead. */
   def qd26DsirWeights(spark: SparkSession, dir: String, buckets: Int = 1024): DataFrame = {
+    require(65536 % buckets == 0,
+      s"buckets ($buckets) must divide 2^16: the bucket is computed from the"
+        + " two low little-endian md5 bytes, exact only when 2^16 = 0 mod B")
+    import spark.implicits._
     val isTarget = pmod(md5Lower64Decimal(
       concat(lit("dsir:"), col("doc_id").cast("string"))), lit(20)) === 0
-    val toksArr = docs(spark, dir)
-      .select(col("doc_id"), isTarget.as("is_t"),
-        split(trim(col("text")), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= 2)
-    val bi = toksArr
-      .select(col("doc_id"), col("is_t"), explode(expr(
-        "transform(sequence(0, size(toks) - 2)," +
-          " i -> concat(toks[i], ' ', toks[i+1]))")).as("bg"))
-      .select(col("doc_id"), col("is_t"),
-        pmod(md5Lower64Decimal(concat(lit("dsir:"), col("bg"))),
-          lit(buckets)).cast("int").as("bucket"))
+    val bg = docs(spark, dir)
+      .select(col("doc_id"), isTarget.as("is_t"), col("text"))
+      .as[(Long, Boolean, String)]
+      .flatMap { case (id, isT, text) =>
+        val t = text.trim.split("\\s+")
+        (0 until t.length - 1).iterator.map(i => (id, isT, t(i) + " " + t(i + 1)))
+      }
+      .toDF("doc_id", "is_t", "bg")
+    val hex = md5(concat(lit("dsir:"), col("bg")))
+    val bucketCol = (conv(substring(hex, 17, 2), 16, 10).cast("int")
+      + conv(substring(hex, 19, 2), 16, 10).cast("int") * 256) % buckets
+    val bi = bg.select(col("doc_id"), col("is_t"), bucketCol.cast("int").as("bucket"))
+      .localCheckpoint(true)
     val cnt = bi.groupBy("bucket").agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
       sum(when(col("is_t"), 0L).otherwise(1L)).as("cr"))

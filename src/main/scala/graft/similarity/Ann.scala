@@ -237,9 +237,14 @@ object Ann {
     *
     * The sample is the knob that keeps this affordable at 100 TB: exact
     * ground truth costs one corpus stream against the BROADCAST sample
-    * (the qe1 shape, deliberately BNLJ — annotated RED like qe1, but
-    * bounded by the ~4% sample instead of all queries), while the approx
-    * side rides the qs12 low-probe pipeline unchanged. Both sides share
+    * — computed by the typed per-partition top-k kernel
+    * (`VectorOps.exactTopKCandidates`: hoisted norms, per-partition
+    * candidate pruning with a rounding-lossless margin), so the final
+    * ranking window sees ~partitions × queries × k rows where the
+    * declarative BNLJ + window form shuffled and sorted the FULL
+    * queries × corpus similarity matrix (measured 41 → <1 s at sf1) —
+    * while the approx side rides the qs12 low-probe pipeline unchanged.
+    * Both sides share
     * the family's determinism contract — 6dp-rounded cosine before
     * ranking, ties to the lowest cand_id, self-matches excluded — so
     * recall is a pure function of the data and the full report is
@@ -252,11 +257,8 @@ object Ann {
     val emb = Tables(spark, dir, "embeddings")
     val queries = emb.filter(expr(pred))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val corpus = emb.select(col("vec_id").as("cand_id"),
-      col("embedding").as("c_vec"))
-    val exact = broadcast(queries).join(corpus, col("q_id") =!= col("cand_id"))
-      .select(col("q_id"), col("cand_id"),
-        round(cosine(col("q_vec"), col("c_vec")), 6).as("sim"))
+    val exact = graft.operators.VectorOps.exactTopKCandidates(emb, pred, k)
+      .select(col("q_id"), col("cand_id"), round(col("sim_raw"), 6).as("sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id"))))
       .filter(col("rank") <= k)
