@@ -883,13 +883,25 @@ object TextOps {
     * corpus — the right side of that trade at every scale; a cluster
     * deployment would persist the same skinny table instead. */
   def qd26DsirWeights(spark: SparkSession, dir: String, buckets: Int = 1024): DataFrame = {
+    val bi = dsirBucketed(docs(spark, dir), buckets).localCheckpoint(true)
+    dsirScore(bi, dsirLogRatios(bi, buckets)).orderBy("doc_id")
+  }
+
+  /** The DSIR hashed-bigram stream of a documents frame: (doc_id,
+    * is_target, bucket), one typed kernel pass (see qd26's scaladoc for
+    * the kernel + int-bucket rationale). Shared by qd26 (which
+    * checkpoints it — its plan reads the stream three times) and the
+    * per-batch scoring of the streaming form (qs17 — each micro-batch
+    * is its own stream, consumed once). */
+  private[graft] def dsirBucketed(docsDf: DataFrame, buckets: Int): DataFrame = {
     require(65536 % buckets == 0,
       s"buckets ($buckets) must divide 2^16: the bucket is computed from the"
         + " two low little-endian md5 bytes, exact only when 2^16 = 0 mod B")
+    val spark = docsDf.sparkSession
     import spark.implicits._
     val isTarget = pmod(md5Lower64Decimal(
       concat(lit("dsir:"), col("doc_id").cast("string"))), lit(20)) === 0
-    val bg = docs(spark, dir)
+    val bg = docsDf
       .select(col("doc_id"), isTarget.as("is_t"), col("text"))
       .as[(Long, Boolean, String)]
       .flatMap { case (id, isT, text) =>
@@ -900,25 +912,33 @@ object TextOps {
     val hex = md5(concat(lit("dsir:"), col("bg")))
     val bucketCol = (conv(substring(hex, 17, 2), 16, 10).cast("int")
       + conv(substring(hex, 19, 2), 16, 10).cast("int") * 256) % buckets
-    val bi = bg.select(col("doc_id"), col("is_t"), bucketCol.cast("int").as("bucket"))
-      .localCheckpoint(true)
+    bg.select(col("doc_id"), col("is_t"), bucketCol.cast("int").as("bucket"))
+  }
+
+  /** The add-one-smoothed per-bucket log importance ratio table (≤ B
+    * rows) of a (doc_id, is_t, bucket) stream — the DSIR model. */
+  private[graft] def dsirLogRatios(bi: DataFrame, buckets: Int): DataFrame = {
     val cnt = bi.groupBy("bucket").agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
       sum(when(col("is_t"), 0L).otherwise(1L)).as("cr"))
     val tot = cnt.agg(sum("ct").cast("double").as("nt"),
       sum("cr").cast("double").as("nr"))
-    val logRatio = cnt.crossJoin(broadcast(tot)).select(col("bucket"),
+    cnt.crossJoin(broadcast(tot)).select(col("bucket"),
       (log((col("ct") + 1).cast("double") / (col("nt") + buckets))
         - log((col("cr") + 1).cast("double") / (col("nr") + buckets)))
         .as("logratio"))
+  }
+
+  /** Per-raw-document mean log importance ratio of a bucketed bigram
+    * stream under a (broadcast) model table — qd26's scoring tail,
+    * unordered so the streaming form can apply it per micro-batch. */
+  private[graft] def dsirScore(bi: DataFrame, logRatio: DataFrame): DataFrame =
     bi.filter(!col("is_t"))
       .join(broadcast(logRatio), Seq("bucket"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_bigrams"),
         round(avg(col("logratio")), 6).as("dsir_logratio"))
-      .orderBy("doc_id")
-  }
 
   /** Tokenizer-vocabulary induction: the corpus-wide symbol-pair counts
     * that drive a BPE merge step (Sennrich et al., "Neural Machine
