@@ -124,6 +124,9 @@ object SparkEntry {
     "qs10_stream_dedup"    -> (Replay.qs10StreamDedup _),
     // incremental substring-level dedup (qd23's arrival-time form)
     "qs16_stream_dup_spans" -> (Replay.qs16StreamDupSpans _),
+    // incremental DSIR scoring (qd26's arrival-time form): per-batch
+    // monoid deltas, model derived from folded counts at read time
+    "qs17_stream_dsir"     -> (Replay.qs17StreamDsir _),
     // streaming incremental NEAR-dup: per-batch signature kernel + band
     // probe against accumulated state; emission union == batch qs1
     "qs13_stream_neardup"  -> (Replay.qs13StreamNearDup _),
@@ -313,6 +316,42 @@ object SparkEntry {
         |  (coalesce(cc.cmin, u.vec_id) = u.vec_id) AS keep
         |FROM u LEFT JOIN cc USING (vec_id)
         |ORDER BY u.vec_id""".stripMargin
+
+  /** The qd26/qs17 shared oracle (both halves of DSIR are sufficient-
+    * statistic monoids, so the streaming form converges to exactly this
+    * batch computation): hashed-bigram (B = 1024) target/raw bucket
+    * counts, add-one-smoothed log importance ratios, per-raw-doc mean. */
+  private val dsirSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    (md5_number_lower('dsir:' || doc_id::VARCHAR) % 20 = 0) AS is_t,
+      |    string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\s+')) >= 2
+      |), bi AS MATERIALIZED (
+      |  SELECT doc_id, is_t,
+      |    (md5_number_lower('dsir:' || toks[i] || ' ' || toks[i+1])
+      |      % 1024)::INT AS bucket
+      |  FROM t CROSS JOIN unnest(range(1, len(toks))) r(i)
+      |), cnt AS MATERIALIZED (
+      |  SELECT bucket,
+      |    count(*) FILTER (WHERE is_t) AS ct,
+      |    count(*) FILTER (WHERE NOT is_t) AS cr
+      |  FROM bi GROUP BY bucket
+      |), tot AS (
+      |  SELECT sum(ct)::DOUBLE AS nt, sum(cr)::DOUBLE AS nr FROM cnt
+      |), lr AS (
+      |  SELECT bucket,
+      |    ln((ct + 1)::DOUBLE / (nt + 1024))
+      |      - ln((cr + 1)::DOUBLE / (nr + 1024)) AS logratio
+      |  FROM cnt CROSS JOIN tot
+      |)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  round(avg(logratio), 6) AS dsir_logratio
+      |FROM bi JOIN lr USING (bucket)
+      |WHERE NOT is_t
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 
   /** The qd23/qs16 shared oracle (the streaming form converges to the
     * same mark set, so one SQL text serves both keys — divergence would
@@ -804,37 +843,11 @@ object SparkEntry {
     // DSIR importance weights: hashed-bigram (B = 1024) target/raw
     // bucket models, add-one smoothing, per-raw-doc mean log ratio.
     // Target sample = md5_number_lower('dsir:'||doc_id) % 20 = 0.
-    "qd26_dsir_weights" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    (md5_number_lower('dsir:' || doc_id::VARCHAR) % 20 = 0) AS is_t,
-        |    string_split_regex(trim(text), '\s+') AS toks
-        |  FROM documents
-        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 2
-        |), bi AS MATERIALIZED (
-        |  SELECT doc_id, is_t,
-        |    (md5_number_lower('dsir:' || toks[i] || ' ' || toks[i+1])
-        |      % 1024)::INT AS bucket
-        |  FROM t CROSS JOIN unnest(range(1, len(toks))) r(i)
-        |), cnt AS MATERIALIZED (
-        |  SELECT bucket,
-        |    count(*) FILTER (WHERE is_t) AS ct,
-        |    count(*) FILTER (WHERE NOT is_t) AS cr
-        |  FROM bi GROUP BY bucket
-        |), tot AS (
-        |  SELECT sum(ct)::DOUBLE AS nt, sum(cr)::DOUBLE AS nr FROM cnt
-        |), lr AS (
-        |  SELECT bucket,
-        |    ln((ct + 1)::DOUBLE / (nt + 1024))
-        |      - ln((cr + 1)::DOUBLE / (nr + 1024)) AS logratio
-        |  FROM cnt CROSS JOIN tot
-        |)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(avg(logratio), 6) AS dsir_logratio
-        |FROM bi JOIN lr USING (bucket)
-        |WHERE NOT is_t
-        |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
+    "qd26_dsir_weights" -> dsirSql,
+    // streaming incremental form: per-batch bucket-count monoid deltas +
+    // per-doc bucket histograms fold to the identical model and scores
+    // (one SQL text serves both keys — divergence fails the gate)
+    "qs17_stream_dsir" -> dsirSql,
 
     "qd25_hash_split" ->
       """WITH b AS (

@@ -917,10 +917,18 @@ object TextOps {
 
   /** The add-one-smoothed per-bucket log importance ratio table (≤ B
     * rows) of a (doc_id, is_t, bucket) stream — the DSIR model. */
-  private[graft] def dsirLogRatios(bi: DataFrame, buckets: Int): DataFrame = {
-    val cnt = bi.groupBy("bucket").agg(
+  private[graft] def dsirLogRatios(bi: DataFrame, buckets: Int): DataFrame =
+    dsirModel(bi.groupBy("bucket").agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
-      sum(when(col("is_t"), 0L).otherwise(1L)).as("cr"))
+      sum(when(col("is_t"), 0L).otherwise(1L)).as("cr")), buckets)
+
+  /** The DSIR model from its sufficient statistics: a (bucket, ct, cr)
+    * count table (≤ B rows — target / raw feature counts) to the
+    * add-one-smoothed log importance ratio per bucket. Split from
+    * `dsirLogRatios` so the streaming form (qs17) can fold its
+    * accumulated per-batch count DELTAS — ct/cr are order-insensitive
+    * sum monoids — into the identical model at read time. */
+  private[graft] def dsirModel(cnt: DataFrame, buckets: Int): DataFrame = {
     val tot = cnt.agg(sum("ct").cast("double").as("nt"),
       sum("cr").cast("double").as("nr"))
     cnt.crossJoin(broadcast(tot)).select(col("bucket"),
@@ -939,6 +947,23 @@ object TextOps {
       .agg(
         count(lit(1)).as("n_bigrams"),
         round(avg(col("logratio")), 6).as("dsir_logratio"))
+
+  /** `dsirScore` over PRE-AGGREGATED (doc_id, bucket, n) feature rows —
+    * the shape the streaming state stores (each doc's bucket histogram,
+    * appended once in the batch where the doc arrives). The weighted
+    * mean Σ n·logratio / Σ n is the same real number as the instance
+    * mean; in doubles the two summation orders can differ in the last
+    * bits, well inside the 6-dp rounding that the whole qd18/qd21/qd26
+    * family already relies on for cross-engine (Spark vs DuckDB) hash
+    * equality. */
+  private[graft] def dsirScoreWeighted(feat: DataFrame, logRatio: DataFrame): DataFrame =
+    feat
+      .join(broadcast(logRatio), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(
+        sum("n").as("n_bigrams"),
+        round(sum(col("n") * col("logratio")) / sum(col("n")), 6)
+          .as("dsir_logratio"))
 
   /** Tokenizer-vocabulary induction: the corpus-wide symbol-pair counts
     * that drive a BPE merge step (Sennrich et al., "Neural Machine

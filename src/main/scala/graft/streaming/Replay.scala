@@ -409,6 +409,128 @@ object Replay {
     streamDupSpans(spark, staged, k = 8)
   }
 
+  /** Streaming incremental DSIR data selection — the arrival-time form
+    * of qd26_dsir_weights (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): documents stream
+    * in, each micro-batch pays ONE hashed-bigram kernel pass over its
+    * own rows, and the converged state scores every raw document exactly
+    * as the batch operator would, regardless of arrival order or batch
+    * boundaries.
+    *
+    * The key observation is that BOTH halves of DSIR are sufficient-
+    * statistic monoids, so nothing about the model needs to be frozen
+    * up-front (contrast qs15, whose k-means quantizer is genuinely
+    * order-sensitive and therefore trained once on the base corpus):
+    *   - `cnt(bucket, ct, cr)` — the model's per-bucket target/raw
+    *     feature counts. Per-batch delta ≤ B rows (B = 1024); folds by
+    *     per-bucket sum. The add-one-smoothed log-ratio model is derived
+    *     from the FOLDED counts at read time (`TextOps.dsirModel`) and
+    *     is bit-identical to qd26's: same totals, same smoothing.
+    *   - `feat(doc_id, bucket, n)` — each RAW document's hashed-bigram
+    *     bucket histogram, appended once in the micro-batch where the
+    *     doc arrives (a doc never spans batches, so appends are disjoint
+    *     by key; the per-key sum fold exists for the at-least-once
+    *     replay window and for compaction).
+    * Scoring joins `feat` against the ≤ B-row BROADCAST model and
+    * folds Σ n·logratio / Σ n per doc (`TextOps.dsirScoreWeighted`) —
+    * feature statistics never shuffle with the corpus, exactly the qd26
+    * scale shape, and per-batch I/O is O(batch bigram rows) no matter
+    * how much state has accumulated.
+    *
+    * This is the streaming-curation primitive the batch form can't give
+    * you: the model keeps LEARNING from every arriving shard (target and
+    * raw counts both accumulate), and any snapshot read scores the docs
+    * seen so far under the model of everything seen so far — rescoring
+    * under tomorrow's model is a read, not a re-ingest.
+    *
+    * Same restart contract as the sibling streams: state and checkpoint
+    * reload together under `workDir`; a batch replayed from the
+    * at-least-once window overwrites its own batch-keyed subdirs, which
+    * the exact-count oracle would catch if it double-appended (`n` and
+    * `ct`/`cr` would inflate). */
+  def streamDsir(spark: SparkSession, dir: String,
+                 buckets: Int = 1024,
+                 maxFilesPerTrigger: Int = 1,
+                 pathGlobFilter: String = "*.parquet",
+                 workDir: Option[String] = None,
+                 compactEvery: Int = 16): DataFrame = {
+    val work = resolveWork(workDir, "graft_sdsir")
+    val cntSchema = StructType(Seq(
+      StructField("bucket", IntegerType),
+      StructField("ct", LongType),
+      StructField("cr", LongType)))
+    val featSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("bucket", IntegerType),
+      StructField("n", LongType)))
+    val state = new AppendOnlyState(work,
+      Seq(("cnt", cntSchema), ("feat", featSchema)), compactEvery,
+      folds = Map(
+        "cnt" -> ((df: DataFrame) => df.groupBy("bucket")
+          .agg(sum("ct").as("ct"), sum("cr").as("cr"))),
+        "feat" -> ((df: DataFrame) => df.groupBy("doc_id", "bucket")
+          .agg(sum("n").as("n")))))
+    val q = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", pathGlobFilter)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(dir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!state.alreadyFolded(batchId)) {
+          val ss = batch.sparkSession
+          // one kernel pass; the (doc, bucket) pre-aggregate IS the
+          // state row, and the ≤ B-row model delta rides it (contrast
+          // qd26, where pre-grouping would be a wasted extra shuffle
+          // because nothing downstream needs the per-doc histogram)
+          val g = graft.operators.TextOps
+            .dsirBucketed(batch, buckets)
+            .groupBy("doc_id", "is_t", "bucket")
+            .agg(count(lit(1)).as("n"))
+            .persist() // two consumers below; O(batch) rows
+          try {
+            val cntDelta = g.groupBy("bucket").agg(
+              sum(when(col("is_t"), col("n")).otherwise(0L)).as("ct"),
+              sum(when(col("is_t"), 0L).otherwise(col("n"))).as("cr"))
+            val featDelta = g.filter(!col("is_t"))
+              .select("doc_id", "bucket", "n")
+            state.endBatch(ss, batchId,
+              "cnt" -> cntDelta, "feat" -> featDelta)
+          } finally { g.unpersist(); () }
+        }
+        maybePoison(batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val cnt = state.read(spark, "cnt")
+      .groupBy("bucket").agg(sum("ct").as("ct"), sum("cr").as("cr"))
+    val feat = state.read(spark, "feat")
+      .groupBy("doc_id", "bucket").agg(sum("n").as("n"))
+    graft.operators.TextOps
+      .dsirScoreWeighted(feat, graft.operators.TextOps.dsirModel(cnt, buckets))
+      .orderBy("doc_id")
+  }
+
+  /** qs17 entry: the same two-id-range-file staging as qs10/qs16 (shared
+    * per-contents memo), so the oracle-checked run crosses a batch
+    * boundary and the scored result folds model counts from BOTH batches
+    * — a single-batch replay would never separate the model delta from
+    * the model. */
+  def qs17StreamDsir(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stagedLakes.computeIfAbsent(
+      graft.Tables.contentKey(s"$dir/documents.parquet"), _ => {
+        val t = Files.createTempDirectory("graft_sdedup_lake").toString
+        cleanupAtExit(t)
+        graft.Tables(spark, dir, "documents")
+          .repartitionByRange(2, col("doc_id"))
+          .write.mode("overwrite").parquet(t)
+        t
+      })
+    streamDsir(spark, staged)
+  }
+
   /** Streaming incremental NEAR-duplicate detection — the arrival-time
     * form of qs1_minhash_neardup: documents stream in, each micro-batch
     * pays only its own signature kernel plus a band probe against the

@@ -189,6 +189,29 @@ class RestartSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streamDsir killed mid-run resumes and matches the batch DSIR scores") {
+    // both state tables are additive monoids with NO dedup at read —
+    // a replayed batch appending its deltas twice would inflate every
+    // count (model ct/cr and per-doc n), shifting n_bigrams and the
+    // 6-dp scores; exact equality with the batch operator catches it
+    val lake = docsLake()
+    val w = work("graft_restart_dsir")
+    Replay.poisonAfterBatch = 1L
+    intercept[Exception] {
+      Replay.streamDsir(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w))
+    }
+    assert(Replay.poisonAfterBatch == -1L, "poison should have fired")
+    val streamed = Replay.streamDsir(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = graft.operators.TextOps
+      .qd26DsirWeights(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streamUpsert killed mid-run resumes and matches the batch latest-wins") {
     // the reference's core K2 semantics (every S3 PUT re-fires the
     // upsert): kill in the at-least-once window, restart over the same
