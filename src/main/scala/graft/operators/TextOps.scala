@@ -887,11 +887,22 @@ object TextOps {
     dsirScore(bi, dsirLogRatios(bi, buckets)).orderBy("doc_id")
   }
 
+  /** DSIR target-sample membership of a `doc_id` column — the
+    * deterministic ~5% (`md5_number_lower("dsir:" || id) mod 20 = 0`)
+    * standing in for the curated target corpus. A pure function of the
+    * id, so the streaming form (qs17) can SPLIT a micro-batch into its
+    * target/raw sides BEFORE tokenizing (the target side's model delta
+    * needs no per-doc rows, so 95% of the batch skips that kernel
+    * pass), guaranteed consistent with the `is_t` the kernel emits. */
+  private[graft] def dsirIsTarget(docId: Column): Column =
+    pmod(md5Lower64Decimal(
+      concat(lit("dsir:"), docId.cast("string"))), lit(20)) === 0
+
   /** The DSIR hashed-bigram stream of a documents frame: (doc_id,
     * is_target, bucket), one typed kernel pass (see qd26's scaladoc for
     * the kernel + int-bucket rationale). Shared by qd26 (which
     * checkpoints it — its plan reads the stream three times) and the
-    * per-batch scoring of the streaming form (qs17 — each micro-batch
+    * per-batch deltas of the streaming form (qs17 — each micro-batch
     * is its own stream, consumed once). */
   private[graft] def dsirBucketed(docsDf: DataFrame, buckets: Int): DataFrame = {
     require(65536 % buckets == 0,
@@ -899,8 +910,7 @@ object TextOps {
         + " two low little-endian md5 bytes, exact only when 2^16 = 0 mod B")
     val spark = docsDf.sparkSession
     import spark.implicits._
-    val isTarget = pmod(md5Lower64Decimal(
-      concat(lit("dsir:"), col("doc_id").cast("string"))), lit(20)) === 0
+    val isTarget = dsirIsTarget(col("doc_id"))
     val bg = docsDf
       .select(col("doc_id"), isTarget.as("is_t"), col("text"))
       .as[(Long, Boolean, String)]

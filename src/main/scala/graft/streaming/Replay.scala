@@ -421,21 +421,34 @@ object Replay {
     * statistic monoids, so nothing about the model needs to be frozen
     * up-front (contrast qs15, whose k-means quantizer is genuinely
     * order-sensitive and therefore trained once on the base corpus):
-    *   - `cnt(bucket, ct, cr)` — the model's per-bucket target/raw
-    *     feature counts. Per-batch delta ≤ B rows (B = 1024); folds by
-    *     per-bucket sum. The add-one-smoothed log-ratio model is derived
-    *     from the FOLDED counts at read time (`TextOps.dsirModel`) and
-    *     is bit-identical to qd26's: same totals, same smoothing.
+    *   - `cnt(bucket, ct)` — the model's per-bucket TARGET feature
+    *     counts. Target membership is a pure function of the id
+    *     (`TextOps.dsirIsTarget`), so the batch splits BEFORE the
+    *     kernel and only the ~5% target side pays this tokenization;
+    *     the delta partial-aggregates map-side to ≤ B rows (B = 1024)
+    *     and folds by per-bucket sum.
     *   - `feat(doc_id, bucket, n)` — each RAW document's hashed-bigram
-    *     bucket histogram, appended once in the micro-batch where the
-    *     doc arrives (a doc never spans batches, so appends are disjoint
-    *     by key; the per-key sum fold exists for the at-least-once
-    *     replay window and for compaction).
-    * Scoring joins `feat` against the ≤ B-row BROADCAST model and
-    * folds Σ n·logratio / Σ n per doc (`TextOps.dsirScoreWeighted`) —
-    * feature statistics never shuffle with the corpus, exactly the qd26
-    * scale shape, and per-batch I/O is O(batch bigram rows) no matter
-    * how much state has accumulated.
+    *     bucket histogram, appended in the micro-batch where the doc
+    *     arrives (a doc never spans batches, so appends are disjoint by
+    *     key). The append is written MAP-SIDE as instance rows (n = 1)
+    *     straight off the kernel — no per-batch shuffle at all: short
+    *     docs rarely repeat a bucket, so pre-grouping would shrink
+    *     nothing and cost a full-width exchange (the same measurement
+    *     that shapes qd26, `TextOps.scala` qd26 scaladoc); the per-key
+    *     sum fold (compaction + read) produces the histogram instead.
+    *     The raw side of the model is NOT stored: `cr(bucket)` is, by
+    *     construction, the per-bucket sum of `feat.n`, so the read
+    *     derives it from the folded features — one fewer state table
+    *     and nothing double-counted.
+    * A snapshot read folds `feat`, derives `cr` from it, full-outer
+    * joins the folded target counts (a bucket seen on only one side
+    * keeps the other at 0, exactly the batch groupBy's shape), derives
+    * the add-one-smoothed model (`TextOps.dsirModel` — bit-identical to
+    * qd26's: same totals, same smoothing), and joins `feat` against the
+    * ≤ B-row BROADCAST model folding Σ n·logratio / Σ n per doc
+    * (`TextOps.dsirScoreWeighted`) — feature statistics never shuffle
+    * with the corpus, exactly the qd26 scale shape, and per-batch I/O
+    * is O(batch bigram rows) no matter how much state has accumulated.
     *
     * This is the streaming-curation primitive the batch form can't give
     * you: the model keeps LEARNING from every arriving shard (target and
@@ -447,7 +460,7 @@ object Replay {
     * reload together under `workDir`; a batch replayed from the
     * at-least-once window overwrites its own batch-keyed subdirs, which
     * the exact-count oracle would catch if it double-appended (`n` and
-    * `ct`/`cr` would inflate). */
+    * `ct` would inflate, dragging `cr` and every 6-dp score along). */
   def streamDsir(spark: SparkSession, dir: String,
                  buckets: Int = 1024,
                  maxFilesPerTrigger: Int = 1,
@@ -457,8 +470,7 @@ object Replay {
     val work = resolveWork(workDir, "graft_sdsir")
     val cntSchema = StructType(Seq(
       StructField("bucket", IntegerType),
-      StructField("ct", LongType),
-      StructField("cr", LongType)))
+      StructField("ct", LongType)))
     val featSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("bucket", IntegerType),
@@ -467,7 +479,7 @@ object Replay {
       Seq(("cnt", cntSchema), ("feat", featSchema)), compactEvery,
       folds = Map(
         "cnt" -> ((df: DataFrame) => df.groupBy("bucket")
-          .agg(sum("ct").as("ct"), sum("cr").as("cr"))),
+          .agg(sum("ct").as("ct"))),
         "feat" -> ((df: DataFrame) => df.groupBy("doc_id", "bucket")
           .agg(sum("n").as("n")))))
     val q = spark.readStream.schema(docsSchema)
@@ -480,34 +492,36 @@ object Replay {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!state.alreadyFolded(batchId)) {
           val ss = batch.sparkSession
-          // one kernel pass; the (doc, bucket) pre-aggregate IS the
-          // state row, and the ≤ B-row model delta rides it (contrast
-          // qd26, where pre-grouping would be a wasted extra shuffle
-          // because nothing downstream needs the per-doc histogram)
-          val g = graft.operators.TextOps
-            .dsirBucketed(batch, buckets)
-            .groupBy("doc_id", "is_t", "bucket")
-            .agg(count(lit(1)).as("n"))
-            .persist() // two consumers below; O(batch) rows
-          try {
-            val cntDelta = g.groupBy("bucket").agg(
-              sum(when(col("is_t"), col("n")).otherwise(0L)).as("ct"),
-              sum(when(col("is_t"), 0L).otherwise(col("n"))).as("cr"))
-            val featDelta = g.filter(!col("is_t"))
-              .select("doc_id", "bucket", "n")
-            state.endBatch(ss, batchId,
-              "cnt" -> cntDelta, "feat" -> featDelta)
-          } finally { g.unpersist(); () }
+          // split on the id BEFORE the kernel: the ~5% target side is
+          // the only input the model delta needs, and the raw side's
+          // instance rows are the state append itself — neither delta
+          // shuffles full-width and nothing is persisted (the two
+          // state writes run concurrently inside endBatch, each
+          // consuming its own one-pass plan)
+          val isT = graft.operators.TextOps.dsirIsTarget(col("doc_id"))
+          val cntDelta = graft.operators.TextOps
+            .dsirBucketed(batch.filter(isT), buckets)
+            .groupBy("bucket").agg(count(lit(1)).as("ct"))
+          val featDelta = graft.operators.TextOps
+            .dsirBucketed(batch.filter(!isT), buckets)
+            .select(col("doc_id"), col("bucket"), lit(1L).as("n"))
+          state.endBatch(ss, batchId,
+            "cnt" -> cntDelta, "feat" -> featDelta)
         }
         maybePoison(batchId)
         ()
       }
       .start()
     q.awaitTermination()
-    val cnt = state.read(spark, "cnt")
-      .groupBy("bucket").agg(sum("ct").as("ct"), sum("cr").as("cr"))
     val feat = state.read(spark, "feat")
       .groupBy("doc_id", "bucket").agg(sum("n").as("n"))
+    val ct = state.read(spark, "cnt")
+      .groupBy("bucket").agg(sum("ct").as("ct"))
+    val cr = feat.groupBy("bucket").agg(sum("n").as("cr"))
+    val cnt = ct.join(cr, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
     graft.operators.TextOps
       .dsirScoreWeighted(feat, graft.operators.TextOps.dsirModel(cnt, buckets))
       .orderBy("doc_id")
