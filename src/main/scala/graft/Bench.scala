@@ -13,8 +13,10 @@ package graft
   * 1.87–3.35 s across runs), so the suite runs THREE full passes in the
   * same query order and reports the per-query MEDIAN; `total` is the sum
   * of medians. Between queries (outside every timed window) dead
-  * checkpoints are released and, after heavy entries, a GC drain runs —
-  * adjacency debt must not bill to whichever query runs next. The session-scoped MinHash memo is cleared between passes
+  * checkpoints are released, terminated StreamExecutions are dropped
+  * (the StreamingQueryManager holds them — r7's tail-region inflation),
+  * and, after heavy entries, a GC drain runs — adjacency debt must not
+  * bill to whichever query runs next. The session-scoped MinHash memo is cleared between passes
   * so every pass pays the signature kernel exactly once through its first
   * consumer (same order every pass → comparable costs); memoization
   * WITHIN a pass is the production composition and stays.
@@ -106,14 +108,27 @@ object Bench {
         // (the ContextCleaner only reclaims on driver GC) and late-order
         // queries inflate several-fold under storage/bookkeeping pressure
         val released = graft.plans.ScaleTechniques.releaseLocalCheckpoints(spark)
+        // drop terminated StreamExecutions: the StreamingQueryManager
+        // HOLDS every terminated query (for awaitAnyTermination) — each
+        // one pins its cloned SessionState, analyzed plans, and
+        // micro-batch bookkeeping, so a suite with ~10 streaming entries
+        // accumulates an old generation no System.gc() can reclaim and
+        // the alphabetical tail (qs2-qs9) reads several times its
+        // isolated cost (r7: qs9 13.9 s official vs ~3 s isolated, with
+        // zero code change — this was the leak)
+        spark.streams.resetTerminated()
         // GC drain, also outside the timed window: a heavy query (the
         // palette family, the streaming entries) leaves a full young gen
         // + unreclaimed ContextCleaner work that otherwise lands INSIDE
         // the next query's window — the r6 residual where qs4 read 5x
         // its isolated median right after qs3. Gated on released
         // checkpoints / elapsed so the ~70 sub-threshold queries don't
-        // pay 3 x 80 full-heap GCs of wall clock.
-        if (released > 0 || elapsed.exists(_ > GcDrainSec)) System.gc()
+        // pay 3 x 80 full-heap GCs of wall clock. The second gc after a
+        // short pause lets the ContextCleaner drain the reference queue
+        // the first one populated (its cleanup is asynchronous).
+        if (released > 0 || elapsed.exists(_ > GcDrainSec)) {
+          System.gc(); Thread.sleep(200); System.gc()
+        }
         if (debug) System.err.println(
           s"[bench] pass $p $name released=$released " +
             graft.plans.ScaleTechniques.storageSummary(spark))
@@ -128,14 +143,32 @@ object Bench {
       val median = if (runs.isEmpty) None else Some(runs(runs.length / 2))
       (name, median, byName.count(_.isEmpty))
     }
+    // stdout values at 4 dp: the driver keeps only a byte-limited TAIL of
+    // stdout, and the full-precision 89-query line overflowed it (r7's
+    // artifact lost its head and parsed as null) — sub-ms digits are
+    // noise at this variance anyway
+    def f4(d: Double): String = BigDecimal(d)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v, _) =>
-      "\"" + k + "\":" + v.fold("null")(_.toString)
+      "\"" + k + "\":" + v.fold("null")(f4)
     }.mkString("{", ",", "}")
     val failed = results.filter(_._3 > 0)
     val failures = failed.map { case (k, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir","runs":$Passes,"stat":"median"}""")
+    val line = s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir","runs":$Passes,"stat":"median"}"""
+    // the full artifact (per-pass raw seconds included) also lands in a
+    // file the driver/judge can ingest whole, immune to stdout capture
+    val passesJson = passes.map(p => p.map { case (k, v) =>
+      "\"" + k + "\":" + v.fold("null")(_.toString)
+    }.mkString("{", ",", "}")).mkString("[", ",", "]")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+      line.dropRight(1) + s""","passes":$passesJson}""" + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -24,10 +24,12 @@ object Verify {
         graft.dedup.MinHashLSH.clearCache()
         graft.similarity.Ann.clearCache()
       }
-      // query boundary: drop the dead localCheckpoint blocks so the
-      // 76-query run doesn't snowball storage (see ScaleTechniques
-      // .releaseLocalCheckpoints)
+      // query boundary: drop the dead localCheckpoint blocks and the
+      // terminated StreamExecutions (the StreamingQueryManager otherwise
+      // HOLDS every finished stream's cloned session + plans — see
+      // Bench's boundary drain) so the ~90-query run doesn't snowball
       graft.plans.ScaleTechniques.releaseLocalCheckpoints(spark)
+      spark.streams.resetTerminated()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
