@@ -95,6 +95,8 @@ object SparkEntry {
     "qd26_dsir_weights"    -> ((s, d) => TextOps.qd26DsirWeights(s, d)),
     // BPE merge-candidate mining over the weighted vocabulary
     "qd27_bpe_pairs"       -> ((s, d) => TextOps.qd27BpePairs(s, d)),
+    // qd27's merge step looped: 3 argmax-merge-recount iterations
+    "qd28_bpe_merges"      -> ((s, d) => TextOps.qd28BpeMerges(s, d)),
     "q36_approx_percentile" -> (Advanced.q36ApproxPercentile _),
     "qd10_corpus_curation" -> (TextOps.qd10CorpusCuration _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
@@ -839,6 +841,56 @@ object SparkEntry {
         |  FROM p
         |) WHERE rank <= 20
         |ORDER BY rank""".stripMargin,
+
+    // Iterative BPE: 3 argmax-merge-recount rounds. Each vN+1 applies
+    // mN's winning pair greedily left-to-right non-overlapping via
+    // replace() on a chr(1)-delimited symbol string (replace scans
+    // left-to-right over non-overlapping occurrences — exactly the
+    // Sennrich merge semantics; the both-sides delimiter prevents a
+    // pair pattern matching across symbol boundaries).
+    "qd28_bpe_merges" ->
+      """WITH w AS (
+        |  SELECT term, count(*) AS wc FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |    FROM documents
+        |  ) GROUP BY term
+        |), v0 AS (
+        |  SELECT wc, string_split(term, '') || ['</w>'] AS cs FROM w
+        |), m1 AS (
+        |  SELECT sym_a, sym_b, n_occ FROM (
+        |    SELECT cs[i] AS sym_a, cs[i+1] AS sym_b, sum(wc)::BIGINT AS n_occ
+        |    FROM v0 CROSS JOIN unnest(range(1, len(cs))) r(i) GROUP BY 1, 2
+        |  ) ORDER BY n_occ DESC, sym_a, sym_b LIMIT 1
+        |), v1 AS (
+        |  SELECT wc, list_filter(string_split(replace(
+        |      array_to_string(list_transform(cs, c -> chr(1) || c || chr(1)), ''),
+        |      chr(1) || m.sym_a || chr(1) || chr(1) || m.sym_b || chr(1),
+        |      chr(1) || m.sym_a || m.sym_b || chr(1)), chr(1)),
+        |    x -> x <> '') AS cs
+        |  FROM v0, m1 m
+        |), m2 AS (
+        |  SELECT sym_a, sym_b, n_occ FROM (
+        |    SELECT cs[i] AS sym_a, cs[i+1] AS sym_b, sum(wc)::BIGINT AS n_occ
+        |    FROM v1 CROSS JOIN unnest(range(1, len(cs))) r(i) GROUP BY 1, 2
+        |  ) ORDER BY n_occ DESC, sym_a, sym_b LIMIT 1
+        |), v2 AS (
+        |  SELECT wc, list_filter(string_split(replace(
+        |      array_to_string(list_transform(cs, c -> chr(1) || c || chr(1)), ''),
+        |      chr(1) || m.sym_a || chr(1) || chr(1) || m.sym_b || chr(1),
+        |      chr(1) || m.sym_a || m.sym_b || chr(1)), chr(1)),
+        |    x -> x <> '') AS cs
+        |  FROM v1, m2 m
+        |), m3 AS (
+        |  SELECT sym_a, sym_b, n_occ FROM (
+        |    SELECT cs[i] AS sym_a, cs[i+1] AS sym_b, sum(wc)::BIGINT AS n_occ
+        |    FROM v2 CROSS JOIN unnest(range(1, len(cs))) r(i) GROUP BY 1, 2
+        |  ) ORDER BY n_occ DESC, sym_a, sym_b LIMIT 1
+        |)
+        |SELECT * FROM (
+        |  SELECT 1::BIGINT AS iter, sym_a, sym_b, n_occ FROM m1
+        |  UNION ALL SELECT 2::BIGINT, sym_a, sym_b, n_occ FROM m2
+        |  UNION ALL SELECT 3::BIGINT, sym_a, sym_b, n_occ FROM m3
+        |) ORDER BY iter""".stripMargin,
 
     // DSIR importance weights: hashed-bigram (B = 1024) target/raw
     // bucket models, add-one smoothing, per-raw-doc mean log ratio.

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1010,6 +1010,80 @@ object TextOps {
       .select(col("rank").cast("long").as("rank"),
         col("sym_a"), col("sym_b"), col("n_occ"))
       .orderBy("rank")
+  }
+
+  /** Iterative BPE training — qd27's merge step actually LOOPED: each
+    * iteration counts adjacent symbol pairs over the weighted
+    * vocabulary, takes the argmax (qd27's exact ordering — count desc,
+    * then sym_a, sym_b), applies that merge to every word greedily
+    * left-to-right non-overlapping (Sennrich et al. 2016's merge
+    * semantics), and recounts. Output: one row per iteration — the
+    * winning pair and its pre-merge occurrence count — i.e. the first
+    * `nMerges` entries of the learned merge table, the artifact a BPE
+    * tokenizer ships.
+    *
+    * Scale shape, inherited from qd27 and the reason the LOOP stays
+    * feasible at 100 TB: the token stream is touched exactly once (the
+    * vocabulary groupBy); every iteration after that is one kernel pass
+    * over the DISTINCT-WORD vocabulary (Heaps'-law sublinear) plus an
+    * alphabet²-bounded pair aggregate, so a production run's thousands
+    * of merges cost thousands of vocab-sized passes, never corpus-sized
+    * ones. The per-iteration argmax is a 1-ROW collect of that bounded
+    * aggregate (driver-side by design — it parameterizes the next
+    * plan); the evolving vocabulary is eagerly localCheckpointed per
+    * iteration so iteration k re-reads materialized symbols, not a
+    * k-deep merge lineage over the corpus. */
+  def qd28BpeMerges(spark: SparkSession, dir: String, nMerges: Int = 3): DataFrame = {
+    import spark.implicits._
+    val v0 = terms(spark, dir)
+      .groupBy("term").agg(count(lit(1)).as("wc"))
+      .filter(col("term") =!= "") // DuckDB string_split('','') is []: no symbols
+      .as[(String, Long)]
+      .map { case (t, wc) => (t.split("").toSeq :+ "</w>", wc) }
+    bpeMerges(v0, nMerges)
+  }
+
+  /** The merge loop of qd28 over an explicit (symbols, weight)
+    * vocabulary — factored so specs can drive planted vocabularies
+    * through the exact greedy/tie-break semantics the oracle mirrors. */
+  private[graft] def bpeMerges(v0: Dataset[(Seq[String], Long)],
+                               nMerges: Int): DataFrame = {
+    val spark = v0.sparkSession
+    import spark.implicits._
+    var vocab = v0.localCheckpoint(true)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (it <- 1 to nMerges) {
+      val pairs = vocab
+        .flatMap { case (syms, wc) =>
+          syms.iterator.sliding(2).withPartial(false)
+            .map(p => (p(0), p(1), wc))
+        }
+        .toDF("sym_a", "sym_b", "wc")
+        .groupBy("sym_a", "sym_b").agg(sum("wc").as("n_occ"))
+      // 1-row collect of the alphabet²-bounded aggregate: the winning
+      // pair parameterizes the next iteration's plan
+      val win = pairs
+        .orderBy(col("n_occ").desc, col("sym_a"), col("sym_b"))
+        .limit(1).collect()
+      if (win.isEmpty) {
+        // vocabulary degenerated to single-symbol words: nothing to merge
+        return merges.result()
+          .toDF("iter", "sym_a", "sym_b", "n_occ").orderBy("iter")
+      }
+      val (a, b, n) = (win(0).getString(0), win(0).getString(1), win(0).getLong(2))
+      merges += ((it.toLong, a, b, n))
+      vocab = vocab.map { case (syms, wc) =>
+        val out = Seq.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2 // greedy, non-overlapping, left-to-right
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), wc)
+      }.localCheckpoint(true)
+    }
+    merges.result().toDF("iter", "sym_a", "sym_b", "n_occ").orderBy("iter")
   }
 
   /** Candidate-row count of the most recent qd24 run — spec

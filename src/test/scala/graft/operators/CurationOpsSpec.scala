@@ -362,6 +362,55 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.exists(_._3 == "</w>"))
   }
 
+  test("BPE merge loop: greedy non-overlap and argmax tie-break on a planted vocabulary") {
+    import spark.implicits._
+    // one word "aaa" x2: iter1 (a,a)=4 beats (a,</w>)=2; the merge must
+    // apply greedily left-to-right — [a,a,a,</w>] -> [aa,a,</w>], NOT
+    // [aa,aa? or a,aa,</w>]; iter2 ties (aa,a)=2 with (a,</w>)=2 and
+    // the (sym_a, sym_b) tie-break must pick (a,</w>); iter3 merges the
+    // only remaining pair (aa, a</w>)=2
+    val v0 = Seq((Seq("a", "a", "a", "</w>"), 2L)).toDS()
+    val got = TextOps.bpeMerges(v0, nMerges = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, "a", "a", 4L),
+      (2L, "a", "</w>", 2L),
+      (3L, "aa", "a</w>", 2L)))
+    // degenerate vocabulary: single-symbol words exhaust the merges
+    val tiny = Seq((Seq("x", "</w>"), 5L)).toDS()
+    val short = TextOps.bpeMerges(tiny, nMerges = 3).collect()
+    assert(short.length == 1) // (x, </w>) merges once, then nothing remains
+  }
+
+  test("BPE merge loop matches an independent recompute over the corpus") {
+    val wc = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    graft.Tables(spark, dir, "documents").select("text").collect()
+      .foreach(_.getString(0).trim.split("\\s+").foreach(w => wc(w) += 1L))
+    var vocab: Seq[(Vector[String], Long)] = wc.toSeq.collect {
+      case (w, c) if w.nonEmpty => (w.map(_.toString).toVector :+ "</w>", c)
+    }
+    val expected = (1 to 3).map { it =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).foreach { case Seq(a, b) => pc((a, b)) += c } }
+      val ((a, b), n) = pc.toSeq.minBy { case ((x, y), m) => (-m, x, y) }
+      vocab = vocab.map { case (syms, c) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), c)
+      }
+      (it.toLong, a, b, n)
+    }
+    val got = TextOps.qd28BpeMerges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
   test("DSIR weights match an independent recompute of the hashed-bigram model") {
     val B = 1024
     def h(s: String, m: Long): Long =

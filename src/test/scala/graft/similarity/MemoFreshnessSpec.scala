@@ -49,6 +49,46 @@ class MemoFreshnessSpec extends AnyFunSuite {
     assert(graft.dedup.MinHashLSH.signatures(spark, dir).count() == 3)
   }
 
+  test("semantic-dedup base index is keyed by the base/increment split") {
+    // SemDedup.keepListIndexed memoizes the cell-partitioned base store
+    // per session; the memo key folds in `basePred` (alongside contents,
+    // threshold, s). If the split were NOT part of the key, the second
+    // call below — same memoKey tag, same corpus, a WIDER base — would
+    // reuse the store built for the narrow base, leaving every row that
+    // moved between base and increment in neither side and silently
+    // dropping their duplicate pairs (planted here as the 1000+j
+    // near-copies of base vectors >= 10, outside the narrow base).
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val dim = 16
+    val centersV = IndexedSeq.fill(3)(Array.fill(dim)(rnd.nextGaussian() * 10))
+    val base = (0 until 120).map { i =>
+      val c = centersV(i % 3)
+      (i.toLong, c.map(_ + rnd.nextGaussian() * 0.01).toSeq, i % 3)
+    }
+    val inc = (0 until 10).map { j =>
+      val src = base(10 + j * 3)._2.toArray // dup partners all >= id 10
+      ((1000 + j).toLong, src.map(_ * (1 + 1e-9)).toSeq, 0)
+    }
+    val emb = (base ++ inc).toDF("vec_id", "embedding", "label")
+      .localCheckpoint(true)
+    val want = SemDedup.keepList(emb, threshold = 0.95, s = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val memoKey = s"spec|${java.util.UUID.randomUUID}"
+    val narrow = SemDedup.keepListIndexed(spark, emb,
+        basePred = col("vec_id") < 10L, threshold = 0.95, s = 4,
+        memoKey = memoKey)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(narrow == want)
+    val wide = SemDedup.keepListIndexed(spark, emb,
+        basePred = col("vec_id") < 1000L, threshold = 0.95, s = 4,
+        memoKey = memoKey)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(wide == want,
+      "second same-session call with a different base/increment split " +
+        "must rebuild the store, not cross-serve the narrow one")
+  }
+
   test("materialized IVF index rebuilds after an in-place corpus rewrite") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_memo_ivf").toString
