@@ -97,6 +97,8 @@ object SparkEntry {
     "qd27_bpe_pairs"       -> ((s, d) => TextOps.qd27BpePairs(s, d)),
     // qd27's merge step looped: 3 argmax-merge-recount iterations
     "qd28_bpe_merges"      -> ((s, d) => TextOps.qd28BpeMerges(s, d)),
+    // encode the corpus under the induced subword vocabulary
+    "qd29_bpe_encode"      -> ((s, d) => TextOps.qd29BpeEncode(s, d)),
     "q36_approx_percentile" -> (Advanced.q36ApproxPercentile _),
     "qd10_corpus_curation" -> (TextOps.qd10CorpusCuration _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
@@ -891,6 +893,66 @@ object SparkEntry {
         |  UNION ALL SELECT 2::BIGINT, sym_a, sym_b, n_occ FROM m2
         |  UNION ALL SELECT 3::BIGINT, sym_a, sym_b, n_occ FROM m3
         |) ORDER BY iter""".stripMargin,
+
+    // BPE encoding under the 3-merge vocabulary: same trainer CTEs as
+    // qd28 (term carried through), then the token stream joins the
+    // post-merge symbol counts and aggregates per document. Empty terms
+    // (whitespace-only docs) are excluded on BOTH sides: Spark's inner
+    // join drops them naturally, and DuckDB's string_split('','') = []
+    // would otherwise encode '' as the bare end-of-word marker.
+    "qd29_bpe_encode" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), w AS (
+        |  SELECT term, count(*) AS wc FROM toks WHERE term <> '' GROUP BY term
+        |), v0 AS (
+        |  SELECT term, wc, string_split(term, '') || ['</w>'] AS cs FROM w
+        |), m1 AS (
+        |  SELECT sym_a, sym_b FROM (
+        |    SELECT cs[i] AS sym_a, cs[i+1] AS sym_b, sum(wc)::BIGINT AS n_occ
+        |    FROM v0 CROSS JOIN unnest(range(1, len(cs))) r(i) GROUP BY 1, 2
+        |  ) ORDER BY n_occ DESC, sym_a, sym_b LIMIT 1
+        |), v1 AS (
+        |  SELECT term, wc, list_filter(string_split(replace(
+        |      array_to_string(list_transform(cs, c -> chr(1) || c || chr(1)), ''),
+        |      chr(1) || m.sym_a || chr(1) || chr(1) || m.sym_b || chr(1),
+        |      chr(1) || m.sym_a || m.sym_b || chr(1)), chr(1)),
+        |    x -> x <> '') AS cs
+        |  FROM v0, m1 m
+        |), m2 AS (
+        |  SELECT sym_a, sym_b FROM (
+        |    SELECT cs[i] AS sym_a, cs[i+1] AS sym_b, sum(wc)::BIGINT AS n_occ
+        |    FROM v1 CROSS JOIN unnest(range(1, len(cs))) r(i) GROUP BY 1, 2
+        |  ) ORDER BY n_occ DESC, sym_a, sym_b LIMIT 1
+        |), v2 AS (
+        |  SELECT term, wc, list_filter(string_split(replace(
+        |      array_to_string(list_transform(cs, c -> chr(1) || c || chr(1)), ''),
+        |      chr(1) || m.sym_a || chr(1) || chr(1) || m.sym_b || chr(1),
+        |      chr(1) || m.sym_a || m.sym_b || chr(1)), chr(1)),
+        |    x -> x <> '') AS cs
+        |  FROM v1, m2 m
+        |), m3 AS (
+        |  SELECT sym_a, sym_b FROM (
+        |    SELECT cs[i] AS sym_a, cs[i+1] AS sym_b, sum(wc)::BIGINT AS n_occ
+        |    FROM v2 CROSS JOIN unnest(range(1, len(cs))) r(i) GROUP BY 1, 2
+        |  ) ORDER BY n_occ DESC, sym_a, sym_b LIMIT 1
+        |), v3 AS (
+        |  SELECT term, wc, list_filter(string_split(replace(
+        |      array_to_string(list_transform(cs, c -> chr(1) || c || chr(1)), ''),
+        |      chr(1) || m.sym_a || chr(1) || chr(1) || m.sym_b || chr(1),
+        |      chr(1) || m.sym_a || m.sym_b || chr(1)), chr(1)),
+        |    x -> x <> '') AS cs
+        |  FROM v2, m3 m
+        |), enc AS (
+        |  SELECT term, len(cs)::BIGINT AS n_syms FROM v3
+        |)
+        |SELECT doc_id, count(*)::BIGINT AS n_words,
+        |  sum(n_syms)::BIGINT AS n_tokens,
+        |  round(sum(n_syms)::DOUBLE / count(*), 6) AS tokens_per_word
+        |FROM toks JOIN enc USING (term)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // DSIR importance weights: hashed-bigram (B = 1024) target/raw
     // bucket models, add-one smoothing, per-raw-doc mean log ratio.

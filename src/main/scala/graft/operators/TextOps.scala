@@ -1050,11 +1050,25 @@ object TextOps {
                                nMerges: Int): DataFrame = {
     val spark = v0.sparkSession
     import spark.implicits._
-    var vocab = v0.localCheckpoint(true)
+    bpeTrain(v0.map { case (syms, wc) => ("", syms, wc) }, nMerges)._1
+  }
+
+  /** qd28/qd29 shared trainer: runs the merge loop over a (term,
+    * symbols, weight) vocabulary and returns BOTH the merge table and
+    * the post-merge vocabulary (the term column rides along untouched
+    * so qd29 can join the encoded symbol counts back onto the token
+    * stream). */
+  private[graft] def bpeTrain(v0In: Dataset[(String, Seq[String], Long)],
+                              nMerges: Int): (DataFrame, Dataset[(String, Seq[String], Long)]) = {
+    val spark = v0In.sparkSession
+    import spark.implicits._
+    var vocab = v0In.localCheckpoint(true)
     val merges = Seq.newBuilder[(Long, String, String, Long)]
-    for (it <- 1 to nMerges) {
+    var it = 1
+    var exhausted = false
+    while (it <= nMerges && !exhausted) {
       val pairs = vocab
-        .flatMap { case (syms, wc) =>
+        .flatMap { case (_, syms, wc) =>
           syms.iterator.sliding(2).withPartial(false)
             .map(p => (p(0), p(1), wc))
         }
@@ -1067,23 +1081,63 @@ object TextOps {
         .limit(1).collect()
       if (win.isEmpty) {
         // vocabulary degenerated to single-symbol words: nothing to merge
-        return merges.result()
-          .toDF("iter", "sym_a", "sym_b", "n_occ").orderBy("iter")
+        exhausted = true
+      } else {
+        val (a, b, n) = (win(0).getString(0), win(0).getString(1), win(0).getLong(2))
+        merges += ((it.toLong, a, b, n))
+        vocab = vocab.map { case (t, syms, wc) =>
+          val out = Seq.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += a + b; i += 2 // greedy, non-overlapping, left-to-right
+            } else { out += syms(i); i += 1 }
+          }
+          (t, out.result(), wc)
+        }.localCheckpoint(true)
+        it += 1
       }
-      val (a, b, n) = (win(0).getString(0), win(0).getString(1), win(0).getLong(2))
-      merges += ((it.toLong, a, b, n))
-      vocab = vocab.map { case (syms, wc) =>
-        val out = Seq.newBuilder[String]
-        var i = 0
-        while (i < syms.length) {
-          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-            out += a + b; i += 2 // greedy, non-overlapping, left-to-right
-          } else { out += syms(i); i += 1 }
-        }
-        (out.result(), wc)
-      }.localCheckpoint(true)
     }
-    merges.result().toDF("iter", "sym_a", "sym_b", "n_occ").orderBy("iter")
+    (merges.result().toDF("iter", "sym_a", "sym_b", "n_occ").orderBy("iter"),
+      vocab)
+  }
+
+  /** BPE corpus ENCODING under the induced vocabulary — the second half
+    * of the tokenizer story qd27/qd28 begin: train the first `nMerges`
+    * merges (qd28's exact loop), then tokenize every document with the
+    * resulting subword vocabulary and report per-document token counts
+    * and the compression the merges bought (tokens per word shrinks as
+    * merges land; a 1.0 ratio to character count would mean no merge
+    * ever applied).
+    *
+    * Scale shape: encoding is a JOIN of the token stream against the
+    * BROADCAST post-merge vocabulary (term → symbol count) — the
+    * corpus-sized side never carries symbol arrays, only its existing
+    * terms, and the vocabulary is the Heaps'-law distinct-word table
+    * the trainer already owns. One corpus-wide aggregate (per-doc sum)
+    * closes it. A production encoder ships the merge TABLE (qd28's
+    * output) and applies it in a per-row kernel instead; the join form
+    * here keeps the whole operator's arithmetic in one place and its
+    * cost profile identical (one broadcast + one groupBy). */
+  def qd29BpeEncode(spark: SparkSession, dir: String, nMerges: Int = 3): DataFrame = {
+    import spark.implicits._
+    val v0 = terms(spark, dir)
+      .groupBy("term").agg(count(lit(1)).as("wc"))
+      .filter(col("term") =!= "") // DuckDB string_split('','') is []: no symbols
+      .as[(String, Long)]
+      .map { case (t, wc) => (t, t.split("").toSeq :+ "</w>", wc) }
+    val vocab = bpeTrain(v0, nMerges)._2
+      .map { case (t, syms, _) => (t, syms.length.toLong) }
+      .toDF("term", "n_syms")
+    terms(spark, dir)
+      .join(broadcast(vocab), Seq("term"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum("n_syms").as("n_tokens"),
+        round(sum("n_syms") / count(lit(1)).cast("double"), 6)
+          .as("tokens_per_word"))
+      .orderBy("doc_id")
   }
 
   /** Candidate-row count of the most recent qd24 run — spec

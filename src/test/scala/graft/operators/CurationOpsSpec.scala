@@ -411,6 +411,47 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("BPE encoding matches an independent train-then-encode recompute") {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").filter(_.nonEmpty))
+    val wc = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach(_._2.foreach(w => wc(w) += 1L))
+    var vocab: Map[String, Vector[String]] =
+      wc.keys.map(w => w -> (w.map(_.toString).toVector :+ "</w>")).toMap
+    (1 to 3).foreach { _ =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (w, syms) =>
+        syms.sliding(2).foreach { case Seq(a, b) => pc((a, b)) += wc(w) } }
+      val ((a, b), _) = pc.toSeq.minBy { case ((x, y), m) => (-m, x, y) }
+      vocab = vocab.map { case (w, syms) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (w, out.result())
+      }
+    }
+    val expected = docs.filter(_._2.nonEmpty).map { case (id, ws) =>
+      val toks = ws.map(w => vocab(w).length.toLong).sum
+      (id, ws.length.toLong, toks,
+        BigDecimal(toks.toDouble / ws.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1).toSeq
+    val got = TextOps.qd29BpeEncode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    // merges must actually compress: strictly fewer tokens than chars+1
+    // per word somewhere, and never more
+    val charsPlus1 = docs.filter(_._2.nonEmpty).map { case (id, ws) =>
+      id -> ws.map(_.length.toLong + 1).sum }.toMap
+    assert(got.forall { case (id, _, t, _) => t <= charsPlus1(id) })
+    assert(got.exists { case (id, _, t, _) => t < charsPlus1(id) })
+  }
+
   test("DSIR weights match an independent recompute of the hashed-bigram model") {
     val B = 1024
     def h(s: String, m: Long): Long =
