@@ -229,6 +229,156 @@ object Ann {
       .orderBy("cell")
   }
 
+  /** qe8: product-quantization ADC search (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011) — the
+    * compressed-domain member of the ANN family: the corpus is encoded
+    * once into m sub-space code ids (here m = 4 sub-spaces of dim/4,
+    * codebook = the family's deterministic label-mean quantizer applied
+    * per sub-space), and a query ranks candidates by ASYMMETRIC
+    * distance — the sum of its precomputed query→codeword sub-distances
+    * — without ever touching the original vectors. This is the 100 TB
+    * memory-bandwidth play: the scan reads m small ints per vector
+    * (codes ≈ dim/16 × compression here; 8-bit codes in production)
+    * instead of dim floats, and composes orthogonally with the IVF cell
+    * restriction (qs12/qs14) exactly as FAISS's IVFPQ does.
+    *
+    * Determinism contract (the family conventions, so the WHOLE
+    * pipeline is one deterministic SQL expression): sub-distances round
+    * to 6dp before the per-sub-space argmin (ties to the lowest code);
+    * the ADC accumulates LUT entries as exact INTEGER micro-units
+    * (round(d² × 1e6) — integer sums are order-free, so no
+    * summation-order guard is needed where dsir needs one), ranking by
+    * (adc_us, cand_id).
+    *
+    * Plan shape: the codebook is m×k×(dim/m) — a local relation, like
+    * every quantizer here; encoding is one corpus pass against the
+    * BROADCAST codebook (the n×m×k candidate stream partial-aggregates
+    * map-side to n×m argmin rows, then to n code rows — the
+    * assignments shape, no corpus shuffle); the LUT is Q×m×k —
+    * collected and broadcast; the ADC scan is a typed per-partition
+    * top-k kernel over (vec_id, codes) rows (the qe7 exact-side shape:
+    * per-partition winners only — ~partitions × Q × k rows — reach the
+    * final ranking window, never the Q×n matrix). The declarative
+    * join+window form of the same ranking is the spec's baseline. */
+  def qe8PqTopk(spark: SparkSession, dir: String, k: Int = 5,
+                m: Int = 4): DataFrame = {
+    import spark.implicits._
+    val pred = "vec_id % 25 = 0"
+    val emb = Tables(spark, dir, "embeddings")
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim must split into $m sub-spaces")
+    val subDim = dim / m
+    val (cb, codes) = pqEncode(emb, m, subDim)
+    val lutRows = pqLut(emb, cb, pred, m, subDim).collect()
+    val kCodes = cb.select(max(col("code"))).head.getInt(0) + 1
+    val qIds = lutRows.map(_.getLong(0)).distinct.sorted
+    val qIdx = qIds.zipWithIndex.toMap
+    val lut = Array.ofDim[Long](qIds.length, m * kCodes)
+    lutRows.foreach { r =>
+      lut(qIdx(r.getLong(0)))(r.getInt(1) * kCodes + r.getInt(2)) = r.getLong(3)
+    }
+    val bc = spark.sparkContext.broadcast((qIds, lut))
+    val perPart = codes.as[(Long, Seq[Int])].mapPartitions { it =>
+      val (qs, l) = bc.value
+      val nq = qs.length
+      // per-query top-k by (adc_us, cand_id) lexicographic min — integer
+      // keys, so per-partition winners are exactly the global candidates
+      val heapA = Array.fill(nq)(new Array[Long](k)) // adc, ascending
+      val heapC = Array.fill(nq)(new Array[Long](k)) // cand ids
+      val sizes = new Array[Int](nq)
+      it.foreach { case (vid, cs) =>
+        var qi = 0
+        while (qi < nq) {
+          if (qs(qi) != vid) {
+            val row = l(qi)
+            var adc = 0L
+            var s = 0
+            while (s < m) { adc += row(s * kCodes + cs(s)); s += 1 }
+            val n = sizes(qi)
+            val a = heapA(qi); val c = heapC(qi)
+            if (n < k || adc < a(n - 1) || (adc == a(n - 1) && vid < c(n - 1))) {
+              // insertion into the sorted top-k (k is tiny)
+              var p = math.min(n, k - 1)
+              while (p > 0 && (a(p - 1) > adc || (a(p - 1) == adc && c(p - 1) > vid))) {
+                a(p) = a(p - 1); c(p) = c(p - 1); p -= 1
+              }
+              a(p) = adc; c(p) = vid
+              if (n < k) sizes(qi) = n + 1
+            }
+          }
+          qi += 1
+        }
+      }
+      (0 until nq).iterator.flatMap { qi =>
+        (0 until sizes(qi)).iterator.map(p => (qs(qi), heapC(qi)(p), heapA(qi)(p)))
+      }
+    }.toDF("q_id", "cand_id", "adc_us")
+    perPart
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc_us"), col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("adc_us"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Query LUT: Q×m×k rows of integer micro-distances (q_id, sub, code,
+    * d2us) — the bounded table the ADC kernel broadcasts. */
+  private[similarity] def pqLut(emb: DataFrame, cb: DataFrame, pred: String,
+                                m: Int, subDim: Int): DataFrame =
+    subVectors(emb.filter(expr(pred)), m, subDim)
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id").as("q_id"), col("sub"), col("code"),
+        round(subDist2(col("x"), col("cw")) * 1e6).cast("long").as("d2us"))
+
+  /** (vec_id, sub, x) double sub-vector rows of an embeddings frame. */
+  private def subVectors(emb: DataFrame, m: Int, subDim: Int): DataFrame =
+    emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("vec_id"), col("sub"),
+        expr(s"slice(embedding, sub * $subDim + 1, $subDim)").as("x"))
+
+  /** Squared L2 distance between double sub-vector and codeword,
+    * expressed through the codegen'd `dot` fold — the primitive already
+    * proven bit-equal to DuckDB's `list_inner_product` across the whole
+    * ANN family, so the oracle mirrors this exactly. */
+  private def subDist2(x: org.apache.spark.sql.Column,
+                       cw: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    dot(x, x) - lit(2.0) * dot(x, cw) + dot(cw, cw)
+
+  /** PQ codebook (sub, code, cw) as a local relation plus the encoded
+    * corpus (vec_id, codes ordered by sub). Codewords are the label-mean
+    * sub-centroids — the family's deterministic quantizer per sub-space;
+    * encoding is the assignments argmin shape (6dp round, ties to the
+    * lowest code), map-side against the broadcast codebook. */
+  private[similarity] def pqEncode(emb: DataFrame, m: Int,
+                                   subDim: Int): (DataFrame, DataFrame) = {
+    val spark = emb.sparkSession
+    val cbPlan = emb.select(col("label").as("code"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("sub", (col("dim") / subDim).cast("int"))
+      .groupBy("sub", "code", "dim")
+      .agg(avg(col("v").cast("double")).as("mv"))
+      .groupBy("sub", "code")
+      .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("ps"))
+      .select(col("sub"), col("code").cast("int").as("code"),
+        expr("transform(ps, p -> p.mv)").as("cw"))
+    val cb = spark.createDataFrame(
+      java.util.Arrays.asList(cbPlan.collect(): _*), cbPlan.schema)
+    val codes = subVectors(emb, m, subDim)
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("code"),
+        round(subDist2(col("x"), col("cw")), 6).as("d2"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("code"))).as("mn"))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("mn.code").as("code"))))
+        .as("ps"))
+      .select(col("vec_id"), expr("transform(ps, p -> p.code)").as("codes"))
+    (cb, codes)
+  }
+
   /** qe7 entry: recall@k evaluation of the low-probe IVF search against
     * exact brute-force ground truth — the index-quality report every ANN
     * deployment runs before trusting an approximate index (the FAISS
