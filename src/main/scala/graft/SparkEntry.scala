@@ -152,6 +152,8 @@ object SparkEntry {
     "qe7_ann_recall"       -> ((s, d) => Ann.qe7AnnRecall(s, d)),
     // product-quantization ADC top-k (compressed-domain ANN)
     "qe8_pq_topk"          -> ((s, d) => Ann.qe8PqTopk(s, d)),
+    // qe8's arrival-time form: frozen codebook, append-only codes index
+    "qs18_stream_pq"       -> (graft.streaming.PqStream.qs18StreamPq _),
   )
 
   /** Benchmark-only queries: measured by `graft.Bench` but NOT part of
@@ -327,6 +329,51 @@ object SparkEntry {
     * statistic monoids, so the streaming form converges to exactly this
     * batch computation): hashed-bigram (B = 1024) target/raw bucket
     * counts, add-one-smoothed log importance ratios, per-raw-doc mean. */
+  private val pqSql: String =
+    """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |), sv AS (
+        |  SELECT vec_id, s.sub,
+        |    list_transform(range(s.sub * 16 + 1, s.sub * 16 + 17),
+        |      j -> v[j::INT]) AS x
+        |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s
+        |), comp AS (
+        |  SELECT ((i - 1) // 16)::INT AS sub, label AS code, i AS dim,
+        |    avg(v[i::INT]) AS m
+        |  FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
+        |  GROUP BY 1, 2, 3
+        |), cb AS (
+        |  SELECT sub, code, list(m ORDER BY dim) AS cw FROM comp
+        |  GROUP BY sub, code
+        |), cand AS (
+        |  SELECT sv.vec_id, sv.sub, cb.code,
+        |    list_inner_product(sv.x, sv.x) - 2 * list_inner_product(sv.x, cb.cw)
+        |      + list_inner_product(cb.cw, cb.cw) AS d2
+        |  FROM sv JOIN cb USING (sub)
+        |), codes AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |      row_number() OVER (PARTITION BY vec_id, sub
+        |        ORDER BY round(d2, 6), code) AS rk
+        |    FROM cand
+        |  ) WHERE rk = 1
+        |), lut AS (
+        |  SELECT c.vec_id AS q_id, c.sub, c.code,
+        |    CAST(round(c.d2 * 1e6) AS BIGINT) AS d2us
+        |  FROM cand c WHERE c.vec_id % 25 = 0
+        |), adc AS (
+        |  SELECT l.q_id, co.vec_id AS cand_id, sum(l.d2us)::BIGINT AS adc_us
+        |  FROM codes co JOIN lut l USING (sub, code)
+        |  WHERE co.vec_id <> l.q_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT q_id, rank, cand_id, adc_us FROM (
+        |  SELECT q_id, cand_id, adc_us,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY adc_us, cand_id) AS rank
+        |  FROM adc
+        |) WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin
+
   private val dsirSql: String =
     """WITH t AS (
       |  SELECT doc_id,
@@ -1847,50 +1894,13 @@ object SparkEntry {
     // exact integer micro-unit sum (order-free), rank by (adc_us,
     // cand_id). d2 is expressed through list_inner_product — the
     // primitive already proven bit-equal to the engine's dot fold.
-    "qe8_pq_topk" ->
-      """WITH e AS (
-        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-        |), sv AS (
-        |  SELECT vec_id, s.sub,
-        |    list_transform(range(s.sub * 16 + 1, s.sub * 16 + 17),
-        |      j -> v[j::INT]) AS x
-        |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s
-        |), comp AS (
-        |  SELECT ((i - 1) // 16)::INT AS sub, label AS code, i AS dim,
-        |    avg(v[i::INT]) AS m
-        |  FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
-        |  GROUP BY 1, 2, 3
-        |), cb AS (
-        |  SELECT sub, code, list(m ORDER BY dim) AS cw FROM comp
-        |  GROUP BY sub, code
-        |), cand AS (
-        |  SELECT sv.vec_id, sv.sub, cb.code,
-        |    list_inner_product(sv.x, sv.x) - 2 * list_inner_product(sv.x, cb.cw)
-        |      + list_inner_product(cb.cw, cb.cw) AS d2
-        |  FROM sv JOIN cb USING (sub)
-        |), codes AS (
-        |  SELECT vec_id, sub, code FROM (
-        |    SELECT vec_id, sub, code,
-        |      row_number() OVER (PARTITION BY vec_id, sub
-        |        ORDER BY round(d2, 6), code) AS rk
-        |    FROM cand
-        |  ) WHERE rk = 1
-        |), lut AS (
-        |  SELECT c.vec_id AS q_id, c.sub, c.code,
-        |    CAST(round(c.d2 * 1e6) AS BIGINT) AS d2us
-        |  FROM cand c WHERE c.vec_id % 25 = 0
-        |), adc AS (
-        |  SELECT l.q_id, co.vec_id AS cand_id, sum(l.d2us)::BIGINT AS adc_us
-        |  FROM codes co JOIN lut l USING (sub, code)
-        |  WHERE co.vec_id <> l.q_id
-        |  GROUP BY 1, 2
-        |)
-        |SELECT q_id, rank, cand_id, adc_us FROM (
-        |  SELECT q_id, cand_id, adc_us,
-        |    row_number() OVER (PARTITION BY q_id ORDER BY adc_us, cand_id) AS rank
-        |  FROM adc
-        |) WHERE rank <= 5
-        |ORDER BY q_id, rank""".stripMargin,
+    "qe8_pq_topk" -> pqSql,
+    // streaming incremental form: per-batch frozen-codebook encode into
+    // an append-only codes index folds to the identical ranking (one SQL
+    // text serves both keys — divergence fails the gate)
+    "qs18_stream_pq" -> pqSql,
+
+
 
     "qe7_ann_recall" ->
       """WITH e AS (

@@ -262,13 +262,28 @@ object Ann {
     * join+window form of the same ranking is the spec's baseline. */
   def qe8PqTopk(spark: SparkSession, dir: String, k: Int = 5,
                 m: Int = 4): DataFrame = {
-    import spark.implicits._
-    val pred = "vec_id % 25 = 0"
     val emb = Tables(spark, dir, "embeddings")
+    val subDim = pqSubDim(emb, m)
+    val (cb, codes) = pqEncode(emb, m, subDim)
+    adcTopk(emb, cb, codes, "vec_id % 25 = 0", k, m, subDim)
+  }
+
+  /** dim/m with the divisibility check — one place for both forms. */
+  private[graft] def pqSubDim(emb: DataFrame, m: Int): Int = {
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim must split into $m sub-spaces")
-    val subDim = dim / m
-    val (cb, codes) = pqEncode(emb, m, subDim)
+    dim / m
+  }
+
+  /** The ADC ranking tail shared by qe8 and its streaming form (qs18):
+    * build the Q×m×k integer LUT for the `pred` query sample, broadcast
+    * it, and run the per-partition top-k kernel over the (vec_id,
+    * codes) index. */
+  private[graft] def adcTopk(emb: DataFrame, cb: DataFrame, codes: DataFrame,
+                             pred: String, k: Int, m: Int,
+                             subDim: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val lutRows = pqLut(emb, cb, pred, m, subDim).collect()
     val kCodes = cb.select(max(col("code"))).head.getInt(0) + 1
     val qIds = lutRows.map(_.getLong(0)).distinct.sorted
@@ -348,13 +363,21 @@ object Ann {
     dot(x, x) - lit(2.0) * dot(x, cw) + dot(cw, cw)
 
   /** PQ codebook (sub, code, cw) as a local relation plus the encoded
-    * corpus (vec_id, codes ordered by sub). Codewords are the label-mean
-    * sub-centroids — the family's deterministic quantizer per sub-space;
-    * encoding is the assignments argmin shape (6dp round, ties to the
-    * lowest code), map-side against the broadcast codebook. */
+    * corpus (vec_id, codes ordered by sub) — the batch composition of
+    * `pqCodebook` + `pqCodes`. */
   private[similarity] def pqEncode(emb: DataFrame, m: Int,
                                    subDim: Int): (DataFrame, DataFrame) = {
-    val spark = emb.sparkSession
+    val cb = pqCodebook(emb, m, subDim)
+    (cb, pqCodes(emb, cb, m, subDim))
+  }
+
+  /** PQ codebook (sub, code, cw) as a local relation. Codewords are the
+    * label-mean sub-centroids — the family's deterministic quantizer
+    * applied per sub-space. Model state: the streaming form (qs18)
+    * trains it once over the lake and FREEZES it, the SemDedupStream
+    * quantizer contract. */
+  private[graft] def pqCodebook(emb: DataFrame, m: Int,
+                                subDim: Int): DataFrame = {
     val cbPlan = emb.select(col("label").as("code"),
         posexplode(col("embedding")).as(Seq("dim", "v")))
       .withColumn("sub", (col("dim") / subDim).cast("int"))
@@ -364,9 +387,16 @@ object Ann {
       .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("ps"))
       .select(col("sub"), col("code").cast("int").as("code"),
         expr("transform(ps, p -> p.mv)").as("cw"))
-    val cb = spark.createDataFrame(
+    emb.sparkSession.createDataFrame(
       java.util.Arrays.asList(cbPlan.collect(): _*), cbPlan.schema)
-    val codes = subVectors(emb, m, subDim)
+  }
+
+  /** Encode (vec_id, embedding) rows against a frozen codebook — the
+    * assignments argmin shape (6dp round, ties to the lowest code),
+    * map-side against the broadcast codebook; no label needed. */
+  private[graft] def pqCodes(emb: DataFrame, cb: DataFrame, m: Int,
+                             subDim: Int): DataFrame =
+    subVectors(emb, m, subDim)
       .join(broadcast(cb), Seq("sub"))
       .select(col("vec_id"), col("sub"), col("code"),
         round(subDist2(col("x"), col("cw")), 6).as("d2"))
@@ -376,8 +406,6 @@ object Ann {
       .agg(array_sort(collect_list(struct(col("sub"), col("mn.code").as("code"))))
         .as("ps"))
       .select(col("vec_id"), expr("transform(ps, p -> p.code)").as("codes"))
-    (cb, codes)
-  }
 
   /** qe7 entry: recall@k evaluation of the low-probe IVF search against
     * exact brute-force ground truth — the index-quality report every ANN

@@ -224,6 +224,37 @@ class RestartSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streamPq killed mid-run resumes and matches the batch PQ ranking") {
+    // the codes index has NO fold and no dedup at read — a replayed
+    // batch appending its (vec_id, codes) rows twice would duplicate
+    // candidates and corrupt every ADC ranking those vectors appear in;
+    // exact equality with the batch operator catches it. compactEvery=2
+    // makes the kill/restart run cross a compaction (4-file lake).
+    val emb = Tables(spark, SparkTestSession.sfDir, "embeddings")
+    val lake = Files.createTempDirectory("graft_restart_pq_lake").toString
+    Replay.cleanupAtExit(lake)
+    emb.select(col("vec_id"), col("embedding"))
+      .repartitionByRange(4, col("vec_id"))
+      .write.mode("overwrite").parquet(lake)
+    val m = 4
+    val subDim = graft.similarity.Ann.pqSubDim(emb, m)
+    val cb = graft.similarity.Ann.pqCodebook(emb, m, subDim)
+    val w = work("graft_restart_pq")
+    Replay.poisonAfterBatch = 1L
+    intercept[Exception] {
+      PqStream.streamPqTopk(spark, lake, cb, m, subDim,
+        workDir = Some(w), compactEvery = 2)
+    }
+    assert(Replay.poisonAfterBatch == -1L, "poison should have fired")
+    val streamed = PqStream.streamPqTopk(spark, lake, cb, m, subDim,
+        workDir = Some(w), compactEvery = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val batch = graft.similarity.Ann.qe8PqTopk(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streamUpsert killed mid-run resumes and matches the batch latest-wins") {
     // the reference's core K2 semantics (every S3 PUT re-fires the
     // upsert): kill in the at-least-once window, restart over the same
