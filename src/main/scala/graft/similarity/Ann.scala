@@ -268,6 +268,46 @@ object Ann {
     adcTopk(emb, cb, codes, "vec_id % 25 = 0", k, m, subDim)
   }
 
+  /** qe9: IVF-PQ composed search — the FAISS IVFPQ shape made real
+    * rather than aspirational: the coarse quantizer restricts each
+    * query to its `nprobe` best cells (qs12's exact deterministic
+    * pipeline — 6dp-rounded centroid ranking, ties to the lowest
+    * cell), and within those cells candidates are ranked by PQ
+    * ASYMMETRIC distance (qe8's integer-micro LUT), never touching the
+    * original vectors. This is the production geometry at 100 TB: the
+    * cell restriction prunes the scan to nprobe/k of the corpus
+    * (partition-pruned against a cell-partitioned store, as qs14
+    * demonstrates for exact in-cell ranking) and the ADC scan reads m
+    * small ints per surviving vector.
+    *
+    * The kernel is qe8's per-partition top-k with a per-query
+    * allowed-cell bitmap (Q × n_cells booleans riding the same
+    * broadcast); codes carry their cell id via one skinny join. Every
+    * stage is the family's deterministic SQL, so the full composition
+    * — centroids → assignment → probe ranking → codebooks → codes →
+    * LUT → restricted integer ADC rank — is mirrored in DuckDB. */
+  def qe9IvfPqTopk(spark: SparkSession, dir: String, k: Int = 5,
+                   m: Int = 4, nprobe: Int = 2): DataFrame = {
+    val pred = "vec_id % 25 = 0"
+    val emb = Tables(spark, dir, "embeddings")
+    val subDim = pqSubDim(emb, m)
+    val (cb, codes) = pqEncode(emb, m, subDim)
+    val cents = localCentroids(emb)
+    val assigned = assignments(emb, cents)
+      .select(col("vec_id"), col("cell").cast("int").as("cell"))
+    val queries = emb.filter(expr(pred))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val cellRank = Window.partitionBy("q_id")
+      .orderBy(col("qsim").desc, col("cell"))
+    val probed = queries.crossJoin(broadcast(cents))
+      .withColumn("qsim", round(cosine(col("q_vec"), col("centroid")), 6))
+      .withColumn("crk", row_number().over(cellRank))
+      .filter(col("crk") <= nprobe)
+      .select(col("q_id"), col("cell").cast("int").as("cell"))
+    adcTopk(emb, cb, codes.join(assigned, "vec_id"), pred, k, m, subDim,
+      probed = Some(probed))
+  }
+
   /** dim/m with the divisibility check — one place for both forms. */
   private[graft] def pqSubDim(emb: DataFrame, m: Int): Int = {
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
@@ -280,8 +320,8 @@ object Ann {
     * it, and run the per-partition top-k kernel over the (vec_id,
     * codes) index. */
   private[graft] def adcTopk(emb: DataFrame, cb: DataFrame, codes: DataFrame,
-                             pred: String, k: Int, m: Int,
-                             subDim: Int): DataFrame = {
+                             pred: String, k: Int, m: Int, subDim: Int,
+                             probed: Option[DataFrame] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val lutRows = pqLut(emb, cb, pred, m, subDim).collect()
@@ -292,19 +332,41 @@ object Ann {
     lutRows.foreach { r =>
       lut(qIdx(r.getLong(0)))(r.getInt(1) * kCodes + r.getInt(2)) = r.getLong(3)
     }
-    val bc = spark.sparkContext.broadcast((qIds, lut))
-    val perPart = codes.as[(Long, Seq[Int])].mapPartitions { it =>
-      val (qs, l) = bc.value
+    // IVFPQ restriction (qe9): per-query allowed-cell bitmap, tiny
+    // (Q × n_cells booleans); `codes` must then carry a `cell` column
+    val allowed: Array[Array[Boolean]] = probed match {
+      case None => null
+      case Some(pr) =>
+        val rows = pr.collect()
+        val nCells = rows.map(_.getInt(1)).max + 1
+        val arr = Array.fill(qIds.length)(new Array[Boolean](nCells))
+        rows.foreach { r =>
+          // a probed cell for a query outside the LUT sample is a bug
+          arr(qIdx(r.getLong(0)))(r.getInt(1)) = true
+        }
+        arr
+    }
+    val bc = spark.sparkContext.broadcast((qIds, lut, allowed))
+    val keyed: org.apache.spark.sql.Dataset[(Long, Seq[Int], Int)] =
+      if (probed.isDefined)
+        codes.select(col("vec_id"), col("codes"), col("cell"))
+          .as[(Long, Seq[Int], Int)]
+      else
+        codes.select(col("vec_id"), col("codes"))
+          .as[(Long, Seq[Int])].map { case (v, cs) => (v, cs, -1) }
+    val perPart = keyed.mapPartitions { it =>
+      val (qs, l, alw) = bc.value
       val nq = qs.length
       // per-query top-k by (adc_us, cand_id) lexicographic min — integer
       // keys, so per-partition winners are exactly the global candidates
       val heapA = Array.fill(nq)(new Array[Long](k)) // adc, ascending
       val heapC = Array.fill(nq)(new Array[Long](k)) // cand ids
       val sizes = new Array[Int](nq)
-      it.foreach { case (vid, cs) =>
+      it.foreach { case (vid, cs, cell) =>
         var qi = 0
         while (qi < nq) {
-          if (qs(qi) != vid) {
+          if (qs(qi) != vid &&
+              (alw == null || (cell < alw(qi).length && alw(qi)(cell)))) {
             val row = l(qi)
             var adc = 0L
             var s = 0

@@ -177,4 +177,40 @@ class AnnSpec extends AnyFunSuite {
     // and ADC distances are non-degenerate across candidates
     assert(got.map(_._4).distinct.size > 1, "constant ADC — vacuous ranking")
   }
+
+  test("IVF-PQ composition restricts ADC ranking to the probed cells") {
+    import org.apache.spark.sql.functions._
+    val dir = SparkTestSession.sfDir
+    val got = Ann.qe9IvfPqTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty)
+    // recompute the probe sets and assignments through the public
+    // pipeline pieces the operator itself composes
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val cents = Ann.localCentroids(emb)
+    val cellOf = Ann.assignments(emb, cents)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probed = emb.filter(expr("vec_id % 25 = 0"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("qsim", round(VectorOps.cosine(col("q_vec"), col("centroid")), 6))
+      .withColumn("crk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("qsim").desc, col("cell"))))
+      .filter(col("crk") <= 2)
+      .select(col("q_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // every ranked candidate sits in one of its query's probed cells
+    got.foreach { case (q, _, cand, _) =>
+      assert(probed(q).contains(cellOf(cand)),
+        s"candidate $cand of query $q outside probed cells ${probed(q)}")
+    }
+    // and the restriction BITES: the unrestricted PQ ranking (qe8)
+    // must differ somewhere, or the composition is vacuous
+    val full = Ann.qe8PqTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got != full, "probed restriction changed nothing — vacuous")
+  }
 }
