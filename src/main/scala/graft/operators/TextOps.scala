@@ -1140,6 +1140,64 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-domain distribution-drift report — the monitoring signal a
+    * continuous training-data pipeline runs on every snapshot: for each
+    * source, the Jensen-Shannon divergence between that source's hashed
+    * unigram distribution and the rest of the corpus — "which domain is
+    * most atypical", the input to mixture re-weighting (qd16) and
+    * drift alarms. Hashed B-bucket features (the qd26 DSIR convention,
+    * "drift:" salt) keep the parameter space FIXED regardless of
+    * vocabulary size; add-one smoothing over the B buckets keeps every
+    * present bucket's contribution finite on both sides.
+    *
+    * Determinism: each (source, bucket) contribution is a pure per-row
+    * function of exact integer counts; the per-source total accumulates
+    * contributions as INTEGER nano-nats (`round(js × 1e9)` per bucket —
+    * the qe8 integer-micro trick), so the sum is order-free and needs
+    * no summation-order guard; the reported double derives from that
+    * exact long.
+    *
+    * Scale shape: ONE corpus-width groupBy((source, bucket)) — skinny
+    * rows, map-side partial, output bounded by B × n_sources; the
+    * bucket/source margins and the contribution grid are aggregates OF
+    * that bounded frame, so everything after the first shuffle is
+    * fixed-size no matter the corpus. */
+  def qd30DomainDrift(spark: SparkSession, dir: String, buckets: Int = 1024): DataFrame = {
+    require(65536 % buckets == 0,
+      s"buckets ($buckets) must divide 2^16: the bucket is computed from the"
+        + " two low little-endian md5 bytes, exact only when 2^16 = 0 mod B")
+    val hex = md5(concat(lit("drift:"), col("term")))
+    val bucketCol = (conv(substring(hex, 17, 2), 16, 10).cast("int")
+      + conv(substring(hex, 19, 2), 16, 10).cast("int") * 256) % buckets
+    val sb = docs(spark, dir)
+      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("source"), bucketCol.cast("int").as("bucket"))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+    val byB = sb.groupBy("bucket").agg(sum("c").as("cb"))
+    val byS = sb.groupBy("source").agg(sum("c").as("ns"))
+    val tot = sb.agg(sum("c").cast("double").as("n"))
+    val grid = byB.crossJoin(byS)
+      .join(sb, Seq("source", "bucket"), "left")
+      .select(col("source"), col("bucket"), col("cb"), col("ns"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .crossJoin(broadcast(tot))
+    val p = (col("c") + 1).cast("double") / (col("ns") + buckets)
+    val q = (col("cb") - col("c") + 1).cast("double") /
+      (col("n") - col("ns") + buckets)
+    val mid = (p + q) / 2.0
+    val contrib = lit(0.5) * p * log(p / mid) + lit(0.5) * q * log(q / mid)
+    grid
+      .select(col("source"), col("ns"),
+        round(contrib * 1e9).cast("long").as("js_nanos"))
+      .groupBy("source")
+      .agg(first(col("ns")).as("n_tokens"),
+        sum("js_nanos").as("js_nanos"))
+      .select(col("source"), col("n_tokens"), col("js_nanos"),
+        round(col("js_nanos") / 1e9, 6).as("js"))
+      .orderBy("source")
+  }
+
   /** Candidate-row count of the most recent qd24 run — spec
     * instrumentation proving the Bloom prefilter PRUNES (candidates ≪
     * corpus windows) while staying a SUPERSET of the true hits. OFF by

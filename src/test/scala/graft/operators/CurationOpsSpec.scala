@@ -452,6 +452,48 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.exists { case (id, _, t, _) => t < charsPlus1(id) })
   }
 
+  test("domain drift report matches an independent JS-divergence recompute") {
+    val B = 1024
+    def bucket(t: String): Int =
+      java.lang.Long.remainderUnsigned(
+        graft.dedup.SimHash.md5Lower64String(s"drift:$t"), B.toLong).toInt
+    val counts = scala.collection.mutable.Map
+      .empty[(String, Int), Long].withDefaultValue(0L)
+    graft.Tables(spark, dir, "documents").select("source", "text").collect()
+      .foreach { r =>
+        r.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+          .foreach(t => counts((r.getString(0), bucket(t))) += 1L)
+      }
+    val sources = counts.keys.map(_._1).toSeq.distinct.sorted
+    val allBuckets = counts.keys.map(_._2).toSet
+    val bySource = sources.map(s =>
+      s -> counts.collect { case ((`s`, b), c) => b -> c }.toMap).toMap
+    val nS = bySource.view.mapValues(_.values.sum).toMap
+    val byBucket = allBuckets.map(b =>
+      b -> sources.map(s => bySource(s).getOrElse(b, 0L)).sum).toMap
+    val n = nS.values.sum.toDouble
+    val expected = sources.map { s =>
+      val ns = nS(s)
+      val jsNanos = allBuckets.toSeq.map { b =>
+        val c = bySource(s).getOrElse(b, 0L)
+        val p = (c + 1).toDouble / (ns + B)
+        val q = (byBucket(b) - c + 1).toDouble / (n - ns + B)
+        val mid = (p + q) / 2
+        val contrib = 0.5 * p * math.log(p / mid) + 0.5 * q * math.log(q / mid)
+        BigDecimal(contrib * 1e9)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      (s, ns, jsNanos,
+        BigDecimal(jsNanos / 1e9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = TextOps.qd30DomainDrift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    // the report must discriminate: sources differ in drift
+    assert(got.map(_._3).distinct.size > 1, "constant JS — vacuous report")
+    assert(got.forall(_._3 >= 0L), "JS divergence must be non-negative")
+  }
+
   test("DSIR weights match an independent recompute of the hashed-bigram model") {
     val B = 1024
     def h(s: String, m: Long): Long =
