@@ -99,6 +99,8 @@ object SparkEntry {
     "qd28_bpe_merges"      -> ((s, d) => TextOps.qd28BpeMerges(s, d)),
     // per-source JS-divergence drift report over hashed unigram buckets
     "qd30_domain_drift"    -> ((s, d) => TextOps.qd30DomainDrift(s, d)),
+    // qd30's arrival-time form: per-batch count-monoid deltas
+    "qs19_stream_drift"    -> (Replay.qs19StreamDrift _),
     // encode the corpus under the induced subword vocabulary
     "qd29_bpe_encode"      -> ((s, d) => TextOps.qd29BpeEncode(s, d)),
     "q36_approx_percentile" -> (Advanced.q36ApproxPercentile _),
@@ -333,6 +335,45 @@ object SparkEntry {
     * statistic monoids, so the streaming form converges to exactly this
     * batch computation): hashed-bigram (B = 1024) target/raw bucket
     * counts, add-one-smoothed log importance ratios, per-raw-doc mean. */
+  private val driftSql: String =
+    """WITH sb AS (
+        |  SELECT source,
+        |    (md5_number_lower('drift:' || term) % 1024)::INT AS bucket,
+        |    count(*) AS c
+        |  FROM (
+        |    SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |    FROM documents
+        |  ) WHERE term <> ''
+        |  GROUP BY 1, 2
+        |), byb AS (
+        |  SELECT bucket, sum(c)::BIGINT AS cb FROM sb GROUP BY bucket
+        |), bys AS (
+        |  SELECT source, sum(c)::BIGINT AS ns FROM sb GROUP BY source
+        |), tot AS (
+        |  SELECT sum(c)::DOUBLE AS n FROM sb
+        |), grid AS (
+        |  SELECT s.source, b.bucket, b.cb, s.ns,
+        |    coalesce(sb.c, 0)::BIGINT AS c, t.n
+        |  FROM byb b CROSS JOIN bys s CROSS JOIN tot t
+        |  LEFT JOIN sb ON sb.source = s.source AND sb.bucket = b.bucket
+        |), j AS (
+        |  SELECT source, ns,
+        |    CAST(round((0.5 * p * ln(p / mid) + 0.5 * q * ln(q / mid)) * 1e9)
+        |      AS BIGINT) AS js_nanos
+        |  FROM (
+        |    SELECT source, ns,
+        |      (c + 1)::DOUBLE / (ns + 1024) AS p,
+        |      (cb - c + 1)::DOUBLE / (n - ns + 1024) AS q,
+        |      ((c + 1)::DOUBLE / (ns + 1024)
+        |        + (cb - c + 1)::DOUBLE / (n - ns + 1024)) / 2 AS mid
+        |    FROM grid
+        |  )
+        |)
+        |SELECT source, ns AS n_tokens, sum(js_nanos)::BIGINT AS js_nanos,
+        |  round(sum(js_nanos)::BIGINT / 1e9, 6) AS js
+        |FROM j GROUP BY source, ns
+        |ORDER BY source""".stripMargin
+
   private val pqSql: String =
     """WITH e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
@@ -1011,44 +1052,11 @@ object SparkEntry {
     // hashed unigram distribution (B = 1024, 'drift:' salt, add-one
     // smoothing) vs the rest of the corpus; per-bucket contributions
     // accumulate as integer nano-nats so the per-source sum is exact.
-    "qd30_domain_drift" ->
-      """WITH sb AS (
-        |  SELECT source,
-        |    (md5_number_lower('drift:' || term) % 1024)::INT AS bucket,
-        |    count(*) AS c
-        |  FROM (
-        |    SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
-        |    FROM documents
-        |  ) WHERE term <> ''
-        |  GROUP BY 1, 2
-        |), byb AS (
-        |  SELECT bucket, sum(c)::BIGINT AS cb FROM sb GROUP BY bucket
-        |), bys AS (
-        |  SELECT source, sum(c)::BIGINT AS ns FROM sb GROUP BY source
-        |), tot AS (
-        |  SELECT sum(c)::DOUBLE AS n FROM sb
-        |), grid AS (
-        |  SELECT s.source, b.bucket, b.cb, s.ns,
-        |    coalesce(sb.c, 0)::BIGINT AS c, t.n
-        |  FROM byb b CROSS JOIN bys s CROSS JOIN tot t
-        |  LEFT JOIN sb ON sb.source = s.source AND sb.bucket = b.bucket
-        |), j AS (
-        |  SELECT source, ns,
-        |    CAST(round((0.5 * p * ln(p / mid) + 0.5 * q * ln(q / mid)) * 1e9)
-        |      AS BIGINT) AS js_nanos
-        |  FROM (
-        |    SELECT source, ns,
-        |      (c + 1)::DOUBLE / (ns + 1024) AS p,
-        |      (cb - c + 1)::DOUBLE / (n - ns + 1024) AS q,
-        |      ((c + 1)::DOUBLE / (ns + 1024)
-        |        + (cb - c + 1)::DOUBLE / (n - ns + 1024)) / 2 AS mid
-        |    FROM grid
-        |  )
-        |)
-        |SELECT source, ns AS n_tokens, sum(js_nanos)::BIGINT AS js_nanos,
-        |  round(sum(js_nanos)::BIGINT / 1e9, 6) AS js
-        |FROM j GROUP BY source, ns
-        |ORDER BY source""".stripMargin,
+    "qd30_domain_drift" -> driftSql,
+    // streaming incremental form: per-batch (source, bucket) count
+    // deltas fold to the identical report (one SQL text serves both
+    // keys — divergence fails the gate)
+    "qs19_stream_drift" -> driftSql,
 
     // DSIR importance weights: hashed-bigram (B = 1024) target/raw
     // bucket models, add-one smoothing, per-raw-doc mean log ratio.

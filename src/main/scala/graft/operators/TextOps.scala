@@ -1162,18 +1162,31 @@ object TextOps {
     * bucket/source margins and the contribution grid are aggregates OF
     * that bounded frame, so everything after the first shuffle is
     * fixed-size no matter the corpus. */
-  def qd30DomainDrift(spark: SparkSession, dir: String, buckets: Int = 1024): DataFrame = {
+  def qd30DomainDrift(spark: SparkSession, dir: String, buckets: Int = 1024): DataFrame =
+    driftReport(driftBucketed(docs(spark, dir), buckets), buckets)
+
+  /** The (source, bucket, c) hashed-unigram counts of a documents frame
+    * — qd30's only corpus-width stage, shared with the streaming form
+    * (qs19: counts are sum monoids, so per-batch deltas fold to the
+    * identical table). */
+  private[graft] def driftBucketed(docsDf: DataFrame, buckets: Int): DataFrame = {
     require(65536 % buckets == 0,
       s"buckets ($buckets) must divide 2^16: the bucket is computed from the"
         + " two low little-endian md5 bytes, exact only when 2^16 = 0 mod B")
     val hex = md5(concat(lit("drift:"), col("term")))
     val bucketCol = (conv(substring(hex, 17, 2), 16, 10).cast("int")
       + conv(substring(hex, 19, 2), 16, 10).cast("int") * 256) % buckets
-    val sb = docs(spark, dir)
+    docsDf
       .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("term"))
       .filter(col("term") =!= "")
       .select(col("source"), bucketCol.cast("int").as("bucket"))
       .groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+  }
+
+  /** The JS-divergence report over a (source, bucket, c) count table —
+    * everything here is bounded by B × n_sources (see qd30's scaladoc
+    * for the smoothing/integer-nanos contract). */
+  private[graft] def driftReport(sb: DataFrame, buckets: Int): DataFrame = {
     val byB = sb.groupBy("bucket").agg(sum("c").as("cb"))
     val byS = sb.groupBy("source").agg(sum("c").as("ns"))
     val tot = sb.agg(sum("c").cast("double").as("n"))

@@ -545,6 +545,71 @@ object Replay {
     streamDsir(spark, staged)
   }
 
+  /** Streaming incremental domain-drift monitoring — the arrival-time
+    * form of qd30_domain_drift, and the configuration the report is
+    * actually FOR: a continuous ingest pipeline watching whether any
+    * source's distribution is drifting from the corpus as shards land.
+    * The (source, bucket) hashed-unigram counts are sum monoids, so the
+    * qs17 pattern applies verbatim: each micro-batch appends its own
+    * O(B × sources) count delta (map-side partial aggregate — the only
+    * corpus-width work is the batch's own tokenization), the registered
+    * fold keeps compacted state at O(B × sources) rows, and any
+    * snapshot read folds the counts and derives the exact batch report
+    * (`TextOps.driftReport` — integer nano-nat contributions, so not
+    * even summation order can diverge). Restart contract as siblings:
+    * batch-keyed overwrites, `alreadyFolded` skip, kill-tested. */
+  def streamDrift(spark: SparkSession, dir: String,
+                  buckets: Int = 1024,
+                  maxFilesPerTrigger: Int = 1,
+                  pathGlobFilter: String = "*.parquet",
+                  workDir: Option[String] = None,
+                  compactEvery: Int = 16): DataFrame = {
+    val work = resolveWork(workDir, "graft_sdrift")
+    val sbSchema = StructType(Seq(
+      StructField("source", StringType),
+      StructField("bucket", IntegerType),
+      StructField("c", LongType)))
+    val state = new AppendOnlyState(work, Seq(("sb", sbSchema)), compactEvery,
+      folds = Map("sb" -> ((df: DataFrame) => df.groupBy("source", "bucket")
+        .agg(sum("c").as("c")))))
+    val q = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", pathGlobFilter)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(dir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!state.alreadyFolded(batchId)) {
+          state.endBatch(batch.sparkSession, batchId,
+            "sb" -> graft.operators.TextOps.driftBucketed(batch, buckets))
+        }
+        maybePoison(batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    graft.operators.TextOps.driftReport(
+      state.read(spark, "sb").groupBy("source", "bucket").agg(sum("c").as("c")),
+      buckets)
+  }
+
+  /** qs19 entry: the same two-id-range-file staging as qs10/qs16/qs17
+    * (shared per-contents memo), so the oracle-checked run folds count
+    * deltas from BOTH batches. Shares qd30's oracle SQL verbatim. */
+  def qs19StreamDrift(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stagedLakes.computeIfAbsent(
+      graft.Tables.contentKey(s"$dir/documents.parquet"), _ => {
+        val t = Files.createTempDirectory("graft_sdedup_lake").toString
+        cleanupAtExit(t)
+        graft.Tables(spark, dir, "documents")
+          .repartitionByRange(2, col("doc_id"))
+          .write.mode("overwrite").parquet(t)
+        t
+      })
+    streamDrift(spark, staged)
+  }
+
   /** Streaming incremental NEAR-duplicate detection — the arrival-time
     * form of qs1_minhash_neardup: documents stream in, each micro-batch
     * pays only its own signature kernel plus a band probe against the

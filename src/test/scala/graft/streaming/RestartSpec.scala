@@ -224,6 +224,30 @@ class RestartSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streamDrift killed mid-run resumes and matches the batch drift report") {
+    // the (source, bucket) counts are additive monoids with no dedup at
+    // read — a replayed batch appending twice would inflate counts and
+    // shift every integer nano-nat contribution; exact equality with
+    // the batch operator catches it. compactEvery=2 on the 4-file lake
+    // crosses a compaction (fold + alreadyFolded both execute).
+    val lake = docsLake()
+    val w = work("graft_restart_drift")
+    Replay.poisonAfterBatch = 1L
+    intercept[Exception] {
+      Replay.streamDrift(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w), compactEvery = 2)
+    }
+    assert(Replay.poisonAfterBatch == -1L, "poison should have fired")
+    val streamed = Replay.streamDrift(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w), compactEvery = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val batch = graft.operators.TextOps
+      .qd30DomainDrift(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streamPq killed mid-run resumes and matches the batch PQ ranking") {
     // the codes index has NO fold and no dedup at read — a replayed
     // batch appending its (vec_id, codes) rows twice would duplicate
