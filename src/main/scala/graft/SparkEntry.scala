@@ -402,10 +402,13 @@ object SparkEntry {
         |        ORDER BY round(d2, 6), code) AS rk
         |    FROM cand
         |  ) WHERE rk = 1
+        |), qsel AS (
+        |  SELECT vec_id FROM e WHERE vec_id % 25 = 0
+        |  ORDER BY (vec_id * 1000003) % 999983, vec_id LIMIT 1024
         |), lut AS (
         |  SELECT c.vec_id AS q_id, c.sub, c.code,
         |    CAST(round(c.d2 * 1e6) AS BIGINT) AS d2us
-        |  FROM cand c WHERE c.vec_id % 25 = 0
+        |  FROM cand c JOIN qsel USING (vec_id)
         |), adc AS (
         |  SELECT l.q_id, co.vec_id AS cand_id, sum(l.d2us)::BIGINT AS adc_us
         |  FROM codes co JOIN lut l USING (sub, code)
@@ -1980,10 +1983,13 @@ object SparkEntry {
         |        ORDER BY round(d2, 6), code) AS rk
         |    FROM cand
         |  ) WHERE rk = 1
+        |), qsel AS (
+        |  SELECT vec_id FROM e WHERE vec_id % 25 = 0
+        |  ORDER BY (vec_id * 1000003) % 999983, vec_id LIMIT 1024
         |), lut AS (
         |  SELECT c.vec_id AS q_id, c.sub, c.code,
         |    CAST(round(c.d2 * 1e6) AS BIGINT) AS d2us
-        |  FROM cand c WHERE c.vec_id % 25 = 0
+        |  FROM cand c JOIN qsel USING (vec_id)
         |), cents AS (
         |  SELECT cell, list(m ORDER BY dim) AS centroid FROM (
         |    SELECT label AS cell, i AS dim, avg(v[i::INT]) AS m
@@ -2001,7 +2007,7 @@ object SparkEntry {
         |    FROM e CROSS JOIN cents c
         |  ) WHERE rk = 1
         |), q AS (
-        |  SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id % 25 = 0
+        |  SELECT vec_id AS q_id, v AS q_vec FROM e JOIN qsel USING (vec_id)
         |), probed AS (
         |  SELECT q_id, cell FROM (
         |    SELECT q.q_id, c.cell,
@@ -2053,8 +2059,11 @@ object SparkEntry {
         |        c.cell) AS rk
         |    FROM e CROSS JOIN cents c
         |  ) WHERE rk = 1
+        |), qsel AS (
+        |  SELECT vec_id FROM e WHERE vec_id % 25 = 0
+        |  ORDER BY (vec_id * 1000003) % 999983, vec_id LIMIT 1024
         |), q AS (
-        |  SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id % 25 = 0
+        |  SELECT vec_id AS q_id, v AS q_vec FROM e JOIN qsel USING (vec_id)
         |), probed AS (
         |  SELECT q_id, q_vec, cell FROM (
         |    SELECT q.q_id, q.q_vec, c.cell,

@@ -113,7 +113,15 @@ object VectorOps {
     * sample small enough to broadcast, corpus streams once, no corpus
     * shuffle — minus the similarity-matrix exchange the window needed. */
   private[graft] def exactTopKCandidates(embIn: DataFrame, queryPred: String,
-                                         k: Int): DataFrame = {
+                                         k: Int): DataFrame =
+    exactTopKCandidatesFrom(embIn, embIn.filter(expr(queryPred)), k)
+
+  /** As above but over an explicit (vec_id, embedding, …) query frame
+    * — capped callers (qe7) pass `Ann.querySample` so the driver
+    * collect here is O(min(Q, cap)), never corpus-proportional. */
+  private[graft] def exactTopKCandidatesFrom(embIn: DataFrame,
+                                             queriesIn: DataFrame,
+                                             k: Int): DataFrame = {
     val spark = embIn.sparkSession
     import spark.implicits._
     def dotFF(a: Array[Float], b: Array[Float]): Double = {
@@ -124,7 +132,7 @@ object VectorOps {
     // NaN keys sort as +infinity, mirroring Spark's NaN-greatest ordering
     def key(s: Double): Double = if (s.isNaN) Double.PositiveInfinity else s
     val margin = 1.1e-6
-    val qs: Array[(Long, Array[Float])] = embIn.filter(expr(queryPred))
+    val qs: Array[(Long, Array[Float])] = queriesIn
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect()
     val qNorms = qs.map { case (_, v) => math.sqrt(dotFF(v, v)) }

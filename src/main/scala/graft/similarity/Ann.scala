@@ -22,6 +22,29 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
+  /** Hard ceiling on the query-sample size every driver-collected
+    * structure in the ADC/recall family (LUT, allowed-cell bitmap,
+    * broadcast query array) is allowed to grow to. The `vec_id % 25`
+    * predicate alone selects a PROPORTIONAL 4% of the corpus — harmless
+    * at the gate SFs (Q ≤ 800 at sf1) but a multi-GB driver collect at
+    * 100×. The cap bounds those structures at O(min(Q, cap)) regardless
+    * of corpus size; 1024 > sf1's Q, so gate results are unchanged. */
+  val DefaultMaxQueries = 1024
+
+  /** Deterministic capped query sample: the `pred` rows in a hashed
+    * total order (multiplicative hash, ties to vec_id), truncated at
+    * `maxQ`. The hash de-biases the truncation (plain ORDER BY vec_id
+    * would keep only the oldest ids) while staying a pure SQL
+    * expression both engines compute identically — the DuckDB mirrors
+    * carry the same ORDER BY/LIMIT clause. Returns (vec_id, embedding)
+    * rows, the shape the encode/LUT builders already consume. */
+  private[graft] def querySample(emb: DataFrame, pred: String,
+                                 maxQ: Int): DataFrame =
+    emb.filter(expr(pred))
+      .select(col("vec_id"), col("embedding"))
+      .orderBy((col("vec_id") * lit(1000003L)) % lit(999983L), col("vec_id"))
+      .limit(maxQ)
+
   /** Per-cell mean centroids: posexplode → (cell, dim) partial avg.
     * One shuffle of n×64 skinny rows; result is k×64 — driver-safe. */
   def centroids(emb: DataFrame): DataFrame = {
@@ -78,9 +101,16 @@ object Ann {
     knnFrom(Tables(spark, dir, "embeddings"), k, nprobe, queryPred)
 
   /** ANN top-k over any (vec_id, embedding, label) DataFrame. */
-  def knnFrom(emb: DataFrame, k: Int, nprobe: Int, queryPred: String): DataFrame = {
+  def knnFrom(emb: DataFrame, k: Int, nprobe: Int, queryPred: String): DataFrame =
+    knnFromQueries(emb, k, nprobe, emb.filter(expr(queryPred)))
+
+  /** As `knnFrom` but over an explicit (vec_id, embedding, …) query
+    * frame — the entry capped callers (qe7) route through so the probe
+    * side sees exactly the bounded `querySample`. */
+  private[graft] def knnFromQueries(emb: DataFrame, k: Int, nprobe: Int,
+                                    queries: DataFrame): DataFrame = {
     val cents = localCentroids(emb)
-    sink(probeRank(emb, cents, assignments(emb, cents), k, nprobe, queryPred))
+    sink(probeRank(cents, assignments(emb, cents), k, nprobe, queries))
   }
 
   /** Size-gated presentation sort shared by both search forms. NOTE the
@@ -101,10 +131,11 @@ object Ann {
   }
 
   /** Shared probe/rank tail: rank cells per query, restrict candidates to
-    * the probed cells, exact cosine + top-k. */
-  private def probeRank(emb: DataFrame, cents: DataFrame, assigned: DataFrame,
-                        k: Int, nprobe: Int, queryPred: String): DataFrame = {
-    val queries = emb.filter(expr(queryPred))
+    * the probed cells, exact cosine + top-k. `queriesIn` carries
+    * (vec_id, embedding, …) rows — a raw filter or a capped sample. */
+  private def probeRank(cents: DataFrame, assigned: DataFrame,
+                        k: Int, nprobe: Int, queriesIn: DataFrame): DataFrame = {
+    val queries = queriesIn
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val cellRank = Window.partitionBy("q_id").orderBy(col("qsim").desc, col("cell"))
     val probed = queries.crossJoin(broadcast(cents))
@@ -184,7 +215,7 @@ object Ann {
     })
     val assigned = spark.read.parquet(s"$idx/assign")
       .select(col("vec_id"), col("cell"), col("v"))
-    probeRank(emb, cents, assigned, k, nprobe, queryPred)
+    probeRank(cents, assigned, k, nprobe, emb.filter(expr(queryPred)))
   }
 
   def knnIndexed(spark: SparkSession, dir: String, k: Int, nprobe: Int,
@@ -261,11 +292,11 @@ object Ann {
     * final ranking window, never the Q×n matrix). The declarative
     * join+window form of the same ranking is the spec's baseline. */
   def qe8PqTopk(spark: SparkSession, dir: String, k: Int = 5,
-                m: Int = 4): DataFrame = {
+                m: Int = 4, maxQ: Int = DefaultMaxQueries): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     val subDim = pqSubDim(emb, m)
     val (cb, codes) = pqEncode(emb, m, subDim)
-    adcTopk(emb, cb, codes, "vec_id % 25 = 0", k, m, subDim)
+    adcTopk(querySample(emb, "vec_id % 25 = 0", maxQ), cb, codes, k, m, subDim)
   }
 
   /** qe9: IVF-PQ composed search — the FAISS IVFPQ shape made real
@@ -287,15 +318,16 @@ object Ann {
     * — centroids → assignment → probe ranking → codebooks → codes →
     * LUT → restricted integer ADC rank — is mirrored in DuckDB. */
   def qe9IvfPqTopk(spark: SparkSession, dir: String, k: Int = 5,
-                   m: Int = 4, nprobe: Int = 2): DataFrame = {
-    val pred = "vec_id % 25 = 0"
+                   m: Int = 4, nprobe: Int = 2,
+                   maxQ: Int = DefaultMaxQueries): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     val subDim = pqSubDim(emb, m)
     val (cb, codes) = pqEncode(emb, m, subDim)
     val cents = localCentroids(emb)
     val assigned = assignments(emb, cents)
       .select(col("vec_id"), col("cell").cast("int").as("cell"))
-    val queries = emb.filter(expr(pred))
+    val sample = querySample(emb, "vec_id % 25 = 0", maxQ)
+    val queries = sample
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val cellRank = Window.partitionBy("q_id")
       .orderBy(col("qsim").desc, col("cell"))
@@ -304,7 +336,7 @@ object Ann {
       .withColumn("crk", row_number().over(cellRank))
       .filter(col("crk") <= nprobe)
       .select(col("q_id"), col("cell").cast("int").as("cell"))
-    adcTopk(emb, cb, codes.join(assigned, "vec_id"), pred, k, m, subDim,
+    adcTopk(sample, cb, codes.join(assigned, "vec_id"), k, m, subDim,
       probed = Some(probed))
   }
 
@@ -316,15 +348,18 @@ object Ann {
   }
 
   /** The ADC ranking tail shared by qe8 and its streaming form (qs18):
-    * build the Q×m×k integer LUT for the `pred` query sample, broadcast
-    * it, and run the per-partition top-k kernel over the (vec_id,
-    * codes) index. */
-  private[graft] def adcTopk(emb: DataFrame, cb: DataFrame, codes: DataFrame,
-                             pred: String, k: Int, m: Int, subDim: Int,
+    * build the Q×m×k integer LUT for the query sample, broadcast it,
+    * and run the per-partition top-k kernel over the (vec_id, codes)
+    * index. `queries` is the CAPPED sample (`querySample`), so every
+    * driver-side structure here — the collected LUT, the allowed-cell
+    * bitmap, the broadcast id array — is O(min(Q, cap)), never
+    * proportional to the corpus. */
+  private[graft] def adcTopk(queries: DataFrame, cb: DataFrame, codes: DataFrame,
+                             k: Int, m: Int, subDim: Int,
                              probed: Option[DataFrame] = None): DataFrame = {
-    val spark = emb.sparkSession
+    val spark = queries.sparkSession
     import spark.implicits._
-    val lutRows = pqLut(emb, cb, pred, m, subDim).collect()
+    val lutRows = pqLut(queries, cb, m, subDim).collect()
     val kCodes = cb.select(max(col("code"))).head.getInt(0) + 1
     val qIds = lutRows.map(_.getLong(0)).distinct.sorted
     val qIdx = qIds.zipWithIndex.toMap
@@ -400,10 +435,11 @@ object Ann {
   }
 
   /** Query LUT: Q×m×k rows of integer micro-distances (q_id, sub, code,
-    * d2us) — the bounded table the ADC kernel broadcasts. */
-  private[similarity] def pqLut(emb: DataFrame, cb: DataFrame, pred: String,
+    * d2us) — the bounded table the ADC kernel broadcasts. `queries` is
+    * the capped (vec_id, embedding) sample. */
+  private[similarity] def pqLut(queries: DataFrame, cb: DataFrame,
                                 m: Int, subDim: Int): DataFrame =
-    subVectors(emb.filter(expr(pred)), m, subDim)
+    subVectors(queries, m, subDim)
       .join(broadcast(cb), Seq("sub"))
       .select(col("vec_id").as("q_id"), col("sub"), col("code"),
         round(subDist2(col("x"), col("cw")) * 1e6).cast("long").as("d2us"))
@@ -475,7 +511,12 @@ object Ann {
     * evaluation protocol: exact neighbors on a QUERY SAMPLE, recall =
     * |approx top-k ∩ exact top-k| / k per query).
     *
-    * The sample is the knob that keeps this affordable at 100 TB: exact
+    * The sample is the knob that keeps this affordable at 100 TB — and
+    * it is BOUNDED, not proportional: the `vec_id % 25` predicate alone
+    * grows with the corpus, so the sample is truncated to
+    * `DefaultMaxQueries` in the deterministic hashed order
+    * (`querySample`), capping the broadcast query array and every
+    * derived driver structure at O(cap) regardless of corpus size. Exact
     * ground truth costs one corpus stream against the BROADCAST sample
     * — computed by the typed per-partition top-k kernel
     * (`VectorOps.exactTopKCandidates`: hoisted norms, per-partition
@@ -492,18 +533,19 @@ object Ann {
     * Queries whose probed cells miss every true neighbor appear with
     * n_hits = 0 (left join), so the frame covers the whole sample. */
   def qe7AnnRecall(spark: SparkSession, dir: String, k: Int = 5,
-                   nprobe: Int = 2): DataFrame = {
-    val pred = "vec_id % 25 = 0"
+                   nprobe: Int = 2, maxQ: Int = DefaultMaxQueries): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
-    val queries = emb.filter(expr(pred))
+    val sample = querySample(emb, "vec_id % 25 = 0", maxQ)
+    val queries = sample
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val exact = graft.operators.VectorOps.exactTopKCandidates(emb, pred, k)
+    val exact = graft.operators.VectorOps.exactTopKCandidatesFrom(emb, sample, k)
       .select(col("q_id"), col("cand_id"), round(col("sim_raw"), 6).as("sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id"))))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("cand_id"))
-    val approx = knnFrom(emb, k, nprobe, pred).select(col("q_id"), col("cand_id"))
+    val approx = knnFromQueries(emb, k, nprobe, sample)
+      .select(col("q_id"), col("cand_id"))
     val hits = exact.join(approx, Seq("q_id", "cand_id"))
       .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
     queries.select(col("q_id"))

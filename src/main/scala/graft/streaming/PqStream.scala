@@ -47,6 +47,7 @@ object PqStream {
   def streamPqTopk(spark: SparkSession, stagedDir: String, cb: DataFrame,
                    m: Int, subDim: Int, k: Int = 5,
                    pred: String = "vec_id % 25 = 0",
+                   maxQ: Int = Ann.DefaultMaxQueries,
                    maxFilesPerTrigger: Int = 1,
                    compactEvery: Int = 16,
                    workDir: Option[String] = None): DataFrame = {
@@ -79,7 +80,8 @@ object PqStream {
       .start()
     q.awaitTermination()
     val lake = spark.read.schema(embStreamSchema).parquet(stagedDir)
-    Ann.adcTopk(lake, cb, state.read(spark, "codes"), pred, k, m, subDim)
+    Ann.adcTopk(Ann.querySample(lake, pred, maxQ), cb,
+      state.read(spark, "codes"), k, m, subDim)
   }
 
   /** qs18 entry: the embeddings lake staged as two vec_id-range files

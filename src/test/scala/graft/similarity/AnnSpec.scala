@@ -159,7 +159,8 @@ class AnnSpec extends AnyFunSuite {
     // the kernel exists to avoid
     val emb = graft.Tables(spark, dir, "embeddings")
     val (cb, codes) = Ann.pqEncode(emb, 4, 16)
-    val lut = Ann.pqLut(emb, cb, "vec_id % 25 = 0", 4, 16)
+    val lut = Ann.pqLut(emb.filter(org.apache.spark.sql.functions.expr(
+      "vec_id % 25 = 0")), cb, 4, 16)
     val adc = codes.select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
       .join(broadcast(lut), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -176,6 +177,44 @@ class AnnSpec extends AnyFunSuite {
     // compression is real: every vector's m codes map through the LUT,
     // and ADC distances are non-degenerate across candidates
     assert(got.map(_._4).distinct.size > 1, "constant ADC — vacuous ranking")
+  }
+
+  test("query-sample cap bounds every driver-collected structure at O(cap)") {
+    import org.apache.spark.sql.functions._
+    val dir = SparkTestSession.sfDir
+    val emb = graft.Tables(spark, dir, "embeddings")
+    // a 10× corpus by shifted replication: Q under the raw %25 predicate
+    // grows 10× with it (the proportional-sample hazard the cap exists
+    // to stop) — vec_id offsets are multiples of 25 so the predicate
+    // selects every copy of the original sample
+    val tenX = (0 until 10).map(i => emb.select(
+        (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+        col("embedding"), col("label")))
+      .reduce(_.unionAll(_))
+    val rawQ = tenX.filter(expr("vec_id % 25 = 0")).count()
+    val cap = 7
+    val sample = Ann.querySample(tenX, "vec_id % 25 = 0", cap)
+    assert(rawQ > 10 * cap, s"corpus too small to exercise the cap: $rawQ")
+    assert(sample.count() == cap)
+    // the capped sample is the hash-order prefix, computed independently
+    val ids = tenX.filter(expr("vec_id % 25 = 0")).select("vec_id")
+      .collect().map(_.getLong(0))
+    val expected = ids.sortBy(v => ((v * 1000003L) % 999983L, v)).take(cap).toSeq
+    assert(sample.select("vec_id").collect().map(_.getLong(0)).toSeq == expected)
+    // the LUT the ADC kernel collects is exactly cap × m × k_codes rows
+    val (cb, _) = Ann.pqEncode(emb, 4, 16)
+    val kCodes = cb.select(max(col("code"))).head.getInt(0) + 1
+    assert(Ann.pqLut(sample, cb, 4, 16).count() == cap.toLong * 4 * kCodes)
+    // and a capped qe8 run is the uncapped ranking restricted to the
+    // capped queries — the cap changes WHICH queries run, never their
+    // rankings
+    val capped = Ann.qe8PqTopk(spark, dir, maxQ = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val full = Ann.qe8PqTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val cappedIds = capped.map(_._1).distinct
+    assert(cappedIds.length == 3)
+    assert(capped == full.filter(t => cappedIds.contains(t._1)))
   }
 
   test("IVF-PQ composition restricts ADC ranking to the probed cells") {
