@@ -422,6 +422,71 @@ object SparkEntry {
         |) WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin
 
+  /** Generated N-step BPE trainer CTE chain shared by qd28/qd29 (r9:
+    * depth 32, programmatic — the hand-written 3-step chain does not
+    * scale to tokenizer depth). Step k: mK takes the weighted
+    * adjacent-pair argmax over v(k-1) (count desc, then sym_a, sym_b —
+    * binary collation both engines share); vK applies it greedily
+    * left-to-right non-overlapping via the chr(1)-delimited replace().
+    * An EMPTY mK (vocabulary degenerated to single-symbol words) makes
+    * vK a no-op through the LEFT JOIN + CASE guard instead of emptying
+    * the chain (ADVICE r8), matching the Scala loop's graceful stop —
+    * and once empty, every later argmax is empty too, so the two
+    * engines stop at the same merge table. */
+  private def bpeChainSql(n: Int): String =
+    (1 to n).map { k =>
+      s"""m$k AS MATERIALIZED (
+         |  SELECT sym_a, sym_b, n_occ FROM (
+         |    SELECT cs[i] AS sym_a, cs[i+1] AS sym_b, sum(wc)::BIGINT AS n_occ
+         |    FROM v${k - 1} CROSS JOIN unnest(range(1, len(cs))) r(i) GROUP BY 1, 2
+         |  ) ORDER BY n_occ DESC, sym_a, sym_b LIMIT 1
+         |), v$k AS MATERIALIZED (
+         |  SELECT term, wc,
+         |    CASE WHEN m.sym_a IS NULL THEN cs
+         |    ELSE list_filter(string_split(replace(
+         |      array_to_string(list_transform(cs, c -> chr(1) || c || chr(1)), ''),
+         |      chr(1) || m.sym_a || chr(1) || chr(1) || m.sym_b || chr(1),
+         |      chr(1) || m.sym_a || m.sym_b || chr(1)), chr(1)),
+         |      x -> x <> '') END AS cs
+         |  FROM v${k - 1} LEFT JOIN m$k m ON true
+         |)""".stripMargin
+    }.mkString(", ")
+
+  private def bpeMergesSql(n: Int): String = {
+    val union = (1 to n).map(k =>
+      s"SELECT $k::BIGINT AS iter, sym_a, sym_b, n_occ FROM m$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents
+       |), w AS (
+       |  SELECT term, count(*) AS wc FROM toks WHERE term <> '' GROUP BY term
+       |), v0 AS MATERIALIZED (
+       |  SELECT term, wc, string_split(term, '') || ['</w>'] AS cs FROM w
+       |), ${bpeChainSql(n)}
+       |SELECT * FROM (
+       |  $union
+       |) ORDER BY iter""".stripMargin
+  }
+
+  private def bpeEncodeSql(n: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents
+       |), w AS (
+       |  SELECT term, count(*) AS wc FROM toks WHERE term <> '' GROUP BY term
+       |), v0 AS MATERIALIZED (
+       |  SELECT term, wc, string_split(term, '') || ['</w>'] AS cs FROM w
+       |), ${bpeChainSql(n)}, enc AS (
+       |  SELECT term, len(cs)::BIGINT AS n_syms FROM v$n
+       |)
+       |SELECT doc_id, count(*)::BIGINT AS n_words,
+       |  sum(n_syms)::BIGINT AS n_tokens,
+       |  round(sum(n_syms)::DOUBLE / count(*), 6) AS tokens_per_word
+       |FROM toks JOIN enc USING (term)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   private val dsirSql: String =
     """WITH t AS (
       |  SELECT doc_id,
@@ -941,115 +1006,27 @@ object SparkEntry {
         |) WHERE rank <= 20
         |ORDER BY rank""".stripMargin,
 
-    // Iterative BPE: 3 argmax-merge-recount rounds. Each vN+1 applies
-    // mN's winning pair greedily left-to-right non-overlapping via
-    // replace() on a chr(1)-delimited symbol string (replace scans
-    // left-to-right over non-overlapping occurrences — exactly the
-    // Sennrich merge semantics; the both-sides delimiter prevents a
-    // pair pattern matching across symbol boundaries).
-    "qd28_bpe_merges" ->
-      """WITH w AS (
-        |  SELECT term, count(*) AS wc FROM (
-        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
-        |    FROM documents
-        |  ) GROUP BY term
-        |), v0 AS (
-        |  SELECT wc, string_split(term, '') || ['</w>'] AS cs FROM w
-        |), m1 AS (
-        |  SELECT sym_a, sym_b, n_occ FROM (
-        |    SELECT cs[i] AS sym_a, cs[i+1] AS sym_b, sum(wc)::BIGINT AS n_occ
-        |    FROM v0 CROSS JOIN unnest(range(1, len(cs))) r(i) GROUP BY 1, 2
-        |  ) ORDER BY n_occ DESC, sym_a, sym_b LIMIT 1
-        |), v1 AS (
-        |  SELECT wc, list_filter(string_split(replace(
-        |      array_to_string(list_transform(cs, c -> chr(1) || c || chr(1)), ''),
-        |      chr(1) || m.sym_a || chr(1) || chr(1) || m.sym_b || chr(1),
-        |      chr(1) || m.sym_a || m.sym_b || chr(1)), chr(1)),
-        |    x -> x <> '') AS cs
-        |  FROM v0, m1 m
-        |), m2 AS (
-        |  SELECT sym_a, sym_b, n_occ FROM (
-        |    SELECT cs[i] AS sym_a, cs[i+1] AS sym_b, sum(wc)::BIGINT AS n_occ
-        |    FROM v1 CROSS JOIN unnest(range(1, len(cs))) r(i) GROUP BY 1, 2
-        |  ) ORDER BY n_occ DESC, sym_a, sym_b LIMIT 1
-        |), v2 AS (
-        |  SELECT wc, list_filter(string_split(replace(
-        |      array_to_string(list_transform(cs, c -> chr(1) || c || chr(1)), ''),
-        |      chr(1) || m.sym_a || chr(1) || chr(1) || m.sym_b || chr(1),
-        |      chr(1) || m.sym_a || m.sym_b || chr(1)), chr(1)),
-        |    x -> x <> '') AS cs
-        |  FROM v1, m2 m
-        |), m3 AS (
-        |  SELECT sym_a, sym_b, n_occ FROM (
-        |    SELECT cs[i] AS sym_a, cs[i+1] AS sym_b, sum(wc)::BIGINT AS n_occ
-        |    FROM v2 CROSS JOIN unnest(range(1, len(cs))) r(i) GROUP BY 1, 2
-        |  ) ORDER BY n_occ DESC, sym_a, sym_b LIMIT 1
-        |)
-        |SELECT * FROM (
-        |  SELECT 1::BIGINT AS iter, sym_a, sym_b, n_occ FROM m1
-        |  UNION ALL SELECT 2::BIGINT, sym_a, sym_b, n_occ FROM m2
-        |  UNION ALL SELECT 3::BIGINT, sym_a, sym_b, n_occ FROM m3
-        |) ORDER BY iter""".stripMargin,
+    // Iterative BPE: N=32 argmax-merge-recount rounds (generated CTE
+    // chain — see bpeChainSql). Each vK applies mK's winning pair
+    // greedily left-to-right non-overlapping via replace() on a
+    // chr(1)-delimited symbol string (replace scans left-to-right over
+    // non-overlapping occurrences — exactly the Sennrich merge
+    // semantics; the both-sides delimiter prevents a pair pattern
+    // matching across symbol boundaries). An EMPTY argmax (vocabulary
+    // degenerated to single-symbol words) makes vK a no-op via the
+    // LEFT JOIN guard, mirroring the Scala loop's graceful stop
+    // (ADVICE r8: the comma cross join emptied vK and collapsed the
+    // report).
+    "qd28_bpe_merges" -> bpeMergesSql(32),
 
-    // BPE encoding under the 3-merge vocabulary: same trainer CTEs as
-    // qd28 (term carried through), then the token stream joins the
-    // post-merge symbol counts and aggregates per document. Empty terms
-    // (whitespace-only docs) are excluded on BOTH sides: Spark's inner
-    // join drops them naturally, and DuckDB's string_split('','') = []
-    // would otherwise encode '' as the bare end-of-word marker.
-    "qd29_bpe_encode" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-        |  FROM documents
-        |), w AS (
-        |  SELECT term, count(*) AS wc FROM toks WHERE term <> '' GROUP BY term
-        |), v0 AS (
-        |  SELECT term, wc, string_split(term, '') || ['</w>'] AS cs FROM w
-        |), m1 AS (
-        |  SELECT sym_a, sym_b FROM (
-        |    SELECT cs[i] AS sym_a, cs[i+1] AS sym_b, sum(wc)::BIGINT AS n_occ
-        |    FROM v0 CROSS JOIN unnest(range(1, len(cs))) r(i) GROUP BY 1, 2
-        |  ) ORDER BY n_occ DESC, sym_a, sym_b LIMIT 1
-        |), v1 AS (
-        |  SELECT term, wc, list_filter(string_split(replace(
-        |      array_to_string(list_transform(cs, c -> chr(1) || c || chr(1)), ''),
-        |      chr(1) || m.sym_a || chr(1) || chr(1) || m.sym_b || chr(1),
-        |      chr(1) || m.sym_a || m.sym_b || chr(1)), chr(1)),
-        |    x -> x <> '') AS cs
-        |  FROM v0, m1 m
-        |), m2 AS (
-        |  SELECT sym_a, sym_b FROM (
-        |    SELECT cs[i] AS sym_a, cs[i+1] AS sym_b, sum(wc)::BIGINT AS n_occ
-        |    FROM v1 CROSS JOIN unnest(range(1, len(cs))) r(i) GROUP BY 1, 2
-        |  ) ORDER BY n_occ DESC, sym_a, sym_b LIMIT 1
-        |), v2 AS (
-        |  SELECT term, wc, list_filter(string_split(replace(
-        |      array_to_string(list_transform(cs, c -> chr(1) || c || chr(1)), ''),
-        |      chr(1) || m.sym_a || chr(1) || chr(1) || m.sym_b || chr(1),
-        |      chr(1) || m.sym_a || m.sym_b || chr(1)), chr(1)),
-        |    x -> x <> '') AS cs
-        |  FROM v1, m2 m
-        |), m3 AS (
-        |  SELECT sym_a, sym_b FROM (
-        |    SELECT cs[i] AS sym_a, cs[i+1] AS sym_b, sum(wc)::BIGINT AS n_occ
-        |    FROM v2 CROSS JOIN unnest(range(1, len(cs))) r(i) GROUP BY 1, 2
-        |  ) ORDER BY n_occ DESC, sym_a, sym_b LIMIT 1
-        |), v3 AS (
-        |  SELECT term, wc, list_filter(string_split(replace(
-        |      array_to_string(list_transform(cs, c -> chr(1) || c || chr(1)), ''),
-        |      chr(1) || m.sym_a || chr(1) || chr(1) || m.sym_b || chr(1),
-        |      chr(1) || m.sym_a || m.sym_b || chr(1)), chr(1)),
-        |    x -> x <> '') AS cs
-        |  FROM v2, m3 m
-        |), enc AS (
-        |  SELECT term, len(cs)::BIGINT AS n_syms FROM v3
-        |)
-        |SELECT doc_id, count(*)::BIGINT AS n_words,
-        |  sum(n_syms)::BIGINT AS n_tokens,
-        |  round(sum(n_syms)::DOUBLE / count(*), 6) AS tokens_per_word
-        |FROM toks JOIN enc USING (term)
-        |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
+    // BPE encoding under the 32-merge vocabulary: same generated
+    // trainer CTEs as qd28 (term carried through), then the token
+    // stream joins the post-merge symbol counts and aggregates per
+    // document. Empty terms (whitespace-only docs) are excluded on
+    // BOTH sides: Spark's inner join drops them naturally, and
+    // DuckDB's string_split('','') = [] would otherwise encode '' as
+    // the bare end-of-word marker.
+    "qd29_bpe_encode" -> bpeEncodeSql(32),
 
     // Per-source distribution drift: JS divergence of each source's
     // hashed unigram distribution (B = 1024, 'drift:' salt, add-one

@@ -370,16 +370,24 @@ class CurationOpsSpec extends AnyFunSuite {
     // the (sym_a, sym_b) tie-break must pick (a,</w>); iter3 merges the
     // only remaining pair (aa, a</w>)=2
     val v0 = Seq((Seq("a", "a", "a", "</w>"), 2L)).toDS()
-    val got = TextOps.bpeMerges(v0, nMerges = 3).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
-    assert(got == Seq(
+    val expected3 = Seq(
       (1L, "a", "a", 4L),
       (2L, "a", "</w>", 2L),
-      (3L, "aa", "a</w>", 2L)))
+      (3L, "aa", "a</w>", 2L))
+    def runs(gate: Long) = TextOps.bpeMerges(v0, nMerges = 3, driverGate = gate)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // BOTH trainer paths — the size-gated driver kernel (gate above the
+    // vocab size) and the distributed per-iteration loop (gate 0) —
+    // must walk the identical greedy/tie-break semantics
+    assert(runs(gate = 1000000L) == expected3)
+    assert(runs(gate = 0L) == expected3)
     // degenerate vocabulary: single-symbol words exhaust the merges
     val tiny = Seq((Seq("x", "</w>"), 5L)).toDS()
-    val short = TextOps.bpeMerges(tiny, nMerges = 3).collect()
-    assert(short.length == 1) // (x, </w>) merges once, then nothing remains
+    Seq(0L, 1000000L).foreach { gate =>
+      val short = TextOps.bpeMerges(tiny, nMerges = 3, driverGate = gate).collect()
+      assert(short.length == 1) // (x, </w>) merges once, then nothing remains
+    }
   }
 
   test("BPE merge loop matches an independent recompute over the corpus") {
@@ -389,10 +397,11 @@ class CurationOpsSpec extends AnyFunSuite {
     var vocab: Seq[(Vector[String], Long)] = wc.toSeq.collect {
       case (w, c) if w.nonEmpty => (w.map(_.toString).toVector :+ "</w>", c)
     }
-    val expected = (1 to 3).map { it =>
+    val expected = (1 to 32).map { it =>
       val pc = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
       vocab.foreach { case (syms, c) =>
-        syms.sliding(2).foreach { case Seq(a, b) => pc((a, b)) += c } }
+        syms.sliding(2).filter(_.size == 2)
+          .foreach { w => pc((w(0), w(1))) += c } }
       val ((a, b), n) = pc.toSeq.minBy { case ((x, y), m) => (-m, x, y) }
       vocab = vocab.map { case (syms, c) =>
         val out = Vector.newBuilder[String]
@@ -419,10 +428,11 @@ class CurationOpsSpec extends AnyFunSuite {
     docs.foreach(_._2.foreach(w => wc(w) += 1L))
     var vocab: Map[String, Vector[String]] =
       wc.keys.map(w => w -> (w.map(_.toString).toVector :+ "</w>")).toMap
-    (1 to 3).foreach { _ =>
+    (1 to 32).foreach { _ =>
       val pc = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
       vocab.foreach { case (w, syms) =>
-        syms.sliding(2).foreach { case Seq(a, b) => pc((a, b)) += wc(w) } }
+        syms.sliding(2).filter(_.size == 2)
+          .foreach { p => pc((p(0), p(1))) += wc(w) } }
       val ((a, b), _) = pc.toSeq.minBy { case ((x, y), m) => (-m, x, y) }
       vocab = vocab.map { case (w, syms) =>
         val out = Vector.newBuilder[String]
