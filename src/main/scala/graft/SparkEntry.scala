@@ -160,6 +160,8 @@ object SparkEntry {
     "qs18_stream_pq"       -> (graft.streaming.PqStream.qs18StreamPq _),
     // IVF-PQ composition: probed cells restrict the integer ADC ranking
     "qe9_ivfpq_topk"       -> ((s, d) => Ann.qe9IvfPqTopk(s, d)),
+    // IVF-PQ with residual encoding (the FAISS IVFPQ, Jégou §IV-A)
+    "qe10_ivfpq_residual"  -> ((s, d) => Ann.qe10IvfPqResidualTopk(s, d)),
   )
 
   /** Benchmark-only queries: measured by `graft.Bench` but NOT part of
@@ -2014,6 +2016,105 @@ object SparkEntry {
     // an append-only codes index folds to the identical ranking (one SQL
     // text serves both keys — divergence fails the gate)
     "qs18_stream_pq" -> pqSql,
+
+    // IVF-PQ with RESIDUAL encoding: the corpus is PQ-encoded as
+    // residuals against the assigned coarse centroid (6dp per
+    // component), the codebook is the label-mean quantizer over
+    // residual sub-vectors, and each query builds a LUT per PROBED
+    // cell from its own residual against that cell — candidates rank
+    // by the integer ADC sum within probed cells only.
+    "qe10_ivfpq_residual" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |), comp AS (
+        |  SELECT label AS cell, i AS dim, avg(v[i::INT]) AS m
+        |  FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
+        |  GROUP BY 1, 2
+        |), cents AS (
+        |  SELECT cell, list(m ORDER BY dim) AS centroid FROM comp GROUP BY cell
+        |), assign AS (
+        |  SELECT vec_id, cell, v FROM (
+        |    SELECT e.vec_id, c.cell, e.v,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_inner_product(e.v, c.centroid)
+        |          / (sqrt(list_inner_product(e.v, e.v))
+        |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
+        |        c.cell) AS rk
+        |    FROM e CROSS JOIN cents c
+        |  ) WHERE rk = 1
+        |), res AS MATERIALIZED (
+        |  SELECT a.vec_id, a.cell,
+        |    list_transform(range(1, len(a.v) + 1),
+        |      i -> round(a.v[i::INT] - c.centroid[i::INT], 6)) AS rv
+        |  FROM assign a JOIN cents c USING (cell)
+        |), rsv AS MATERIALIZED (
+        |  SELECT vec_id, cell, s.sub,
+        |    list_transform(range(s.sub * 16 + 1, s.sub * 16 + 17),
+        |      j -> rv[j::INT]) AS x
+        |  FROM res CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s
+        |), rcomp AS (
+        |  SELECT sub,
+        |    (CASE WHEN x[1] >= 0 THEN 4 ELSE 0 END
+        |     + CASE WHEN x[2] >= 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN x[3] >= 0 THEN 1 ELSE 0 END)::INT AS code,
+        |    i AS dim, avg(x[i::INT]) AS mv
+        |  FROM rsv CROSS JOIN unnest(range(1, len(x) + 1)) r(i)
+        |  GROUP BY 1, 2, 3
+        |), rcb AS MATERIALIZED (
+        |  SELECT sub, code, list(mv ORDER BY dim) AS cw FROM rcomp
+        |  GROUP BY sub, code
+        |), rcodes AS (
+        |  SELECT vec_id, cell, sub, code FROM (
+        |    SELECT vec_id, cell, sub, code,
+        |      row_number() OVER (PARTITION BY vec_id, sub
+        |        ORDER BY round(d2, 6), code) AS rk
+        |    FROM (
+        |      SELECT rsv.vec_id, rsv.cell, rsv.sub, rcb.code,
+        |        list_inner_product(x, x) - 2 * list_inner_product(x, cw)
+        |          + list_inner_product(cw, cw) AS d2
+        |      FROM rsv JOIN rcb USING (sub)
+        |    )
+        |  ) WHERE rk = 1
+        |), qsel AS (
+        |  SELECT vec_id FROM e WHERE vec_id % 25 = 0
+        |  ORDER BY (vec_id * 1000003) % 999983, vec_id LIMIT 1024
+        |), q AS (
+        |  SELECT vec_id AS q_id, v AS q_vec FROM e JOIN qsel USING (vec_id)
+        |), probed AS MATERIALIZED (
+        |  SELECT q_id, cell, qrv FROM (
+        |    SELECT q.q_id, c.cell,
+        |      list_transform(range(1, len(q.q_vec) + 1),
+        |        i -> round(q.q_vec[i::INT] - c.centroid[i::INT], 6)) AS qrv,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        round(list_inner_product(q.q_vec, c.centroid)
+        |          / (sqrt(list_inner_product(q.q_vec, q.q_vec))
+        |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
+        |        c.cell) AS crk
+        |    FROM q CROSS JOIN cents c
+        |  ) WHERE crk <= 2
+        |), rlut AS (
+        |  SELECT p.q_id, p.cell, p.sub, rcb.code,
+        |    CAST(round((list_inner_product(x, x) - 2 * list_inner_product(x, cw)
+        |      + list_inner_product(cw, cw)) * 1e6) AS BIGINT) AS d2us
+        |  FROM (
+        |    SELECT q_id, cell, s.sub,
+        |      list_transform(range(s.sub * 16 + 1, s.sub * 16 + 17),
+        |        j -> qrv[j::INT]) AS x
+        |    FROM probed CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s
+        |  ) p JOIN rcb USING (sub)
+        |), adc AS (
+        |  SELECT l.q_id, co.vec_id AS cand_id, sum(l.d2us)::BIGINT AS adc_us
+        |  FROM rcodes co
+        |  JOIN rlut l ON l.cell = co.cell AND l.sub = co.sub AND l.code = co.code
+        |  WHERE co.vec_id <> l.q_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT q_id, rank, cand_id, adc_us FROM (
+        |  SELECT q_id, cand_id, adc_us,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY adc_us, cand_id) AS rank
+        |  FROM adc
+        |) WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
 
 
 

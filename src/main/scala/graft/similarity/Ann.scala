@@ -340,6 +340,162 @@ object Ann {
       probed = Some(probed))
   }
 
+  /** qe10: IVF-PQ with RESIDUAL encoding — the actual FAISS IVFPQ
+    * (Jégou et al., TPAMI 2011, §IV-A): instead of PQ-encoding raw
+    * vectors (qe9), each vector is encoded as the PQ code of its
+    * RESIDUAL x − centroid(cell(x)). Residuals are centered near zero
+    * with far smaller spread than raw vectors, so the same m sub-space
+    * codebook budget quantizes them much more finely — the property
+    * that makes m = 4..8 usable at real recall (spec-asserted:
+    * residual-PQ recall ≥ plain-PQ recall at equal m on clustered
+    * data). At query time each query builds a LUT per PROBED CELL from
+    * its own residual against that cell's centroid; candidates in that
+    * cell rank by the integer ADC sum over their stored codes.
+    *
+    * Determinism contract (family conventions): residual components
+    * round to 6dp after the subtract (so the PQ stage sees identical
+    * values in both engines); encode argmin rounds d2 to 6dp with ties
+    * to the lowest code; LUT entries are integer micro-units, so ADC
+    * sums are order-free.
+    *
+    * The residual CODEBOOK cannot be the family's label-mean quantizer:
+    * residuals are zero-centered within their cell by construction, so
+    * every label's mean residual collapses toward the origin and the
+    * codebook degenerates (measured recall 0.15 — worse than plain PQ).
+    * Instead codewords are OCTANT-SIGN seeded means — code = the sign
+    * bits of the residual sub-vector's first three components (8
+    * geometric codes per sub-space), codeword = that octant's mean —
+    * a deterministic one-step structured quantizer that captures noise
+    * DIRECTION, which is exactly what within-cell ranking needs.
+    *
+    * Plan shape: residuals are one broadcast(cents) join + zip_with —
+    * no corpus shuffle; the codebook is an m×k×(dim/m) local relation;
+    * the corpus index carries (vec_id, cell, m codes) — the qe9
+    * geometry; the LUT is O(min(Q, cap) × nprobe × m × k) integer rows
+    * (capped by `querySample`, never corpus-proportional); the search
+    * is one per-partition top-k kernel pass over the codes index. */
+  def qe10IvfPqResidualTopk(spark: SparkSession, dir: String, k: Int = 5,
+                            m: Int = 4, nprobe: Int = 2,
+                            maxQ: Int = DefaultMaxQueries): DataFrame =
+    ivfPqResidualTopk(Tables(spark, dir, "embeddings"), k, m, nprobe, maxQ)
+
+  private[graft] def ivfPqResidualTopk(emb: DataFrame, k: Int, m: Int,
+                                       nprobe: Int, maxQ: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val subDim = pqSubDim(emb, m)
+    val cents = localCentroids(emb)
+    // (vec_id, cell, rv): residual against the assigned cell's centroid,
+    // 6dp per component — one broadcast join over the assigned corpus
+    val res = assignments(emb, cents)
+      .join(broadcast(cents), "cell")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        expr("zip_with(transform(v, x -> cast(x as double)), centroid," +
+          " (a, b) -> round(a - b, 6))").as("embedding"))
+    // residual codebook: octant-sign seeded means (see scaladoc) —
+    // 8 geometric codes per sub-space from the 6dp-rounded residual
+    // sub-vectors, so the seed decision is identical in both engines
+    val rsv = subVectors(res.select(col("vec_id"), col("embedding")), m, subDim)
+    val octant = (when(element_at(col("x"), 1) >= 0, 4).otherwise(0)
+      + when(element_at(col("x"), 2) >= 0, 2).otherwise(0)
+      + when(element_at(col("x"), 3) >= 0, 1).otherwise(0)).cast("int")
+    val rcbPlan = rsv.withColumn("code", octant)
+      .select(col("sub"), col("code"), posexplode(col("x")).as(Seq("dim", "xv")))
+      .groupBy("sub", "code", "dim")
+      .agg(avg(col("xv")).as("mv"))
+      .groupBy("sub", "code")
+      .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("ps"))
+      .select(col("sub"), col("code"),
+        expr("transform(ps, p -> p.mv)").as("cw"))
+    val rcb = spark.createDataFrame(
+      java.util.Arrays.asList(rcbPlan.collect(): _*), rcbPlan.schema)
+    // encode residuals against the frozen residual codebook — the qe8
+    // argmin shape (6dp round, ties to the lowest code)
+    val codes = pqCodes(res.select(col("vec_id"), col("embedding")), rcb, m, subDim)
+      .join(res.select(col("vec_id"), col("cell")), "vec_id")
+    // capped query sample, probed cells, and the per-(query, cell)
+    // residual LUT
+    val sample = querySample(emb, "vec_id % 25 = 0", maxQ)
+    val queries = sample
+      .select(col("vec_id").as("q_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("q_vec"))
+    val cellRank = Window.partitionBy("q_id")
+      .orderBy(col("qsim").desc, col("cell"))
+    val probed = queries.crossJoin(broadcast(cents))
+      .withColumn("qsim", round(cosine(col("q_vec"), col("centroid")), 6))
+      .withColumn("crk", row_number().over(cellRank))
+      .filter(col("crk") <= nprobe)
+      .select(col("q_id"), col("cell").cast("int").as("cell"),
+        expr("zip_with(q_vec, centroid, (a, b) -> round(a - b, 6))").as("qrv"))
+    val lutRows = probed
+      .select(col("q_id"), col("cell"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("qrv"))
+      .select(col("q_id"), col("cell"), col("sub"),
+        expr(s"slice(qrv, sub * $subDim + 1, $subDim)").as("x"))
+      .join(broadcast(rcb), Seq("sub"))
+      .select(col("q_id"), col("cell"), col("sub"), col("code"),
+        round((dot(col("x"), col("x")) - lit(2.0) * dot(col("x"), col("cw"))
+          + dot(col("cw"), col("cw"))) * 1e6).cast("long").as("d2us"))
+      .collect()
+    val kCodes = rcb.select(max(col("code"))).head.getInt(0) + 1
+    val qIds = lutRows.map(_.getLong(0)).distinct.sorted
+    val qIdx = qIds.zipWithIndex.toMap
+    // (qi, cell) -> m×kCodes integer LUT row; a candidate whose cell has
+    // no entry for a query is outside that query's probed cells — the
+    // lookup IS the cell restriction
+    val lutMap = new java.util.HashMap[Long, Array[Long]]()
+    lutRows.foreach { r =>
+      val key = qIdx(r.getLong(0)).toLong << 32 | (r.getInt(1).toLong & 0xffffffffL)
+      var row = lutMap.get(key)
+      if (row == null) { row = new Array[Long](m * kCodes); lutMap.put(key, row) }
+      row(r.getInt(2) * kCodes + r.getInt(3)) = r.getLong(4)
+    }
+    val bc = spark.sparkContext.broadcast((qIds, lutMap))
+    val keyed = codes.select(col("vec_id"), col("codes"), col("cell"))
+      .as[(Long, Seq[Int], Int)]
+    val perPart = keyed.mapPartitions { it =>
+      val (qs, lm) = bc.value
+      val nq = qs.length
+      val heapA = Array.fill(nq)(new Array[Long](k))
+      val heapC = Array.fill(nq)(new Array[Long](k))
+      val sizes = new Array[Int](nq)
+      it.foreach { case (vid, cs, cell) =>
+        var qi = 0
+        while (qi < nq) {
+          if (qs(qi) != vid) {
+            val row = lm.get(qi.toLong << 32 | (cell.toLong & 0xffffffffL))
+            if (row != null) {
+              var adc = 0L
+              var s = 0
+              while (s < m) { adc += row(s * kCodes + cs(s)); s += 1 }
+              val n = sizes(qi)
+              val a = heapA(qi); val c = heapC(qi)
+              if (n < k || adc < a(n - 1) || (adc == a(n - 1) && vid < c(n - 1))) {
+                var p = math.min(n, k - 1)
+                while (p > 0 && (a(p - 1) > adc || (a(p - 1) == adc && c(p - 1) > vid))) {
+                  a(p) = a(p - 1); c(p) = c(p - 1); p -= 1
+                }
+                a(p) = adc; c(p) = vid
+                if (n < k) sizes(qi) = n + 1
+              }
+            }
+          }
+          qi += 1
+        }
+      }
+      (0 until nq).iterator.flatMap { qi =>
+        (0 until sizes(qi)).iterator.map(p => (qs(qi), heapC(qi)(p), heapA(qi)(p)))
+      }
+    }.toDF("q_id", "cand_id", "adc_us")
+    perPart
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc_us"), col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("adc_us"))
+      .orderBy("q_id", "rank")
+  }
+
   /** dim/m with the divisibility check — one place for both forms. */
   private[graft] def pqSubDim(emb: DataFrame, m: Int): Int = {
     val dim = emb.select(size(col("embedding"))).head.getInt(0)

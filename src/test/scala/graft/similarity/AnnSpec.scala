@@ -217,6 +217,49 @@ class AnnSpec extends AnyFunSuite {
     assert(capped == full.filter(t => cappedIds.contains(t._1)))
   }
 
+  test("residual PQ beats plain PQ recall at equal m on clustered data") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("qe10").toString
+    clustered().write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    // exact cosine ground truth for the capped %25 query sample
+    val rows = clustered().collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val byId = rows.toMap
+    val qIds = rows.map(_._1).filter(_ % 25 == 0).sorted
+    val brute = bruteForce(rows, qIds, 5)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      brute.intersect(got).size.toDouble / brute.size
+    }
+    // full probe on both sides so the comparison isolates the ENCODING:
+    // plain PQ of raw vectors vs PQ of residuals, same m, same codebook
+    // budget (8 label-mean codes per sub-space)
+    val plain = recallOf(Ann.qe8PqTopk(spark, tmp, k = 5, m = 4))
+    val resid = recallOf(Ann.qe10IvfPqResidualTopk(spark, tmp, k = 5, m = 4,
+      nprobe = 8))
+    assert(resid >= plain,
+      s"residual PQ recall $resid below plain PQ $plain — Jégou §IV-A inverted")
+    // residuals quantize far more finely than raw vectors on clustered
+    // data (plain PQ gives every same-cluster member the same code, so
+    // its within-cluster ranking is noise): the gap must be real, not a
+    // tie. Measured: plain 0.154, residual 0.462 — a 3× gap.
+    assert(resid >= 2.5 * plain,
+      s"residual PQ recall $resid not clearly above plain $plain")
+    assert(resid >= 0.4, s"residual PQ recall too low on clustered data: $resid")
+    // and the low-probe form still restricts candidates to probed cells
+    val cellOf = Ann.assignments(
+        spark.read.parquet(s"$tmp/embeddings.parquet"),
+        Ann.localCentroids(spark.read.parquet(s"$tmp/embeddings.parquet")))
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val low = Ann.qe10IvfPqResidualTopk(spark, tmp, k = 5, m = 4, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    low.foreach { case (q, cand) =>
+      assert(cellOf(cand) == cellOf(q),
+        s"nprobe=1 candidate $cand outside query $q's own best cell")
+    }
+  }
+
   test("IVF-PQ composition restricts ADC ranking to the probed cells") {
     import org.apache.spark.sql.functions._
     val dir = SparkTestSession.sfDir
