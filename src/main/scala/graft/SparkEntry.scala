@@ -162,6 +162,8 @@ object SparkEntry {
     "qe9_ivfpq_topk"       -> ((s, d) => Ann.qe9IvfPqTopk(s, d)),
     // IVF-PQ with residual encoding (the FAISS IVFPQ, Jégou §IV-A)
     "qe10_ivfpq_residual"  -> ((s, d) => Ann.qe10IvfPqResidualTopk(s, d)),
+    // qe9's arrival-time form: cell-partitioned append-only codes index
+    "qs20_stream_ivfpq"    -> (graft.streaming.PqStream.qs20StreamIvfPq _),
   )
 
   /** Benchmark-only queries: measured by `graft.Bench` but NOT part of
@@ -489,6 +491,89 @@ object SparkEntry {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+
+  /** qe9 / qs20 shared oracle: IVF probe CTEs restricting the integer
+    * ADC ranking to each query's nprobe=2 cells (the streaming form
+    * ingests into a cell-partitioned codes index and folds to the
+    * identical ranking — divergence fails the gate). */
+  private val ivfPqSql: String =
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |), sv AS (
+        |  SELECT vec_id, s.sub,
+        |    list_transform(range(s.sub * 16 + 1, s.sub * 16 + 17),
+        |      j -> v[j::INT]) AS x
+        |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s
+        |), comp AS (
+        |  SELECT ((i - 1) // 16)::INT AS sub, label AS code, i AS dim,
+        |    avg(v[i::INT]) AS m
+        |  FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
+        |  GROUP BY 1, 2, 3
+        |), cb AS (
+        |  SELECT sub, code, list(m ORDER BY dim) AS cw FROM comp
+        |  GROUP BY sub, code
+        |), cand AS (
+        |  SELECT sv.vec_id, sv.sub, cb.code,
+        |    list_inner_product(sv.x, sv.x) - 2 * list_inner_product(sv.x, cb.cw)
+        |      + list_inner_product(cb.cw, cb.cw) AS d2
+        |  FROM sv JOIN cb USING (sub)
+        |), codes AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |      row_number() OVER (PARTITION BY vec_id, sub
+        |        ORDER BY round(d2, 6), code) AS rk
+        |    FROM cand
+        |  ) WHERE rk = 1
+        |), qsel AS (
+        |  SELECT vec_id FROM e WHERE vec_id % 25 = 0
+        |  ORDER BY (vec_id * 1000003) % 999983, vec_id LIMIT 1024
+        |), lut AS (
+        |  SELECT c.vec_id AS q_id, c.sub, c.code,
+        |    CAST(round(c.d2 * 1e6) AS BIGINT) AS d2us
+        |  FROM cand c JOIN qsel USING (vec_id)
+        |), cents AS (
+        |  SELECT cell, list(m ORDER BY dim) AS centroid FROM (
+        |    SELECT label AS cell, i AS dim, avg(v[i::INT]) AS m
+        |    FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
+        |    GROUP BY 1, 2
+        |  ) GROUP BY cell
+        |), assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_inner_product(e.v, c.centroid)
+        |          / (sqrt(list_inner_product(e.v, e.v))
+        |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
+        |        c.cell) AS rk
+        |    FROM e CROSS JOIN cents c
+        |  ) WHERE rk = 1
+        |), q AS (
+        |  SELECT vec_id AS q_id, v AS q_vec FROM e JOIN qsel USING (vec_id)
+        |), probed AS (
+        |  SELECT q_id, cell FROM (
+        |    SELECT q.q_id, c.cell,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        round(list_inner_product(q.q_vec, c.centroid)
+        |          / (sqrt(list_inner_product(q.q_vec, q.q_vec))
+        |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
+        |        c.cell) AS crk
+        |    FROM q CROSS JOIN cents c
+        |  ) WHERE crk <= 2
+        |), adc AS (
+        |  SELECT l.q_id, co.vec_id AS cand_id, sum(l.d2us)::BIGINT AS adc_us
+        |  FROM codes co
+        |  JOIN assign a ON a.vec_id = co.vec_id
+        |  JOIN probed p ON p.cell = a.cell
+        |  JOIN lut l ON l.q_id = p.q_id AND l.sub = co.sub AND l.code = co.code
+        |  WHERE co.vec_id <> l.q_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT q_id, rank, cand_id, adc_us FROM (
+        |  SELECT q_id, cand_id, adc_us,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY adc_us, cand_id) AS rank
+        |  FROM adc
+        |) WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin
   private val dsirSql: String =
     """WITH t AS (
       |  SELECT doc_id,
@@ -1934,84 +2019,10 @@ object SparkEntry {
     "qe8_pq_topk" -> pqSql,
     // IVF-PQ composition: qs12's probe CTEs restrict qe8's integer ADC
     // ranking to each query's nprobe=2 cells
-    "qe9_ivfpq_topk" ->
-      """WITH e AS (
-        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-        |), sv AS (
-        |  SELECT vec_id, s.sub,
-        |    list_transform(range(s.sub * 16 + 1, s.sub * 16 + 17),
-        |      j -> v[j::INT]) AS x
-        |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s
-        |), comp AS (
-        |  SELECT ((i - 1) // 16)::INT AS sub, label AS code, i AS dim,
-        |    avg(v[i::INT]) AS m
-        |  FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
-        |  GROUP BY 1, 2, 3
-        |), cb AS (
-        |  SELECT sub, code, list(m ORDER BY dim) AS cw FROM comp
-        |  GROUP BY sub, code
-        |), cand AS (
-        |  SELECT sv.vec_id, sv.sub, cb.code,
-        |    list_inner_product(sv.x, sv.x) - 2 * list_inner_product(sv.x, cb.cw)
-        |      + list_inner_product(cb.cw, cb.cw) AS d2
-        |  FROM sv JOIN cb USING (sub)
-        |), codes AS (
-        |  SELECT vec_id, sub, code FROM (
-        |    SELECT vec_id, sub, code,
-        |      row_number() OVER (PARTITION BY vec_id, sub
-        |        ORDER BY round(d2, 6), code) AS rk
-        |    FROM cand
-        |  ) WHERE rk = 1
-        |), qsel AS (
-        |  SELECT vec_id FROM e WHERE vec_id % 25 = 0
-        |  ORDER BY (vec_id * 1000003) % 999983, vec_id LIMIT 1024
-        |), lut AS (
-        |  SELECT c.vec_id AS q_id, c.sub, c.code,
-        |    CAST(round(c.d2 * 1e6) AS BIGINT) AS d2us
-        |  FROM cand c JOIN qsel USING (vec_id)
-        |), cents AS (
-        |  SELECT cell, list(m ORDER BY dim) AS centroid FROM (
-        |    SELECT label AS cell, i AS dim, avg(v[i::INT]) AS m
-        |    FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
-        |    GROUP BY 1, 2
-        |  ) GROUP BY cell
-        |), assign AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT e.vec_id, c.cell,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        round(list_inner_product(e.v, c.centroid)
-        |          / (sqrt(list_inner_product(e.v, e.v))
-        |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
-        |        c.cell) AS rk
-        |    FROM e CROSS JOIN cents c
-        |  ) WHERE rk = 1
-        |), q AS (
-        |  SELECT vec_id AS q_id, v AS q_vec FROM e JOIN qsel USING (vec_id)
-        |), probed AS (
-        |  SELECT q_id, cell FROM (
-        |    SELECT q.q_id, c.cell,
-        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
-        |        round(list_inner_product(q.q_vec, c.centroid)
-        |          / (sqrt(list_inner_product(q.q_vec, q.q_vec))
-        |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
-        |        c.cell) AS crk
-        |    FROM q CROSS JOIN cents c
-        |  ) WHERE crk <= 2
-        |), adc AS (
-        |  SELECT l.q_id, co.vec_id AS cand_id, sum(l.d2us)::BIGINT AS adc_us
-        |  FROM codes co
-        |  JOIN assign a ON a.vec_id = co.vec_id
-        |  JOIN probed p ON p.cell = a.cell
-        |  JOIN lut l ON l.q_id = p.q_id AND l.sub = co.sub AND l.code = co.code
-        |  WHERE co.vec_id <> l.q_id
-        |  GROUP BY 1, 2
-        |)
-        |SELECT q_id, rank, cand_id, adc_us FROM (
-        |  SELECT q_id, cand_id, adc_us,
-        |    row_number() OVER (PARTITION BY q_id ORDER BY adc_us, cand_id) AS rank
-        |  FROM adc
-        |) WHERE rank <= 5
-        |ORDER BY q_id, rank""".stripMargin,
+    "qe9_ivfpq_topk" -> ivfPqSql,
+    // streaming ingest into the CELL-PARTITIONED codes index folds to
+    // the identical ranking (one SQL text serves both keys)
+    "qs20_stream_ivfpq" -> ivfPqSql,
     // streaming incremental form: per-batch frozen-codebook encode into
     // an append-only codes index folds to the identical ranking (one SQL
     // text serves both keys — divergence fails the gate)

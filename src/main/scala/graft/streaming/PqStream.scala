@@ -84,6 +84,112 @@ object PqStream {
       state.read(spark, "codes"), k, m, subDim)
   }
 
+  /** Streaming IVF-PQ ingestion — the production vector-store WRITE
+    * PATH (qe9's arrival-time form): embedding batches stream in, each
+    * micro-batch encodes its own rows against the FROZEN PQ codebook
+    * and assigns them to their coarse cell against the FROZEN centroid
+    * table (both are model state, trained once over the lake — the
+    * SemDedupStream quantizer contract), then appends (vec_id, codes)
+    * into a codes index PARTITIONED BY CELL on disk. A snapshot search
+    * ranks by integer ADC within each query's nprobe probed cells and
+    * returns byte-identical rows to qe9 over the same corpus.
+    *
+    * The cell-partitioned layout is the point: the probed cells are
+    * already driver-resident (the capped query sample's probe ranking
+    * builds them), so the snapshot read prunes the index scan to the
+    * UNION of probed cells with a static partition filter — the scan
+    * physically reads nprobe-of-k cells' files (spec-asserted on the
+    * executed plan), which is what makes a low-probe search on a
+    * 100 TB store read gigabytes, not the store. (qs14 demonstrates
+    * the DYNAMIC variant of the same pruning, where the probe set
+    * stays distributed.)
+    *
+    * Idempotent replay without a fold: each batch writes its rows via
+    * DYNAMIC partition overwrite under (b = batchId, cell = …), so a
+    * batch replayed from the at-least-once window overwrites exactly
+    * its own partitions — a double append would duplicate candidates
+    * and corrupt every ADC ranking the duplicated vectors appear in,
+    * which the shared qe9 oracle would catch. The `b` partition column
+    * doubles as the batch audit trail; compaction (folding b=* within
+    * a cell) is deliberately left to a batch rebuild, as a production
+    * vector store does. */
+  def streamIvfPqTopk(spark: SparkSession, stagedDir: String, cb: DataFrame,
+                      cents: DataFrame, m: Int, subDim: Int, k: Int = 5,
+                      nprobe: Int = 2, pred: String = "vec_id % 25 = 0",
+                      maxQ: Int = Ann.DefaultMaxQueries,
+                      maxFilesPerTrigger: Int = 1,
+                      workDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.VectorOps.cosine
+    val work = workDir match {
+      case Some(w) =>
+        Files.createDirectories(java.nio.file.Paths.get(w)); w
+      case None =>
+        val t = Files.createTempDirectory("graft_sivfpq").toString
+        Replay.cleanupAtExit(t)
+        t
+    }
+    val idx = s"$work/codes"
+    val q = spark.readStream.schema(embStreamSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(stagedDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cells = Ann.assignments(
+            batch.withColumn("label", lit(0)), cents)
+          .select(col("vec_id"), col("cell").cast("int").as("cell"))
+        Ann.pqCodes(batch, cb, m, subDim)
+          .join(cells, "vec_id")
+          .withColumn("b", lit(batchId))
+          .repartition(col("cell")) // one file per (batch, cell)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("b", "cell")
+          .parquet(idx)
+        Replay.maybePoison(batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val lake = spark.read.schema(embStreamSchema).parquet(stagedDir)
+    val sample = Ann.querySample(lake, pred, maxQ)
+    val queries = sample
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val cellRank = Window.partitionBy("q_id")
+      .orderBy(col("qsim").desc, col("cell"))
+    val probedRows = queries.crossJoin(broadcast(cents))
+      .withColumn("qsim", round(cosine(col("q_vec"), col("centroid")), 6))
+      .withColumn("crk", row_number().over(cellRank))
+      .filter(col("crk") <= nprobe)
+      .select(col("q_id"), col("cell").cast("int").as("cell"))
+    val collected = probedRows.collect()
+    val probedCells = collected.map(_.getInt(1)).distinct.sorted
+    // static partition pruning: the scan reads ONLY the probed cells'
+    // directories of the index (the probe set is driver-resident by
+    // construction — cap × nprobe rows — so no runtime subquery needed)
+    val codes = spark.read.parquet(idx)
+      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+      .select(col("vec_id"), col("codes"), col("cell").cast("int").as("cell"))
+    val probedLocal = spark.createDataFrame(
+      java.util.Arrays.asList(collected: _*), probedRows.schema)
+    Ann.adcTopk(sample, cb, codes, k, m, subDim, probed = Some(probedLocal))
+  }
+
+  /** qs20 entry: streaming IVF-PQ over the two-file embeddings lake
+    * (shared with qs18), frozen codebook + centroids from the lake;
+    * shares qe9's oracle SQL verbatim across the batch boundary. */
+  def qs20StreamIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val staged = stagedPqLake(spark, dir, emb)
+    val m = 4
+    val subDim = Ann.pqSubDim(emb, m)
+    val cb = Ann.pqCodebook(emb, m, subDim)
+    val cents = Ann.localCentroids(emb)
+    streamIvfPqTopk(spark, staged, cb, cents, m, subDim)
+  }
+
   /** qs18 entry: the embeddings lake staged as two vec_id-range files
     * (contents-memoized like the qs10/qs16/qs17 lakes), so the
     * oracle-checked run crosses a batch boundary — the ranking folds
@@ -91,7 +197,19 @@ object PqStream {
     * batch would corrupt. Shares qe8's oracle SQL verbatim. */
   def qs18StreamPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
-    val staged = Replay.stagedLakes.computeIfAbsent(
+    val staged = stagedPqLake(spark, dir, emb)
+    val m = 4
+    val subDim = Ann.pqSubDim(emb, m)
+    val cb = Ann.pqCodebook(emb, m, subDim)
+    streamPqTopk(spark, staged, cb, m, subDim)
+  }
+
+  /** Two-file vec_id-range staging of the embeddings lake, contents-
+    * memoized and shared by qs18/qs20 so both streams cross the same
+    * batch boundary. */
+  private def stagedPqLake(spark: SparkSession, dir: String,
+                           emb: DataFrame): String =
+    Replay.stagedLakes.computeIfAbsent(
       "pq|" + Tables.contentKey(s"$dir/embeddings.parquet"), _ => {
         val t = Files.createTempDirectory("graft_pq_lake").toString
         Replay.cleanupAtExit(t)
@@ -100,9 +218,4 @@ object PqStream {
           .write.mode("overwrite").parquet(t)
         t
       })
-    val m = 4
-    val subDim = Ann.pqSubDim(emb, m)
-    val cb = Ann.pqCodebook(emb, m, subDim)
-    streamPqTopk(spark, staged, cb, m, subDim)
-  }
 }

@@ -279,6 +279,70 @@ class RestartSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streamIvfPq killed mid-run resumes, matches qe9, and prunes the index scan") {
+    // kill in the at-least-once window: the replayed batch must land on
+    // its own (b, cell) partitions via dynamic overwrite — a double
+    // append duplicates candidates and corrupts the ADC ranking, which
+    // exact equality with the batch qe9 operator catches
+    val emb = Tables(spark, SparkTestSession.sfDir, "embeddings")
+    val lake = Files.createTempDirectory("graft_restart_ivfpq_lake").toString
+    Replay.cleanupAtExit(lake)
+    emb.select(col("vec_id"), col("embedding"))
+      .repartitionByRange(4, col("vec_id"))
+      .write.mode("overwrite").parquet(lake)
+    val m = 4
+    val subDim = graft.similarity.Ann.pqSubDim(emb, m)
+    val cb = graft.similarity.Ann.pqCodebook(emb, m, subDim)
+    val cents = graft.similarity.Ann.localCentroids(emb)
+    val w = work("graft_restart_ivfpq")
+    Replay.poisonAfterBatch = 1L
+    intercept[Exception] {
+      PqStream.streamIvfPqTopk(spark, lake, cb, cents, m, subDim,
+        workDir = Some(w))
+    }
+    assert(Replay.poisonAfterBatch == -1L, "poison should have fired")
+    val frame = PqStream.streamIvfPqTopk(spark, lake, cb, cents, m, subDim,
+      workDir = Some(w))
+    val streamed = frame.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val batch = graft.similarity.Ann.qe9IvfPqTopk(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+    // the snapshot search must PRUNE the cell-partitioned index scan to
+    // the probed cells — the physical proof the store layout pays off.
+    // The full %25 sample's probed-cell union covers all 10 cells on
+    // this isotropic corpus, so pruning is asserted on a single-query
+    // snapshot (stream already ingested; AvailableNow over the same
+    // checkpoint adds no batches): 1 query × nprobe=2 → 2 cells of 10.
+    val frame1 = PqStream.streamIvfPqTopk(spark, lake, cb, cents, m, subDim,
+      workDir = Some(w), pred = "vec_id = 0")
+    frame1.collect()
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flatten(q.plan)
+        case _ => p.children.flatMap(flatten)
+      }
+      p +: inner
+    }
+    val scans = flatten(frame1.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.partitionSchema.fieldNames.contains("cell") => s
+    }
+    assert(scans.nonEmpty, s"no cell-partitioned index scan:\n${frame1.queryExecution.executedPlan}")
+    val pruned = scans.head
+    assert(pruned.partitionFilters.exists(_.references.exists(_.name == "cell")),
+      s"no cell partition filter on the index scan: ${pruned.partitionFilters}")
+    // nprobe=2 of 10 cells over a capped sample: the scan must touch a
+    // strict subset of the store's (b, cell) leaf partitions
+    val readParts = pruned.selectedPartitions.partitionCount
+    val allParts = spark.read.parquet(s"$w/codes")
+      .select("b", "cell").distinct().count()
+    assert(readParts > 0 && readParts < allParts,
+      s"scan read $readParts of $allParts leaf partitions — no pruning")
+  }
+
   test("streamUpsert killed mid-run resumes and matches the batch latest-wins") {
     // the reference's core K2 semantics (every S3 PUT re-fires the
     // upsert): kill in the at-least-once window, restart over the same
