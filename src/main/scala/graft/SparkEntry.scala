@@ -101,6 +101,9 @@ object SparkEntry {
     "qd30_domain_drift"    -> ((s, d) => TextOps.qd30DomainDrift(s, d)),
     // qd30's arrival-time form: per-batch count-monoid deltas
     "qs19_stream_drift"    -> (Replay.qs19StreamDrift _),
+    // per-arrival-window drift alarms (window-vs-lifetime JS per source)
+    "qd31_windowed_drift"  -> ((s, d) => TextOps.qd31WindowedDrift(s, d)),
+    "qs21_stream_wdrift"   -> (Replay.qs21StreamWindowedDrift _),
     // encode the corpus under the induced subword vocabulary
     "qd29_bpe_encode"      -> ((s, d) => TextOps.qd29BpeEncode(s, d)),
     "q36_approx_percentile" -> (Advanced.q36ApproxPercentile _),
@@ -378,6 +381,49 @@ object SparkEntry {
         |FROM j GROUP BY source, ns
         |ORDER BY source""".stripMargin
 
+  private val windowedDriftSql: String =
+    """WITH swb AS (
+        |  SELECT source, (doc_id // 250) AS w,
+        |    (md5_number_lower('drift:' || term) % 1024)::INT AS bucket,
+        |    count(*) AS c
+        |  FROM (
+        |    SELECT source, doc_id,
+        |      unnest(string_split_regex(trim(text), '\s+')) AS term
+        |    FROM documents
+        |  ) WHERE term <> ''
+        |  GROUP BY 1, 2, 3
+        |), bysb AS (
+        |  SELECT source, bucket, sum(c)::BIGINT AS cs FROM swb GROUP BY 1, 2
+        |), bys AS (
+        |  SELECT source, sum(c)::BIGINT AS ns FROM swb GROUP BY 1
+        |), bysw AS (
+        |  SELECT source, w, sum(c)::BIGINT AS nsw FROM swb GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT sb.source, sw.w, sb.cs, sw.nsw, s.ns,
+        |    coalesce(x.c, 0)::BIGINT AS c
+        |  FROM bysb sb
+        |  JOIN bysw sw ON sw.source = sb.source
+        |  JOIN bys s ON s.source = sb.source
+        |  LEFT JOIN swb x ON x.source = sb.source AND x.w = sw.w
+        |    AND x.bucket = sb.bucket
+        |), j AS (
+        |  SELECT source, w, nsw,
+        |    CAST(round((0.5 * p * ln(p / mid) + 0.5 * q * ln(q / mid)) * 1e9)
+        |      AS BIGINT) AS js_nanos
+        |  FROM (
+        |    SELECT source, w, nsw,
+        |      (c + 1)::DOUBLE / (nsw + 1024) AS p,
+        |      (cs + 1)::DOUBLE / (ns + 1024) AS q,
+        |      ((c + 1)::DOUBLE / (nsw + 1024)
+        |        + (cs + 1)::DOUBLE / (ns + 1024)) / 2 AS mid
+        |    FROM grid
+        |  )
+        |)
+        |SELECT source, w, nsw AS n_tokens, sum(js_nanos)::BIGINT AS js_nanos,
+        |  round(sum(js_nanos)::BIGINT / 1e9, 6) AS js
+        |FROM j GROUP BY source, w, nsw
+        |ORDER BY source, w""".stripMargin
+
   private val pqSql: String =
     """WITH e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
@@ -605,6 +651,23 @@ object SparkEntry {
       |WHERE NOT is_t
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
+
+  /** qs17's oracle: identical model CTEs to dsirSql, but the score is
+    * the stream's weighted mean over the per-doc bucket HISTOGRAM
+    * (Σ n·logratio / Σ n) instead of the per-instance avg, so both
+    * engines sum the same terms (ADVICE r8). */
+  private val dsirWeightedSql: String = {
+    val head = dsirSql.substring(0, dsirSql.indexOf("SELECT doc_id, count(*)"))
+    head +
+      """SELECT doc_id, sum(n)::BIGINT AS n_bigrams,
+        |  round(sum(n * logratio) / sum(n), 6) AS dsir_logratio
+        |FROM (
+        |  SELECT doc_id, bucket, count(*) AS n
+        |  FROM bi WHERE NOT is_t GROUP BY 1, 2
+        |) f JOIN lr USING (bucket)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+  }
 
   /** The qd23/qs16 shared oracle (the streaming form converges to the
     * same mark set, so one SQL text serves both keys — divergence would
@@ -1125,14 +1188,28 @@ object SparkEntry {
     // keys — divergence fails the gate)
     "qs19_stream_drift" -> driftSql,
 
+    // Windowed drift alarms: JS divergence of each (source, window =
+    // doc_id // 250) hashed-unigram distribution against the source's
+    // LIFETIME distribution, add-one smoothing both sides, integer
+    // nano-nat contributions. Streaming form folds per-batch
+    // (source, w, bucket) deltas to the identical report.
+    "qd31_windowed_drift" -> windowedDriftSql,
+    "qs21_stream_wdrift" -> windowedDriftSql,
+
     // DSIR importance weights: hashed-bigram (B = 1024) target/raw
     // bucket models, add-one smoothing, per-raw-doc mean log ratio.
     // Target sample = md5_number_lower('dsir:'||doc_id) % 20 = 0.
     "qd26_dsir_weights" -> dsirSql,
     // streaming incremental form: per-batch bucket-count monoid deltas +
-    // per-doc bucket histograms fold to the identical model and scores
-    // (one SQL text serves both keys — divergence fails the gate)
-    "qs17_stream_dsir" -> dsirSql,
+    // per-doc bucket histograms fold to the identical model and scores.
+    // The SQL mirrors the stream's WEIGHTED-MEAN form — Σ n·logratio /
+    // Σ n over the per-doc bucket histogram — rather than qd26's
+    // per-instance avg: the two are the same real number, but their
+    // double summation shapes differ, and a .xxxxxx5 boundary could
+    // land the 6dp roundings apart (ADVICE r8). Mirroring the
+    // histogram-weighted form makes the oracle's terms identical to
+    // the engine's, leaving only commutative-reorder ULPs.
+    "qs17_stream_dsir" -> dsirWeightedSql,
 
     "qd25_hash_split" ->
       """WITH b AS (

@@ -1286,6 +1286,71 @@ object TextOps {
   def qd30DomainDrift(spark: SparkSession, dir: String, buckets: Int = 1024): DataFrame =
     driftReport(driftBucketed(docs(spark, dir), buckets), buckets)
 
+  /** qd31: per-arrival-window drift ALARMS — the form a monitor
+    * actually pages on. qd30 answers "which source is atypical over
+    * the corpus lifetime"; a monitor needs "did source S's content
+    * SHIFT in the latest arrival window". For each (source, window) —
+    * window = doc_id div `span`, the arrival proxy on the
+    * doc_id-ranged lake, deterministic under replay where a wall-clock
+    * window would not be — report the JS divergence between that
+    * window's hashed unigram distribution and the SOURCE'S LIFETIME
+    * distribution (add-one smoothing over the B buckets on both
+    * sides). A window whose content matches its source's history
+    * scores near 0; a shifted window scores high — the alarm
+    * threshold is the consumer's choice.
+    *
+    * Determinism and scale shape inherited from qd30: integer
+    * nano-nat contributions (order-free sums), ONE corpus-width
+    * groupBy((source, window, bucket)), everything downstream bounded
+    * by B × n_sources × n_windows. */
+  def qd31WindowedDrift(spark: SparkSession, dir: String, buckets: Int = 1024,
+                        span: Long = 250L): DataFrame =
+    windowedDriftReport(
+      windowedDriftBucketed(docs(spark, dir), buckets, span), buckets)
+
+  /** The (source, w, bucket, c) counts — qd31's only corpus-width
+    * stage, shared with the streaming form (qs21: sum monoid). */
+  private[graft] def windowedDriftBucketed(docsDf: DataFrame, buckets: Int,
+                                           span: Long): DataFrame = {
+    require(65536 % buckets == 0,
+      s"buckets ($buckets) must divide 2^16: the bucket is computed from the"
+        + " two low little-endian md5 bytes, exact only when 2^16 = 0 mod B")
+    val hex = md5(concat(lit("drift:"), col("term")))
+    val bucketCol = (conv(substring(hex, 17, 2), 16, 10).cast("int")
+      + conv(substring(hex, 19, 2), 16, 10).cast("int") * 256) % buckets
+    docsDf
+      .select(col("source"), expr(s"doc_id div $span").as("w"),
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("source"), col("w"), bucketCol.cast("int").as("bucket"))
+      .groupBy("source", "w", "bucket").agg(count(lit(1)).as("c"))
+  }
+
+  /** The windowed JS report over a (source, w, bucket, c) count table —
+    * bounded by B × n_sources × n_windows after the first shuffle. */
+  private[graft] def windowedDriftReport(swb: DataFrame, buckets: Int): DataFrame = {
+    val bySB = swb.groupBy("source", "bucket").agg(sum("c").as("cs"))
+    val byS = swb.groupBy("source").agg(sum("c").as("ns"))
+    val bySW = swb.groupBy("source", "w").agg(sum("c").as("nsw"))
+    val grid = bySB.join(bySW, Seq("source"))
+      .join(swb, Seq("source", "w", "bucket"), "left")
+      .join(byS, Seq("source"))
+      .select(col("source"), col("w"), col("cs"), col("nsw"), col("ns"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val p = (col("c") + 1).cast("double") / (col("nsw") + buckets)
+    val q = (col("cs") + 1).cast("double") / (col("ns") + buckets)
+    val mid = (p + q) / 2.0
+    val contrib = lit(0.5) * p * log(p / mid) + lit(0.5) * q * log(q / mid)
+    grid
+      .select(col("source"), col("w"), col("nsw"),
+        round(contrib * 1e9).cast("long").as("js_nanos"))
+      .groupBy("source", "w", "nsw")
+      .agg(sum("js_nanos").as("js_nanos"))
+      .select(col("source"), col("w"), col("nsw").as("n_tokens"),
+        col("js_nanos"), round(col("js_nanos") / 1e9, 6).as("js"))
+      .orderBy("source", "w")
+  }
+
   /** The (source, bucket, c) hashed-unigram counts of a documents frame
     * — qd30's only corpus-width stage, shared with the streaming form
     * (qs19: counts are sum monoids, so per-batch deltas fold to the

@@ -597,8 +597,11 @@ object Replay {
   /** qs19 entry: the same two-id-range-file staging as qs10/qs16/qs17
     * (shared per-contents memo), so the oracle-checked run folds count
     * deltas from BOTH batches. Shares qd30's oracle SQL verbatim. */
-  def qs19StreamDrift(spark: SparkSession, dir: String): DataFrame = {
-    val staged = stagedLakes.computeIfAbsent(
+  def qs19StreamDrift(spark: SparkSession, dir: String): DataFrame =
+    streamDrift(spark, stagedDocsLake(spark, dir))
+
+  private def stagedDocsLake(spark: SparkSession, dir: String): String =
+    stagedLakes.computeIfAbsent(
       graft.Tables.contentKey(s"$dir/documents.parquet"), _ => {
         val t = Files.createTempDirectory("graft_sdedup_lake").toString
         cleanupAtExit(t)
@@ -607,8 +610,58 @@ object Replay {
           .write.mode("overwrite").parquet(t)
         t
       })
-    streamDrift(spark, staged)
+
+  /** Streaming WINDOWED drift alarms — qs21, the arrival-time form of
+    * qd31: per-batch (source, window, bucket) count deltas (window =
+    * doc_id div span, deterministic under replay where a wall-clock
+    * window would not be) fold into O(B × sources × windows) state;
+    * any snapshot read derives the exact per-(source, window)
+    * window-vs-lifetime JS report. Restart contract as the siblings:
+    * batch-keyed overwrites, `alreadyFolded` skip, kill-tested. */
+  def streamWindowedDrift(spark: SparkSession, dir: String,
+                          buckets: Int = 1024,
+                          span: Long = 250L,
+                          maxFilesPerTrigger: Int = 1,
+                          pathGlobFilter: String = "*.parquet",
+                          workDir: Option[String] = None,
+                          compactEvery: Int = 16): DataFrame = {
+    val work = resolveWork(workDir, "graft_swdrift")
+    val swbSchema = StructType(Seq(
+      StructField("source", StringType),
+      StructField("w", LongType),
+      StructField("bucket", IntegerType),
+      StructField("c", LongType)))
+    val state = new AppendOnlyState(work, Seq(("swb", swbSchema)), compactEvery,
+      folds = Map("swb" -> ((df: DataFrame) => df.groupBy("source", "w", "bucket")
+        .agg(sum("c").as("c")))))
+    val q = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", pathGlobFilter)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(dir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!state.alreadyFolded(batchId)) {
+          state.endBatch(batch.sparkSession, batchId,
+            "swb" -> graft.operators.TextOps.windowedDriftBucketed(
+              batch, buckets, span))
+        }
+        maybePoison(batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    graft.operators.TextOps.windowedDriftReport(
+      state.read(spark, "swb").groupBy("source", "w", "bucket")
+        .agg(sum("c").as("c")),
+      buckets)
   }
+
+  /** qs21 entry: windowed drift over the shared staged docs lake;
+    * shares qd31's oracle SQL verbatim across the batch boundary. */
+  def qs21StreamWindowedDrift(spark: SparkSession, dir: String): DataFrame =
+    streamWindowedDrift(spark, stagedDocsLake(spark, dir))
 
   /** Streaming incremental NEAR-duplicate detection — the arrival-time
     * form of qs1_minhash_neardup: documents stream in, each micro-batch

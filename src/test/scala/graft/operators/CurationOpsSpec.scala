@@ -504,6 +504,55 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.forall(_._3 >= 0L), "JS divergence must be non-negative")
   }
 
+  test("windowed drift report matches an independent window-vs-lifetime JS recompute") {
+    val B = 1024
+    val span = 250L
+    def bucket(t: String): Int =
+      java.lang.Long.remainderUnsigned(
+        graft.dedup.SimHash.md5Lower64String(s"drift:$t"), B.toLong).toInt
+    val counts = scala.collection.mutable.Map
+      .empty[(String, Long, Int), Long].withDefaultValue(0L)
+    graft.Tables(spark, dir, "documents")
+      .select("source", "doc_id", "text").collect()
+      .foreach { r =>
+        val w = r.getLong(1) / span
+        r.getString(2).trim.split("\\s+").filter(_.nonEmpty)
+          .foreach(t => counts((r.getString(0), w, bucket(t))) += 1L)
+      }
+    val expected = counts.keys.map(k => (k._1, k._2)).toSeq.distinct.sorted
+      .map { case (s, w) =>
+        // .toSeq first: collect on a Map would re-materialize a Map and
+        // silently drop duplicate bucket keys across windows
+        val lifetime = counts.toSeq.collect { case ((`s`, _, b), c) => b -> c }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        val winCounts = counts.toSeq
+          .collect { case ((`s`, `w`, b), c) => b -> c }.toMap
+        val ns = lifetime.values.sum
+        val nsw = winCounts.values.sum
+        val jsNanos = lifetime.keys.toSeq.map { b =>
+          val c = winCounts.getOrElse(b, 0L)
+          val p = (c + 1).toDouble / (nsw + B)
+          val q = (lifetime(b) + 1).toDouble / (ns + B)
+          val mid = (p + q) / 2
+          val contrib = 0.5 * p * math.log(p / mid) + 0.5 * q * math.log(q / mid)
+          BigDecimal(contrib * 1e9)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }.sum
+        (s, w, nsw, jsNanos,
+          BigDecimal(jsNanos / 1e9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    val got = TextOps.qd31WindowedDrift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected)
+    // a window matching its source's lifetime scores near zero; the
+    // report must still discriminate across (source, window) pairs
+    assert(got.map(_._4).distinct.size > 1, "constant JS — vacuous report")
+    assert(got.forall(_._4 >= 0L), "JS divergence must be non-negative")
+    // every source appears with every one of ITS windows
+    assert(got.map(t => (t._1, t._2)).distinct.size == got.size)
+  }
+
   test("DSIR weights match an independent recompute of the hashed-bigram model") {
     val B = 1024
     def h(s: String, m: Long): Long =

@@ -279,6 +279,30 @@ class RestartSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streamWindowedDrift killed mid-run resumes and matches the batch report") {
+    // same monoid-state contract as streamDrift, with the window id
+    // derived from doc_id — so a replayed batch lands its deltas on
+    // exactly the same (source, w, bucket) keys
+    val lake = docsLake()
+    val w = work("graft_restart_wdrift")
+    Replay.poisonAfterBatch = 1L
+    intercept[Exception] {
+      Replay.streamWindowedDrift(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w), compactEvery = 2)
+    }
+    assert(Replay.poisonAfterBatch == -1L, "poison should have fired")
+    val streamed = Replay.streamWindowedDrift(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w), compactEvery = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    val batch = graft.operators.TextOps
+      .qd31WindowedDrift(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streamIvfPq killed mid-run resumes, matches qe9, and prunes the index scan") {
     // kill in the at-least-once window: the replayed batch must land on
     // its own (b, cell) partitions via dynamic overwrite — a double
