@@ -130,6 +130,11 @@ object SparkEntry {
     "qs6_stream_hourly"    -> (Replay.streamHourlyRollup _),
     "qm1_multimodal_features" -> (Multimodal.featureRollup _),
     "qm2_media_byteclass"  -> (Multimodal.qm2MediaByteclass _),
+    // real MJPEG/AVI frame decode end to end; no SQL-expressible oracle
+    // (a JPEG codec) → deliberately absent from oracleSql, so the
+    // driver records its rows-only check; semantics spec-checked in
+    // MultimodalSpec
+    "qm3_video_frames"     -> (Multimodal.qm3VideoFrames _),
     "qs8_winnow_candidates" -> (graft.text.Fingerprint.fingerprintCandidates(_, _)),
     "qs9_srp_lsh_neardup"  -> (graft.similarity.SrpLsh.qs9NearDups _),
     "qs10_stream_dedup"    -> (Replay.qs10StreamDedup _),
