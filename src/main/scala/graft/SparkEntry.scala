@@ -2080,6 +2080,26 @@ object SparkEntry {
         |FROM (SELECT * FROM nv UNION ALL SELECT * FROM v UNION ALL SELECT * FROM v0) u
         |GROUP BY kind ORDER BY kind""".stripMargin,
 
+    // qm3: the video fixture is deterministic (2 + doc_id % 3 solid
+    // 32x24 frames painted from the doc's text bytes, MJPEG-in-AVI),
+    // so every output column is SQL-predictable — but on the Spark
+    // side each value comes out of the REAL RIFF walk + ImageIO JPEG
+    // decode, and luma_ok compares decoded mean luma per frame against
+    // the painted color's Rec.601 luma within LumaTol. The hash only
+    // matches when the codec round-trips: a broken container walk
+    // changes decoded_frames, a broken decode trips luma_ok or the
+    // geometry columns. (The codec itself is not SQL-expressible; its
+    // absolute outputs are golden-tested in MultimodalSpec.)
+    "qm3_video_frames" ->
+      """SELECT doc_id AS media_id,
+        |  (2 + doc_id % 3)::BIGINT AS header_frames,
+        |  (2 + doc_id % 3)::BIGINT AS decoded_frames,
+        |  '32x24' AS header_dims,
+        |  32::BIGINT AS frame_w, 24::BIGINT AS frame_h,
+        |  true AS luma_ok
+        |FROM documents WHERE doc_id % 3 = 1
+        |ORDER BY media_id""".stripMargin,
+
     // The REAL low-probe IVF configuration (nprobe = 2 of 10 cells):
     // every stage is deterministic — per-(cell,dim) label means, argmax
     // assignment and probe ranking over 6dp-ROUNDED centroid cosines

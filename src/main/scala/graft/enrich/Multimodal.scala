@@ -159,11 +159,17 @@ object Multimodal {
     * from the document's text bytes, JPEG-encoded by the real ImageIO
     * codec, wrapped by `VideoFrames.writeMjpegAvi`), and the query
     * decodes it back through the RIFF walk + per-frame JPEG decode and
-    * reports container-vs-decoded geometry plus pooled luma. No
-    * SQL-expressible oracle exists for a JPEG codec, so this entry
-    * rides the driver's rows-only check; the codec semantics are
-    * spec-checked (round-trip pixel fidelity, frame counts, header
-    * agreement) in MultimodalSpec.
+    * reports container-vs-decoded geometry plus a per-frame luma
+    * fidelity flag. A JPEG codec is not SQL-expressible, but every
+    * OUTPUT column is SQL-predictable from the fixture construction —
+    * frame count = 2 + doc_id % 3, geometry = 32x24, and `luma_ok`
+    * (decoded mean luma within `LumaTol` of the painted color's Rec.601
+    * luma, per frame) must be uniformly true — so the entry carries a
+    * full DuckDB oracle whose hash only matches when the real decode
+    * round-trips: a broken RIFF walk changes `decoded_frames`, a broken
+    * JPEG decode changes `frame_w/h` or trips `luma_ok`. Absolute luma
+    * values and payload sizes stay spec-checked (MultimodalSpec golden
+    * fixtures), not driver-checked.
     *
     * Plan shape: one narrow per-partition batch pass (encode + decode
     * are per-row kernels — the mapInPandas shape); no shuffle before
@@ -180,26 +186,42 @@ object Multimodal {
           val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           val nFrames = 2 + (id % 3).toInt
           val w = 32; val h = 24
-          val jpegs = (0 until nFrames).map { f =>
+          val colors = (0 until nFrames).map { f =>
             val off = (f * 3) % math.max(bytes.length - 3, 1)
-            val rgb = ((bytes(off) & 0xff) << 16) |
+            ((bytes(off) & 0xff) << 16) |
               ((bytes(off + 1) & 0xff) << 8) | (bytes(off + 2) & 0xff)
-            VideoFrames.jpegBytes(VideoFrames.solidFrame(w, h, rgb))
           }
+          val jpegs = colors.map(rgb =>
+            VideoFrames.jpegBytes(VideoFrames.solidFrame(w, h, rgb)))
           val avi = VideoFrames.writeMjpegAvi(jpegs, w, h)
           // decode back through the REAL path
           val (hw, hh, hn) = VideoFrames.header(avi)
           val frames = VideoFrames.decodeFrames(avi)
-          val luma = frames.map(VideoFrames.meanLuma).sum / frames.length
-          (id, avi.length.toLong, hn.toLong, frames.length.toLong,
-            s"${hw}x$hh", frames.head.getWidth.toLong,
-            frames.head.getHeight.toLong, math.round(luma))
+          // per-frame fidelity: decoded mean luma vs the painted
+          // color's exact Rec.601 luma, compared frame-by-frame so a
+          // frame-order bug can't cancel out in a pooled mean
+          val lumaOk = frames.zip(colors).forall { case (img, rgb) =>
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            val expected = (299L * r + 587L * g + 114L * b) / 1000L
+            math.abs(VideoFrames.meanLuma(img) - expected) <= LumaTol
+          }
+          (id, hn.toLong, frames.length.toLong, s"${hw}x$hh",
+            frames.head.getWidth.toLong, frames.head.getHeight.toLong,
+            lumaOk)
         }
       }
-      .toDF("media_id", "avi_bytes", "header_frames", "decoded_frames",
-        "header_dims", "frame_w", "frame_h", "mean_luma")
+      .toDF("media_id", "header_frames", "decoded_frames",
+        "header_dims", "frame_w", "frame_h", "luma_ok")
       .orderBy("media_id")
   }
+
+  /** Max |decoded − painted| mean-luma drift qm3 tolerates per frame.
+    * A solid frame survives baseline JPEG almost exactly (DC-only
+    * blocks; the error is DC quantization ± chroma rounding, ~1–2
+    * levels at ImageIO's default quality); 4.0 leaves headroom without
+    * ever passing a wrong frame (fixture colors differ by far more). */
+  val LumaTol = 4.0
 
   /** qm2: per-kind byte-class rollup with EXACT integer metrics — the
     * hard driver signal for the multimodal path (VERDICT r2 "Next round"

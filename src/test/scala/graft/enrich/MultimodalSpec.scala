@@ -68,13 +68,27 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Long]("decoded_frames") >= 2L)
       assert(r.getAs[String]("header_dims") == "32x24")
       assert(r.getAs[Long]("frame_w") == 32L && r.getAs[Long]("frame_h") == 24L)
-      assert(r.getAs[Long]("avi_bytes") > 0L)
-      val luma = r.getAs[Long]("mean_luma")
-      assert(luma >= 0L && luma <= 255L)
+      assert(r.getAs[Boolean]("luma_ok"),
+        s"media ${r.getLong(0)}: decoded luma drifted past LumaTol")
     }
-    // frames are painted from per-doc text bytes: luma must discriminate
-    assert(got.map(_.getAs[Long]("mean_luma")).distinct.length > 1,
-      "constant luma - the decode saw no per-document signal")
+  }
+
+  test("JPEG round-trip luma drift of solid frames stays inside LumaTol") {
+    // Measure the actual codec drift over a spread of colors (every
+    // channel pattern the fixture can paint), so LumaTol is a measured
+    // bound, not a guess — and tight enough that a wrong frame (fixture
+    // colors differ by tens of luma levels) could never slip through.
+    val drifts = for (rgb <- Seq(0x000000, 0xFFFFFF, 0x101010, 0xF0F0F0,
+        0xC81E3C, 0x3CC81E, 0x1E3CC8, 0x7F7F7F, 0x123456, 0xFEDCBA)) yield {
+      val img = VideoFrames.solidFrame(32, 24, rgb)
+      val decoded = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(VideoFrames.jpegBytes(img)))
+      val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+      val expected = (299L * r + 587L * g + 114L * b) / 1000L
+      math.abs(VideoFrames.meanLuma(decoded) - expected)
+    }
+    assert(drifts.max <= Multimodal.LumaTol,
+      s"max JPEG luma drift ${drifts.max} exceeds LumaTol ${Multimodal.LumaTol}")
   }
 
   test("extractFeatures routes real MJPEG video payloads through the codec") {

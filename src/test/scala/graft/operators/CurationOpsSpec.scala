@@ -553,6 +553,31 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.map(t => (t._1, t._2)).distinct.size == got.size)
   }
 
+  test("windowed drift alarms on a planted vocabulary shift, and only there") {
+    // One source, sixteen arrival windows (span 10 → windows 0..15).
+    // Fifteen windows draw from a shared vocabulary; window 2 is a
+    // wholesale vocabulary swap — the monitor must page on window 2
+    // and stay quiet elsewhere. B = 64 and ~800 tokens per window keep
+    // the add-one smoothing floor (the JS a window pays just for being
+    // finite) an order of magnitude under the planted signal.
+    import spark.implicits._
+    val normal = Seq.fill(10)(
+      "alpha beta gamma delta epsilon zeta eta theta").mkString(" ")
+    val shifted = Seq.fill(10)(
+      "xqzv wkjy pmrt bgnd lfsc hvwx qqtt zzyy").mkString(" ")
+    val docsDf = (0L until 160L).map { id =>
+      val text = if (id / 10L == 2L) shifted else normal
+      (id, "src", text)
+    }.toDF("doc_id", "source", "text")
+    val report = TextOps.windowedDriftReport(
+      TextOps.windowedDriftBucketed(docsDf, 64, 10L), 64)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(report.keySet == (0L until 16L).toSet)
+    val quiet = (0L until 16L).filter(_ != 2L).map(report)
+    assert(quiet.forall(_ < report(2L) / 10L),
+      s"planted shift must dominate: shifted=${report(2L)} quiet=$quiet")
+  }
+
   test("DSIR weights match an independent recompute of the hashed-bigram model") {
     val B = 1024
     def h(s: String, m: Long): Long =
