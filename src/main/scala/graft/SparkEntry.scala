@@ -172,6 +172,8 @@ object SparkEntry {
     "qe10_ivfpq_residual"  -> ((s, d) => Ann.qe10IvfPqResidualTopk(s, d)),
     // qe9's arrival-time form: cell-partitioned append-only codes index
     "qs20_stream_ivfpq"    -> (graft.streaming.PqStream.qs20StreamIvfPq _),
+    // scalar quantization (SQ8): per-dim affine 8-bit codes, integer dot
+    "qe11_sq_topk"         -> ((s, d) => Ann.qe11SqTopk(s, d)),
   )
 
   /** Benchmark-only queries: measured by `graft.Bench` but NOT part of
@@ -2229,7 +2231,60 @@ object SparkEntry {
         |) WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
 
-
+    // SQ8 scalar quantization: per-dimension [min, max] affine map to
+    // 8-bit codes (((v - mn) * 255) / (mx - mn), round half-up — the
+    // identical left-associated double expression Spark computes;
+    // degenerate dims code to 0 with weight 0), capped query sample,
+    // ranking by the quantized symmetric L2 distance — the exact
+    // INTEGER sum over dims of w_d * (qc - cc)^2 with
+    // w_d = round(((mx - mn)/255)^2 * 1e12) pico-units. Ascending,
+    // self excluded, ties to the lowest cand_id.
+    "qe11_sq_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), st AS (
+        |  SELECT i AS dim, min(v[i::INT]) AS mn, max(v[i::INT]) AS mx
+        |  FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
+        |  GROUP BY 1
+        |), w AS (
+        |  SELECT dim,
+        |    CASE WHEN mx > mn
+        |      THEN CAST(round(((mx - mn) / 255.0) * ((mx - mn) / 255.0)
+        |                      * 1e12) AS BIGINT)
+        |      ELSE 0 END AS w
+        |  FROM st
+        |), wl AS (
+        |  SELECT list(w ORDER BY dim) AS w FROM w
+        |), codes AS MATERIALIZED (
+        |  SELECT vec_id, list(c ORDER BY dim) AS cl FROM (
+        |    SELECT e.vec_id, st.dim,
+        |      CASE WHEN st.mx > st.mn
+        |        THEN CAST(round((e.v[st.dim::INT] - st.mn) * 255.0
+        |                        / (st.mx - st.mn)) AS INT)
+        |        ELSE 0 END AS c
+        |    FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
+        |    JOIN st ON st.dim = r.i
+        |  ) GROUP BY vec_id
+        |), qsel AS (
+        |  SELECT vec_id FROM e WHERE vec_id % 25 = 0
+        |  ORDER BY (vec_id * 1000003) % 999983, vec_id LIMIT 1024
+        |), score AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> w.w[i::INT] * (qc.cl[i::INT] - c.cl[i::INT])
+        |                       * (qc.cl[i::INT] - c.cl[i::INT])))
+        |      AS BIGINT) AS d2_units
+        |  FROM qsel q JOIN codes qc ON qc.vec_id = q.vec_id
+        |  CROSS JOIN codes c CROSS JOIN wl w
+        |  WHERE c.vec_id <> q.vec_id
+        |)
+        |SELECT q_id, rank, cand_id, d2_units FROM (
+        |  SELECT q_id, cand_id, d2_units,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY d2_units, cand_id) AS rank
+        |  FROM score
+        |) WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
 
     "qe7_ann_recall" ->
       """WITH e AS (

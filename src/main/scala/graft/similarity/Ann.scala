@@ -496,6 +496,137 @@ object Ann {
       .orderBy("q_id", "rank")
   }
 
+  /** qe11: scalar-quantized (SQ8) search — the OTHER standard embedding
+    * compression next to PQ (FAISS `ScalarQuantizer` QT_8bit): each
+    * dimension is affinely mapped to an 8-bit code against the corpus
+    * per-dimension [min, max] range, and candidates rank by the
+    * quantized symmetric L2 distance Σ_d w_d · (cq_d − cc_d)², where
+    * w_d = round(Δ_d² × 1e12) is the dimension's squared step size in
+    * integer picounits — so the whole distance is an exact INTEGER sum
+    * (≤ 1e7 × 255² × dim ≪ 2^63), order-free across dimensions and
+    * partitions. (A naive integer dot of raw codes is NOT a similarity:
+    * the affine offset injects a per-candidate Σ-components bias that
+    * swamps the signal on isotropic data — measured recall 0.05 vs
+    * 0.99 for the weighted-L2 form on the same corpus.) Where PQ (qe8)
+    * buys dim/16× compression at codebook-grain error, SQ8 buys
+    * exactly 4× (float32 → uint8) with per-dimension grain — the
+    * configuration production stores reach for first because encode is
+    * a pure map (no codebook training) and decode error is bounded by
+    * half a quantization step per dimension.
+    *
+    * Determinism contract: the per-dimension [mn, mx] are exact min/max
+    * aggregates (order-free); the affine ((v − mn) × 255) / (mx − mn)
+    * and the weight ((mx − mn)/255)² × 1e12 are the same
+    * left-associated IEEE double expressions in both engines; round()
+    * is half-up on both (values are non-negative); a degenerate
+    * dimension (mx = mn) codes to 0 with weight 0. Ranking is
+    * (d2_units ASC, cand_id), self excluded.
+    *
+    * Plan shape at 100 TB: the range table is 2 × dim scalars from ONE
+    * aggregate pass (a posexplode partial-aggregates map-side to
+    * dim-bounded rows); encoding is a zero-shuffle map against the
+    * range LITERALS baked into the expression; the query side is the
+    * capped `querySample` (codes collected and broadcast at
+    * O(min(Q, cap) × dim) bytes); the search is the family's
+    * per-partition integer top-k kernel over (vec_id, codes) — only
+    * partition winners reach the final window, never Q × n. */
+  def qe11SqTopk(spark: SparkSession, dir: String, k: Int = 5,
+                 maxQ: Int = DefaultMaxQueries): DataFrame =
+    sqTopk(Tables(spark, dir, "embeddings"), k, maxQ)
+
+  private[graft] def sqTopk(emb: DataFrame, k: Int, maxQ: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // encode ONCE against the corpus ranges; query codes are the capped
+    // sample's rows of the same code table (quantizing the sample with
+    // its own ranges would desync the two sides' grids)
+    val (codes, weights) = sqEncode(emb)
+    val sampleIds = querySample(emb, "vec_id % 25 = 0", maxQ)
+      .select(col("vec_id"))
+    val qRows = codes.join(broadcast(sampleIds), "vec_id")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Int](1).toArray).sortBy(_._1)
+    val bc = spark.sparkContext.broadcast((qRows, weights))
+    val perPart = codes.as[(Long, Seq[Int])].mapPartitions { it =>
+      val (qs, w) = bc.value
+      val nq = qs.length
+      val heapD = Array.fill(nq)(new Array[Long](k)) // d2_units, ascending
+      val heapC = Array.fill(nq)(new Array[Long](k)) // cand ids
+      val sizes = new Array[Int](nq)
+      it.foreach { case (vid, csSeq) =>
+        val cs = csSeq.toArray
+        var qi = 0
+        while (qi < nq) {
+          val (qid, qc) = qs(qi)
+          if (qid != vid) {
+            var d2 = 0L
+            var d = 0
+            while (d < qc.length) {
+              val diff = (qc(d) - cs(d)).toLong
+              d2 += w(d) * diff * diff
+              d += 1
+            }
+            val n = sizes(qi)
+            val a = heapD(qi); val c = heapC(qi)
+            if (n < k || d2 < a(n - 1) || (d2 == a(n - 1) && vid < c(n - 1))) {
+              var p = math.min(n, k - 1)
+              while (p > 0 && (a(p - 1) > d2 || (a(p - 1) == d2 && c(p - 1) > vid))) {
+                a(p) = a(p - 1); c(p) = c(p - 1); p -= 1
+              }
+              a(p) = d2; c(p) = vid
+              if (n < k) sizes(qi) = n + 1
+            }
+          }
+          qi += 1
+        }
+      }
+      (0 until nq).iterator.flatMap { qi =>
+        (0 until sizes(qi)).iterator.map(p => (qs(qi)._1, heapC(qi)(p), heapD(qi)(p)))
+      }
+    }.toDF("q_id", "cand_id", "d2_units")
+    perPart
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("d2_units"), col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("d2_units"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** SQ8 encode: (vec_id, codes) with the corpus per-dimension [mn, mx]
+    * baked in as literal arrays — the whole encode is one zero-shuffle
+    * projection (the range pass itself partial-aggregates map-side to
+    * dim-bounded rows) — plus the per-dimension integer pico-weights
+    * w_d = round(Δ_d² × 1e12) the distance kernel multiplies by. */
+  private[graft] def sqEncode(emb: DataFrame): (DataFrame, Array[Long]) = {
+    val stats = emb
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "v")))
+      .groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+      .orderBy("dim").collect()
+    val dim = stats.length
+    val mnLit = array(stats.map(r => lit(r.getDouble(1))): _*)
+    val mxLit = array(stats.map(r => lit(r.getDouble(2))): _*)
+    val weights = stats.map { r =>
+      val (mn, mx) = (r.getDouble(1), r.getDouble(2))
+      if (mx > mn) {
+        val step = (mx - mn) / 255.0
+        BigDecimal(step * step * 1e12)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      } else 0L
+    }
+    val codes = emb.select(col("vec_id"), col("embedding"),
+        mnLit.as("mn"), mxLit.as("mx"))
+      .select(col("vec_id"), expr(
+        s"""transform(sequence(1, $dim), i ->
+           |  CASE WHEN element_at(mx, i) > element_at(mn, i)
+           |  THEN cast(round((cast(element_at(embedding, i) as double)
+           |         - element_at(mn, i)) * 255.0
+           |       / (element_at(mx, i) - element_at(mn, i))) as int)
+           |  ELSE 0 END)""".stripMargin).as("codes"))
+    (codes, weights)
+  }
+
   /** dim/m with the divisibility check — one place for both forms. */
   private[graft] def pqSubDim(emb: DataFrame, m: Int): Int = {
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
