@@ -104,6 +104,9 @@ object SparkEntry {
     // per-arrival-window drift alarms (window-vs-lifetime JS per source)
     "qd31_windowed_drift"  -> ((s, d) => TextOps.qd31WindowedDrift(s, d)),
     "qs21_stream_wdrift"   -> (Replay.qs21StreamWindowedDrift _),
+    // count-min-sketch heavy hitters: D×W counter grid, est-vs-exact
+    "qd33_cms_heavy_hitters" -> ((s, d) => TextOps.qd33CmsHeavyHitters(s, d)),
+    "qs22_stream_cms"      -> (Replay.qs22StreamCms _),
     // encode the corpus under the induced subword vocabulary
     "qd29_bpe_encode"      -> ((s, d) => TextOps.qd29BpeEncode(s, d)),
     "q36_approx_percentile" -> (Advanced.q36ApproxPercentile _),
@@ -387,6 +390,34 @@ object SparkEntry {
         |  round(sum(js_nanos)::BIGINT / 1e9, 6) AS js
         |FROM j GROUP BY source, ns
         |ORDER BY source""".stripMargin
+
+  /** qd33/qs22 shared oracle: exact term counts → the 4×16 CMS counter
+    * grid under the seeded md5 bucket hash (md5_number_lower % 16 ==
+    * the Spark side's low-two-LE-bytes trick, 16 | 2^16) → per-term
+    * min-over-rows estimate beside the exact count. */
+  private val cmsSql: String =
+    """WITH tc AS (
+        |  SELECT term, count(*)::BIGINT AS c FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |    FROM documents
+        |  ) WHERE term <> '' GROUP BY 1
+        |), d AS (
+        |  SELECT unnest(range(0, 4)) AS j
+        |), sk AS (
+        |  SELECT j,
+        |    (md5_number_lower('cms' || j || ':' || term) % 16)::INT AS bucket,
+        |    sum(c)::BIGINT AS c
+        |  FROM tc CROSS JOIN d GROUP BY 1, 2
+        |), est AS (
+        |  SELECT t.term, t.c AS exact, min(s.c)::BIGINT AS est
+        |  FROM tc t CROSS JOIN d
+        |  JOIN sk s ON s.j = d.j AND s.bucket =
+        |    (md5_number_lower('cms' || d.j || ':' || t.term) % 16)::INT
+        |  GROUP BY 1, 2
+        |)
+        |SELECT term, est, exact, (est - exact)::BIGINT AS overcount,
+        |  row_number() OVER (ORDER BY est DESC, term) AS rank
+        |FROM est ORDER BY rank""".stripMargin
 
   private val windowedDriftSql: String =
     """WITH swb AS (
@@ -1202,6 +1233,13 @@ object SparkEntry {
     // (source, w, bucket) deltas to the identical report.
     "qd31_windowed_drift" -> windowedDriftSql,
     "qs21_stream_wdrift" -> windowedDriftSql,
+
+    // Count-min sketch: 4×16 counter grid under seeded md5 bucket
+    // hashes, estimate = min over rows, reported beside the exact
+    // count (overcount = collisions, deterministic). One SQL text
+    // serves the batch and streaming keys.
+    "qd33_cms_heavy_hitters" -> cmsSql,
+    "qs22_stream_cms" -> cmsSql,
 
     // DSIR importance weights: hashed-bigram (B = 1024) target/raw
     // bucket models, add-one smoothing, per-raw-doc mean log ratio.

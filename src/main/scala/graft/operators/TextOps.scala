@@ -1465,4 +1465,79 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** qd33: count-min-sketch heavy-hitter report (Cormode & Muthukrishnan
+    * 2005) — the SUBLINEAR-STATE frequency monitor: a depth × width grid
+    * of counters (here 4 × 16 so collisions actually occur on the gate
+    * vocabulary), each token counted into one bucket per row under an
+    * independent seeded hash; a term's estimate is the MIN over its
+    * depth buckets, which can only OVERCOUNT (collisions add, never
+    * subtract). The report follows the repo's sketch pattern (q25 HLL,
+    * q36 GK): every estimate next to its exact count with the signed
+    * overcount, so the driver hash-checks the sketch's exact collision
+    * behavior, not a tolerance. Candidate terms are the Heaps'-law
+    * vocabulary (the batch form has it anyway); what the sketch buys at
+    * 100 TB is the STATE bound — the streaming form (qs22) keeps the
+    * production D × W counter grid whose size never depends on corpus
+    * or vocabulary, folded as a pure sum monoid.
+    *
+    * Determinism: bucket = md5 low-two-LE-bytes of "cms<j>:<term>" mod
+    * width (the drift-family hash — exact in both engines when width
+    * divides 2^16); counts and mins are integers. Ranking by
+    * (est DESC, term). */
+  def qd33CmsHeavyHitters(spark: SparkSession, dir: String, width: Int = 16,
+                          depth: Int = 4): DataFrame = {
+    val tc = cmsTermCounts(docs(spark, dir))
+    cmsReport(cmsSketch(tc, width, depth), tc, width, depth)
+  }
+
+  /** (term, c) exact counts — the one corpus-width stage of the CMS
+    * family (vocab-bounded after the shuffle); per-batch deltas are sum
+    * monoids, shared with qs22. */
+  private[graft] def cmsTermCounts(docsDf: DataFrame): DataFrame =
+    docsDf.select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("c"))
+
+  /** Seeded CMS bucket of the `term` column for hash row `j` — the
+    * drift-family md5 low-two-LE-bytes trick, exact when width | 2^16. */
+  private def cmsBucket(width: Int): Column = {
+    val hex = md5(concat(lit("cms"), col("j").cast("string"), lit(":"),
+      col("term")))
+    ((conv(substring(hex, 17, 2), 16, 10).cast("int")
+      + conv(substring(hex, 19, 2), 16, 10).cast("int") * 256) % width)
+      .cast("int")
+  }
+
+  /** The depth × width counter grid from a (term, c) count table —
+    * everything here is vocab-bounded in, D × W-bounded out. */
+  private[graft] def cmsSketch(tc: DataFrame, width: Int,
+                               depth: Int): DataFrame = {
+    require(65536 % width == 0,
+      s"width ($width) must divide 2^16: the bucket is computed from the"
+        + " two low little-endian md5 bytes, exact only when 2^16 = 0 mod W")
+    tc.select(col("term"), col("c"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("bucket", cmsBucket(width))
+      .groupBy("j", "bucket").agg(sum("c").as("c"))
+  }
+
+  /** Estimate-vs-exact report over a sketch grid and a term count table
+    * — D × vocab probe rows (bucketed with the SAME seeded hash the
+    * sketch builder used), vocab-bounded output. */
+  private[graft] def cmsReport(sketch: DataFrame, tc: DataFrame,
+                               width: Int, depth: Int): DataFrame = {
+    val probes = tc.select(col("term"), col("c").as("exact"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("bucket", cmsBucket(width))
+    probes
+      .join(sketch, Seq("j", "bucket"))
+      .groupBy("term", "exact")
+      .agg(min(col("c")).as("est"))
+      .select(col("term"), col("est"), col("exact"),
+        (col("est") - col("exact")).as("overcount"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("est").desc, col("term"))).cast("long"))
+      .orderBy("rank")
+  }
+
 }

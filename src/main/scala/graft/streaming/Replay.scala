@@ -663,6 +663,68 @@ object Replay {
   def qs21StreamWindowedDrift(spark: SparkSession, dir: String): DataFrame =
     streamWindowedDrift(spark, stagedDocsLake(spark, dir))
 
+  /** Streaming count-min-sketch monitoring — qs22, qd33's arrival-time
+    * form. The production artifact is the `sk` state table: a D × W
+    * counter grid whose size NEVER depends on corpus or vocabulary —
+    * the sublinear promise CMS exists for — folded as a pure sum monoid
+    * from per-batch deltas (each micro-batch pays only its own
+    * tokenize + vocab-bounded aggregates). The `tc` exact term counts
+    * ride beside it for the estimate-vs-exact quality report (the q25
+    * HLL / q36 GK pattern — hash-checked, not tolerance-checked); a
+    * deployment that trusted the sketch would drop `tc` and keep state
+    * at exactly D × W longs. Restart contract as the drift siblings:
+    * batch-keyed overwrites, `alreadyFolded` skip, kill-tested. */
+  def streamCms(spark: SparkSession, dir: String,
+                width: Int = 16, depth: Int = 4,
+                maxFilesPerTrigger: Int = 1,
+                pathGlobFilter: String = "*.parquet",
+                workDir: Option[String] = None,
+                compactEvery: Int = 16): DataFrame = {
+    val work = resolveWork(workDir, "graft_scms")
+    val skSchema = StructType(Seq(
+      StructField("j", IntegerType),
+      StructField("bucket", IntegerType),
+      StructField("c", LongType)))
+    val tcSchema = StructType(Seq(
+      StructField("term", StringType),
+      StructField("c", LongType)))
+    val state = new AppendOnlyState(work,
+      Seq(("sk", skSchema), ("tc", tcSchema)), compactEvery,
+      folds = Map(
+        "sk" -> ((df: DataFrame) => df.groupBy("j", "bucket")
+          .agg(sum("c").as("c"))),
+        "tc" -> ((df: DataFrame) => df.groupBy("term")
+          .agg(sum("c").as("c")))))
+    val q = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", pathGlobFilter)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(dir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!state.alreadyFolded(batchId)) {
+          val tcDelta = graft.operators.TextOps.cmsTermCounts(batch)
+          state.endBatch(batch.sparkSession, batchId,
+            "sk" -> graft.operators.TextOps.cmsSketch(tcDelta, width, depth),
+            "tc" -> tcDelta)
+        }
+        maybePoison(batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    graft.operators.TextOps.cmsReport(
+      state.read(spark, "sk").groupBy("j", "bucket").agg(sum("c").as("c")),
+      state.read(spark, "tc").groupBy("term").agg(sum("c").as("c")),
+      width, depth)
+  }
+
+  /** qs22 entry: CMS over the shared staged docs lake; shares qd33's
+    * oracle SQL verbatim across the batch boundary. */
+  def qs22StreamCms(spark: SparkSession, dir: String): DataFrame =
+    streamCms(spark, stagedDocsLake(spark, dir))
+
   /** Streaming incremental NEAR-duplicate detection — the arrival-time
     * form of qs1_minhash_neardup: documents stream in, each micro-batch
     * pays only its own signature kernel plus a band probe against the

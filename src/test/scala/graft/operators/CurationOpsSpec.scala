@@ -578,6 +578,36 @@ class CurationOpsSpec extends AnyFunSuite {
       s"planted shift must dominate: shifted=${report(2L)} quiet=$quiet")
   }
 
+  test("CMS estimates match an independent sketch recompute and never undercount") {
+    val (width, depth) = (16, 4)
+    def bucket(j: Int, t: String): Int =
+      java.lang.Long.remainderUnsigned(
+        graft.dedup.SimHash.md5Lower64String(s"cms$j:$t"), width.toLong).toInt
+    // exact counts straight off the corpus
+    val exact = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    graft.Tables(spark, dir, "documents").select("text").collect()
+      .foreach(_.getString(0).trim.split("\\s+").filter(_.nonEmpty)
+        .foreach(t => exact(t) += 1L))
+    // the counter grid, then min-over-rows estimates
+    val grid = Array.fill(depth, width)(0L)
+    exact.foreach { case (t, c) =>
+      (0 until depth).foreach(j => grid(j)(bucket(j, t)) += c) }
+    val expected = exact.keys.toSeq.map { t =>
+      (t, (0 until depth).map(j => grid(j)(bucket(j, t))).min, exact(t))
+    }.sortBy { case (t, est, _) => (-est, t) }
+      .zipWithIndex
+      .map { case ((t, est, ex), i) => (t, est, ex, est - ex, (i + 1).toLong) }
+    val got = TextOps.qd33CmsHeavyHitters(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // CMS contract: estimates only ever OVERCOUNT, and on a 31-term
+    // vocabulary over a 16-wide grid collisions must actually occur
+    assert(got.forall(_._4 >= 0L), "CMS undercounted — broken sketch")
+    assert(got.exists(_._4 > 0L), "no collisions — sketch too wide to test")
+    assert(got.exists(_._4 == 0L), "every term collided — degenerate grid")
+  }
+
   test("DSIR weights match an independent recompute of the hashed-bigram model") {
     val B = 1024
     def h(s: String, m: Long): Long =

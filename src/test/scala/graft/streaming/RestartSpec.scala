@@ -303,6 +303,31 @@ class RestartSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streamCms killed mid-run resumes and matches the batch report") {
+    // both state tables (the D×W counter grid and the exact term
+    // counts) are sum monoids keyed independently of batch boundaries,
+    // so a replayed batch's delta lands on the same keys — exact
+    // equality with qd33 catches a double-fold
+    val lake = docsLake()
+    val w = work("graft_restart_cms")
+    Replay.poisonAfterBatch = 1L
+    intercept[Exception] {
+      Replay.streamCms(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w), compactEvery = 2)
+    }
+    assert(Replay.poisonAfterBatch == -1L, "poison should have fired")
+    val streamed = Replay.streamCms(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w), compactEvery = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val batch = graft.operators.TextOps
+      .qd33CmsHeavyHitters(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streamIvfPq killed mid-run resumes, matches qe9, and prunes the index scan") {
     // kill in the at-least-once window: the replayed batch must land on
     // its own (b, cell) partitions via dynamic overwrite — a double
