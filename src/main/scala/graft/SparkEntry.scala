@@ -177,6 +177,8 @@ object SparkEntry {
     "qs20_stream_ivfpq"    -> (graft.streaming.PqStream.qs20StreamIvfPq _),
     // scalar quantization (SQ8): per-dim affine 8-bit codes, integer dot
     "qe11_sq_topk"         -> ((s, d) => Ann.qe11SqTopk(s, d)),
+    // Matryoshka two-stage: prefix-dim coarse top-C, full-dim rerank
+    "qe12_truncated_rerank" -> ((s, d) => Ann.qe12TruncatedRerank(s, d)),
   )
 
   /** Benchmark-only queries: measured by `graft.Bench` but NOT part of
@@ -2321,6 +2323,47 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY q_id
         |      ORDER BY d2_units, cand_id) AS rank
         |  FROM score
+        |) WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // Matryoshka two-stage retrieval: coarse rank the whole corpus by
+    // cosine over the FIRST 16 components only, keep top-50 per query,
+    // rerank the survivors by full 64-dim cosine. Both stages 6dp-round
+    // before ranking, ties to the lowest cand_id, self excluded.
+    "qe12_truncated_rerank" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), qsel AS (
+        |  SELECT vec_id FROM e WHERE vec_id % 25 = 0
+        |  ORDER BY (vec_id * 1000003) % 999983, vec_id LIMIT 1024
+        |), q AS (
+        |  SELECT e.vec_id AS q_id, e.v AS qv
+        |  FROM e JOIN qsel ON qsel.vec_id = e.vec_id
+        |), pc AS (
+        |  SELECT q.q_id, e.vec_id AS cand_id,
+        |    round(list_inner_product(q.qv[1:16], e.v[1:16])
+        |      / (sqrt(list_inner_product(q.qv[1:16], q.qv[1:16]))
+        |         * sqrt(list_inner_product(e.v[1:16], e.v[1:16]))), 6) AS psim
+        |  FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id
+        |), coarse AS (
+        |  SELECT q_id, cand_id FROM (
+        |    SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY psim DESC, cand_id) AS crk
+        |    FROM pc
+        |  ) WHERE crk <= 50
+        |), rr AS (
+        |  SELECT c.q_id, c.cand_id,
+        |    round(list_inner_product(q.qv, e.v)
+        |      / (sqrt(list_inner_product(q.qv, q.qv))
+        |         * sqrt(list_inner_product(e.v, e.v))), 6) AS sim
+        |  FROM coarse c JOIN q ON q.q_id = c.q_id
+        |  JOIN e ON e.vec_id = c.cand_id
+        |)
+        |SELECT q_id, rank, cand_id, sim FROM (
+        |  SELECT q_id, cand_id, sim,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, cand_id) AS rank
+        |  FROM rr
         |) WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
 

@@ -627,6 +627,63 @@ object Ann {
     (codes, weights)
   }
 
+  /** qe12: truncated-dimension rerank — the Matryoshka/MRL two-stage
+    * retrieval shape (Kusupati et al., NeurIPS 2022): stage 1 ranks the
+    * WHOLE corpus by cosine over only the first `prefixDims` components
+    * (reading prefixDims/dim of the bytes — the memory-bandwidth win;
+    * with MRL-trained embeddings the prefix is a faithful coarse space,
+    * and at 100 TB it would be stored as its own narrow column), keeps
+    * the top `c` candidates per query, and stage 2 reranks just those
+    * Q × c survivors by full-dimension cosine. Exactly the production
+    * two-stage funnel (coarse ANN → exact rerank) with a dimension
+    * truncation as the coarse space.
+    *
+    * Determinism contract (family conventions): both stages round
+    * cosine to 6dp before ranking with ties to the lowest cand_id,
+    * self excluded; stage 1 rides the same pruned per-partition kernel
+    * as qe7's exact side (margin-lossless under the rounding), fed
+    * PRE-SLICED vectors so the kernel itself is untouched; stage 2 is
+    * a skinny join over the candidate ids + one bounded window.
+    *
+    * Plan shape: queries are the capped `querySample` (broadcast at
+    * O(min(Q, cap))); stage 1 streams the corpus once with no corpus
+    * shuffle (partition winners only — ~partitions × Q × c rows — reach
+    * the ranking window); stage 2 touches Q × c rows. */
+  def qe12TruncatedRerank(spark: SparkSession, dir: String, k: Int = 5,
+                          prefixDims: Int = 16, c: Int = 50,
+                          maxQ: Int = DefaultMaxQueries): DataFrame =
+    truncatedRerank(Tables(spark, dir, "embeddings"), k, prefixDims, c, maxQ)
+
+  private[graft] def truncatedRerank(emb: DataFrame, k: Int, prefixDims: Int,
+                                     c: Int, maxQ: Int): DataFrame = {
+    val sample = querySample(emb, "vec_id % 25 = 0", maxQ)
+    def prefix(df: DataFrame): DataFrame =
+      df.select(col("vec_id"),
+        expr(s"slice(embedding, 1, $prefixDims)").as("embedding"))
+    // stage 1: prefix-cosine top-c via the margin-pruned exact kernel
+    val coarse = graft.operators.VectorOps
+      .exactTopKCandidatesFrom(prefix(emb), prefix(sample), c)
+      .select(col("q_id"), col("cand_id"), round(col("sim_raw"), 6).as("psim"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("psim").desc, col("cand_id"))))
+      .filter(col("crk") <= c)
+      .select(col("q_id"), col("cand_id"))
+    // stage 2: full-dimension rerank of the Q × c survivors only
+    val queries = sample.select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    coarse
+      .join(emb.select(col("vec_id").as("cand_id"),
+        col("embedding").cast("array<double>").as("cv")), "cand_id")
+      .join(broadcast(queries), "q_id")
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("sim"))
+      .orderBy("q_id", "rank")
+  }
+
   /** dim/m with the divisibility check — one place for both forms. */
   private[graft] def pqSubDim(emb: DataFrame, m: Int): Int = {
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
