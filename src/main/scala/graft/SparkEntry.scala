@@ -179,6 +179,10 @@ object SparkEntry {
     "qe11_sq_topk"         -> ((s, d) => Ann.qe11SqTopk(s, d)),
     // Matryoshka two-stage: prefix-dim coarse top-C, full-dim rerank
     "qe12_truncated_rerank" -> ((s, d) => Ann.qe12TruncatedRerank(s, d)),
+    // cluster-balanced diversity sampling: per-cell ceil-20% quotas
+    "qe13_cluster_sample"  -> (Ann.qe13ClusterSample _),
+    // temperature mixture: alpha=0.5 quotas over lang strata
+    "qd34_temperature_mixture" -> ((s, d) => TextOps.qd34TemperatureMixture(s, d)),
   )
 
   /** Benchmark-only queries: measured by `graft.Bench` but NOT part of
@@ -2448,6 +2452,74 @@ object SparkEntry {
     // quantizer as qs12/qe4 (full-corpus label-mean centroids,
     // 6dp-rounded argmax over finite-norm vectors); per-row cosines
     // round to 6dp before the aggregates, the mean once more.
+    // Cluster-balanced diversity sampling: the qe6 assignment CTEs, a
+    // prototypical-first rank window per cell, and an integer ceil-20%
+    // quota — every live vector reported with its keep decision.
+    "qe13_cluster_sample" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |), comp AS (
+        |  SELECT label AS cell, i AS dim, avg(v[i::INT]) AS m
+        |  FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
+        |  GROUP BY label, i
+        |), cents AS (
+        |  SELECT cell, list(m ORDER BY dim) AS centroid FROM comp GROUP BY cell
+        |), live AS (
+        |  SELECT * FROM e
+        |  WHERE isfinite(list_inner_product(v, v)) AND list_inner_product(v, v) <> 0
+        |), assign AS (
+        |  SELECT vec_id, cell, v FROM (
+        |    SELECT l.vec_id, c.cell, l.v,
+        |      row_number() OVER (PARTITION BY l.vec_id ORDER BY
+        |        round(list_inner_product(l.v, c.centroid)
+        |          / (sqrt(list_inner_product(l.v, l.v))
+        |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
+        |        c.cell) AS rk
+        |    FROM live l CROSS JOIN cents c
+        |  ) WHERE rk = 1
+        |), cs AS (
+        |  SELECT a.vec_id, a.cell,
+        |    round(list_inner_product(a.v, c.centroid)
+        |      / (sqrt(list_inner_product(a.v, a.v))
+        |         * sqrt(list_inner_product(c.centroid, c.centroid))), 6) AS csim
+        |  FROM assign a JOIN cents c USING (cell)
+        |), rk AS (
+        |  SELECT vec_id, cell, csim,
+        |    row_number() OVER (PARTITION BY cell
+        |      ORDER BY csim DESC, vec_id) AS cell_rank,
+        |    count(*) OVER (PARTITION BY cell) AS n_cell
+        |  FROM cs
+        |)
+        |SELECT vec_id, cell::INT AS cell, csim,
+        |  cell_rank::BIGINT AS cell_rank,
+        |  ((n_cell + 4) // 5)::BIGINT AS quota,
+        |  cell_rank <= (n_cell + 4) // 5 AS keep
+        |FROM rk ORDER BY vec_id""".stripMargin,
+
+    // Temperature mixture: alpha = 0.5 over lang strata — integer
+    // micro-weights round(sqrt(n)*1e6) (sqrt is correctly rounded in
+    // IEEE, so both engines agree bit-for-bit), integer quota floor,
+    // deterministic (md5(text), doc_id) fill like qd15/qd16.
+    "qd34_temperature_mixture" ->
+      """WITH n AS (
+        |  SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY 1
+        |), w AS (
+        |  SELECT lang, CAST(round(sqrt(n::DOUBLE) * 1e6) AS BIGINT) AS w
+        |  FROM n
+        |), tw AS (
+        |  SELECT sum(w)::BIGINT AS tw FROM w
+        |), q AS (
+        |  SELECT lang, (100 * w.w) // t.tw AS quota FROM w CROSS JOIN tw t
+        |), r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(text), doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT r.doc_id, r.lang, r.rn::BIGINT AS mix_rank, q.quota
+        |FROM r JOIN q USING (lang) WHERE r.rn <= q.quota
+        |ORDER BY doc_id""".stripMargin,
+
     "qe6_cluster_stats" ->
       """WITH e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings

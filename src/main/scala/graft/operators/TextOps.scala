@@ -514,6 +514,48 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** qd34: temperature-scaled mixture sampling — the multilingual
+    * pretraining α-sampling (XLM-R, Conneau et al. 2020: sample
+    * probability ∝ p_l^α with α < 1 upsamples low-resource strata so
+    * the head language cannot drown the tail). Here α = 0.5 over the
+    * LANG strata (en is 3.4× fr in this lake): quotas derive from the
+    * observed counts instead of qd16's fixed percentages —
+    * quota_l = (N × w_l) div Σw, with w_l = round(√n_l × 1e6) integer
+    * micro-weights, so the whole budget computation is integer
+    * arithmetic after one correctly-rounded sqrt (sqrt IS correctly
+    * rounded in IEEE — both engines agree bit-for-bit, where a pow(x,
+    * 0.3) would be library-dependent). Strata fill deterministically in
+    * (md5(text), doc_id) order like qd16/qd15.
+    *
+    * Scale shape: one count aggregate (strata-bounded), quotas as a
+    * broadcast map, one rank window per stratum — the qd16 plan with a
+    * data-derived quota column. */
+  def qd34TemperatureMixture(spark: SparkSession, dir: String,
+                             budget: Int = 100): DataFrame = {
+    val counts = docs(spark, dir).groupBy("lang")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val weights = counts.map { case (l, n) =>
+      l -> BigDecimal(math.sqrt(n.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val totalW = weights.map(_._2).sum
+    val quotas = weights.map { case (l, w) =>
+      l -> budget.toLong * w / totalW
+    }
+    val quotaCol = quotas.foldLeft(lit(0L)) { case (acc, (l, q)) =>
+      when(col("lang") === l, lit(q)).otherwise(acc)
+    }
+    val w = Window.partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        row_number().over(w).cast("long").as("rn"), quotaCol.as("quota"))
+      .filter(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("rn").as("mix_rank"),
+        col("quota"))
+      .orderBy("doc_id")
+  }
+
   /** F13: keyword / token search — tokenize + explode + equi-filter, the
     * engine-native form of the reference's delegated ES full-text search. */
   def qd7KeywordSearch(spark: SparkSession, dir: String): DataFrame = {

@@ -260,6 +260,46 @@ object Ann {
       .orderBy("cell")
   }
 
+  /** qe13: cluster-balanced diversity sampling — the curation stage
+    * after dedup: cap every embedding cluster at a PER-CELL quota
+    * (ceil 20% here) so dominant modes cannot flood the training
+    * sample while thin regions keep representation (the
+    * cluster-balancing used in SSL-prototype / DatologyAI-style data
+    * curation, and the batch form of per-domain sampling done in
+    * embedding space instead of metadata space). Cells come from the
+    * family's deterministic quantizer (label-mean centroids,
+    * 6dp-rounded argmax, zero/NaN vectors excluded like qe6); within a
+    * cell, members rank prototypical-first (cosine-to-centroid DESC,
+    * ties to the lowest vec_id) — a deterministic, defensible keep
+    * order. The report emits EVERY live vector with its cell, rank,
+    * quota, and keep flag, so the driver checks the whole decision
+    * surface, not just the survivors.
+    *
+    * Scale shape: one broadcast argmax pass (the assignments shape, no
+    * corpus shuffle), one rank window per cell (cell-partitioned), and
+    * an integer ceil quota (n_cell + 4) div 5 — no floats anywhere the
+    * quota could wobble. */
+  def qe13ClusterSample(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings").select(col("vec_id"),
+      col("label"), col("embedding").cast("array<double>").as("embedding"))
+    val cents = localCentroids(emb)
+    val norm2 = dot(col("embedding"), col("embedding"))
+    val live = emb.filter(norm2 =!= 0 && !isnan(norm2))
+    val w = Window.partitionBy("cell")
+      .orderBy(col("csim").desc, col("vec_id"))
+    assignments(live, cents)
+      .join(broadcast(cents), "cell")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        round(cosine(col("v"), col("centroid")), 6).as("csim"))
+      .withColumn("cell_rank", row_number().over(w).cast("long"))
+      .withColumn("n_cell",
+        count(lit(1)).over(Window.partitionBy("cell")).cast("long"))
+      .select(col("vec_id"), col("cell"), col("csim"), col("cell_rank"),
+        expr("(n_cell + 4) div 5").as("quota"),
+        (col("cell_rank") <= expr("(n_cell + 4) div 5")).as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** qe8: product-quantization ADC search (Jégou et al., "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011) — the
     * compressed-domain member of the ANN family: the corpus is encoded

@@ -578,6 +578,36 @@ class CurationOpsSpec extends AnyFunSuite {
       s"planted shift must dominate: shifted=${report(2L)} quiet=$quiet")
   }
 
+  test("temperature mixture upsamples the tail and matches the quota math") {
+    val corpus = graft.Tables(spark, dir, "documents")
+      .select("lang").collect().map(_.getString(0))
+    val counts = corpus.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val weights = counts.view.mapValues(n =>
+      BigDecimal(math.sqrt(n.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toMap
+    val tw = weights.values.sum
+    val quotas = weights.view.mapValues(w => 100L * w / tw).toMap
+    val got = TextOps.qd34TemperatureMixture(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // quotas hold exactly and every stratum fills to its quota
+    got.foreach { case (_, l, rank, quota) =>
+      assert(quota == quotas(l)); assert(rank >= 1 && rank <= quota)
+    }
+    val perLang = got.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    quotas.foreach { case (l, q) => assert(perLang.getOrElse(l, 0L) == q,
+      s"stratum $l filled ${perLang.getOrElse(l, 0L)} of quota $q") }
+    // the alpha < 1 property: the head lang's sample share is BELOW its
+    // corpus share, the thinnest lang's is ABOVE — the whole point
+    val n = counts.values.sum.toDouble
+    val s = perLang.values.sum.toDouble
+    val head = counts.maxBy(_._2)._1
+    val tail = counts.minBy(_._2)._1
+    assert(perLang(head) / s < counts(head) / n,
+      s"head $head not downsampled")
+    assert(perLang(tail) / s > counts(tail) / n,
+      s"tail $tail not upsampled")
+  }
+
   test("CMS estimates match an independent sketch recompute and never undercount") {
     val (width, depth) = (16, 4)
     def bucket(j: Int, t: String): Int =

@@ -341,6 +341,33 @@ class AnnSpec extends AnyFunSuite {
     assert(mean >= 0.9, s"two-stage recall $mean below 0.9 on clustered data")
   }
 
+  test("cluster-balanced sample keeps exactly the ceil-20% most prototypical per cell") {
+    val got = Ann.qe13ClusterSample(spark, SparkTestSession.sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(got.nonEmpty)
+    // every live vector appears exactly once
+    assert(got.map(_._1).distinct.length == got.length)
+    got.groupBy(_._2).foreach { case (cell, rows) =>
+      val n = rows.length.toLong
+      val quota = (n + 4) / 5
+      assert(rows.forall(_._5 == quota), s"cell $cell quota mismatch")
+      val kept = rows.filter(_._6)
+      assert(kept.length.toLong == quota,
+        s"cell $cell kept ${kept.length} of quota $quota")
+      // kept = the prototypical prefix: every kept csim >= every dropped
+      // csim (ties broken by vec_id inside the rank, so >= not >)
+      val dropped = rows.filterNot(_._6)
+      if (kept.nonEmpty && dropped.nonEmpty)
+        assert(kept.map(_._3).min >= dropped.map(_._3).max,
+          s"cell $cell kept a less prototypical member than it dropped")
+      // ranks are a 1..n permutation within the cell
+      assert(rows.map(_._4).sorted.toSeq == (1L to n).toSeq)
+    }
+    // balance is real: at least two cells, none holding the whole sample
+    assert(got.map(_._2).distinct.length > 1)
+  }
+
   test("SQ8 dequantization error is bounded by half a step per dimension") {
     import org.apache.spark.sql.functions._
     val emb = graft.Tables(spark, SparkTestSession.sfDir, "embeddings")
