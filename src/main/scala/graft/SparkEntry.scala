@@ -183,6 +183,8 @@ object SparkEntry {
     "qe13_cluster_sample"  -> (Ann.qe13ClusterSample _),
     // temperature mixture: alpha=0.5 quotas over lang strata
     "qd34_temperature_mixture" -> ((s, d) => TextOps.qd34TemperatureMixture(s, d)),
+    // leakage-safe split: qd25's hash keyed by the near-dup cluster rep
+    "qd35_leak_safe_split" -> (TextOps.qd35LeakSafeSplit _),
   )
 
   /** Benchmark-only queries: measured by `graft.Bench` but NOT part of
@@ -1271,6 +1273,34 @@ object SparkEntry {
         |SELECT doc_id, lang, bucket,
         |  CASE WHEN bucket < 90 THEN 'train'
         |       WHEN bucket < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b
+        |ORDER BY doc_id""".stripMargin,
+
+    // Leakage-safe split: q33's recursive-CTE cluster resolution gives
+    // every clustered doc its component rep; the qd25 bucket hash is
+    // applied to the rep (own id when unclustered), so a near-dup
+    // cluster can never straddle train/test.
+    "qd35_leak_safe_split" ->
+      s"""WITH RECURSIVE $shinglePairGraphSql, e AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION SELECT doc_b, doc_a FROM p
+        |), r(s, t2) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT r.s, e.b FROM r JOIN e ON r.t2 = e.a
+        |), cc AS (
+        |  SELECT s AS doc_id, min(t2) AS cluster_rep FROM r GROUP BY s
+        |), b AS (
+        |  SELECT d.doc_id, coalesce(cc.cluster_rep, d.doc_id) AS rep
+        |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+        |)
+        |SELECT doc_id, rep,
+        |  (md5_number_lower('split:' || rep::VARCHAR) % 100)::INT AS bucket,
+        |  CASE WHEN (md5_number_lower('split:' || rep::VARCHAR) % 100) < 90
+        |         THEN 'train'
+        |       WHEN (md5_number_lower('split:' || rep::VARCHAR) % 100) < 95
+        |         THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b
         |ORDER BY doc_id""".stripMargin,

@@ -864,6 +864,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** qd35: LEAKAGE-SAFE train/val/test split — qd25 keyed by the
+    * near-duplicate CLUSTER instead of the document. A plain per-doc
+    * hash split scatters near-identical documents across sides, so the
+    * test set silently contains paraphrases of training documents —
+    * the dup-leakage contamination Lee et al. 2021 measured in real
+    * pretraining sets. Here every document inherits its q33 cluster
+    * representative (its own id when unclustered), and the qd25 bucket
+    * hash is applied to the REP — so a whole near-dup cluster lands on
+    * one side by construction, and unclustered documents get exactly
+    * their qd25 assignment (spec-asserted), making this a drop-in
+    * upgrade, not a reshuffle.
+    *
+    * Scale shape: the cluster map rides the session-memoized MinHash
+    * signature/pair graph (shared with q33/qs1/qd10 — no new corpus
+    * pass), the join is two skinny long columns, and the split itself
+    * is the same codegen'd conv/substring hash as qd25. */
+  def qd35LeakSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = graft.dedup.Clusters.q33DedupClusters(spark, dir)
+    val bucket = pmod(md5Lower64Decimal(
+      concat(lit("split:"), col("rep").cast("string"))), lit(100)).cast("int")
+    docs(spark, dir).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("rep"))
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < 90, lit("train"))
+          .when(col("bucket") < 95, lit("val"))
+          .otherwise(lit("test")))
+      .orderBy("doc_id")
+  }
+
   /** Lower 64 bits of md5(input) as an UNSIGNED decimal(20,0) — the
     * declarative (conv/substring, fully codegen'd) form of
     * `SimHash.md5Lower64String`, bit-equal to DuckDB's

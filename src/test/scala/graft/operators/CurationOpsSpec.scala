@@ -578,6 +578,40 @@ class CurationOpsSpec extends AnyFunSuite {
       s"planted shift must dominate: shifted=${report(2L)} quiet=$quiet")
   }
 
+  test("leak-safe split keeps near-dup clusters on one side and matches qd25 elsewhere") {
+    val got = TextOps.qd35LeakSafeSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+    val docs = graft.Tables(spark, dir, "documents").count()
+    assert(got.length.toLong == docs, "every document must get a split")
+    // cluster coherence: all members of a rep share bucket AND split —
+    // the leakage property the operator exists for
+    got.groupBy(_._2).foreach { case (rep, rows) =>
+      assert(rows.map(_._3).distinct.length == 1,
+        s"rep $rep members landed in different buckets")
+      assert(rows.map(_._4).distinct.length == 1,
+        s"rep $rep members landed in different splits")
+    }
+    // there IS at least one multi-member cluster, or the test is vacuous
+    assert(got.groupBy(_._2).exists(_._2.length > 1),
+      "no near-dup cluster in the gate corpus — vacuous")
+    // unclustered docs (rep == own id, and nobody else shares the rep)
+    // get exactly their qd25 assignment — drop-in upgrade, not a reshuffle
+    val qd25 = TextOps.qd25HashSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getString(3))).toMap
+    val repSizes = got.groupBy(_._2).view.mapValues(_.length).toMap
+    val singles = got.filter(t => t._2 == t._1 && repSizes(t._2) == 1)
+    assert(singles.nonEmpty)
+    singles.foreach { case (id, _, bucket, split) =>
+      assert(qd25(id) == ((bucket, split)),
+        s"unclustered doc $id diverged from its qd25 assignment")
+    }
+    // and the clusters actually changed something vs qd25 (some member's
+    // split moved to its rep's side)
+    assert(got.exists { case (id, rep, bucket, _) =>
+      id != rep && qd25(id)._1 != bucket
+    }, "no member inherited a different bucket — vacuous leak protection")
+  }
+
   test("temperature mixture upsamples the tail and matches the quota math") {
     val corpus = graft.Tables(spark, dir, "documents")
       .select("lang").collect().map(_.getString(0))
