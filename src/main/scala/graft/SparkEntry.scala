@@ -138,6 +138,8 @@ object SparkEntry {
     // driver records its rows-only check; semantics spec-checked in
     // MultimodalSpec
     "qm3_video_frames"     -> (Multimodal.qm3VideoFrames _),
+    // perceptual-hash image dedup: real PNG round trip, closed-form oracle
+    "qm4_image_phash_dedup" -> (Multimodal.qm4ImagePhashDedup _),
     "qs8_winnow_candidates" -> (graft.text.Fingerprint.fingerprintCandidates(_, _)),
     "qs9_srp_lsh_neardup"  -> (graft.similarity.SrpLsh.qs9NearDups _),
     "qs10_stream_dedup"    -> (Replay.qs10StreamDedup _),
@@ -2166,6 +2168,41 @@ object SparkEntry {
     // changes decoded_frames, a broken decode trips luma_ok or the
     // geometry columns. (The codec itself is not SQL-expressible; its
     // absolute outputs are golden-tested in MultimodalSpec.)
+    // qm4: the 9×8 banded-PNG fixture makes the dHash exactly
+    // SQL-predictable (ASCII corpus: ascii() = the byte the kernel
+    // paints; PNG is lossless; grayscale and box-average are integer),
+    // while the Spark side produces every bit from a REAL ImageIO
+    // encode→decode round trip — the hash only matches when the codec
+    // and the 9×8 downsample are faithful.
+    "qm4_image_phash_dedup" ->
+      """WITH i AS (
+        |  SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 3 = 0
+        |), g AS (
+        |  SELECT doc_id, y, x,
+        |    (299 * ascii(substr(text, o + 1, 1))
+        |     + 587 * ascii(substr(text, o + 2, 1))
+        |     + 114 * ascii(substr(text, o + 3, 1))) // 1000 AS gv
+        |  FROM (
+        |    SELECT doc_id, text, (c.i // 9)::INT AS y, (c.i % 9)::INT AS x,
+        |      ((c.i * 3) % (n_chars - 2))::INT AS o
+        |    FROM i CROSS JOIN unnest(range(0, 72)) c(i)
+        |  )
+        |), b AS (
+        |  SELECT a.doc_id, a.y, a.x,
+        |    CASE WHEN n.gv > a.gv THEN '1' ELSE '0' END AS bit
+        |  FROM g a JOIN g n ON n.doc_id = a.doc_id AND n.y = a.y
+        |    AND n.x = a.x + 1
+        |  WHERE a.x < 8
+        |), h AS (
+        |  SELECT doc_id AS media_id,
+        |    string_agg(bit, '' ORDER BY y, x) AS dhash
+        |  FROM b GROUP BY doc_id
+        |)
+        |SELECT media_id, dhash,
+        |  min(media_id) OVER (PARTITION BY dhash) AS dup_rep,
+        |  media_id <> min(media_id) OVER (PARTITION BY dhash) AS is_dup
+        |FROM h ORDER BY media_id""".stripMargin,
+
     "qm3_video_frames" ->
       """SELECT doc_id AS media_id,
         |  (2 + doc_id % 3)::BIGINT AS header_frames,

@@ -216,6 +216,101 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** qm4: perceptual-hash (dHash) image dedup — the image-side
+    * near-dup operator every multimodal corpus pipeline runs (LAION's
+    * pHash dedup): decode each image, integer-grayscale it, box-average
+    * down to a 9×8 grid, and emit the 64-bit difference hash (bit =
+    * right neighbor brighter), then group identical hashes into dup
+    * groups keyed by the minimum media id. The fixture images are
+    * 36×16 PNGs painted as a 9×8 grid of 4×2 solid bands colored from
+    * the document's text bytes (cyclic offsets (i·3) mod (len−2)), and
+    * the decode path is REAL — ImageIO PNG encode + decode per row —
+    * while staying exactly SQL-predictable because PNG is lossless and
+    * every grayscale/box-average step is integer arithmetic: the
+    * oracle recomputes the hash in closed form from `ascii()` of the
+    * text (the corpus is ASCII; qm2's oracle pins octet == char). A
+    * broken decode, wrong raster order, or lossy round-trip changes
+    * the emitted bits and fails the hash match.
+    *
+    * The hash is emitted as a 64-char bit STRING (a packed BIGINT
+    * could need bit 63 and DuckDB errors on signed overflow rather
+    * than wrapping). Dedup is one window over the hash — at 100 TB a
+    * groupBy(dhash) shuffle of skinny (hash, id) rows, the qd1 shape;
+    * near-dup banding over Hamming distance would ride the SimHash
+    * pigeonhole machinery unchanged. */
+  def qm4ImagePhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = Tables(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 0) // the media table's image rows
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val mod = math.max(bytes.length - 2, 1)
+          val img = new java.awt.image.BufferedImage(36, 16,
+            java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          val g2 = img.createGraphics()
+          try {
+            var i = 0
+            while (i < 72) {
+              val o = (i * 3) % mod
+              val rgb = ((bytes(o) & 0xff) << 16) |
+                ((bytes(o + 1) & 0xff) << 8) | (bytes(o + 2) & 0xff)
+              g2.setColor(new java.awt.Color(rgb))
+              g2.fillRect((i % 9) * 4, (i / 9) * 2, 4, 2)
+              i += 1
+            }
+          } finally g2.dispose()
+          // REAL lossless codec round trip
+          val bos = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(img, "png", bos),
+            "no PNG writer available")
+          val dec = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          require(dec != null, "fixture PNG failed to decode")
+          // integer grayscale + EXACT 4×2 box average to the 9×8 grid
+          val gry = Array.ofDim[Long](9, 8)
+          var x = 0
+          while (x < 9) {
+            var y = 0
+            while (y < 8) {
+              var s = 0L
+              var dy = 0
+              while (dy < 2) {
+                var dx = 0
+                while (dx < 4) {
+                  val p = dec.getRGB(x * 4 + dx, y * 2 + dy)
+                  s += (299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff)
+                    + 114L * (p & 0xff)) / 1000L
+                  dx += 1
+                }
+                dy += 1
+              }
+              gry(x)(y) = s / 8L
+              y += 1
+            }
+            x += 1
+          }
+          val sb = new StringBuilder(64)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              sb.append(if (gry(xx + 1)(yy) > gry(xx)(yy)) '1' else '0')
+              xx += 1
+            }
+            yy += 1
+          }
+          (id, sb.toString)
+        }
+      }.toDF("media_id", "dhash")
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("dhash")
+    hashed
+      .withColumn("dup_rep", min(col("media_id")).over(byHash))
+      .withColumn("is_dup", col("media_id") =!= col("dup_rep"))
+      .orderBy("media_id")
+  }
+
   /** Max |decoded − painted| mean-luma drift qm3 tolerates per frame.
     * A solid frame survives baseline JPEG almost exactly (DC-only
     * blocks; the error is DC quantization ± chroma rounding, ~1–2

@@ -73,6 +73,37 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("qm4 dHash equals the closed-form recompute from text bytes") {
+    // the fixture's banded PNG makes the hash predictable WITHOUT the
+    // codec: recompute it straight from the bytes and require the real
+    // encode→decode→grayscale→box-average path to land on the same bits
+    val got = Multimodal.qm4ImagePhashDedup(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(got.nonEmpty)
+    val texts = graft.Tables(spark, SparkTestSession.sfDir, "documents")
+      .filter(org.apache.spark.sql.functions.expr("doc_id % 3 = 0"))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (id, dhash, rep, isDup) =>
+      assert(dhash.length == 64 && dhash.forall(c => c == '0' || c == '1'))
+      val bytes = texts(id).getBytes("UTF-8")
+      val mod = math.max(bytes.length - 2, 1)
+      def gray(cell: Int): Long = {
+        val o = (cell * 3) % mod
+        (299L * (bytes(o) & 0xff) + 587L * (bytes(o + 1) & 0xff)
+          + 114L * (bytes(o + 2) & 0xff)) / 1000L
+      }
+      val expected = (for (y <- 0 until 8; x <- 0 until 8) yield
+        if (gray(y * 9 + x + 1) > gray(y * 9 + x)) '1' else '0').mkString
+      assert(dhash == expected, s"media $id: codec path diverged from bytes")
+      assert(isDup == (id != rep))
+    }
+    // hashes discriminate and at least one dup group exists
+    assert(got.map(_._2).distinct.length > 1)
+    assert(got.exists(_._4), "no dup group in the gate corpus — vacuous")
+  }
+
   test("JPEG round-trip luma drift of solid frames stays inside LumaTol") {
     // Measure the actual codec drift over a spread of colors (every
     // channel pattern the fixture can paint), so LumaTol is a measured
