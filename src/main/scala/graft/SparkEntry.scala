@@ -140,6 +140,8 @@ object SparkEntry {
     "qm3_video_frames"     -> (Multimodal.qm3VideoFrames _),
     // perceptual-hash image dedup: real PNG round trip, closed-form oracle
     "qm4_image_phash_dedup" -> (Multimodal.qm4ImagePhashDedup _),
+    // real WAV/PCM16 audio decode: integer signal features
+    "qm5_audio_features"   -> (Multimodal.qm5AudioFeatures _),
     "qs8_winnow_candidates" -> (graft.text.Fingerprint.fingerprintCandidates(_, _)),
     "qs9_srp_lsh_neardup"  -> (graft.similarity.SrpLsh.qs9NearDups _),
     "qs10_stream_dedup"    -> (Replay.qs10StreamDedup _),
@@ -2202,6 +2204,38 @@ object SparkEntry {
         |  min(media_id) OVER (PARTITION BY dhash) AS dup_rep,
         |  media_id <> min(media_id) OVER (PARTITION BY dhash) AS is_dup
         |FROM h ORDER BY media_id""".stripMargin,
+
+    // qm5: WAV is lossless and every feature is integer arithmetic, so
+    // the oracle recomputes sample count / peak / total amplitude /
+    // zero crossings in closed form from ascii() of the text — the
+    // Spark side produces them from a REAL RIFF/WAVE chunk walk +
+    // PCM16LE sample decode; an endianness or offset bug scrambles
+    // every feature.
+    "qm5_audio_features" ->
+      """WITH a AS (
+        |  SELECT doc_id, text, n_chars,
+        |    (64 + 16 * (doc_id % 5))::BIGINT AS n
+        |  FROM documents WHERE doc_id % 3 = 2
+        |), s AS (
+        |  SELECT doc_id, n, r.i,
+        |    ((ascii(substr(text, (r.i % n_chars)::INT + 1, 1)) - 96)
+        |      * 256)::BIGINT AS s
+        |  FROM a CROSS JOIN unnest(range(0, n)) r(i)
+        |), w AS (
+        |  SELECT doc_id, n, i, s,
+        |    lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM s
+        |), f AS (
+        |  SELECT doc_id, n,
+        |    max(abs(s))::BIGINT AS peak,
+        |    sum(abs(s))::BIGINT AS sum_abs,
+        |    sum(CASE WHEN i > 0 AND ((prev >= 0) <> (s >= 0))
+        |        THEN 1 ELSE 0 END)::BIGINT AS zc
+        |  FROM w GROUP BY doc_id, n
+        |)
+        |SELECT doc_id AS media_id, 8000::BIGINT AS sample_rate,
+        |  n AS n_samples, peak, sum_abs, zc AS zero_crossings
+        |FROM f ORDER BY media_id""".stripMargin,
 
     "qm3_video_frames" ->
       """SELECT doc_id AS media_id,

@@ -311,6 +311,57 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** qm5: real audio decode — the third leg of the multimodal triple
+    * (ImageIO PNG/JPEG for images, MJPEG/AVI for video, PCM WAV here):
+    * every audio row carries an actual RIFF/WAVE PCM16 payload
+    * (samples synthesized deterministically from the document's text
+    * bytes: s_i = (byte[i mod len] − 96) × 256, n = 64 + 16·(id mod 5)),
+    * and the query decodes it back through `WavCodec`'s REAL chunk walk
+    * + fmt validation + little-endian sample read, then reports exact
+    * INTEGER signal features: sample count, peak amplitude, total
+    * absolute amplitude, and zero crossings (sign change between
+    * consecutive samples; zero counts as non-negative). WAV is
+    * lossless and every feature is integer arithmetic, so the oracle
+    * recomputes everything in closed form from `ascii()` of the ASCII
+    * text — the hash only matches when the container walk, header
+    * parse, and sample decode are faithful (an endianness or offset
+    * bug scrambles every feature).
+    *
+    * Plan shape: one narrow per-partition codec pass, no shuffle before
+    * the presentation sort — the qm3 geometry. */
+  def qm5AudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 2) // the media table's audio rows
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = 64 + 16 * (id % 5).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((bytes(i % bytes.length) & 0xff) - 96) * 256).toShort)
+          val wav = WavCodec.writePcm16(samples, 8000)
+          // decode back through the REAL path
+          val (rate, ch, bits, dec) = WavCodec.decode(wav)
+          require(ch == 1 && bits == 16, "decoded header mismatch")
+          var sumAbs = 0L; var peak = 0L; var zc = 0L
+          var i = 0
+          while (i < dec.length) {
+            val s = dec(i).toLong
+            val a = math.abs(s)
+            sumAbs += a
+            if (a > peak) peak = a
+            if (i > 0 && ((dec(i - 1) >= 0) != (s >= 0))) zc += 1
+            i += 1
+          }
+          (id, rate.toLong, dec.length.toLong, peak, sumAbs, zc)
+        }
+      }
+      .toDF("media_id", "sample_rate", "n_samples", "peak", "sum_abs",
+        "zero_crossings")
+      .orderBy("media_id")
+  }
+
   /** Max |decoded − painted| mean-luma drift qm3 tolerates per frame.
     * A solid frame survives baseline JPEG almost exactly (DC-only
     * blocks; the error is DC quantization ± chroma rounding, ~1–2

@@ -104,6 +104,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.exists(_._4), "no dup group in the gate corpus — vacuous")
   }
 
+  test("WAV codec round-trips PCM16 exactly and rejects non-WAVE bytes") {
+    val samples = Array.tabulate(100)(i => ((i * 317) % 32768 - 16384).toShort)
+    val wav = WavCodec.writePcm16(samples, 8000)
+    assert(WavCodec.isRiffWave(wav))
+    val (rate, ch, bits, dec) = WavCodec.decode(wav)
+    assert(rate == 8000 && ch == 1 && bits == 16)
+    assert(dec.toSeq == samples.toSeq, "lossless round trip must be exact")
+    intercept[IllegalArgumentException] {
+      WavCodec.decode("plainly not a wave container".getBytes("UTF-8"))
+    }
+  }
+
+  test("qm5 audio features equal the closed-form recompute from text bytes") {
+    val got = Multimodal.qm5AudioFeatures(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    val texts = graft.Tables(spark, SparkTestSession.sfDir, "documents")
+      .filter(org.apache.spark.sql.functions.expr("doc_id % 3 = 2"))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (id, rate, n, peak, sumAbs, zc) =>
+      assert(rate == 8000L)
+      val bytes = texts(id).getBytes("UTF-8")
+      val en = 64 + 16 * (id % 5)
+      assert(n == en)
+      val ss = Array.tabulate(en.toInt)(i =>
+        ((bytes(i % bytes.length) & 0xff) - 96) * 256)
+      assert(peak == ss.map(s => math.abs(s).toLong).max)
+      assert(sumAbs == ss.map(s => math.abs(s).toLong).sum)
+      assert(zc == ss.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0)))
+    }
+    // the features discriminate across documents
+    assert(got.map(_._5).distinct.length > 1, "constant amplitude — vacuous")
+    assert(got.exists(_._6 > 0L), "no zero crossings anywhere — vacuous")
+  }
+
   test("JPEG round-trip luma drift of solid frames stays inside LumaTol") {
     // Measure the actual codec drift over a spread of colors (every
     // channel pattern the fixture can paint), so LumaTol is a measured
