@@ -189,6 +189,8 @@ object SparkEntry {
     "qd34_temperature_mixture" -> ((s, d) => TextOps.qd34TemperatureMixture(s, d)),
     // leakage-safe split: qd25's hash keyed by the near-dup cluster rep
     "qd35_leak_safe_split" -> (TextOps.qd35LeakSafeSplit _),
+    // integer-deterministic PageRank over the near-dup graph
+    "qd36_pagerank" -> ((s, d) => TextOps.qd36PageRank(s, d)),
   )
 
   /** Benchmark-only queries: measured by `graft.Bench` but NOT part of
@@ -1308,6 +1310,50 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM b
         |ORDER BY doc_id""".stripMargin,
+
+    // Integer-micro PageRank over the shared-rare-shingle graph (df
+    // 2..5 — bounded posting fanout; near-dup cliques are degree-regular
+    // and provably uniform): each step a node emits
+    // (r * 85) // (deg * 100) along every edge and collects the 0.15e6
+    // teleport + the order-free integer inflow sum. Three generated
+    // iteration CTEs (the bpe-chain pattern).
+    "qd36_pagerank" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        |  FROM documents
+        |), d AS MATERIALIZED (
+        |  SELECT doc_id, list_distinct(
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM t WHERE len(toks) >= 3
+        |), inv AS MATERIALIZED (
+        |  SELECT doc_id, unnest(sh) AS s FROM d
+        |), rare AS (
+        |  SELECT s FROM inv GROUP BY s HAVING count(*) BETWEEN 2 AND 5
+        |), pr AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM inv a JOIN rare USING (s) JOIN inv b USING (s)
+        |  WHERE a.doc_id < b.doc_id
+        |), e AS MATERIALIZED (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pr
+        |  UNION ALL SELECT doc_b, doc_a FROM pr
+        |), deg AS MATERIALIZED (
+        |  SELECT src AS node, count(*)::BIGINT AS deg FROM e GROUP BY 1
+        |), r0 AS (
+        |  SELECT node, 1000000::BIGINT AS r FROM deg
+        |)${(1 to 3).map { k =>
+        s""", r$k AS MATERIALIZED (
+        |  SELECT e.dst AS node,
+        |    (150000 + sum((r.r * 85) // (d2.deg * 100)))::BIGINT AS r
+        |  FROM e
+        |  JOIN r${k - 1} r ON r.node = e.src
+        |  JOIN deg d2 ON d2.node = e.src
+        |  GROUP BY e.dst
+        |)"""
+      }.mkString}
+        |SELECT r3.node AS doc_id, deg.deg AS degree, r3.r AS rank_units
+        |FROM r3 JOIN deg ON deg.node = r3.node
+        |ORDER BY rank_units DESC, doc_id""".stripMargin,
 
     // Mean negative unigram log-probability per document (perplexity
     // filter stand-in).

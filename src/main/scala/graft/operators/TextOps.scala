@@ -896,6 +896,72 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** qd36: PageRank over the shared-distinctive-phrase graph — the
+    * graph-centrality quality signal corpus pipelines compute over
+    * link/similarity graphs (CommonCrawl-derived sets rank hosts by
+    * harmonic/PageRank centrality). Two documents are linked when they
+    * share a RARE 3-gram shingle (document frequency 2..5): rare
+    * phrases are the citation/plagiarism signal — common trigrams say
+    * nothing, near-dup cliques (jaccard ≥ 0.8 here is all near-exact
+    * copies) give degree-REGULAR components where PageRank is provably
+    * uniform and vacuous, while the rare-phrase graph's degrees span
+    * 5..93 at the gate. The df ≤ 5 cap also IS the scale story: each
+    * rare shingle contributes ≤ C(5,2) = 10 pairs, so the posting join
+    * has bounded fanout — the classic drop-hub-keys trick that keeps
+    * the edge build linear where a raw shingle self-join is quadratic
+    * in the hottest posting.
+    *
+    * The iteration is ENGINE-DETERMINISTIC integer PageRank:
+    * r₀ = 1e6 per node; each step a node emits
+    * (r × 85) div (deg × 100) along every edge (damping 0.85 and the
+    * 1/deg split in one exact floor division) and collects the
+    * 0.15 × 1e6 teleport plus the order-free integer inflow sum. Floor
+    * losses mean mass is not exactly conserved — the documented price
+    * of bit-exact cross-engine iteration (the ADC/nano-nat trade
+    * applied to graph propagation).
+    *
+    * Scale shape: shingle inverted index → df-bounded rare postings →
+    * one bounded-fanout self-join for edges; then K Pregel-style
+    * iterations, each one shuffle of skinny (dst, contribution) longs. */
+  def qd36PageRank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val toksArr = docs(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val sh = toksArr.select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(toks) - 3)," +
+          " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))")))
+        .as("s"))
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 5))
+      .select(col("s"))
+    val post = sh.join(rare, "s")
+    val pairs = post.as("a")
+      .join(post.as("b"), Seq("s"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var r = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    (1 to iters).foreach { _ =>
+      val inflow = edges
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("node"),
+          expr("(r * 85) div (deg * 100)").as("c"))
+        .groupBy("node").agg(sum("c").as("inflow"))
+      // every node of the undirected graph has degree >= 1, so inflow
+      // covers all nodes — an inner join loses nobody
+      r = inflow.select(col("node"),
+        (lit(150000L) + col("inflow")).as("r"))
+    }
+    r.join(deg.select(col("src").as("node"), col("deg")), "node")
+      .select(col("node").as("doc_id"), col("deg").cast("long").as("degree"),
+        col("r").as("rank_units"))
+      .orderBy(col("rank_units").desc, col("doc_id"))
+  }
+
   /** Lower 64 bits of md5(input) as an UNSIGNED decimal(20,0) — the
     * declarative (conv/substring, fully codegen'd) form of
     * `SimHash.md5Lower64String`, bit-equal to DuckDB's

@@ -578,6 +578,47 @@ class CurationOpsSpec extends AnyFunSuite {
       s"planted shift must dominate: shifted=${report(2L)} quiet=$quiet")
   }
 
+  test("integer PageRank matches an independent propagation over the rare-shingle graph") {
+    val got = TextOps.qd36PageRank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // rebuild the edge set independently: rare (df 2..5) trigram
+    // shingles, docs sharing one are linked
+    val docsRows = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+      .filter(_._2.length >= 3)
+    val shOf = docsRows.map { case (id, toks) =>
+      id -> toks.sliding(3).map(_.mkString(" ")).toSet }.toMap
+    val df = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    shOf.values.foreach(_.foreach(s => df(s) += 1))
+    val rare = df.collect { case (s, d) if d >= 2 && d <= 5 => s }.toSet
+    val ids = shOf.keys.toSeq.sorted
+    val edges = (for {
+      i <- ids; j <- ids if i < j
+      if (shOf(i) & shOf(j)).exists(rare)
+    } yield (i, j)).toSeq
+    val und = edges ++ edges.map(_.swap)
+    val deg = und.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var r = deg.keys.map(_ -> 1000000L).toMap
+    (1 to 3).foreach { _ =>
+      val inflow = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      und.foreach { case (src, dst) =>
+        inflow(dst) += (r(src) * 85L) / (deg(src) * 100L) }
+      r = inflow.map { case (n, in) => n -> (150000L + in) }.toMap
+    }
+    val expected = deg.keys.toSeq
+      .map(n => (n, deg(n), r(n)))
+      .sortBy { case (n, _, ru) => (-ru, n) }
+    assert(got.toSeq == expected)
+    // the graph and the ranks are non-degenerate: real degree spread,
+    // non-uniform centrality (the near-dup-clique pitfall this graph
+    // choice exists to avoid)
+    assert(got.map(_._2).distinct.length > 3, "degree-regular graph")
+    assert(got.map(_._3).distinct.length > got.length / 2,
+      "near-uniform ranks — vacuous centrality")
+  }
+
   test("leak-safe split keeps near-dup clusters on one side and matches qd25 elsewhere") {
     val got = TextOps.qd35LeakSafeSplit(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
