@@ -185,6 +185,8 @@ object SparkEntry {
     "qe12_truncated_rerank" -> ((s, d) => Ann.qe12TruncatedRerank(s, d)),
     // cluster-balanced diversity sampling: per-cell ceil-20% quotas
     "qe13_cluster_sample"  -> (Ann.qe13ClusterSample _),
+    // index advisor: recall@5 of every compression method vs exact
+    "qe14_index_advisor"   -> ((s, d) => Ann.qe14IndexAdvisor(s, d)),
     // temperature mixture: alpha=0.5 quotas over lang strata
     "qd34_temperature_mixture" -> ((s, d) => TextOps.qd34TemperatureMixture(s, d)),
     // leakage-safe split: qd25's hash keyed by the near-dup cluster rep
@@ -475,6 +477,232 @@ object SparkEntry {
         |  round(sum(js_nanos)::BIGINT / 1e9, 6) AS js
         |FROM j GROUP BY source, w, nsw
         |ORDER BY source, w""".stripMargin
+
+  private val resPqSql: String =
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |), comp AS (
+        |  SELECT label AS cell, i AS dim, avg(v[i::INT]) AS m
+        |  FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
+        |  GROUP BY 1, 2
+        |), cents AS (
+        |  SELECT cell, list(m ORDER BY dim) AS centroid FROM comp GROUP BY cell
+        |), assign AS (
+        |  SELECT vec_id, cell, v FROM (
+        |    SELECT e.vec_id, c.cell, e.v,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_inner_product(e.v, c.centroid)
+        |          / (sqrt(list_inner_product(e.v, e.v))
+        |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
+        |        c.cell) AS rk
+        |    FROM e CROSS JOIN cents c
+        |  ) WHERE rk = 1
+        |), res AS MATERIALIZED (
+        |  SELECT a.vec_id, a.cell,
+        |    list_transform(range(1, len(a.v) + 1),
+        |      i -> round(a.v[i::INT] - c.centroid[i::INT], 6)) AS rv
+        |  FROM assign a JOIN cents c USING (cell)
+        |), rsv AS MATERIALIZED (
+        |  SELECT vec_id, cell, s.sub,
+        |    list_transform(range(s.sub * 16 + 1, s.sub * 16 + 17),
+        |      j -> rv[j::INT]) AS x
+        |  FROM res CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s
+        |), rcomp AS (
+        |  SELECT sub,
+        |    (CASE WHEN x[1] >= 0 THEN 4 ELSE 0 END
+        |     + CASE WHEN x[2] >= 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN x[3] >= 0 THEN 1 ELSE 0 END)::INT AS code,
+        |    i AS dim, avg(x[i::INT]) AS mv
+        |  FROM rsv CROSS JOIN unnest(range(1, len(x) + 1)) r(i)
+        |  GROUP BY 1, 2, 3
+        |), rcb AS MATERIALIZED (
+        |  SELECT sub, code, list(mv ORDER BY dim) AS cw FROM rcomp
+        |  GROUP BY sub, code
+        |), rcodes AS (
+        |  SELECT vec_id, cell, sub, code FROM (
+        |    SELECT vec_id, cell, sub, code,
+        |      row_number() OVER (PARTITION BY vec_id, sub
+        |        ORDER BY round(d2, 6), code) AS rk
+        |    FROM (
+        |      SELECT rsv.vec_id, rsv.cell, rsv.sub, rcb.code,
+        |        list_inner_product(x, x) - 2 * list_inner_product(x, cw)
+        |          + list_inner_product(cw, cw) AS d2
+        |      FROM rsv JOIN rcb USING (sub)
+        |    )
+        |  ) WHERE rk = 1
+        |), qsel AS (
+        |  SELECT vec_id FROM e WHERE vec_id % 25 = 0
+        |  ORDER BY (vec_id * 1000003) % 999983, vec_id LIMIT 1024
+        |), q AS (
+        |  SELECT vec_id AS q_id, v AS q_vec FROM e JOIN qsel USING (vec_id)
+        |), probed AS MATERIALIZED (
+        |  SELECT q_id, cell, qrv FROM (
+        |    SELECT q.q_id, c.cell,
+        |      list_transform(range(1, len(q.q_vec) + 1),
+        |        i -> round(q.q_vec[i::INT] - c.centroid[i::INT], 6)) AS qrv,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        round(list_inner_product(q.q_vec, c.centroid)
+        |          / (sqrt(list_inner_product(q.q_vec, q.q_vec))
+        |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
+        |        c.cell) AS crk
+        |    FROM q CROSS JOIN cents c
+        |  ) WHERE crk <= 2
+        |), rlut AS (
+        |  SELECT p.q_id, p.cell, p.sub, rcb.code,
+        |    CAST(round((list_inner_product(x, x) - 2 * list_inner_product(x, cw)
+        |      + list_inner_product(cw, cw)) * 1e6) AS BIGINT) AS d2us
+        |  FROM (
+        |    SELECT q_id, cell, s.sub,
+        |      list_transform(range(s.sub * 16 + 1, s.sub * 16 + 17),
+        |        j -> qrv[j::INT]) AS x
+        |    FROM probed CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s
+        |  ) p JOIN rcb USING (sub)
+        |), adc AS (
+        |  SELECT l.q_id, co.vec_id AS cand_id, sum(l.d2us)::BIGINT AS adc_us
+        |  FROM rcodes co
+        |  JOIN rlut l ON l.cell = co.cell AND l.sub = co.sub AND l.code = co.code
+        |  WHERE co.vec_id <> l.q_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT q_id, rank, cand_id, adc_us FROM (
+        |  SELECT q_id, cand_id, adc_us,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY adc_us, cand_id) AS rank
+        |  FROM adc
+        |) WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin
+
+  private val sqSql: String =
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), st AS (
+        |  SELECT i AS dim, min(v[i::INT]) AS mn, max(v[i::INT]) AS mx
+        |  FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
+        |  GROUP BY 1
+        |), w AS (
+        |  SELECT dim,
+        |    CASE WHEN mx > mn
+        |      THEN CAST(round(((mx - mn) / 255.0) * ((mx - mn) / 255.0)
+        |                      * 1e12) AS BIGINT)
+        |      ELSE 0 END AS w
+        |  FROM st
+        |), wl AS (
+        |  SELECT list(w ORDER BY dim) AS w FROM w
+        |), codes AS MATERIALIZED (
+        |  SELECT vec_id, list(c ORDER BY dim) AS cl FROM (
+        |    SELECT e.vec_id, st.dim,
+        |      CASE WHEN st.mx > st.mn
+        |        THEN CAST(round((e.v[st.dim::INT] - st.mn) * 255.0
+        |                        / (st.mx - st.mn)) AS INT)
+        |        ELSE 0 END AS c
+        |    FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
+        |    JOIN st ON st.dim = r.i
+        |  ) GROUP BY vec_id
+        |), qsel AS (
+        |  SELECT vec_id FROM e WHERE vec_id % 25 = 0
+        |  ORDER BY (vec_id * 1000003) % 999983, vec_id LIMIT 1024
+        |), score AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> w.w[i::INT] * (qc.cl[i::INT] - c.cl[i::INT])
+        |                       * (qc.cl[i::INT] - c.cl[i::INT])))
+        |      AS BIGINT) AS d2_units
+        |  FROM qsel q JOIN codes qc ON qc.vec_id = q.vec_id
+        |  CROSS JOIN codes c CROSS JOIN wl w
+        |  WHERE c.vec_id <> q.vec_id
+        |)
+        |SELECT q_id, rank, cand_id, d2_units FROM (
+        |  SELECT q_id, cand_id, d2_units,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY d2_units, cand_id) AS rank
+        |  FROM score
+        |) WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin
+
+  private val truncSql: String =
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), qsel AS (
+        |  SELECT vec_id FROM e WHERE vec_id % 25 = 0
+        |  ORDER BY (vec_id * 1000003) % 999983, vec_id LIMIT 1024
+        |), q AS (
+        |  SELECT e.vec_id AS q_id, e.v AS qv
+        |  FROM e JOIN qsel ON qsel.vec_id = e.vec_id
+        |), pc AS (
+        |  SELECT q.q_id, e.vec_id AS cand_id,
+        |    round(list_inner_product(q.qv[1:16], e.v[1:16])
+        |      / (sqrt(list_inner_product(q.qv[1:16], q.qv[1:16]))
+        |         * sqrt(list_inner_product(e.v[1:16], e.v[1:16]))), 6) AS psim
+        |  FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id
+        |), coarse AS (
+        |  SELECT q_id, cand_id FROM (
+        |    SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY psim DESC, cand_id) AS crk
+        |    FROM pc
+        |  ) WHERE crk <= 50
+        |), rr AS (
+        |  SELECT c.q_id, c.cand_id,
+        |    round(list_inner_product(q.qv, e.v)
+        |      / (sqrt(list_inner_product(q.qv, q.qv))
+        |         * sqrt(list_inner_product(e.v, e.v))), 6) AS sim
+        |  FROM coarse c JOIN q ON q.q_id = c.q_id
+        |  JOIN e ON e.vec_id = c.cand_id
+        |)
+        |SELECT q_id, rank, cand_id, sim FROM (
+        |  SELECT q_id, cand_id, sim,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, cand_id) AS rank
+        |  FROM rr
+        |) WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin
+
+  /** qe14's composed oracle: exact capped ground truth + every
+    * compression method's FULL SQL mirror re-run verbatim as a
+    * subquery, hit counts joined per method, integer recall micro. */
+  private def advisorSql: String = {
+    val methods = Seq(
+      "pq" -> pqSql, "residual_pq" -> resPqSql,
+      "sq8" -> sqSql, "truncated_rerank" -> truncSql)
+    val union = methods.map { case (n, body) =>
+      s"SELECT '$n' AS method, q_id, cand_id FROM (\n$body\n)"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH exact AS (
+       |  SELECT q_id, cand_id FROM (
+       |    WITH e AS (
+       |      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |    ), qsel AS (
+       |      SELECT vec_id FROM e WHERE vec_id % 25 = 0
+       |      ORDER BY (vec_id * 1000003) % 999983, vec_id LIMIT 1024
+       |    ), q AS (
+       |      SELECT e.vec_id AS q_id, e.v AS qv
+       |      FROM e JOIN qsel ON qsel.vec_id = e.vec_id
+       |    )
+       |    SELECT q_id, cand_id FROM (
+       |      SELECT q.q_id, e.vec_id AS cand_id,
+       |        row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |          round(list_inner_product(q.qv, e.v)
+       |            / (sqrt(list_inner_product(q.qv, q.qv))
+       |               * sqrt(list_inner_product(e.v, e.v))), 6) DESC,
+       |          e.vec_id) AS rk
+       |      FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id
+       |    ) WHERE rk <= 5
+       |  )
+       |), m AS (
+       |$union
+       |), h AS (
+       |  SELECT m.method, count(*)::BIGINT AS hits
+       |  FROM m JOIN exact USING (q_id, cand_id) GROUP BY 1
+       |), nq AS (
+       |  SELECT count(DISTINCT q_id)::BIGINT AS n FROM exact
+       |), names AS (
+       |  SELECT unnest(['pq', 'residual_pq', 'sq8', 'truncated_rerank'])
+       |    AS method
+       |)
+       |SELECT names.method, nq.n AS n_queries,
+       |  coalesce(h.hits, 0)::BIGINT AS hits,
+       |  (coalesce(h.hits, 0) * 1000000) // (nq.n * 5) AS recall_micro
+       |FROM names CROSS JOIN nq LEFT JOIN h ON h.method = names.method
+       |ORDER BY names.method""".stripMargin
+  }
 
   private val pqSql: String =
     """WITH e AS (
@@ -2329,98 +2557,7 @@ object SparkEntry {
     // residual sub-vectors, and each query builds a LUT per PROBED
     // cell from its own residual against that cell — candidates rank
     // by the integer ADC sum within probed cells only.
-    "qe10_ivfpq_residual" ->
-      """WITH e AS (
-        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-        |), comp AS (
-        |  SELECT label AS cell, i AS dim, avg(v[i::INT]) AS m
-        |  FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
-        |  GROUP BY 1, 2
-        |), cents AS (
-        |  SELECT cell, list(m ORDER BY dim) AS centroid FROM comp GROUP BY cell
-        |), assign AS (
-        |  SELECT vec_id, cell, v FROM (
-        |    SELECT e.vec_id, c.cell, e.v,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        round(list_inner_product(e.v, c.centroid)
-        |          / (sqrt(list_inner_product(e.v, e.v))
-        |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
-        |        c.cell) AS rk
-        |    FROM e CROSS JOIN cents c
-        |  ) WHERE rk = 1
-        |), res AS MATERIALIZED (
-        |  SELECT a.vec_id, a.cell,
-        |    list_transform(range(1, len(a.v) + 1),
-        |      i -> round(a.v[i::INT] - c.centroid[i::INT], 6)) AS rv
-        |  FROM assign a JOIN cents c USING (cell)
-        |), rsv AS MATERIALIZED (
-        |  SELECT vec_id, cell, s.sub,
-        |    list_transform(range(s.sub * 16 + 1, s.sub * 16 + 17),
-        |      j -> rv[j::INT]) AS x
-        |  FROM res CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s
-        |), rcomp AS (
-        |  SELECT sub,
-        |    (CASE WHEN x[1] >= 0 THEN 4 ELSE 0 END
-        |     + CASE WHEN x[2] >= 0 THEN 2 ELSE 0 END
-        |     + CASE WHEN x[3] >= 0 THEN 1 ELSE 0 END)::INT AS code,
-        |    i AS dim, avg(x[i::INT]) AS mv
-        |  FROM rsv CROSS JOIN unnest(range(1, len(x) + 1)) r(i)
-        |  GROUP BY 1, 2, 3
-        |), rcb AS MATERIALIZED (
-        |  SELECT sub, code, list(mv ORDER BY dim) AS cw FROM rcomp
-        |  GROUP BY sub, code
-        |), rcodes AS (
-        |  SELECT vec_id, cell, sub, code FROM (
-        |    SELECT vec_id, cell, sub, code,
-        |      row_number() OVER (PARTITION BY vec_id, sub
-        |        ORDER BY round(d2, 6), code) AS rk
-        |    FROM (
-        |      SELECT rsv.vec_id, rsv.cell, rsv.sub, rcb.code,
-        |        list_inner_product(x, x) - 2 * list_inner_product(x, cw)
-        |          + list_inner_product(cw, cw) AS d2
-        |      FROM rsv JOIN rcb USING (sub)
-        |    )
-        |  ) WHERE rk = 1
-        |), qsel AS (
-        |  SELECT vec_id FROM e WHERE vec_id % 25 = 0
-        |  ORDER BY (vec_id * 1000003) % 999983, vec_id LIMIT 1024
-        |), q AS (
-        |  SELECT vec_id AS q_id, v AS q_vec FROM e JOIN qsel USING (vec_id)
-        |), probed AS MATERIALIZED (
-        |  SELECT q_id, cell, qrv FROM (
-        |    SELECT q.q_id, c.cell,
-        |      list_transform(range(1, len(q.q_vec) + 1),
-        |        i -> round(q.q_vec[i::INT] - c.centroid[i::INT], 6)) AS qrv,
-        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
-        |        round(list_inner_product(q.q_vec, c.centroid)
-        |          / (sqrt(list_inner_product(q.q_vec, q.q_vec))
-        |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
-        |        c.cell) AS crk
-        |    FROM q CROSS JOIN cents c
-        |  ) WHERE crk <= 2
-        |), rlut AS (
-        |  SELECT p.q_id, p.cell, p.sub, rcb.code,
-        |    CAST(round((list_inner_product(x, x) - 2 * list_inner_product(x, cw)
-        |      + list_inner_product(cw, cw)) * 1e6) AS BIGINT) AS d2us
-        |  FROM (
-        |    SELECT q_id, cell, s.sub,
-        |      list_transform(range(s.sub * 16 + 1, s.sub * 16 + 17),
-        |        j -> qrv[j::INT]) AS x
-        |    FROM probed CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s
-        |  ) p JOIN rcb USING (sub)
-        |), adc AS (
-        |  SELECT l.q_id, co.vec_id AS cand_id, sum(l.d2us)::BIGINT AS adc_us
-        |  FROM rcodes co
-        |  JOIN rlut l ON l.cell = co.cell AND l.sub = co.sub AND l.code = co.code
-        |  WHERE co.vec_id <> l.q_id
-        |  GROUP BY 1, 2
-        |)
-        |SELECT q_id, rank, cand_id, adc_us FROM (
-        |  SELECT q_id, cand_id, adc_us,
-        |    row_number() OVER (PARTITION BY q_id ORDER BY adc_us, cand_id) AS rank
-        |  FROM adc
-        |) WHERE rank <= 5
-        |ORDER BY q_id, rank""".stripMargin,
+    "qe10_ivfpq_residual" -> resPqSql,
 
     // SQ8 scalar quantization: per-dimension [min, max] affine map to
     // 8-bit codes (((v - mn) * 255) / (mx - mn), round half-up — the
@@ -2430,93 +2567,13 @@ object SparkEntry {
     // INTEGER sum over dims of w_d * (qc - cc)^2 with
     // w_d = round(((mx - mn)/255)^2 * 1e12) pico-units. Ascending,
     // self excluded, ties to the lowest cand_id.
-    "qe11_sq_topk" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        |), st AS (
-        |  SELECT i AS dim, min(v[i::INT]) AS mn, max(v[i::INT]) AS mx
-        |  FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
-        |  GROUP BY 1
-        |), w AS (
-        |  SELECT dim,
-        |    CASE WHEN mx > mn
-        |      THEN CAST(round(((mx - mn) / 255.0) * ((mx - mn) / 255.0)
-        |                      * 1e12) AS BIGINT)
-        |      ELSE 0 END AS w
-        |  FROM st
-        |), wl AS (
-        |  SELECT list(w ORDER BY dim) AS w FROM w
-        |), codes AS MATERIALIZED (
-        |  SELECT vec_id, list(c ORDER BY dim) AS cl FROM (
-        |    SELECT e.vec_id, st.dim,
-        |      CASE WHEN st.mx > st.mn
-        |        THEN CAST(round((e.v[st.dim::INT] - st.mn) * 255.0
-        |                        / (st.mx - st.mn)) AS INT)
-        |        ELSE 0 END AS c
-        |    FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
-        |    JOIN st ON st.dim = r.i
-        |  ) GROUP BY vec_id
-        |), qsel AS (
-        |  SELECT vec_id FROM e WHERE vec_id % 25 = 0
-        |  ORDER BY (vec_id * 1000003) % 999983, vec_id LIMIT 1024
-        |), score AS (
-        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
-        |    CAST(list_sum(list_transform(range(1, 65),
-        |      i -> w.w[i::INT] * (qc.cl[i::INT] - c.cl[i::INT])
-        |                       * (qc.cl[i::INT] - c.cl[i::INT])))
-        |      AS BIGINT) AS d2_units
-        |  FROM qsel q JOIN codes qc ON qc.vec_id = q.vec_id
-        |  CROSS JOIN codes c CROSS JOIN wl w
-        |  WHERE c.vec_id <> q.vec_id
-        |)
-        |SELECT q_id, rank, cand_id, d2_units FROM (
-        |  SELECT q_id, cand_id, d2_units,
-        |    row_number() OVER (PARTITION BY q_id
-        |      ORDER BY d2_units, cand_id) AS rank
-        |  FROM score
-        |) WHERE rank <= 5
-        |ORDER BY q_id, rank""".stripMargin,
+    "qe11_sq_topk" -> sqSql,
 
     // Matryoshka two-stage retrieval: coarse rank the whole corpus by
     // cosine over the FIRST 16 components only, keep top-50 per query,
     // rerank the survivors by full 64-dim cosine. Both stages 6dp-round
     // before ranking, ties to the lowest cand_id, self excluded.
-    "qe12_truncated_rerank" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        |), qsel AS (
-        |  SELECT vec_id FROM e WHERE vec_id % 25 = 0
-        |  ORDER BY (vec_id * 1000003) % 999983, vec_id LIMIT 1024
-        |), q AS (
-        |  SELECT e.vec_id AS q_id, e.v AS qv
-        |  FROM e JOIN qsel ON qsel.vec_id = e.vec_id
-        |), pc AS (
-        |  SELECT q.q_id, e.vec_id AS cand_id,
-        |    round(list_inner_product(q.qv[1:16], e.v[1:16])
-        |      / (sqrt(list_inner_product(q.qv[1:16], q.qv[1:16]))
-        |         * sqrt(list_inner_product(e.v[1:16], e.v[1:16]))), 6) AS psim
-        |  FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id
-        |), coarse AS (
-        |  SELECT q_id, cand_id FROM (
-        |    SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id
-        |      ORDER BY psim DESC, cand_id) AS crk
-        |    FROM pc
-        |  ) WHERE crk <= 50
-        |), rr AS (
-        |  SELECT c.q_id, c.cand_id,
-        |    round(list_inner_product(q.qv, e.v)
-        |      / (sqrt(list_inner_product(q.qv, q.qv))
-        |         * sqrt(list_inner_product(e.v, e.v))), 6) AS sim
-        |  FROM coarse c JOIN q ON q.q_id = c.q_id
-        |  JOIN e ON e.vec_id = c.cand_id
-        |)
-        |SELECT q_id, rank, cand_id, sim FROM (
-        |  SELECT q_id, cand_id, sim,
-        |    row_number() OVER (PARTITION BY q_id
-        |      ORDER BY sim DESC, cand_id) AS rank
-        |  FROM rr
-        |) WHERE rank <= 5
-        |ORDER BY q_id, rank""".stripMargin,
+    "qe12_truncated_rerank" -> truncSql,
 
     "qe7_ann_recall" ->
       """WITH e AS (
@@ -2602,6 +2659,10 @@ object SparkEntry {
     // Cluster-balanced diversity sampling: the qe6 assignment CTEs, a
     // prototypical-first rank window per cell, and an integer ceil-20%
     // quota — every live vector reported with its keep decision.
+    // Index advisor: every compression method's full mirror re-run
+    // verbatim, integer hit counts vs the exact capped ground truth.
+    "qe14_index_advisor" -> advisorSql,
+
     "qe13_cluster_sample" ->
       """WITH e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings

@@ -724,6 +724,50 @@ object Ann {
       .orderBy("q_id", "rank")
   }
 
+  /** qe14: index advisor — the recall benchmark a vector platform runs
+    * before choosing a compression scheme (FAISS's index-selection
+    * protocol as ONE query): exact ground truth on the capped query
+    * sample, then recall@k of every compressed/two-stage method in the
+    * family — PQ (qe8), residual IVF-PQ (qe10), SQ8 (qe11), truncated
+    * rerank (qe12) — reported side by side. All aggregation is INTEGER
+    * (hit counts; recall_micro = hits×1e6 div (Q×k)), so the report
+    * carries none of the float-summation parity risk of averaged
+    * scores, and the oracle re-runs each method's full SQL mirror
+    * verbatim inside one composed query — divergence in ANY member of
+    * the family fails this row too.
+    *
+    * Scale shape: each method is its own already-audited pipeline; the
+    * ground truth is the margin-pruned exact kernel; the final join is
+    * Q×k rows per method. The driver-side assembly is 4 bounded counts
+    * (the bpe merge-table precedent). */
+  def qe14IndexAdvisor(spark: SparkSession, dir: String, k: Int = 5,
+                       maxQ: Int = DefaultMaxQueries): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+    val sample = querySample(emb, "vec_id % 25 = 0", maxQ)
+    val exact = graft.operators.VectorOps
+      .exactTopKCandidatesFrom(emb, sample, k)
+      .select(col("q_id"), col("cand_id"), round(col("sim_raw"), 6).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("cand_id"))
+      .localCheckpoint() // four consumers — never recompute the kernel
+    val nq = exact.select(col("q_id")).distinct().count()
+    val methods = Seq(
+      "pq" -> qe8PqTopk(spark, dir, k, maxQ = maxQ),
+      "residual_pq" -> qe10IvfPqResidualTopk(spark, dir, k, maxQ = maxQ),
+      "sq8" -> qe11SqTopk(spark, dir, k, maxQ),
+      "truncated_rerank" -> qe12TruncatedRerank(spark, dir, k, maxQ = maxQ))
+    val rows = methods.map { case (name, df) =>
+      val hits = df.select(col("q_id"), col("cand_id"))
+        .join(exact, Seq("q_id", "cand_id")).count()
+      (name, nq, hits, hits * 1000000L / (nq * k))
+    }
+    rows.toDF("method", "n_queries", "hits", "recall_micro")
+      .orderBy("method")
+  }
+
   /** dim/m with the divisibility check — one place for both forms. */
   private[graft] def pqSubDim(emb: DataFrame, m: Int): Int = {
     val dim = emb.select(size(col("embedding"))).head.getInt(0)

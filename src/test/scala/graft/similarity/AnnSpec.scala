@@ -368,6 +368,42 @@ class AnnSpec extends AnyFunSuite {
     assert(got.map(_._2).distinct.length > 1)
   }
 
+  test("index advisor reports consistent integer recalls for every method") {
+    val dir = SparkTestSession.sfDir
+    val got = Ann.qe14IndexAdvisor(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq ==
+      Seq("pq", "residual_pq", "sq8", "truncated_rerank"))
+    val nq = got.head._2
+    assert(nq > 0 && got.forall(_._2 == nq))
+    got.foreach { case (m, _, hits, micro) =>
+      assert(hits >= 0 && hits <= nq * 5, s"$m hits $hits out of range")
+      assert(micro == hits * 1000000L / (nq * 5), s"$m recall math broken")
+    }
+    // per-dimension 8-bit codes out-resolve 8-codes-per-subspace PQ on
+    // any reasonable corpus: sq8 must lead the table
+    val byName = got.map(t => t._1 -> t._4).toMap
+    assert(byName("sq8") == got.map(_._4).max, s"sq8 not leading: $byName")
+    // one method's hits re-derived independently: sq8's ranking joined
+    // against the advisor's own exact ground-truth definition
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val sample = Ann.querySample(emb, "vec_id % 25 = 0", Ann.DefaultMaxQueries)
+    val exact = graft.operators.VectorOps
+      .exactTopKCandidatesFrom(emb, sample, 5)
+      .select(org.apache.spark.sql.functions.col("q_id"),
+        org.apache.spark.sql.functions.col("cand_id"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("sim_raw"), 6).as("sim"))
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val exactTop = exact.withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id"))))
+      .filter(col("rank") <= 5).select("q_id", "cand_id")
+    val sqHits = Ann.qe11SqTopk(spark, dir).select("q_id", "cand_id")
+      .join(exactTop, Seq("q_id", "cand_id")).count()
+    assert(byName("sq8") == sqHits * 1000000L / (nq * 5))
+  }
+
   test("SQ8 dequantization error is bounded by half a step per dimension") {
     import org.apache.spark.sql.functions._
     val emb = graft.Tables(spark, SparkTestSession.sfDir, "embeddings")
