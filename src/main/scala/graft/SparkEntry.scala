@@ -181,6 +181,8 @@ object SparkEntry {
     "qs20_stream_ivfpq"    -> (graft.streaming.PqStream.qs20StreamIvfPq _),
     // scalar quantization (SQ8): per-dim affine 8-bit codes, integer dot
     "qe11_sq_topk"         -> ((s, d) => Ann.qe11SqTopk(s, d)),
+    // qe11's arrival-time form: frozen ranges, append-only codes index
+    "qs23_stream_sq"       -> (graft.streaming.PqStream.qs23StreamSq _),
     // Matryoshka two-stage: prefix-dim coarse top-C, full-dim rerank
     "qe12_truncated_rerank" -> ((s, d) => Ann.qe12TruncatedRerank(s, d)),
     // cluster-balanced diversity sampling: per-cell ceil-20% quotas
@@ -2568,6 +2570,10 @@ object SparkEntry {
     // w_d = round(((mx - mn)/255)^2 * 1e12) pico-units. Ascending,
     // self excluded, ties to the lowest cand_id.
     "qe11_sq_topk" -> sqSql,
+    // streaming incremental form: frozen ranges, per-batch zero-shuffle
+    // encode into the append-only codes index — one SQL text serves
+    // both keys (divergence fails the gate)
+    "qs23_stream_sq" -> sqSql,
 
     // Matryoshka two-stage retrieval: coarse rank the whole corpus by
     // cosine over the FIRST 16 components only, keep top-50 per query,

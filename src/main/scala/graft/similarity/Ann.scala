@@ -575,14 +575,22 @@ object Ann {
     sqTopk(Tables(spark, dir, "embeddings"), k, maxQ)
 
   private[graft] def sqTopk(emb: DataFrame, k: Int, maxQ: Int): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     // encode ONCE against the corpus ranges; query codes are the capped
     // sample's rows of the same code table (quantizing the sample with
     // its own ranges would desync the two sides' grids)
     val (codes, weights) = sqEncode(emb)
     val sampleIds = querySample(emb, "vec_id % 25 = 0", maxQ)
       .select(col("vec_id"))
+    sqRank(codes, weights, sampleIds, k)
+  }
+
+  /** The SQ8 ranking tail shared by qe11 and its streaming form (qs23):
+    * query codes are the sample's rows of the SAME code table, the
+    * search is the per-partition integer weighted-L2 top-k kernel. */
+  private[graft] def sqRank(codes: DataFrame, weights: Array[Long],
+                            sampleIds: DataFrame, k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
     val qRows = codes.join(broadcast(sampleIds), "vec_id")
       .collect().map(r => r.getLong(0) ->
         r.getSeq[Int](1).toArray).sortBy(_._1)
@@ -639,23 +647,41 @@ object Ann {
     * dim-bounded rows) — plus the per-dimension integer pico-weights
     * w_d = round(Δ_d² × 1e12) the distance kernel multiplies by. */
   private[graft] def sqEncode(emb: DataFrame): (DataFrame, Array[Long]) = {
+    val (mn, mx, weights) = sqStats(emb)
+    (sqCodesWith(emb, mn, mx), weights)
+  }
+
+  /** Frozen SQ8 model: per-dimension (mn, mx) ranges + the integer
+    * pico-weights. Trained once over the lake and reused by every
+    * encode — the quantizer-freeze contract the streaming form (qs23)
+    * relies on, same as the PQ codebook. */
+  private[graft] def sqStats(emb: DataFrame): (Array[Double], Array[Double], Array[Long]) = {
     val stats = emb
       .select(posexplode(col("embedding").cast("array<double>"))
         .as(Seq("dim", "v")))
       .groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
       .orderBy("dim").collect()
-    val dim = stats.length
-    val mnLit = array(stats.map(r => lit(r.getDouble(1))): _*)
-    val mxLit = array(stats.map(r => lit(r.getDouble(2))): _*)
+    val mn = stats.map(_.getDouble(1))
+    val mx = stats.map(_.getDouble(2))
     val weights = stats.map { r =>
-      val (mn, mx) = (r.getDouble(1), r.getDouble(2))
-      if (mx > mn) {
-        val step = (mx - mn) / 255.0
+      val (a, b) = (r.getDouble(1), r.getDouble(2))
+      if (b > a) {
+        val step = (b - a) / 255.0
         BigDecimal(step * step * 1e12)
           .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
       } else 0L
     }
-    val codes = emb.select(col("vec_id"), col("embedding"),
+    (mn, mx, weights)
+  }
+
+  /** Encode (vec_id, embedding) rows against FROZEN ranges — a
+    * zero-shuffle projection with the ranges baked in as literals. */
+  private[graft] def sqCodesWith(df: DataFrame, mn: Array[Double],
+                                 mx: Array[Double]): DataFrame = {
+    val dim = mn.length
+    val mnLit = array(mn.map(lit): _*)
+    val mxLit = array(mx.map(lit): _*)
+    df.select(col("vec_id"), col("embedding"),
         mnLit.as("mn"), mxLit.as("mx"))
       .select(col("vec_id"), expr(
         s"""transform(sequence(1, $dim), i ->
@@ -664,7 +690,6 @@ object Ann {
            |         - element_at(mn, i)) * 255.0
            |       / (element_at(mx, i) - element_at(mn, i))) as int)
            |  ELSE 0 END)""".stripMargin).as("codes"))
-    (codes, weights)
   }
 
   /** qe12: truncated-dimension rerank — the Matryoshka/MRL two-stage

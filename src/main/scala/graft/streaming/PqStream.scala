@@ -204,6 +204,67 @@ object PqStream {
     streamPqTopk(spark, staged, cb, m, subDim)
   }
 
+  /** Streaming SQ8 ingestion — qe11's arrival-time form, completing the
+    * compression family's streaming story next to qs18 (PQ) and qs20
+    * (IVF-PQ): the per-dimension [mn, mx] ranges and pico-weights are
+    * MODEL STATE trained once over the lake and FROZEN (SQ codes are
+    * only comparable under the ranges that produced them — an evolving
+    * range would silently re-grid the corpus; re-coding on range
+    * refresh is a batch rebuild, exactly the codebook contract). Each
+    * micro-batch pays one zero-shuffle encode projection over its own
+    * rows and appends (vec_id, codes) to the append-only index; a
+    * snapshot read runs the integer weighted-L2 kernel over the
+    * accumulated codes and returns byte-identical rows to qe11. */
+  def streamSqTopk(spark: SparkSession, stagedDir: String,
+                   mn: Array[Double], mx: Array[Double], weights: Array[Long],
+                   k: Int = 5, pred: String = "vec_id % 25 = 0",
+                   maxQ: Int = Ann.DefaultMaxQueries,
+                   maxFilesPerTrigger: Int = 1,
+                   compactEvery: Int = 16,
+                   workDir: Option[String] = None): DataFrame = {
+    val work = workDir match {
+      case Some(w) =>
+        Files.createDirectories(java.nio.file.Paths.get(w)); w
+      case None =>
+        val t = Files.createTempDirectory("graft_ssq").toString
+        Replay.cleanupAtExit(t); t
+    }
+    val codesSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("codes", ArrayType(IntegerType))))
+    val state = new AppendOnlyState(work, Seq(("codes", codesSchema)),
+      compactEvery)
+    val q = spark.readStream.schema(embStreamSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(stagedDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!state.alreadyFolded(batchId)) {
+          state.endBatch(batch.sparkSession, batchId,
+            "codes" -> Ann.sqCodesWith(batch, mn, mx))
+        }
+        Replay.maybePoison(batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val lake = spark.read.schema(embStreamSchema).parquet(stagedDir)
+    Ann.sqRank(state.read(spark, "codes"), weights,
+      Ann.querySample(lake, pred, maxQ).select(col("vec_id")), k)
+  }
+
+  /** qs23 entry: streaming SQ8 over the shared two-file embeddings
+    * lake; frozen ranges from the lake. Shares qe11's oracle SQL
+    * verbatim across the batch boundary. */
+  def qs23StreamSq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val staged = stagedPqLake(spark, dir, emb)
+    val (mn, mx, weights) = Ann.sqStats(emb)
+    streamSqTopk(spark, staged, mn, mx, weights)
+  }
+
   /** Two-file vec_id-range staging of the embeddings lake, contents-
     * memoized and shared by qs18/qs20 so both streams cross the same
     * batch boundary. */

@@ -248,6 +248,34 @@ class RestartSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streamSq killed mid-run resumes and matches the batch SQ8 ranking") {
+    // same no-fold codes-index contract as streamPq: a double-appended
+    // batch duplicates candidates and corrupts the weighted-L2 ranking;
+    // exact equality with qe11 catches it. The frozen-ranges model must
+    // also survive the restart (it is re-derived from the same lake).
+    val emb = Tables(spark, SparkTestSession.sfDir, "embeddings")
+    val lake = Files.createTempDirectory("graft_restart_sq_lake").toString
+    Replay.cleanupAtExit(lake)
+    emb.select(col("vec_id"), col("embedding"))
+      .repartitionByRange(4, col("vec_id"))
+      .write.mode("overwrite").parquet(lake)
+    val (mn, mx, weights) = graft.similarity.Ann.sqStats(emb)
+    val w = work("graft_restart_sq")
+    Replay.poisonAfterBatch = 1L
+    intercept[Exception] {
+      PqStream.streamSqTopk(spark, lake, mn, mx, weights,
+        workDir = Some(w), compactEvery = 2)
+    }
+    assert(Replay.poisonAfterBatch == -1L, "poison should have fired")
+    val streamed = PqStream.streamSqTopk(spark, lake, mn, mx, weights,
+        workDir = Some(w), compactEvery = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val batch = graft.similarity.Ann.qe11SqTopk(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streamPq killed mid-run resumes and matches the batch PQ ranking") {
     // the codes index has NO fold and no dedup at read — a replayed
     // batch appending its (vec_id, codes) rows twice would duplicate
