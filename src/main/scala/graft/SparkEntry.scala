@@ -140,6 +140,8 @@ object SparkEntry {
     "qm3_video_frames"     -> (Multimodal.qm3VideoFrames _),
     // perceptual-hash image dedup: real PNG round trip, closed-form oracle
     "qm4_image_phash_dedup" -> (Multimodal.qm4ImagePhashDedup _),
+    // qm4's arrival-time form: per-batch codec pass, append-only index
+    "qs24_stream_phash"    -> (Replay.qs24StreamPhash _),
     // real WAV/PCM16 audio decode: integer signal features
     "qm5_audio_features"   -> (Multimodal.qm5AudioFeatures _),
     "qs8_winnow_candidates" -> (graft.text.Fingerprint.fingerprintCandidates(_, _)),
@@ -705,6 +707,36 @@ object SparkEntry {
        |FROM names CROSS JOIN nq LEFT JOIN h ON h.method = names.method
        |ORDER BY names.method""".stripMargin
   }
+
+  /** qm4/qs24 shared oracle (one SQL text serves both keys). */
+  private val phashSql: String =
+      """WITH i AS (
+        |  SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 3 = 0
+        |), g AS (
+        |  SELECT doc_id, y, x,
+        |    (299 * ascii(substr(text, o + 1, 1))
+        |     + 587 * ascii(substr(text, o + 2, 1))
+        |     + 114 * ascii(substr(text, o + 3, 1))) // 1000 AS gv
+        |  FROM (
+        |    SELECT doc_id, text, (c.i // 9)::INT AS y, (c.i % 9)::INT AS x,
+        |      ((c.i * 3) % (n_chars - 2))::INT AS o
+        |    FROM i CROSS JOIN unnest(range(0, 72)) c(i)
+        |  )
+        |), b AS (
+        |  SELECT a.doc_id, a.y, a.x,
+        |    CASE WHEN n.gv > a.gv THEN '1' ELSE '0' END AS bit
+        |  FROM g a JOIN g n ON n.doc_id = a.doc_id AND n.y = a.y
+        |    AND n.x = a.x + 1
+        |  WHERE a.x < 8
+        |), h AS (
+        |  SELECT doc_id AS media_id,
+        |    string_agg(bit, '' ORDER BY y, x) AS dhash
+        |  FROM b GROUP BY doc_id
+        |)
+        |SELECT media_id, dhash,
+        |  min(media_id) OVER (PARTITION BY dhash) AS dup_rep,
+        |  media_id <> min(media_id) OVER (PARTITION BY dhash) AS is_dup
+        |FROM h ORDER BY media_id""".stripMargin
 
   private val pqSql: String =
     """WITH e AS (
@@ -2452,34 +2484,8 @@ object SparkEntry {
     // while the Spark side produces every bit from a REAL ImageIO
     // encode→decode round trip — the hash only matches when the codec
     // and the 9×8 downsample are faithful.
-    "qm4_image_phash_dedup" ->
-      """WITH i AS (
-        |  SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 3 = 0
-        |), g AS (
-        |  SELECT doc_id, y, x,
-        |    (299 * ascii(substr(text, o + 1, 1))
-        |     + 587 * ascii(substr(text, o + 2, 1))
-        |     + 114 * ascii(substr(text, o + 3, 1))) // 1000 AS gv
-        |  FROM (
-        |    SELECT doc_id, text, (c.i // 9)::INT AS y, (c.i % 9)::INT AS x,
-        |      ((c.i * 3) % (n_chars - 2))::INT AS o
-        |    FROM i CROSS JOIN unnest(range(0, 72)) c(i)
-        |  )
-        |), b AS (
-        |  SELECT a.doc_id, a.y, a.x,
-        |    CASE WHEN n.gv > a.gv THEN '1' ELSE '0' END AS bit
-        |  FROM g a JOIN g n ON n.doc_id = a.doc_id AND n.y = a.y
-        |    AND n.x = a.x + 1
-        |  WHERE a.x < 8
-        |), h AS (
-        |  SELECT doc_id AS media_id,
-        |    string_agg(bit, '' ORDER BY y, x) AS dhash
-        |  FROM b GROUP BY doc_id
-        |)
-        |SELECT media_id, dhash,
-        |  min(media_id) OVER (PARTITION BY dhash) AS dup_rep,
-        |  media_id <> min(media_id) OVER (PARTITION BY dhash) AS is_dup
-        |FROM h ORDER BY media_id""".stripMargin,
+    "qm4_image_phash_dedup" -> phashSql,
+    "qs24_stream_phash" -> phashSql,
 
     // qm5: WAV is lossless and every feature is integer arithmetic, so
     // the oracle recomputes sample count / peak / total amplitude /

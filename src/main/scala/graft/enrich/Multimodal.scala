@@ -238,9 +238,27 @@ object Multimodal {
     * groupBy(dhash) shuffle of skinny (hash, id) rows, the qd1 shape;
     * near-dup banding over Hamming distance would ride the SimHash
     * pigeonhole machinery unchanged. */
-  def qm4ImagePhashDedup(spark: SparkSession, dir: String): DataFrame = {
+  def qm4ImagePhashDedup(spark: SparkSession, dir: String): DataFrame =
+    phashReport(phashFrame(Tables(spark, dir, "documents")))
+
+  /** The dup-group window over a (media_id, dhash) frame — shared by
+    * qm4 and the streaming form (qs24: hashes are append-only facts, so
+    * the report over the accumulated state folds to the batch report). */
+  private[graft] def phashReport(hashed: DataFrame): DataFrame = {
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("dhash")
+    hashed
+      .withColumn("dup_rep", min(col("media_id")).over(byHash))
+      .withColumn("is_dup", col("media_id") =!= col("dup_rep"))
+      .orderBy("media_id")
+  }
+
+  /** The per-row dHash kernel over a documents frame — qm4's only
+    * corpus-width stage (one codec pass, no shuffle), shared with qs24
+    * where it runs per batch. */
+  private[graft] def phashFrame(docsDf: DataFrame): DataFrame = {
+    val spark = docsDf.sparkSession
     import spark.implicits._
-    val hashed = Tables(spark, dir, "documents")
+    docsDf
       .filter(pmod(col("doc_id"), lit(3)) === 0) // the media table's image rows
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { batch =>
@@ -304,11 +322,6 @@ object Multimodal {
           (id, sb.toString)
         }
       }.toDF("media_id", "dhash")
-    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("dhash")
-    hashed
-      .withColumn("dup_rep", min(col("media_id")).over(byHash))
-      .withColumn("is_dup", col("media_id") =!= col("dup_rep"))
-      .orderBy("media_id")
   }
 
   /** qm5: real audio decode — the third leg of the multimodal triple

@@ -725,6 +725,56 @@ object Replay {
   def qs22StreamCms(spark: SparkSession, dir: String): DataFrame =
     streamCms(spark, stagedDocsLake(spark, dir))
 
+  /** Streaming perceptual image dedup — qm4's arrival-time form and
+    * the multimodal member of the streaming-dedup family (qs10 exact
+    * text, qs13 near-dup text, qs15 semantic, this one images): media
+    * rows stream in, each micro-batch pays its OWN codec pass (the
+    * real PNG encode→decode→grayscale→box-average dHash kernel over
+    * batch rows only — per-batch cost O(batch), embarrassingly
+    * per-row), and appends its (media_id, dhash) rows to the
+    * append-only hash index. Hashes are immutable facts, so the
+    * snapshot read's dup-group window over the accumulated index folds
+    * to exactly the batch report — a dup pair whose members arrived in
+    * different batches is found the moment the later member lands.
+    * Restart contract as the codes-index siblings: batch-keyed
+    * overwrites, `alreadyFolded` skip — a double-appended batch would
+    * duplicate (media_id, dhash) rows and break the report's
+    * one-row-per-image shape, which the shared qm4 oracle catches. */
+  def streamPhashDedup(spark: SparkSession, dir: String,
+                       maxFilesPerTrigger: Int = 1,
+                       pathGlobFilter: String = "*.parquet",
+                       workDir: Option[String] = None,
+                       compactEvery: Int = 16): DataFrame = {
+    val work = resolveWork(workDir, "graft_sphash")
+    val hSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("dhash", StringType)))
+    val state = new AppendOnlyState(work, Seq(("h", hSchema)), compactEvery)
+    val q = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", pathGlobFilter)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(dir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!state.alreadyFolded(batchId)) {
+          state.endBatch(batch.sparkSession, batchId,
+            "h" -> graft.enrich.Multimodal.phashFrame(batch))
+        }
+        maybePoison(batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    graft.enrich.Multimodal.phashReport(state.read(spark, "h"))
+  }
+
+  /** qs24 entry: streaming image dedup over the shared staged docs
+    * lake; shares qm4's oracle SQL verbatim across the batch boundary. */
+  def qs24StreamPhash(spark: SparkSession, dir: String): DataFrame =
+    streamPhashDedup(spark, stagedDocsLake(spark, dir))
+
   /** Streaming incremental NEAR-duplicate detection — the arrival-time
     * form of qs1_minhash_neardup: documents stream in, each micro-batch
     * pays only its own signature kernel plus a band probe against the

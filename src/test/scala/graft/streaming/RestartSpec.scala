@@ -248,6 +248,30 @@ class RestartSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streamPhash killed mid-run resumes and matches the batch image dedup") {
+    // the hash index has no fold — a double-appended batch duplicates
+    // (media_id, dhash) rows and breaks the one-row-per-image report;
+    // exact equality with qm4 catches it across the compaction
+    val lake = docsLake()
+    val w = work("graft_restart_phash")
+    Replay.poisonAfterBatch = 1L
+    intercept[Exception] {
+      Replay.streamPhashDedup(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w), compactEvery = 2)
+    }
+    assert(Replay.poisonAfterBatch == -1L, "poison should have fired")
+    val streamed = Replay.streamPhashDedup(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w), compactEvery = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    val batch = graft.enrich.Multimodal
+      .qm4ImagePhashDedup(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streamSq killed mid-run resumes and matches the batch SQ8 ranking") {
     // same no-fold codes-index contract as streamPq: a double-appended
     // batch duplicates candidates and corrupts the weighted-L2 ranking;
