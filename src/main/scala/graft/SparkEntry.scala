@@ -197,6 +197,8 @@ object SparkEntry {
     "qd35_leak_safe_split" -> (TextOps.qd35LeakSafeSplit _),
     // integer-deterministic PageRank over the near-dup graph
     "qd36_pagerank" -> ((s, d) => TextOps.qd36PageRank(s, d)),
+    // interpolated trigram-LM fluency scoring (the LM family at depth 3)
+    "qd37_trigram_logprob" -> (TextOps.qd37TrigramLogprob _),
   )
 
   /** Benchmark-only queries: measured by `graft.Bench` but NOT part of
@@ -1701,6 +1703,53 @@ object SparkEntry {
         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
         |  round(avg(-ln((cab + 1)::DOUBLE / (ca + v))), 6) AS avg_neg_logprob
         |FROM bg JOIN bc USING (bg) JOIN uc USING (term) CROSS JOIN v
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // Interpolated trigram LM: p = 0.6 p3 + 0.3 p2 + 0.1 p1 with
+    // add-one smoothing per order — the identical left-associated
+    // double expression in both engines (qd21's proven contract), only
+    // the per-doc avg rounded.
+    "qd37_trigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), uc AS MATERIALIZED (
+        |  SELECT term, count(*)::BIGINT AS cu
+        |  FROM (SELECT unnest(toks) AS term FROM t) GROUP BY term
+        |), v AS (
+        |  SELECT count(*)::DOUBLE AS v, sum(cu)::DOUBLE AS n FROM uc
+        |), bc AS MATERIALIZED (
+        |  SELECT bg, count(*)::BIGINT AS cb FROM (
+        |    SELECT toks[i] || ' ' || toks[i+1] AS bg
+        |    FROM t CROSS JOIN unnest(range(1, len(toks))) r(i)
+        |  ) GROUP BY bg
+        |), tg AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    toks[i] || ' ' || toks[i+1] AS ab,
+        |    toks[i+1] || ' ' || toks[i+2] AS bcs,
+        |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tg,
+        |    toks[i+1] AS b, toks[i+2] AS c
+        |  FROM t CROSS JOIN unnest(range(1, len(toks) - 1)) r(i)
+        |  WHERE len(toks) >= 3
+        |), tc AS MATERIALIZED (
+        |  SELECT tg, count(*)::BIGINT AS ct FROM tg GROUP BY tg
+        |)
+        |SELECT doc_id, count(*)::BIGINT AS n_trigrams,
+        |  round(avg(-ln(
+        |    0.6 * ((ct + 1)::DOUBLE / (cab + v))
+        |    + 0.3 * ((cbc + 1)::DOUBLE / (cb_u + v))
+        |    + 0.1 * ((cc_u + 1)::DOUBLE / (n + v)))), 6) AS avg_neg_logprob
+        |FROM (
+        |  SELECT g.doc_id, tc.ct, ab_c.cb AS cab, bc_c.cb AS cbc,
+        |    ub.cu AS cb_u, uc2.cu AS cc_u
+        |  FROM tg g
+        |  JOIN tc ON tc.tg = g.tg
+        |  JOIN bc ab_c ON ab_c.bg = g.ab
+        |  JOIN bc bc_c ON bc_c.bg = g.bcs
+        |  JOIN uc ub ON ub.term = g.b
+        |  JOIN uc uc2 ON uc2.term = g.c
+        |) CROSS JOIN v
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 

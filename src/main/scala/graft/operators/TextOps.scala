@@ -654,6 +654,84 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** qd37: interpolated trigram-LM fluency scoring — the LM family at
+    * CCNet's working depth (unigram qd18 → bigram qd21 → trigram here):
+    * each document's mean negative log-probability under a
+    * Jelinek-Mercer-interpolated trigram model,
+    * p = 0.6·p₃ + 0.3·p₂ + 0.1·p₁ with add-one smoothing per order
+    * (p₃ = (c_abc+1)/(c_ab+V), p₂ = (c_bc+1)/(c_b+V),
+    * p₁ = (c_c+1)/(N+V)) — the backoff mixture that keeps unseen
+    * trigrams finite while long contexts dominate where they exist.
+    *
+    * Determinism follows qd21's proven contract: the interpolation
+    * expression is the identical left-associated double tree in both
+    * engines, counts are exact integers, the corpus scalars (V, N) are
+    * broadcast one-row frames, and only the final per-doc avg is
+    * rounded (6dp). Scale shape: n-gram count tables are vocab- /
+    * Heaps-bounded aggregates; the per-position stream joins five
+    * skinny hashed count tables (xxhash64 pair keys — strings never
+    * shuffle) and partial-aggregates to one row per document. */
+  def qd37TrigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val toksArr = docs(spark, dir).select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("toks"))
+    val uniCounts = toksArr.select(explode(col("toks")).as("term"))
+      .select(xxhash64(lit(1), col("term")).as("u1"),
+        xxhash64(lit(2), col("term")).as("u2"))
+      .groupBy("u1", "u2").agg(count(lit(1)).as("cu"))
+    val vocab = uniCounts.agg(count(lit(1)).cast("double").as("v"),
+      sum("cu").cast("double").as("n"))
+    val biCounts = toksArr.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2)," +
+          " i -> concat(toks[i], ' ', toks[i+1]))")).as("bg"))
+      .select(xxhash64(lit(1), col("bg")).as("b1"),
+        xxhash64(lit(2), col("bg")).as("b2"))
+      .groupBy("b1", "b2").agg(count(lit(1)).as("cb"))
+    // the per-position stream: trigram + its two context n-grams + the
+    // two continuation unigrams, hashed once per materialized row
+    val tris = toksArr.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 3)," +
+          " i -> struct(concat(toks[i], ' ', toks[i+1]) AS ab," +
+          "            concat(toks[i+1], ' ', toks[i+2]) AS bc," +
+          "            concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]) AS tg," +
+          "            toks[i+1] AS b, toks[i+2] AS c))"))
+        .as("p"))
+      .select(col("doc_id"),
+        xxhash64(lit(1), col("p.tg")).as("t1"),
+        xxhash64(lit(2), col("p.tg")).as("t2"),
+        xxhash64(lit(1), col("p.ab")).as("ab1"),
+        xxhash64(lit(2), col("p.ab")).as("ab2"),
+        xxhash64(lit(1), col("p.bc")).as("bc1"),
+        xxhash64(lit(2), col("p.bc")).as("bc2"),
+        xxhash64(lit(1), col("p.b")).as("bu1"),
+        xxhash64(lit(2), col("p.b")).as("bu2"),
+        xxhash64(lit(1), col("p.c")).as("cu1"),
+        xxhash64(lit(2), col("p.c")).as("cu2"))
+    val triCounts = tris.groupBy("t1", "t2").agg(count(lit(1)).as("ct"))
+    val p3 = (col("ct") + 1).cast("double") /
+      (col("cab").cast("double") + col("v"))
+    val p2 = (col("cbc") + 1).cast("double") /
+      (col("cb_u").cast("double") + col("v"))
+    val p1 = (col("cc_u") + 1).cast("double") / (col("n") + col("v"))
+    tris
+      .join(triCounts, Seq("t1", "t2"))
+      .join(biCounts.select(col("b1").as("ab1"), col("b2").as("ab2"),
+        col("cb").as("cab")), Seq("ab1", "ab2"))
+      .join(biCounts.select(col("b1").as("bc1"), col("b2").as("bc2"),
+        col("cb").as("cbc")), Seq("bc1", "bc2"))
+      .join(uniCounts.select(col("u1").as("bu1"), col("u2").as("bu2"),
+        col("cu").as("cb_u")), Seq("bu1", "bu2"))
+      .join(uniCounts.select(col("u1").as("cu1"), col("u2").as("cu2"),
+        col("cu").as("cc_u")), Seq("cu1", "cu2"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(avg(-log(lit(0.6) * p3 + lit(0.3) * p2 + lit(0.1) * p1)), 6)
+          .as("avg_neg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Content-defined chunk dedup — blob-level duplicate detection whose
     * chunk boundaries move WITH the content (a one-character insertion
     * shifts every fixed-size chunk after it, but only the chunk it lands

@@ -143,6 +143,47 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("trigram interpolated logprob matches a directly computed reference") {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def toks(s: String) = s.trim.split("\\s+").toSeq
+    val uni = docs.flatMap(d => toks(d._2)).groupBy(identity).view.mapValues(_.size)
+    val v = uni.size.toDouble
+    val n = uni.values.sum.toDouble
+    val bc = docs.flatMap { case (_, t) =>
+      val ts = toks(t); ts.zip(ts.drop(1)).map { case (a, b) => s"$a $b" }
+    }.groupBy(identity).view.mapValues(_.size)
+    val tgs = docs.flatMap { case (id, t) =>
+      val ts = toks(t)
+      if (ts.length < 3) Nil
+      else (0 until ts.length - 2).map { i =>
+        (id, s"${ts(i)} ${ts(i + 1)}", s"${ts(i + 1)} ${ts(i + 2)}",
+          s"${ts(i)} ${ts(i + 1)} ${ts(i + 2)}", ts(i + 1), ts(i + 2))
+      }
+    }
+    val tc = tgs.map(_._4).groupBy(identity).view.mapValues(_.size)
+    val want = tgs.groupBy(_._1).map { case (id, rows) =>
+      val lps = rows.map { case (_, ab, bcs, tg, b, c) =>
+        -math.log(0.6 * (tc(tg) + 1).toDouble / (bc(ab) + v)
+          + 0.3 * (bc(bcs) + 1).toDouble / (uni(b) + v)
+          + 0.1 * (uni(c) + 1).toDouble / (n + v))
+      }
+      (id, rows.size.toLong,
+        math.round(lps.sum / lps.size * 100000.0) / 100000.0)
+    }
+    val got = graft.operators.TextOps.qd37TrigramLogprob(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), math.round(r.getDouble(2) * 100000.0) / 100000.0))).toMap
+    assert(got.size == want.size)
+    want.foreach { case (id, cnt, score) =>
+      assert(got(id)._1 == cnt, s"doc $id trigram count")
+      assert(math.abs(got(id)._2 - score) <= 2e-5, s"doc $id: ${got(id)} vs $score")
+    }
+    // the deeper context must discriminate: scores vary across docs
+    assert(want.map(_._3).toSeq.distinct.size > 1)
+  }
+
   test("CDC chunks reassemble each document and survive an offset shift") {
     import spark.implicits._
     // the CDC property fixed-size chunking lacks: a shared 400-char
