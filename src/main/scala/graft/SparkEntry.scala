@@ -418,23 +418,25 @@ object SparkEntry {
     * the Spark side's low-two-LE-bytes trick, 16 | 2^16) → per-term
     * min-over-rows estimate beside the exact count. */
   private val cmsSql: String =
-    """WITH tc AS (
+    s"""WITH tc AS (
         |  SELECT term, count(*)::BIGINT AS c FROM (
-        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
         |    FROM documents
         |  ) WHERE term <> '' GROUP BY 1
         |), d AS (
-        |  SELECT unnest(range(0, 4)) AS j
+        |  SELECT unnest(range(0, ${TextOps.DefaultCmsDepth})) AS j
         |), sk AS (
         |  SELECT j,
-        |    (md5_number_lower('cms' || j || ':' || term) % 16)::INT AS bucket,
+        |    (md5_number_lower('cms' || j || ':' || term)
+        |      % ${TextOps.DefaultCmsWidth})::INT AS bucket,
         |    sum(c)::BIGINT AS c
         |  FROM tc CROSS JOIN d GROUP BY 1, 2
         |), est AS (
         |  SELECT t.term, t.c AS exact, min(s.c)::BIGINT AS est
         |  FROM tc t CROSS JOIN d
         |  JOIN sk s ON s.j = d.j AND s.bucket =
-        |    (md5_number_lower('cms' || d.j || ':' || t.term) % 16)::INT
+        |    (md5_number_lower('cms' || d.j || ':' || t.term)
+        |      % ${TextOps.DefaultCmsWidth})::INT
         |  GROUP BY 1, 2
         |)
         |SELECT term, est, exact, (est - exact)::BIGINT AS overcount,
@@ -578,7 +580,7 @@ object SparkEntry {
         |ORDER BY q_id, rank""".stripMargin
 
   private val sqSql: String =
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         |), st AS (
         |  SELECT i AS dim, min(v[i::INT]) AS mn, max(v[i::INT]) AS mx
@@ -605,10 +607,11 @@ object SparkEntry {
         |  ) GROUP BY vec_id
         |), qsel AS (
         |  SELECT vec_id FROM e WHERE vec_id % 25 = 0
-        |  ORDER BY (vec_id * 1000003) % 999983, vec_id LIMIT 1024
+        |  ORDER BY (vec_id * 1000003) % 999983, vec_id
+        |  LIMIT ${Ann.DefaultMaxQueries}
         |), score AS (
         |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
-        |    CAST(list_sum(list_transform(range(1, 65),
+        |    CAST(list_sum(list_transform(range(1, len(qc.cl) + 1),
         |      i -> w.w[i::INT] * (qc.cl[i::INT] - c.cl[i::INT])
         |                       * (qc.cl[i::INT] - c.cl[i::INT])))
         |      AS BIGINT) AS d2_units
@@ -621,30 +624,31 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY q_id
         |      ORDER BY d2_units, cand_id) AS rank
         |  FROM score
-        |) WHERE rank <= 5
+        |) WHERE rank <= ${Ann.DefaultTopK}
         |ORDER BY q_id, rank""".stripMargin
 
   private val truncSql: String =
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         |), qsel AS (
         |  SELECT vec_id FROM e WHERE vec_id % 25 = 0
-        |  ORDER BY (vec_id * 1000003) % 999983, vec_id LIMIT 1024
+        |  ORDER BY (vec_id * 1000003) % 999983, vec_id
+        |  LIMIT ${Ann.DefaultMaxQueries}
         |), q AS (
         |  SELECT e.vec_id AS q_id, e.v AS qv
         |  FROM e JOIN qsel ON qsel.vec_id = e.vec_id
         |), pc AS (
         |  SELECT q.q_id, e.vec_id AS cand_id,
-        |    round(list_inner_product(q.qv[1:16], e.v[1:16])
-        |      / (sqrt(list_inner_product(q.qv[1:16], q.qv[1:16]))
-        |         * sqrt(list_inner_product(e.v[1:16], e.v[1:16]))), 6) AS psim
+        |    round(list_inner_product(q.qv[1:${Ann.DefaultPrefixDims}], e.v[1:${Ann.DefaultPrefixDims}])
+        |      / (sqrt(list_inner_product(q.qv[1:${Ann.DefaultPrefixDims}], q.qv[1:${Ann.DefaultPrefixDims}]))
+        |         * sqrt(list_inner_product(e.v[1:${Ann.DefaultPrefixDims}], e.v[1:${Ann.DefaultPrefixDims}]))), 6) AS psim
         |  FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id
         |), coarse AS (
         |  SELECT q_id, cand_id FROM (
         |    SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id
         |      ORDER BY psim DESC, cand_id) AS crk
         |    FROM pc
-        |  ) WHERE crk <= 50
+        |  ) WHERE crk <= ${Ann.DefaultRerankCandidates}
         |), rr AS (
         |  SELECT c.q_id, c.cand_id,
         |    round(list_inner_product(q.qv, e.v)
@@ -658,7 +662,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY q_id
         |      ORDER BY sim DESC, cand_id) AS rank
         |  FROM rr
-        |) WHERE rank <= 5
+        |) WHERE rank <= ${Ann.DefaultTopK}
         |ORDER BY q_id, rank""".stripMargin
 
   /** qe14's composed oracle: exact capped ground truth + every
@@ -713,7 +717,8 @@ object SparkEntry {
   /** qm4/qs24 shared oracle (one SQL text serves both keys). */
   private val phashSql: String =
       """WITH i AS (
-        |  SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 3 = 0
+        |  SELECT doc_id, text, n_chars FROM documents
+        |  WHERE doc_id % 3 = 0 AND n_chars >= 3
         |), g AS (
         |  SELECT doc_id, y, x,
         |    (299 * ascii(substr(text, o + 1, 1))
@@ -721,7 +726,7 @@ object SparkEntry {
         |     + 114 * ascii(substr(text, o + 3, 1))) // 1000 AS gv
         |  FROM (
         |    SELECT doc_id, text, (c.i // 9)::INT AS y, (c.i % 9)::INT AS x,
-        |      ((c.i * 3) % (n_chars - 2))::INT AS o
+        |      ((c.i * 3) % greatest(n_chars - 2, 1))::INT AS o
         |    FROM i CROSS JOIN unnest(range(0, 72)) c(i)
         |  )
         |), b AS (
@@ -1579,8 +1584,9 @@ object SparkEntry {
     // 2..5 — bounded posting fanout; near-dup cliques are degree-regular
     // and provably uniform): each step a node emits
     // (r * 85) // (deg * 100) along every edge and collects the 0.15e6
-    // teleport + the order-free integer inflow sum. Three generated
-    // iteration CTEs (the bpe-chain pattern).
+    // teleport + the order-free integer inflow sum. The iteration CTEs
+    // are GENERATED from TextOps.DefaultPageRankIters (the bpe-chain
+    // pattern) so the oracle's K can never desync from the operator's.
     "qd36_pagerank" ->
       s"""WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
@@ -1605,7 +1611,7 @@ object SparkEntry {
         |  SELECT src AS node, count(*)::BIGINT AS deg FROM e GROUP BY 1
         |), r0 AS (
         |  SELECT node, 1000000::BIGINT AS r FROM deg
-        |)${(1 to 3).map { k =>
+        |)${(1 to TextOps.DefaultPageRankIters).map { k =>
         s""", r$k AS MATERIALIZED (
         |  SELECT e.dst AS node,
         |    (150000 + sum((r.r * 85) // (d2.deg * 100)))::BIGINT AS r
@@ -1615,8 +1621,9 @@ object SparkEntry {
         |  GROUP BY e.dst
         |)"""
       }.mkString}
-        |SELECT r3.node AS doc_id, deg.deg AS degree, r3.r AS rank_units
-        |FROM r3 JOIN deg ON deg.node = r3.node
+        |SELECT rK.node AS doc_id, deg.deg AS degree, rK.r AS rank_units
+        |FROM r${TextOps.DefaultPageRankIters} rK
+        |JOIN deg ON deg.node = rK.node
         |ORDER BY rank_units DESC, doc_id""".stripMargin,
 
     // Mean negative unigram log-probability per document (perplexity
@@ -2546,10 +2553,10 @@ object SparkEntry {
       """WITH a AS (
         |  SELECT doc_id, text, n_chars,
         |    (64 + 16 * (doc_id % 5))::BIGINT AS n
-        |  FROM documents WHERE doc_id % 3 = 2
+        |  FROM documents WHERE doc_id % 3 = 2 AND n_chars >= 1
         |), s AS (
         |  SELECT doc_id, n, r.i,
-        |    ((ascii(substr(text, (r.i % n_chars)::INT + 1, 1)) - 96)
+        |    ((ascii(substr(text, (r.i % greatest(n_chars, 1))::INT + 1, 1)) - 96)
         |      * 256)::BIGINT AS s
         |  FROM a CROSS JOIN unnest(range(0, n)) r(i)
         |), w AS (
@@ -2575,7 +2582,7 @@ object SparkEntry {
         |  '32x24' AS header_dims,
         |  32::BIGINT AS frame_w, 24::BIGINT AS frame_h,
         |  true AS luma_ok
-        |FROM documents WHERE doc_id % 3 = 1
+        |FROM documents WHERE doc_id % 3 = 1 AND n_chars >= 3
         |ORDER BY media_id""".stripMargin,
 
     // The REAL low-probe IVF configuration (nprobe = 2 of 10 cells):
@@ -2770,7 +2777,7 @@ object SparkEntry {
     // IEEE, so both engines agree bit-for-bit), integer quota floor,
     // deterministic (md5(text), doc_id) fill like qd15/qd16.
     "qd34_temperature_mixture" ->
-      """WITH n AS (
+      s"""WITH n AS (
         |  SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY 1
         |), w AS (
         |  SELECT lang, CAST(round(sqrt(n::DOUBLE) * 1e6) AS BIGINT) AS w
@@ -2778,7 +2785,8 @@ object SparkEntry {
         |), tw AS (
         |  SELECT sum(w)::BIGINT AS tw FROM w
         |), q AS (
-        |  SELECT lang, (100 * w.w) // t.tw AS quota FROM w CROSS JOIN tw t
+        |  SELECT lang, (${TextOps.DefaultMixtureBudget} * w.w) // t.tw AS quota
+        |  FROM w CROSS JOIN tw t
         |), r AS (
         |  SELECT doc_id, lang,
         |    row_number() OVER (PARTITION BY lang

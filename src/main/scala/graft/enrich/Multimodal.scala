@@ -180,6 +180,10 @@ object Multimodal {
     import spark.implicits._
     Tables(spark, dir, "documents")
       .filter(pmod(col("doc_id"), lit(3)) === 1) // the media table's video rows
+      // a payload under 3 bytes can't seed a frame color — excluded
+      // IDENTICALLY in the oracle (n_chars >= 3; octet_length ==
+      // n_chars per TESTDATA) so neither side ever indexes past it
+      .filter(octet_length(col("text")) >= 3)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { batch =>
         batch.map { case (id, text) =>
@@ -260,6 +264,10 @@ object Multimodal {
     import spark.implicits._
     docsDf
       .filter(pmod(col("doc_id"), lit(3)) === 0) // the media table's image rows
+      // sub-3-byte payloads can't seed an RGB pixel — filtered
+      // IDENTICALLY in the oracle (n_chars >= 3); octet_length keeps
+      // the guard intrinsic to the frame (qs24 streams batches here)
+      .filter(octet_length(col("text")) >= 3)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { batch =>
         batch.map { case (id, text) =>
@@ -346,6 +354,9 @@ object Multimodal {
     import spark.implicits._
     Tables(spark, dir, "documents")
       .filter(pmod(col("doc_id"), lit(3)) === 2) // the media table's audio rows
+      // an empty payload has no bytes to sample — excluded IDENTICALLY
+      // in the oracle (n_chars >= 1) so i % len never divides by zero
+      .filter(octet_length(col("text")) >= 1)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { batch =>
         batch.map { case (id, text) =>
@@ -378,9 +389,13 @@ object Multimodal {
   /** Max |decoded − painted| mean-luma drift qm3 tolerates per frame.
     * A solid frame survives baseline JPEG almost exactly (DC-only
     * blocks; the error is DC quantization ± chroma rounding, ~1–2
-    * levels at ImageIO's default quality); 4.0 leaves headroom without
-    * ever passing a wrong frame (fixture colors differ by far more). */
-  val LumaTol = 4.0
+    * levels at ImageIO's default quality). 8.0 leaves headroom for a
+    * DIFFERENT JRE's encoder quantization tables (the measured drift
+    * on this JVM is ≤ 2 — the MultimodalSpec drift test keeps that
+    * honest) while still rejecting any wrong frame: the fixture's
+    * frame colors differ by tens of luma levels, so a frame-order or
+    * offset bug still trips the gate by an order of magnitude. */
+  val LumaTol = 8.0
 
   /** qm2: per-kind byte-class rollup with EXACT integer metrics — the
     * hard driver signal for the multimodal path (VERDICT r2 "Next round"

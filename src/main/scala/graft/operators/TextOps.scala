@@ -531,7 +531,7 @@ object TextOps {
     * broadcast map, one rank window per stratum — the qd16 plan with a
     * data-derived quota column. */
   def qd34TemperatureMixture(spark: SparkSession, dir: String,
-                             budget: Int = 100): DataFrame = {
+                             budget: Int = DefaultMixtureBudget): DataFrame = {
     val counts = docs(spark, dir).groupBy("lang")
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
@@ -1000,8 +1000,18 @@ object TextOps {
     *
     * Scale shape: shingle inverted index → df-bounded rare postings →
     * one bounded-fanout self-join for edges; then K Pregel-style
-    * iterations, each one shuffle of skinny (dst, contribution) longs. */
-  def qd36PageRank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    * iterations, each one shuffle of skinny (dst, contribution) longs.
+    * The edge-build subtree (tokenize → shingle → rare-df → posting
+    * self-join) is localCheckpointed ONCE into a skinny
+    * (src, dst, deg) relation, and each iteration's rank frame is
+    * localCheckpointed before the rebind — without both truncations
+    * every iteration's plan re-embeds the whole edge subtree and the
+    * logical tree grows with K (the iterative-algorithm trap
+    * `Clusters.connectedComponents` already guards against). With
+    * them, iteration depth is a constant-size plan per step and K=10+
+    * centrality runs pay ~K skinny shuffles, not K re-derivations. */
+  def qd36PageRank(spark: SparkSession, dir: String,
+                   iters: Int = DefaultPageRankIters): DataFrame = {
     val toksArr = docs(spark, dir)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -1020,25 +1030,50 @@ object TextOps {
       .distinct()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // one eager materialization of the expensive subtree: every
+    // iteration (and the final degree join) reads these blocks, never
+    // the tokenize→shingle→self-join lineage
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val edgesDeg = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .localCheckpoint(true)
     var r = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     (1 to iters).foreach { _ =>
-      val inflow = edges
+      val inflow = edgesDeg
         .join(r.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
         .select(col("dst").as("node"),
           expr("(r * 85) div (deg * 100)").as("c"))
         .groupBy("node").agg(sum("c").as("inflow"))
       // every node of the undirected graph has degree >= 1, so inflow
-      // covers all nodes — an inner join loses nobody
+      // covers all nodes — an inner join loses nobody. localCheckpoint
+      // truncates the rank lineage each step (superseded generations'
+      // blocks are reclaimed by the ContextCleaner once the rebind
+      // drops the last reference).
       r = inflow.select(col("node"),
         (lit(150000L) + col("inflow")).as("r"))
+        .localCheckpoint(true)
     }
     r.join(deg.select(col("src").as("node"), col("deg")), "node")
       .select(col("node").as("doc_id"), col("deg").cast("long").as("degree"),
         col("r").as("rank_units"))
       .orderBy(col("rank_units").desc, col("doc_id"))
   }
+
+  /** Default PageRank iteration depth for qd36 — shared with the
+    * DuckDB oracle's generated iteration CTEs so code and oracle can
+    * never silently desync on K. 10 steps is a real centrality run
+    * (rank mass within integer-floor noise of fixpoint on the small-
+    * diameter rare-shingle graph), not the 3-step smoke the operator
+    * first shipped with. */
+  val DefaultPageRankIters = 10
+
+  /** Shared operator defaults, interpolated into the DuckDB oracle SQL
+    * (SparkEntry) from the SAME values the operators default to — a
+    * changed default now desyncs nothing; both sides move together. */
+  val DefaultCmsWidth = 16
+  val DefaultCmsDepth = 4
+  val DefaultMixtureBudget = 100
 
   /** Lower 64 bits of md5(input) as an UNSIGNED decimal(20,0) — the
     * declarative (conv/substring, fully codegen'd) form of
@@ -1702,8 +1737,9 @@ object TextOps {
     * width (the drift-family hash — exact in both engines when width
     * divides 2^16); counts and mins are integers. Ranking by
     * (est DESC, term). */
-  def qd33CmsHeavyHitters(spark: SparkSession, dir: String, width: Int = 16,
-                          depth: Int = 4): DataFrame = {
+  def qd33CmsHeavyHitters(spark: SparkSession, dir: String,
+                          width: Int = DefaultCmsWidth,
+                          depth: Int = DefaultCmsDepth): DataFrame = {
     val tc = cmsTermCounts(docs(spark, dir))
     cmsReport(cmsSketch(tc, width, depth), tc, width, depth)
   }

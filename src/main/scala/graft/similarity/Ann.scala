@@ -31,6 +31,13 @@ object Ann {
     * of corpus size; 1024 > sf1's Q, so gate results are unchanged. */
   val DefaultMaxQueries = 1024
 
+  /** Search-family defaults shared with the oracle SQL (SparkEntry
+    * interpolates these into the mirrors, so a changed default can
+    * never silently desync code and oracle). */
+  val DefaultTopK = 5
+  val DefaultPrefixDims = 16
+  val DefaultRerankCandidates = 50
+
   /** Deterministic capped query sample: the `pred` rows in a hashed
     * total order (multiplicative hash, ties to vec_id), truncated at
     * `maxQ`. The hash de-biases the truncation (plain ORDER BY vec_id
@@ -247,7 +254,11 @@ object Ann {
       col("label"), col("embedding").cast("array<double>").as("embedding"))
     val cents = localCentroids(emb)
     val norm2 = dot(col("embedding"), col("embedding"))
-    val live = emb.filter(norm2 =!= 0 && !isnan(norm2))
+    // exact isfinite semantics (the oracle's guard): an Inf component
+    // yields norm2 = +Inf, which must be dropped like NaN — norm2 is a
+    // sum of squares so +Inf is the only infinite value possible
+    val live = emb.filter(norm2 =!= 0 && !isnan(norm2) &&
+      norm2 =!= lit(Double.PositiveInfinity))
     assignments(live, cents)
       .join(broadcast(cents), "cell")
       .select(col("cell"),
@@ -284,7 +295,11 @@ object Ann {
       col("label"), col("embedding").cast("array<double>").as("embedding"))
     val cents = localCentroids(emb)
     val norm2 = dot(col("embedding"), col("embedding"))
-    val live = emb.filter(norm2 =!= 0 && !isnan(norm2))
+    // exact isfinite semantics (the oracle's guard): an Inf component
+    // yields norm2 = +Inf, which must be dropped like NaN — norm2 is a
+    // sum of squares so +Inf is the only infinite value possible
+    val live = emb.filter(norm2 =!= 0 && !isnan(norm2) &&
+      norm2 =!= lit(Double.PositiveInfinity))
     val w = Window.partitionBy("cell")
       .orderBy(col("csim").desc, col("vec_id"))
     assignments(live, cents)
@@ -570,7 +585,7 @@ object Ann {
     * O(min(Q, cap) × dim) bytes); the search is the family's
     * per-partition integer top-k kernel over (vec_id, codes) — only
     * partition winners reach the final window, never Q × n. */
-  def qe11SqTopk(spark: SparkSession, dir: String, k: Int = 5,
+  def qe11SqTopk(spark: SparkSession, dir: String, k: Int = DefaultTopK,
                  maxQ: Int = DefaultMaxQueries): DataFrame =
     sqTopk(Tables(spark, dir, "embeddings"), k, maxQ)
 
@@ -714,8 +729,10 @@ object Ann {
     * O(min(Q, cap))); stage 1 streams the corpus once with no corpus
     * shuffle (partition winners only — ~partitions × Q × c rows — reach
     * the ranking window); stage 2 touches Q × c rows. */
-  def qe12TruncatedRerank(spark: SparkSession, dir: String, k: Int = 5,
-                          prefixDims: Int = 16, c: Int = 50,
+  def qe12TruncatedRerank(spark: SparkSession, dir: String,
+                          k: Int = DefaultTopK,
+                          prefixDims: Int = DefaultPrefixDims,
+                          c: Int = DefaultRerankCandidates,
                           maxQ: Int = DefaultMaxQueries): DataFrame =
     truncatedRerank(Tables(spark, dir, "embeddings"), k, prefixDims, c, maxQ)
 

@@ -155,6 +155,12 @@ class MultimodalSpec extends AnyFunSuite {
       val expected = (299L * r + 587L * g + 114L * b) / 1000L
       math.abs(VideoFrames.meanLuma(decoded) - expected)
     }
+    // this JVM's measured drift stays within the tight historical bound
+    // (4.0); the shipped gate (LumaTol = 8.0) carries extra headroom for
+    // other JREs' quantization tables — assert both so a codec change
+    // that quietly eats the headroom still fails here first
+    assert(drifts.max <= 4.0,
+      s"max JPEG luma drift ${drifts.max} exceeds the measured bound 4.0")
     assert(drifts.max <= Multimodal.LumaTol,
       s"max JPEG luma drift ${drifts.max} exceeds LumaTol ${Multimodal.LumaTol}")
   }

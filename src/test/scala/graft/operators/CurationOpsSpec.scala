@@ -642,7 +642,7 @@ class CurationOpsSpec extends AnyFunSuite {
     val und = edges ++ edges.map(_.swap)
     val deg = und.groupBy(_._1).view.mapValues(_.length.toLong).toMap
     var r = deg.keys.map(_ -> 1000000L).toMap
-    (1 to 3).foreach { _ =>
+    (1 to TextOps.DefaultPageRankIters).foreach { _ =>
       val inflow = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
       und.foreach { case (src, dst) =>
         inflow(dst) += (r(src) * 85L) / (deg(src) * 100L) }
