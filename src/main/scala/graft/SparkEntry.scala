@@ -144,6 +144,8 @@ object SparkEntry {
     "qs24_stream_phash"    -> (Replay.qs24StreamPhash _),
     // real WAV/PCM16 audio decode: integer signal features
     "qm5_audio_features"   -> (Multimodal.qm5AudioFeatures _),
+    // multimodal flagship: quality + exact + near-dup + image-dup gates
+    "qm6_multimodal_curation" -> (Multimodal.qm6MultimodalCuration _),
     "qs8_winnow_candidates" -> (graft.text.Fingerprint.fingerprintCandidates(_, _)),
     "qs9_srp_lsh_neardup"  -> (graft.similarity.SrpLsh.qs9NearDups _),
     "qs10_stream_dedup"    -> (Replay.qs10StreamDedup _),
@@ -714,9 +716,12 @@ object SparkEntry {
        |ORDER BY names.method""".stripMargin
   }
 
-  /** qm4/qs24 shared oracle (one SQL text serves both keys). */
-  private val phashSql: String =
-      """WITH i AS (
+  /** The qm4 dHash CTE chain (i → g → b → h: media rows → closed-form
+    * grayscale grid → horizontal-gradient bits → 64-bit hash string),
+    * factored so the composed qm6 oracle reuses the hash computation
+    * VERBATIM — the two keys can never drift apart on the hash. */
+  private val phashCoreSql: String =
+      """i AS (
         |  SELECT doc_id, text, n_chars FROM documents
         |  WHERE doc_id % 3 = 0 AND n_chars >= 3
         |), g AS (
@@ -739,7 +744,11 @@ object SparkEntry {
         |  SELECT doc_id AS media_id,
         |    string_agg(bit, '' ORDER BY y, x) AS dhash
         |  FROM b GROUP BY doc_id
-        |)
+        |)""".stripMargin
+
+  /** qm4/qs24 shared oracle (one SQL text serves both keys). */
+  private val phashSql: String =
+      s"""WITH $phashCoreSql
         |SELECT media_id, dhash,
         |  min(media_id) OVER (PARTITION BY dhash) AS dup_rep,
         |  media_id <> min(media_id) OVER (PARTITION BY dhash) AS is_dup
@@ -2542,6 +2551,46 @@ object SparkEntry {
     // and the 9×8 downsample are faithful.
     "qm4_image_phash_dedup" -> phashSql,
     "qs24_stream_phash" -> phashSql,
+
+    // qm6: the multimodal flagship keep-list — every gate's verdict per
+    // document plus the conjunction. Composes qd10's recursive-CTE
+    // near-dup closure and qm4's factored dHash chain VERBATIM, so the
+    // composed oracle can only pass when each constituent gate matches
+    // its standalone form. Exact-dup rank runs over ALL rows here
+    // (identical text ⇒ identical quality metrics, so the order of the
+    // quality and exact gates cannot change the kept set vs qd10).
+    "qm6_multimodal_curation" ->
+      s"""WITH RECURSIVE $shinglePairGraphSql, e AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION SELECT doc_b, doc_a FROM p
+        |), r(s, t2) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT r.s, e.b FROM r JOIN e ON r.t2 = e.a
+        |), drop_members AS (
+        |  SELECT s AS doc_id FROM r GROUP BY s HAVING s <> min(t2)
+        |), $phashCoreSql, ph AS (
+        |  SELECT media_id AS doc_id,
+        |    media_id <> min(media_id) OVER (PARTITION BY dhash) AS dup
+        |  FROM h
+        |), fl AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\\s+')) >= 30
+        |      AND length(text) >= 200 AS quality_ok,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        |      AS exact_keep,
+        |    doc_id IN (SELECT doc_id FROM drop_members) AS neardup_drop
+        |  FROM documents
+        |)
+        |SELECT f.doc_id,
+        |  CASE f.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'video'
+        |    ELSE 'audio' END AS modality,
+        |  f.quality_ok, f.exact_keep, f.neardup_drop,
+        |  coalesce(ph.dup, false) AS phash_drop,
+        |  (f.quality_ok AND f.exact_keep AND NOT f.neardup_drop
+        |    AND NOT coalesce(ph.dup, false)) AS keep
+        |FROM fl f LEFT JOIN ph ON ph.doc_id = f.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
 
     // qm5: WAV is lossless and every feature is integer arithmetic, so
     // the oracle recomputes sample count / peak / total amplitude /

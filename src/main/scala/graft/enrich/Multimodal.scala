@@ -245,6 +245,65 @@ object Multimodal {
   def qm4ImagePhashDedup(spark: SparkSession, dir: String): DataFrame =
     phashReport(phashFrame(Tables(spark, dir, "documents")))
 
+  /** qm6: the multimodal flagship curation — one keep-list over the
+    * post+media store composing every modality's gate the engine
+    * really computes: the text quality gate (qd3/qd10's rule:
+    * ≥ 30 words AND ≥ 200 chars), exact text dedup (first doc_id per
+    * md5(text) wins — the qd10 collapse), text NEAR-dup pruning (q33's
+    * MinHash-LSH pair graph → connected components; non-representative
+    * members drop), and image perceptual-hash dedup (qm4's dHash over
+    * the REAL PNG codec round-trip; later copies of a seen hash drop).
+    * This is qd10's multimodal twin: what a post+image/video/audio
+    * store (the reference's media pipeline) feeds a training pipeline.
+    *
+    * Emits the WHOLE decision surface per document — every gate's
+    * verdict plus the final `keep` — not just survivors, so the oracle
+    * checks each gate independently (the qe13 pattern) and a user can
+    * audit exactly why a row dropped. `keep` is the conjunction:
+    * quality ∧ exact-rep ∧ ¬near-dup-member ∧ ¬image-dup. Identical
+    * texts share identical quality metrics, so flagging exact dups
+    * over ALL rows (not just quality survivors) is equivalent to
+    * qd10's quality-first order — spec-asserted: keep-list ≡ qd10's
+    * rows minus the image-dup drops.
+    *
+    * Scale shape: the text flags ride ONE hash shuffle (the md5(text)
+    * window); near-dup drops ride the session-memoized banded LSH pair
+    * graph (qs1/q33's machinery, linear under the exact-dup collapse);
+    * the image gate is one codec pass + one skinny (hash, id) window;
+    * the final assembly is two left joins on doc_id against frames
+    * that are tiny relative to the corpus. Nothing here is new
+    * machinery — the flagship composes the proven pieces, which is the
+    * point: at 100 TB each gate keeps its own proven plan. */
+  def qm6MultimodalCuration(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val flags = d
+      .withColumn("quality_ok",
+        size(split(trim(col("text")), "\\s+")) >= 30 &&
+          length(col("text")) >= 200)
+      .withColumn("exact_keep", row_number().over(w) === 1)
+      .select("doc_id", "quality_ok", "exact_keep")
+    val nearDupMembers = graft.dedup.Clusters.q33DedupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id"), lit(true).as("neardup_drop"))
+    val imageDups = phashReport(phashFrame(d))
+      .select(col("media_id").as("doc_id"), col("is_dup").as("phash_drop"))
+    flags
+      .join(nearDupMembers, Seq("doc_id"), "left")
+      .join(imageDups, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("image"))
+          .when(pmod(col("doc_id"), lit(3)) === 1, lit("video"))
+          .otherwise(lit("audio")).as("modality"),
+        col("quality_ok"), col("exact_keep"),
+        coalesce(col("neardup_drop"), lit(false)).as("neardup_drop"),
+        coalesce(col("phash_drop"), lit(false)).as("phash_drop"))
+      .withColumn("keep", col("quality_ok") && col("exact_keep") &&
+        !col("neardup_drop") && !col("phash_drop"))
+      .orderBy("doc_id")
+  }
+
   /** The dup-group window over a (media_id, dhash) frame — shared by
     * qm4 and the streaming form (qs24: hashes are append-only facts, so
     * the report over the accumulated state folds to the batch report). */

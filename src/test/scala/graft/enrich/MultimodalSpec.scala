@@ -201,4 +201,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.getInt(1) == Palette.FakeDecoder.H)
     assert(row.getLong(2) > 0L)
   }
+
+  test("qm6 keep-list is exactly qd10's curation minus the image-dup drops") {
+    val dir = SparkTestSession.sfDir
+    val rows = Multimodal.qm6MultimodalCuration(spark, dir).collect().map { r =>
+      (r.getLong(0), r.getString(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))
+    }
+    val nDocs = graft.Tables(spark, dir, "documents").count()
+    assert(rows.length.toLong == nDocs, "every document gets a verdict row")
+    // keep is EXACTLY the conjunction of the emitted gates — the final
+    // column can never drift from the decision surface it claims to summarize
+    rows.foreach { case (id, _, q, e, nd, ph, keep) =>
+      assert(keep == (q && e && !nd && !ph), s"doc $id: keep != gates")
+    }
+    // composition identity: the text gates reproduce qd10 verbatim, so
+    // keep ≡ qd10's kept ids minus the image-dup drops
+    val qd10Ids = graft.operators.TextOps.qd10CorpusCuration(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val phashDrops = rows.collect { case (id, _, _, _, _, true, _) => id }.toSet
+    val kept = rows.collect { case (id, _, _, _, _, _, true) => id }.toSet
+    assert(kept == (qd10Ids -- phashDrops),
+      s"keep-list diverged from qd10 − image-dups (Δ=${(kept diff (qd10Ids -- phashDrops)) ++ ((qd10Ids -- phashDrops) diff kept)})")
+    // image-dup drops mirror qm4's is_dup verdicts exactly
+    val qm4Dups = Multimodal.qm4ImagePhashDedup(spark, dir)
+      .filter(col("is_dup")).select("media_id").collect().map(_.getLong(0)).toSet
+    assert(phashDrops == qm4Dups, "phash_drop diverged from qm4's is_dup")
+    // every gate fires at least once on the gate corpus, or the
+    // composition test is vacuous
+    assert(rows.exists(!_._3), "quality gate never fired")
+    // (no byte-identical texts exist in the gate corpus, so the
+    // exact-dup gate is structurally true here; its rn-over-md5
+    // semantics are pinned by the oracle mirror instead)
+    assert(rows.exists(_._5), "near-dup gate never fired")
+    assert(rows.exists(_._6), "image-dup gate never fired")
+    // modality labels follow the media-table convention
+    rows.foreach { case (id, m, _, _, _, _, _) =>
+      val want = (id % 3) match { case 0 => "image"; case 1 => "video"; case _ => "audio" }
+      assert(m == want, s"doc $id: modality $m != $want")
+    }
+  }
 }
