@@ -109,6 +109,8 @@ object SparkEntry {
     "qs22_stream_cms"      -> (Replay.qs22StreamCms _),
     // encode the corpus under the induced subword vocabulary
     "qd29_bpe_encode"      -> ((s, d) => TextOps.qd29BpeEncode(s, d)),
+    // packed token-id training sequences (induce -> encode -> pack closed)
+    "qd38_packed_sequences" -> ((s, d) => TextOps.qd38PackedSequences(s, d)),
     "q36_approx_percentile" -> (Advanced.q36ApproxPercentile _),
     "qd10_corpus_curation" -> (TextOps.qd10CorpusCuration _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
@@ -867,6 +869,46 @@ object SparkEntry {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** qd38's oracle: the FULL merge chain (bpeChainSql) → dense subword
+    * ids by binary-collation rank → per-word id lists → one global
+    * cumsum for word offsets → fixed-budget packing. The iteration
+    * depth and pack budget interpolate from TextOps' own defaults. */
+  private def packedSeqSql(n: Int, budget: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), toks AS (
+       |  SELECT doc_id, r.i AS widx, toks[r.i::INT] AS term
+       |  FROM t CROSS JOIN unnest(range(1, len(toks) + 1)) r(i)
+       |  WHERE toks[r.i::INT] <> ''
+       |), w AS (
+       |  SELECT term, count(*) AS wc FROM toks GROUP BY term
+       |), v0 AS MATERIALIZED (
+       |  SELECT term, wc, string_split(term, '') || ['</w>'] AS cs FROM w
+       |), ${bpeChainSql(n)}, sym AS (
+       |  SELECT sym, row_number() OVER (ORDER BY sym) AS sym_id FROM (
+       |    SELECT DISTINCT unnest(cs) AS sym FROM v$n
+       |  )
+       |), enc AS (
+       |  SELECT v.term, list(s.sym_id ORDER BY r.i) AS ids,
+       |    count(*)::BIGINT AS ns
+       |  FROM v$n v CROSS JOIN unnest(range(1, len(v.cs) + 1)) r(i)
+       |  JOIN sym s ON s.sym = v.cs[r.i::INT]
+       |  GROUP BY v.term
+       |), word_off AS (
+       |  SELECT e.ids, e.ns,
+       |    (sum(e.ns) OVER (ORDER BY tk.doc_id, tk.widx
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |     - e.ns)::BIGINT AS woff
+       |  FROM toks tk JOIN enc e USING (term)
+       |), pos AS (
+       |  SELECT (wo.woff + r.i - 1)::BIGINT AS pos, wo.ids[r.i::INT] AS tid
+       |  FROM word_off wo CROSS JOIN unnest(range(1, wo.ns + 1)) r(i)
+       |)
+       |SELECT (pos // $budget)::BIGINT AS seq_id, count(*)::BIGINT AS n_tokens,
+       |  string_agg(tid::VARCHAR, ' ' ORDER BY pos) AS token_ids
+       |FROM pos GROUP BY 1 ORDER BY seq_id""".stripMargin
+
 
   /** qe9 / qs20 shared oracle: IVF probe CTEs restricting the integer
     * ADC ranking to each query's nprobe=2 cells (the streaming form
@@ -1497,7 +1539,7 @@ object SparkEntry {
     // LEFT JOIN guard, mirroring the Scala loop's graceful stop
     // (ADVICE r8: the comma cross join emptied vK and collapsed the
     // report).
-    "qd28_bpe_merges" -> bpeMergesSql(32),
+    "qd28_bpe_merges" -> bpeMergesSql(TextOps.DefaultBpeMerges),
 
     // BPE encoding under the 32-merge vocabulary: same generated
     // trainer CTEs as qd28 (term carried through), then the token
@@ -1506,7 +1548,11 @@ object SparkEntry {
     // BOTH sides: Spark's inner join drops them naturally, and
     // DuckDB's string_split('','') = [] would otherwise encode '' as
     // the bare end-of-word marker.
-    "qd29_bpe_encode" -> bpeEncodeSql(32),
+    "qd29_bpe_encode" -> bpeEncodeSql(TextOps.DefaultBpeMerges),
+    // qd38: the packed token-id artifact — merge chain + id assignment
+    // + global packing in one mirror; budget/depth from TextOps defaults
+    "qd38_packed_sequences" ->
+      packedSeqSql(TextOps.DefaultBpeMerges, TextOps.DefaultPackBudget),
 
     // Per-source distribution drift: JS divergence of each source's
     // hashed unigram distribution (B = 1024, 'drift:' salt, add-one

@@ -582,7 +582,8 @@ object TextOps {
     * global-order window is the honest semantic here; at 100 TB it
     * becomes per-shard windows plus broadcast shard base offsets (one
     * extra tiny agg) with the per-document math unchanged. */
-  def qd20SequencePack(spark: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+  def qd20SequencePack(spark: SparkSession, dir: String,
+                       budget: Int = DefaultPackBudget): DataFrame = {
     val w = Window.orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs(spark, dir)
@@ -1074,6 +1075,8 @@ object TextOps {
   val DefaultCmsWidth = 16
   val DefaultCmsDepth = 4
   val DefaultMixtureBudget = 100
+  val DefaultBpeMerges = 32
+  val DefaultPackBudget = 512
 
   /** Lower 64 bits of md5(input) as an UNSIGNED decimal(20,0) — the
     * declarative (conv/substring, fully codegen'd) form of
@@ -1299,14 +1302,25 @@ object TextOps {
     * over the gate runs the original one-job-per-iteration distributed
     * loop. Default depth is 32 (was 3), proving the vocab-bounded claim
     * at real depth. */
-  def qd28BpeMerges(spark: SparkSession, dir: String, nMerges: Int = 32): DataFrame = {
+  def qd28BpeMerges(spark: SparkSession, dir: String,
+                    nMerges: Int = DefaultBpeMerges): DataFrame = {
     import spark.implicits._
-    val v0 = terms(spark, dir)
+    bpeMerges(bpeV0(spark, dir).map { case (_, syms, wc) => (syms, wc) },
+      nMerges)
+  }
+
+  /** The weighted character-level start vocabulary every BPE entry
+    * trains from: (term, code-point symbols + '</w>', corpus count) —
+    * factored so qd28/qd29/qd38 and the specs share ONE definition of
+    * what symbol stream the merges see. */
+  private[graft] def bpeV0(spark: SparkSession,
+                           dir: String): Dataset[(String, Seq[String], Long)] = {
+    import spark.implicits._
+    terms(spark, dir)
       .groupBy("term").agg(count(lit(1)).as("wc"))
       .filter(col("term") =!= "") // DuckDB string_split('','') is []: no symbols
       .as[(String, Long)]
-      .map { case (t, wc) => (codePointSyms(t) :+ "</w>", wc) }
-    bpeMerges(v0, nMerges)
+      .map { case (t, wc) => (t, codePointSyms(t) :+ "</w>", wc) }
   }
 
   /** Unicode-code-point split. `String.split("")` splits UTF-16 code
@@ -1493,14 +1507,10 @@ object TextOps {
     * output) and applies it in a per-row kernel instead; the join form
     * here keeps the whole operator's arithmetic in one place and its
     * cost profile identical (one broadcast + one groupBy). */
-  def qd29BpeEncode(spark: SparkSession, dir: String, nMerges: Int = 32): DataFrame = {
+  def qd29BpeEncode(spark: SparkSession, dir: String,
+                    nMerges: Int = DefaultBpeMerges): DataFrame = {
     import spark.implicits._
-    val v0 = terms(spark, dir)
-      .groupBy("term").agg(count(lit(1)).as("wc"))
-      .filter(col("term") =!= "") // DuckDB string_split('','') is []: no symbols
-      .as[(String, Long)]
-      .map { case (t, wc) => (t, codePointSyms(t) :+ "</w>", wc) }
-    val vocab = bpeTrain(v0, nMerges)._2
+    val vocab = bpeTrain(bpeV0(spark, dir), nMerges)._2
       .map { case (t, syms, _) => (t, syms.length.toLong) }
       .toDF("term", "n_syms")
     terms(spark, dir)
@@ -1512,6 +1522,71 @@ object TextOps {
         round(sum("n_syms") / count(lit(1)).cast("double"), 6)
           .as("tokens_per_word"))
       .orderBy("doc_id")
+  }
+
+  /** qd38: PACKED TOKEN-ID SEQUENCES — the artifact a training loader
+    * actually consumes, closing the induce→encode→pack loop qd27/qd28
+    * (induce), qd29 (encode to counts) and qd20 (pack by counts) each
+    * walk part of: train the `nMerges` BPE merges, assign every
+    * post-merge SUBWORD a dense integer id (rank in binary-collation
+    * sort order — engine-agnostic), encode the whole corpus (docs in
+    * doc_id order, words in order, subwords in order) into one global
+    * token-id stream, and cut it into gapless fixed-`budget` training
+    * rows. Each output row is one training sequence: its id, its token
+    * count (= budget except the final remainder), and the
+    * space-joined ids — documents straddle boundaries exactly as in
+    * qd20, and a detokenize round-trip (spec) reconstructs the corpus
+    * byte-for-byte, so nothing is lost between the tokenizer and the
+    * loader.
+    *
+    * Scale shape: the subword id table is TINY (alphabet + ≤ nMerges
+    * entries — collected and broadcast); term→ids is the Heaps'-law
+    * vocabulary table broadcast exactly like qd29's encode join; the
+    * corpus pays one posexplode + one global-order cumsum window (the
+    * qd20 caveat: at 100 TB this becomes per-shard windows plus
+    * broadcast shard base offsets, per-row math unchanged) + ONE
+    * groupBy(seq_id) whose groups are budget-bounded, aggregated with
+    * a sort-on-finish list (≤ budget elements per group, never a
+    * corpus-wide sort). */
+  def qd38PackedSequences(spark: SparkSession, dir: String,
+                          nMerges: Int = DefaultBpeMerges,
+                          budget: Int = DefaultPackBudget): DataFrame = {
+    import spark.implicits._
+    val vocab = bpeTrain(bpeV0(spark, dir), nMerges)._2
+    val bcSym = spark.sparkContext.broadcast(bpeSymbolIds(vocab))
+    val termIds = vocab.map { case (t, syms, _) =>
+      (t, syms.map(bcSym.value), syms.length.toLong)
+    }.toDF("term", "ids", "n_syms")
+    val stream = docs(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("widx", "term")))
+      .filter(col("term") =!= "")
+    val wg = Window.orderBy("doc_id", "widx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stream.join(broadcast(termIds), Seq("term"))
+      .withColumn("woff", sum("n_syms").over(wg) - col("n_syms"))
+      .select(col("woff"), posexplode(col("ids")).as(Seq("sidx", "tid")))
+      .select((col("woff") + col("sidx")).as("pos"), col("tid"))
+      .select(expr(s"pos div $budget").as("seq_id"),
+        (col("pos") % budget).as("slot"), col("tid"))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        // slot is unique within a sequence, so the struct sort is total
+        // and the join order deterministic; groups are budget-bounded
+        expr("array_join(transform(array_sort(collect_list(struct(slot, tid)))," +
+          " x -> cast(x.tid as string)), ' ')").as("token_ids"))
+      .orderBy("seq_id")
+  }
+
+  /** Dense ids for the post-merge subword vocabulary: rank in plain
+    * byte order (ASCII corpus: Java, Spark UTF8String, and DuckDB
+    * binary collation all agree). The table is alphabet + ≤ nMerges
+    * entries — driver-held and broadcast by design. */
+  private[graft] def bpeSymbolIds(
+      vocab: Dataset[(String, Seq[String], Long)]): Map[String, Long] = {
+    import vocab.sparkSession.implicits._
+    vocab.flatMap(_._2).distinct().collect().sorted
+      .zipWithIndex.map { case (sym, i) => sym -> (i + 1L) }.toMap
   }
 
   /** Per-domain distribution-drift report — the monitoring signal a

@@ -784,4 +784,46 @@ class CurationOpsSpec extends AnyFunSuite {
     got.zip(expected).foreach { case ((id, _, g), (_, _, e)) =>
       assert(math.abs(g - e) < 2e-6, s"doc $id weight $g vs $e") }
   }
+
+  test("qd38 packed sequences detokenize back to the exact corpus token stream") {
+    val budget = TextOps.DefaultPackBudget
+    val rows = TextOps.qd38PackedSequences(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    // gapless fixed-budget layout: consecutive seq ids, every row full
+    // except (possibly) the last, and n_tokens always matches the ids
+    assert(rows.map(_._1).toSeq == rows.indices.map(_.toLong),
+      "sequence ids must be contiguous from 0")
+    rows.dropRight(1).foreach { case (sid, n, _) =>
+      assert(n == budget.toLong, s"interior sequence $sid not full: $n") }
+    assert(rows.last._2 <= budget.toLong && rows.last._2 > 0L)
+    rows.foreach { case (sid, n, ids) =>
+      assert(ids.split(" ").length.toLong == n, s"seq $sid: count mismatch") }
+    // DETOKENIZE round trip: ids -> subword symbols -> strip the '</w>'
+    // markers -> the corpus word stream in (doc_id, word) order. Nothing
+    // may be lost or reordered between the tokenizer and the loader.
+    val vocab = TextOps.bpeTrain(TextOps.bpeV0(spark, dir),
+      TextOps.DefaultBpeMerges)._2
+    val idToSym = TextOps.bpeSymbolIds(vocab).map(_.swap)
+    val decoded = rows.flatMap(_._3.split(" ")).map(s => idToSym(s.toLong))
+      .mkString("").split("</w>", -1).filter(_.nonEmpty).toSeq
+    val expected = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .sortBy(_.getLong(0))
+      .flatMap(_.getString(1).trim.split("\\s+").filter(_.nonEmpty)).toSeq
+    assert(decoded.length == expected.length,
+      s"decoded ${decoded.length} words, corpus has ${expected.length}")
+    val firstDiff = decoded.zip(expected).zipWithIndex.collectFirst {
+      case ((a, b), i) if a != b => s"word $i: got $a want $b"
+    }
+    assert(firstDiff.isEmpty, s"first divergence at ${firstDiff.getOrElse("")}")
+    assert(decoded == expected)
+    // the encoding is non-trivial: at least one word spans >1 subword id
+    // (merges stop short of whole words) and at least one merge applied
+    // (some word uses fewer ids than characters + 1)
+    val perWordIds = vocab.collect().map { case (t, syms, _) => t -> syms.length }
+    assert(perWordIds.exists(_._2 > 1), "every word collapsed to one id?")
+    assert(perWordIds.exists { case (t, n) => n < t.length + 1 },
+      "no merge ever applied — vacuous tokenizer")
+  }
 }
