@@ -491,7 +491,7 @@ object SparkEntry {
         |ORDER BY source, w""".stripMargin
 
   private val resPqSql: String =
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
         |), comp AS (
         |  SELECT label AS cell, i AS dim, avg(v[i::INT]) AS m
@@ -527,10 +527,11 @@ object SparkEntry {
         |    i AS dim, avg(x[i::INT]) AS mv
         |  FROM rsv CROSS JOIN unnest(range(1, len(x) + 1)) r(i)
         |  GROUP BY 1, 2, 3
-        |), rcb AS MATERIALIZED (
+        |), rcb0 AS MATERIALIZED (
         |  SELECT sub, code, list(mv ORDER BY dim) AS cw FROM rcomp
         |  GROUP BY sub, code
-        |), rcodes AS (
+        |), ${pqRefineChainSql("rsv", "rcb0", "r", Ann.DefaultPqRefineIters)},
+        |rcodes AS (
         |  SELECT vec_id, cell, sub, code FROM (
         |    SELECT vec_id, cell, sub, code,
         |      row_number() OVER (PARTITION BY vec_id, sub
@@ -539,12 +540,12 @@ object SparkEntry {
         |      SELECT rsv.vec_id, rsv.cell, rsv.sub, rcb.code,
         |        list_inner_product(x, x) - 2 * list_inner_product(x, cw)
         |          + list_inner_product(cw, cw) AS d2
-        |      FROM rsv JOIN rcb USING (sub)
+        |      FROM rsv JOIN rcb${Ann.DefaultPqRefineIters} rcb ON rcb.sub = rsv.sub
         |    )
         |  ) WHERE rk = 1
         |), qsel AS (
         |  SELECT vec_id FROM e WHERE vec_id % 25 = 0
-        |  ORDER BY (vec_id * 1000003) % 999983, vec_id LIMIT 1024
+        |  ORDER BY (vec_id * 1000003) % 999983, vec_id LIMIT ${Ann.DefaultMaxQueries}
         |), q AS (
         |  SELECT vec_id AS q_id, v AS q_vec FROM e JOIN qsel USING (vec_id)
         |), probed AS MATERIALIZED (
@@ -568,7 +569,7 @@ object SparkEntry {
         |      list_transform(range(s.sub * 16 + 1, s.sub * 16 + 17),
         |        j -> qrv[j::INT]) AS x
         |    FROM probed CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s
-        |  ) p JOIN rcb USING (sub)
+        |  ) p JOIN rcb${Ann.DefaultPqRefineIters} rcb ON rcb.sub = p.sub
         |), adc AS (
         |  SELECT l.q_id, co.vec_id AS cand_id, sum(l.d2us)::BIGINT AS adc_us
         |  FROM rcodes co
@@ -756,8 +757,42 @@ object SparkEntry {
         |  media_id <> min(media_id) OVER (PARTITION BY dhash) AS is_dup
         |FROM h ORDER BY media_id""".stripMargin
 
+  /** Generated Lloyd-refinement CTE chain for a sub-space codebook
+    * oracle (shared by the plain and residual PQ mirrors): step t
+    * assigns every sub-vector of CTE `sv` to its nearest codeword of
+    * the previous generation (6dp-rounded squared L2, ties to the
+    * lowest code — the family argmin) and rebuilds codewords as
+    * assigned means, a code with no members keeping its previous
+    * codeword through the LEFT JOIN + coalesce — exactly
+    * `Ann.refineCodebook`. Names are `$${pfx}asg$$t` / `$${pfx}cb$$t`;
+    * consumers read `$${pfx}cb$$iters`. */
+  private def pqRefineChainSql(sv: String, cb0: String, pfx: String,
+                               iters: Int): String =
+    (1 to iters).map { t =>
+      val prev = if (t == 1) cb0 else s"${pfx}cb${t - 1}"
+      s"""${pfx}asg$t AS MATERIALIZED (
+         |  SELECT sub, code, x FROM (
+         |    SELECT $sv.sub, cb.code, $sv.x,
+         |      row_number() OVER (PARTITION BY $sv.vec_id, $sv.sub
+         |        ORDER BY round(list_inner_product($sv.x, $sv.x)
+         |          - 2 * list_inner_product($sv.x, cb.cw)
+         |          + list_inner_product(cb.cw, cb.cw), 6), cb.code) AS rk
+         |    FROM $sv JOIN $prev cb ON cb.sub = $sv.sub
+         |  ) WHERE rk = 1
+         |), ${pfx}cb$t AS MATERIALIZED (
+         |  SELECT p.sub, p.code, coalesce(n.cw, p.cw) AS cw
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT sub, code, list(mv ORDER BY dim) AS cw FROM (
+         |      SELECT sub, code, r.i AS dim, avg(x[r.i::INT]) AS mv
+         |      FROM ${pfx}asg$t CROSS JOIN unnest(range(1, len(x) + 1)) r(i)
+         |      GROUP BY 1, 2, 3
+         |    ) GROUP BY sub, code
+         |  ) n ON n.sub = p.sub AND n.code = p.code
+         |)""".stripMargin
+    }.mkString(", ")
+
   private val pqSql: String =
-    """WITH e AS (
+    s"""WITH e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
         |), sv AS (
         |  SELECT vec_id, s.sub,
@@ -769,14 +804,14 @@ object SparkEntry {
         |    avg(v[i::INT]) AS m
         |  FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
         |  GROUP BY 1, 2, 3
-        |), cb AS (
+        |), cb0 AS MATERIALIZED (
         |  SELECT sub, code, list(m ORDER BY dim) AS cw FROM comp
         |  GROUP BY sub, code
-        |), cand AS (
+        |), ${pqRefineChainSql("sv", "cb0", "", Ann.DefaultPqRefineIters)}, cand AS (
         |  SELECT sv.vec_id, sv.sub, cb.code,
         |    list_inner_product(sv.x, sv.x) - 2 * list_inner_product(sv.x, cb.cw)
         |      + list_inner_product(cb.cw, cb.cw) AS d2
-        |  FROM sv JOIN cb USING (sub)
+        |  FROM sv JOIN cb${Ann.DefaultPqRefineIters} cb ON cb.sub = sv.sub
         |), codes AS (
         |  SELECT vec_id, sub, code FROM (
         |    SELECT vec_id, sub, code,
@@ -786,7 +821,7 @@ object SparkEntry {
         |  ) WHERE rk = 1
         |), qsel AS (
         |  SELECT vec_id FROM e WHERE vec_id % 25 = 0
-        |  ORDER BY (vec_id * 1000003) % 999983, vec_id LIMIT 1024
+        |  ORDER BY (vec_id * 1000003) % 999983, vec_id LIMIT ${Ann.DefaultMaxQueries}
         |), lut AS (
         |  SELECT c.vec_id AS q_id, c.sub, c.code,
         |    CAST(round(c.d2 * 1e6) AS BIGINT) AS d2us
@@ -915,7 +950,7 @@ object SparkEntry {
     * ingests into a cell-partitioned codes index and folds to the
     * identical ranking — divergence fails the gate). */
   private val ivfPqSql: String =
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
         |), sv AS (
         |  SELECT vec_id, s.sub,
@@ -927,14 +962,14 @@ object SparkEntry {
         |    avg(v[i::INT]) AS m
         |  FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
         |  GROUP BY 1, 2, 3
-        |), cb AS (
+        |), cb0 AS MATERIALIZED (
         |  SELECT sub, code, list(m ORDER BY dim) AS cw FROM comp
         |  GROUP BY sub, code
-        |), cand AS (
+        |), ${pqRefineChainSql("sv", "cb0", "", Ann.DefaultPqRefineIters)}, cand AS (
         |  SELECT sv.vec_id, sv.sub, cb.code,
         |    list_inner_product(sv.x, sv.x) - 2 * list_inner_product(sv.x, cb.cw)
         |      + list_inner_product(cb.cw, cb.cw) AS d2
-        |  FROM sv JOIN cb USING (sub)
+        |  FROM sv JOIN cb${Ann.DefaultPqRefineIters} cb ON cb.sub = sv.sub
         |), codes AS (
         |  SELECT vec_id, sub, code FROM (
         |    SELECT vec_id, sub, code,
@@ -944,7 +979,7 @@ object SparkEntry {
         |  ) WHERE rk = 1
         |), qsel AS (
         |  SELECT vec_id FROM e WHERE vec_id % 25 = 0
-        |  ORDER BY (vec_id * 1000003) % 999983, vec_id LIMIT 1024
+        |  ORDER BY (vec_id * 1000003) % 999983, vec_id LIMIT ${Ann.DefaultMaxQueries}
         |), lut AS (
         |  SELECT c.vec_id AS q_id, c.sub, c.code,
         |    CAST(round(c.d2 * 1e6) AS BIGINT) AS d2us

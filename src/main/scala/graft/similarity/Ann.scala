@@ -462,8 +462,12 @@ object Ann {
       .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("ps"))
       .select(col("sub"), col("code"),
         expr("transform(ps, p -> p.mv)").as("cw"))
-    val rcb = spark.createDataFrame(
+    val rcb0 = spark.createDataFrame(
       java.util.Arrays.asList(rcbPlan.collect(): _*), rcbPlan.schema)
+    // the octant seed fixes noise DIRECTION; the shared Lloyd rounds
+    // then pull each octant's codeword to its actual members — same
+    // refinement contract (and oracle chain) as the plain codebook
+    val rcb = refineCodebook(rsv, rcb0, DefaultPqRefineIters)
     // encode residuals against the frozen residual codebook — the qe8
     // argmin shape (6dp round, ties to the lowest code)
     val codes = pqCodes(res.select(col("vec_id"), col("embedding")), rcb, m, subDim)
@@ -939,13 +943,23 @@ object Ann {
     (cb, pqCodes(emb, cb, m, subDim))
   }
 
+  /** Lloyd refinement iterations every PQ codebook (plain AND residual)
+    * runs after its seed pass, shared with the generated oracle CTEs so
+    * a changed depth desyncs nothing. 2 deterministic rounds lift the
+    * one-step label-mean quantizer out of its coarse-code collapse (the
+    * r9 advisor measured plain-PQ recall 0.004 at sf1) while keeping
+    * training cost at seed + 2 assignment/mean passes. */
+  val DefaultPqRefineIters = 2
+
   /** PQ codebook (sub, code, cw) as a local relation. Codewords are the
-    * label-mean sub-centroids — the family's deterministic quantizer
-    * applied per sub-space. Model state: the streaming form (qs18)
-    * trains it once over the lake and FREEZES it, the SemDedupStream
-    * quantizer contract. */
-  private[graft] def pqCodebook(emb: DataFrame, m: Int,
-                                subDim: Int): DataFrame = {
+    * label-mean SEED sub-centroids refined by `iters` deterministic
+    * Lloyd rounds (`refineCodebook`) — assignment by 6dp-rounded
+    * squared L2 (ties to the lowest code, the family argmin), codeword
+    * = assigned mean, empty codes keep their previous codeword. Model
+    * state: the streaming form (qs18) trains it once over the lake and
+    * FREEZES it, the SemDedupStream quantizer contract. */
+  private[graft] def pqCodebook(emb: DataFrame, m: Int, subDim: Int,
+                                iters: Int = DefaultPqRefineIters): DataFrame = {
     val cbPlan = emb.select(col("label").as("code"),
         posexplode(col("embedding")).as(Seq("dim", "v")))
       .withColumn("sub", (col("dim") / subDim).cast("int"))
@@ -955,8 +969,56 @@ object Ann {
       .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("ps"))
       .select(col("sub"), col("code").cast("int").as("code"),
         expr("transform(ps, p -> p.mv)").as("cw"))
-    emb.sparkSession.createDataFrame(
+    val cb0 = emb.sparkSession.createDataFrame(
       java.util.Arrays.asList(cbPlan.collect(): _*), cbPlan.schema)
+    refineCodebook(subVectors(emb, m, subDim), cb0, iters)
+  }
+
+  /** `iters` deterministic Lloyd rounds over a frozen sub-space
+    * codebook: each round assigns every sub-vector to its nearest
+    * codeword (6dp-rounded squared L2, ties to the lowest code — the
+    * family argmin, so the discrete decision is engine-exact) and
+    * recomputes codewords as assigned means; a code that loses every
+    * member KEEPS its previous codeword (the standard k-means empty-
+    * cluster rule, mirrored by the oracle's LEFT JOIN + coalesce).
+    *
+    * Scale shape: one n×m×k candidate stream per round against the
+    * BROADCAST codebook (the qe8 encode cost), partial-aggregated
+    * map-side; the means collect m×k×(dim/m) rows — the codebook stays
+    * a driver-held local relation between rounds, exactly like the
+    * seed. Cost = iters × encode; the corpus never shuffles. */
+  private[graft] def refineCodebook(sv: DataFrame, cb0: DataFrame,
+                                    iters: Int): DataFrame = {
+    val spark = cb0.sparkSession
+    var cb = cb0
+    (1 to iters).foreach { _ =>
+      val asg = sv.join(broadcast(cb), Seq("sub"))
+        .select(col("vec_id"), col("sub"),
+          round(subDist2(col("x"), col("cw")), 6).as("d2"),
+          col("code"), col("x"))
+        .groupBy("vec_id", "sub")
+        // (d2, code) is unique per candidate row, so the struct min is
+        // decided before the trailing x ever compares
+        .agg(min(struct(col("d2"), col("code"), col("x"))).as("mn"))
+        .select(col("sub"), col("mn.code").as("code"), col("mn.x").as("x"))
+      val refreshed = asg
+        .select(col("sub"), col("code"), posexplode(col("x")).as(Seq("dim", "xv")))
+        .groupBy("sub", "code", "dim")
+        .agg(avg(col("xv")).as("mv"))
+        .groupBy("sub", "code")
+        .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("ps"))
+        .select(col("sub"), col("code"), expr("transform(ps, p -> p.mv)").as("cw"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+      val merged = cb.collect().map { r =>
+        val key = (r.getInt(0), r.getInt(1))
+        org.apache.spark.sql.Row(key._1, key._2,
+          refreshed.getOrElse(key, r.getSeq[Double](2)))
+      }
+      cb = spark.createDataFrame(
+        java.util.Arrays.asList(merged: _*), cb0.schema)
+    }
+    cb
   }
 
   /** Encode (vec_id, embedding) rows against a frozen codebook — the

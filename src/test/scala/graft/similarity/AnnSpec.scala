@@ -490,4 +490,48 @@ class AnnSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     assert(got.map(_._4).distinct.size > 1, "constant distance — vacuous ranking")
   }
+
+  test("Lloyd refinement lifts PQ recall above the one-step seed on the gate corpus") {
+    import org.apache.spark.sql.functions._
+    // the REAL corpus is where refinement earns its keep: the label
+    // seed is weakly informative there, so the one-step label means sit
+    // far from the Lloyd fixpoint (on the synthetic well-separated
+    // clusters the seed already IS the fixpoint and refinement is a
+    // provable no-op — asserted below as the convergence sanity check)
+    val dir = SparkTestSession.sfDir
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val rows = emb.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val qIds = rows.map(_._1).filter(_ % 25 == 0).sorted
+    val brute = bruteForce(rows, qIds, 5)
+    val sample = Ann.querySample(emb, "vec_id % 25 = 0", 1024)
+    def recallAt(iters: Int): Double = {
+      val cb = Ann.pqCodebook(emb, 4, 16, iters)
+      val codes = Ann.pqCodes(emb, cb, 4, 16)
+      val got = Ann.adcTopk(sample, cb, codes, 5, 4, 16)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      brute.intersect(got).size.toDouble / brute.size
+    }
+    val seed = recallAt(0)
+    val refined = recallAt(Ann.DefaultPqRefineIters)
+    info(s"PQ recall@5: seed $seed, refined $refined")
+    assert(refined > seed,
+      s"refined recall $refined not above seed $seed — Lloyd bought nothing")
+    // refinement never invents or drops codes: every generation keeps
+    // the full (sub, code) key set (empty codes keep their codeword)
+    val keys = (cb: org.apache.spark.sql.DataFrame) =>
+      cb.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(keys(Ann.pqCodebook(emb, 4, 16, 0)) ==
+      keys(Ann.pqCodebook(emb, 4, 16, Ann.DefaultPqRefineIters)),
+      "refinement changed the code key set")
+    // convergence sanity: on well-separated synthetic clusters the
+    // label means are already the fixpoint — refinement must be exact
+    val df = clustered()
+    val cEmb = df.selectExpr("vec_id", "embedding", "label")
+    val a = Ann.pqCodebook(cEmb, 4, 4, 0).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val b = Ann.pqCodebook(cEmb, 4, 4, Ann.DefaultPqRefineIters).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    assert(a == b, "refinement moved codewords already at the fixpoint")
+  }
 }
