@@ -199,6 +199,8 @@ object SparkEntry {
     "qd34_temperature_mixture" -> ((s, d) => TextOps.qd34TemperatureMixture(s, d)),
     // leakage-safe split: qd25's hash keyed by the near-dup cluster rep
     "qd35_leak_safe_split" -> (TextOps.qd35LeakSafeSplit _),
+    // qd35's arrival-time form: split map derived from streamed pair state
+    "qs25_stream_leak_split" -> (Replay.qs25StreamLeakSplit _),
     // integer-deterministic PageRank over the near-dup graph
     "qd36_pagerank" -> ((s, d) => TextOps.qd36PageRank(s, d)),
     // interpolated trigram-LM fluency scoring (the LM family at depth 3)
@@ -790,6 +792,31 @@ object SparkEntry {
          |  ) n ON n.sub = p.sub AND n.code = p.code
          |)""".stripMargin
     }.mkString(", ")
+
+  /** qd35/qs25 shared oracle (one SQL text serves both keys). */
+  private val leakSplitSql: String =
+    s"""WITH RECURSIVE $shinglePairGraphSql, e AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION SELECT doc_b, doc_a FROM p
+        |), r(s, t2) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT r.s, e.b FROM r JOIN e ON r.t2 = e.a
+        |), cc AS (
+        |  SELECT s AS doc_id, min(t2) AS cluster_rep FROM r GROUP BY s
+        |), b AS (
+        |  SELECT d.doc_id, coalesce(cc.cluster_rep, d.doc_id) AS rep
+        |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+        |)
+        |SELECT doc_id, rep,
+        |  (md5_number_lower('split:' || rep::VARCHAR) % 100)::INT AS bucket,
+        |  CASE WHEN (md5_number_lower('split:' || rep::VARCHAR) % 100) < 90
+        |         THEN 'train'
+        |       WHEN (md5_number_lower('split:' || rep::VARCHAR) % 100) < 95
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b
+        |ORDER BY doc_id""".stripMargin
 
   private val pqSql: String =
     s"""WITH e AS (
@@ -1645,30 +1672,12 @@ object SparkEntry {
     // Leakage-safe split: q33's recursive-CTE cluster resolution gives
     // every clustered doc its component rep; the qd25 bucket hash is
     // applied to the rep (own id when unclustered), so a near-dup
-    // cluster can never straddle train/test.
-    "qd35_leak_safe_split" ->
-      s"""WITH RECURSIVE $shinglePairGraphSql, e AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM p
-        |  UNION SELECT doc_b, doc_a FROM p
-        |), r(s, t2) AS (
-        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
-        |  UNION
-        |  SELECT r.s, e.b FROM r JOIN e ON r.t2 = e.a
-        |), cc AS (
-        |  SELECT s AS doc_id, min(t2) AS cluster_rep FROM r GROUP BY s
-        |), b AS (
-        |  SELECT d.doc_id, coalesce(cc.cluster_rep, d.doc_id) AS rep
-        |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
-        |)
-        |SELECT doc_id, rep,
-        |  (md5_number_lower('split:' || rep::VARCHAR) % 100)::INT AS bucket,
-        |  CASE WHEN (md5_number_lower('split:' || rep::VARCHAR) % 100) < 90
-        |         THEN 'train'
-        |       WHEN (md5_number_lower('split:' || rep::VARCHAR) % 100) < 95
-        |         THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM b
-        |ORDER BY doc_id""".stripMargin,
+    // cluster can never straddle train/test. ONE SQL text serves the
+    // batch form and the streaming form (qs25 folds its accumulated
+    // pair state to the identical split map across the batch boundary).
+    "qd35_leak_safe_split" -> leakSplitSql,
+    "qs25_stream_leak_split" -> leakSplitSql,
+
 
     // Integer-micro PageRank over the shared-rare-shingle graph (df
     // 2..5 — bounded posting fanout; near-dup cliques are degree-regular

@@ -160,7 +160,7 @@ object Clusters {
 
   /** The collapse/attach body of q33, factored so specs can drive planted
     * in-memory corpora through the SAME path the query uses. */
-  private[dedup] def repClusters(sigs: DataFrame, pairs: DataFrame): DataFrame = {
+  private[graft] def repClusters(sigs: DataFrame, pairs: DataFrame): DataFrame = {
     val groups = Collapse.groups(
       sigs.filter(size(col("sh")) > 0).select(col("txt_md5"), col("doc_id")),
       Seq(col("txt_md5")), col("doc_id"))

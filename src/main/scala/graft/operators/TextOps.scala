@@ -959,11 +959,19 @@ object TextOps {
     * signature/pair graph (shared with q33/qs1/qd10 — no new corpus
     * pass), the join is two skinny long columns, and the split itself
     * is the same codegen'd conv/substring hash as qd25. */
-  def qd35LeakSafeSplit(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = graft.dedup.Clusters.q33DedupClusters(spark, dir)
+  def qd35LeakSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    leakSafeSplitFrom(docs(spark, dir),
+      graft.dedup.Clusters.q33DedupClusters(spark, dir))
+
+  /** The qd35 tail over an explicit (doc_id, cluster_rep) map —
+    * factored so the streaming form (qs25) applies the SAME rep-keyed
+    * bucket hash to clusters resolved from its accumulated pair
+    * state. */
+  private[graft] def leakSafeSplitFrom(docsDf: DataFrame,
+                                       clusters: DataFrame): DataFrame = {
     val bucket = pmod(md5Lower64Decimal(
       concat(lit("split:"), col("rep").cast("string"))), lit(100)).cast("int")
-    docs(spark, dir).select(col("doc_id"))
+    docsDf.select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_rep"), col("doc_id")).as("rep"))

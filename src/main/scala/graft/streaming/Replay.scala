@@ -770,6 +770,51 @@ object Replay {
     graft.enrich.Multimodal.phashReport(state.read(spark, "h"))
   }
 
+  /** Streaming LEAKAGE-SAFE split — qd35's arrival-time form: documents
+    * stream in, every micro-batch pays only its own near-dup kernel +
+    * band probe (the `streamNearDup` machinery and its append-only
+    * mem/reps/pairs/bands state, restart contract included), and the
+    * split map is the DERIVED view over the accumulated pair state:
+    * components resolved over the total emitted pair set, every doc
+    * bucketed by its cluster REP's hash (own id when unclustered) —
+    * exactly qd35, so the result folds to the batch split across any
+    * batch boundary or restart.
+    *
+    * The split is a derived view rather than a per-batch emission BY
+    * DESIGN: a batch-time bucket for a new doc could be invalidated by
+    * a LATER batch merging its cluster (rep changes → bucket changes),
+    * so eagerly emitted assignments are provisional by nature. The
+    * monotone facts are the pairs; the split map is a deterministic
+    * function of them — the qs22/qs24 report-over-state shape, which is
+    * what makes the oracle shareable with qd35 verbatim. */
+  def streamLeakSplit(spark: SparkSession, dir: String,
+                      maxFilesPerTrigger: Int = 1,
+                      pathGlobFilter: String = "*.parquet",
+                      workDir: Option[String] = None,
+                      precomputedSigs: Option[DataFrame] = None): DataFrame = {
+    import graft.dedup.MinHashLSH
+    val pairs = streamNearDup(spark, dir,
+      maxFilesPerTrigger = maxFilesPerTrigger,
+      pathGlobFilter = pathGlobFilter, workDir = workDir,
+      precomputedSigs = precomputedSigs)
+    val docsDf = spark.read.schema(docsSchema)
+      .option("pathGlobFilter", pathGlobFilter).parquet(dir)
+    val sigs = precomputedSigs.getOrElse(
+      MinHashLSH.docSignatures(spark, docsDf)
+        .toDF("doc_id", "txt_md5", "sh", "bands"))
+    val clusters = graft.dedup.Clusters.repClusters(sigs, pairs)
+    graft.operators.TextOps.leakSafeSplitFrom(docsDf, clusters)
+  }
+
+  /** qs25 entry: streaming leakage-safe split over the shared staged
+    * docs lake (two range-partitioned batches); shares qd35's oracle
+    * SQL verbatim across the batch boundary. The lake IS the corpus,
+    * so the per-batch kernel reuses the session-memoized signature
+    * table (the qs13 ticketed share). */
+  def qs25StreamLeakSplit(spark: SparkSession, dir: String): DataFrame =
+    streamLeakSplit(spark, stagedDocsLake(spark, dir),
+      precomputedSigs = Some(graft.dedup.MinHashLSH.signatures(spark, dir)))
+
   /** qs24 entry: streaming image dedup over the shared staged docs
     * lake; shares qm4's oracle SQL verbatim across the batch boundary. */
   def qs24StreamPhash(spark: SparkSession, dir: String): DataFrame =

@@ -272,6 +272,35 @@ class RestartSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streamLeakSplit killed mid-run resumes and matches the batch split map") {
+    // the split map derives from the accumulated pair state, so a
+    // double-applied batch (duplicated pairs) can't corrupt buckets —
+    // but a DROPPED batch loses pairs and scatters a cluster across
+    // sides; exact equality with qd35 catches both, across a restart
+    val lake = docsLake()
+    val w = work("graft_restart_leaksplit")
+    Replay.poisonAfterBatch = 1L
+    intercept[Exception] {
+      Replay.streamLeakSplit(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w))
+    }
+    assert(Replay.poisonAfterBatch == -1L, "poison should have fired")
+    val streamed = Replay.streamLeakSplit(spark, lake,
+        maxFilesPerTrigger = 1, workDir = Some(w))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getString(3))).toSeq
+    val batch = graft.operators.TextOps
+      .qd35LeakSafeSplit(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getString(3))).toSeq
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+    // non-vacuous: the restart run still resolved at least one real
+    // multi-member cluster (some doc inherits a rep that isn't itself)
+    assert(streamed.exists(t => t._1 != t._2),
+      "no clustered doc in the restart run — vacuous")
+  }
+
   test("streamSq killed mid-run resumes and matches the batch SQ8 ranking") {
     // same no-fold codes-index contract as streamPq: a double-appended
     // batch duplicates candidates and corrupts the weighted-L2 ranking;
