@@ -111,6 +111,8 @@ object SparkEntry {
     "qd29_bpe_encode"      -> ((s, d) => TextOps.qd29BpeEncode(s, d)),
     // packed token-id training sequences (induce -> encode -> pack closed)
     "qd38_packed_sequences" -> ((s, d) => TextOps.qd38PackedSequences(s, d)),
+    // per-sequence document spans (cross-doc attention-mask metadata)
+    "qd39_packed_doc_spans" -> ((s, d) => TextOps.qd39PackedDocSpans(s, d)),
     "q36_approx_percentile" -> (Advanced.q36ApproxPercentile _),
     "qd10_corpus_curation" -> (TextOps.qd10CorpusCuration _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
@@ -931,12 +933,12 @@ object SparkEntry {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
-  /** qd38's oracle: the FULL merge chain (bpeChainSql) → dense subword
-    * ids by binary-collation rank → per-word id lists → one global
-    * cumsum for word offsets → fixed-budget packing. The iteration
-    * depth and pack budget interpolate from TextOps' own defaults. */
-  private def packedSeqSql(n: Int, budget: Int): String =
-    s"""WITH t AS (
+  /** The shared qd38/qd39 CTE prefix: the FULL merge chain
+    * (bpeChainSql) → dense subword ids by binary-collation rank →
+    * per-word id lists → one global cumsum for word offsets → the
+    * positioned (doc_id, pos, tid) token stream. */
+  private def packedPosChainSql(n: Int): String =
+    s"""t AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
        |  FROM documents
        |), toks AS (
@@ -958,18 +960,37 @@ object SparkEntry {
        |  JOIN sym s ON s.sym = v.cs[r.i::INT]
        |  GROUP BY v.term
        |), word_off AS (
-       |  SELECT e.ids, e.ns,
+       |  SELECT tk.doc_id, e.ids, e.ns,
        |    (sum(e.ns) OVER (ORDER BY tk.doc_id, tk.widx
        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |     - e.ns)::BIGINT AS woff
        |  FROM toks tk JOIN enc e USING (term)
        |), pos AS (
-       |  SELECT (wo.woff + r.i - 1)::BIGINT AS pos, wo.ids[r.i::INT] AS tid
+       |  SELECT wo.doc_id, (wo.woff + r.i - 1)::BIGINT AS pos,
+       |    wo.ids[r.i::INT] AS tid
        |  FROM word_off wo CROSS JOIN unnest(range(1, wo.ns + 1)) r(i)
-       |)
+       |)""".stripMargin
+
+  /** qd38's oracle: fixed-budget packing of the positioned stream. */
+  private def packedSeqSql(n: Int, budget: Int): String =
+    s"""WITH ${packedPosChainSql(n)}
        |SELECT (pos // $budget)::BIGINT AS seq_id, count(*)::BIGINT AS n_tokens,
        |  string_agg(tid::VARCHAR, ' ' ORDER BY pos) AS token_ids
        |FROM pos GROUP BY 1 ORDER BY seq_id""".stripMargin
+
+  /** qd39's oracle: per-sequence ordered document spans (the loader's
+    * cross-document attention-mask metadata) over the SAME positioned
+    * stream. */
+  private def packedSpanSql(n: Int, budget: Int): String =
+    s"""WITH ${packedPosChainSql(n)}, spans AS (
+       |  SELECT (pos // $budget)::BIGINT AS seq_id, doc_id,
+       |    min(pos % $budget)::BIGINT AS start_slot, count(*)::BIGINT AS len
+       |  FROM pos GROUP BY 1, 2
+       |)
+       |SELECT seq_id, count(*)::BIGINT AS n_docs, sum(len)::BIGINT AS n_tokens,
+       |  string_agg(doc_id::VARCHAR || ':' || start_slot::VARCHAR || ':'
+       |      || len::VARCHAR, ' ' ORDER BY start_slot) AS doc_spans
+       |FROM spans GROUP BY seq_id ORDER BY seq_id""".stripMargin
 
 
   /** qe9 / qs20 shared oracle: IVF probe CTEs restricting the integer
@@ -1615,6 +1636,9 @@ object SparkEntry {
     // + global packing in one mirror; budget/depth from TextOps defaults
     "qd38_packed_sequences" ->
       packedSeqSql(TextOps.DefaultBpeMerges, TextOps.DefaultPackBudget),
+    // qd39: per-sequence doc spans — same positioned stream, span rollup
+    "qd39_packed_doc_spans" ->
+      packedSpanSql(TextOps.DefaultBpeMerges, TextOps.DefaultPackBudget),
 
     // Per-source distribution drift: JS divergence of each source's
     // hashed unigram distribution (B = 1024, 'drift:' salt, add-one

@@ -1558,7 +1558,57 @@ object TextOps {
     * corpus-wide sort). */
   def qd38PackedSequences(spark: SparkSession, dir: String,
                           nMerges: Int = DefaultBpeMerges,
-                          budget: Int = DefaultPackBudget): DataFrame = {
+                          budget: Int = DefaultPackBudget): DataFrame =
+    packedTokenStream(spark, dir, nMerges)
+      .select(expr(s"pos div $budget").as("seq_id"),
+        (col("pos") % budget).as("slot"), col("tid"))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        // slot is unique within a sequence, so the struct sort is total
+        // and the join order deterministic; groups are budget-bounded
+        expr("array_join(transform(array_sort(collect_list(struct(slot, tid)))," +
+          " x -> cast(x.tid as string)), ' ')").as("token_ids"))
+      .orderBy("seq_id")
+
+  /** qd39: PER-SEQUENCE DOCUMENT SPANS — the attention-mask metadata a
+    * training loader consumes NEXT TO qd38's packed ids: when documents
+    * are concatenated and cut at budget boundaries, the loader must
+    * mask cross-document attention, which takes exactly "which doc
+    * occupies which slot range of each sequence". For every training
+    * sequence: how many documents touch it and the ordered
+    * `doc:start:len` span list (start = first slot, len = tokens of
+    * that doc inside this sequence — a boundary-straddling doc appears
+    * in several sequences with complementary spans).
+    *
+    * Same positioned token stream as qd38 (one shared plan), one
+    * groupBy((seq, doc)) for spans + one budget-bounded groupBy(seq)
+    * for the report — spans per sequence are bounded by the docs that
+    * can fit in `budget` tokens, so the final groups stay tiny. */
+  def qd39PackedDocSpans(spark: SparkSession, dir: String,
+                         nMerges: Int = DefaultBpeMerges,
+                         budget: Int = DefaultPackBudget): DataFrame =
+    packedTokenStream(spark, dir, nMerges)
+      .select(expr(s"pos div $budget").as("seq_id"),
+        (col("pos") % budget).as("slot"), col("doc_id"))
+      .groupBy("seq_id", "doc_id")
+      .agg(min("slot").as("start_slot"), count(lit(1)).as("len"))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("len").cast("long").as("n_tokens"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(start_slot, doc_id, len)))," +
+          " x -> concat(cast(x.doc_id as string), ':'," +
+          " cast(x.start_slot as string), ':', cast(x.len as string))), ' ')")
+          .as("doc_spans"))
+      .orderBy("seq_id")
+
+  /** The (doc_id, pos, tid) global token-id stream qd38/qd39 pack:
+    * BPE-encode every word under the depth-`nMerges` merge table, id
+    * subwords by binary-collation rank, and position tokens by the
+    * corpus-order cumulative word offset (the qd20 window; per-shard
+    * windows + broadcast base offsets at 100 TB). */
+  private def packedTokenStream(spark: SparkSession, dir: String,
+                                nMerges: Int): DataFrame = {
     import spark.implicits._
     val vocab = bpeTrain(bpeV0(spark, dir), nMerges)._2
     val bcSym = spark.sparkContext.broadcast(bpeSymbolIds(vocab))
@@ -1573,17 +1623,9 @@ object TextOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     stream.join(broadcast(termIds), Seq("term"))
       .withColumn("woff", sum("n_syms").over(wg) - col("n_syms"))
-      .select(col("woff"), posexplode(col("ids")).as(Seq("sidx", "tid")))
-      .select((col("woff") + col("sidx")).as("pos"), col("tid"))
-      .select(expr(s"pos div $budget").as("seq_id"),
-        (col("pos") % budget).as("slot"), col("tid"))
-      .groupBy("seq_id")
-      .agg(count(lit(1)).cast("long").as("n_tokens"),
-        // slot is unique within a sequence, so the struct sort is total
-        // and the join order deterministic; groups are budget-bounded
-        expr("array_join(transform(array_sort(collect_list(struct(slot, tid)))," +
-          " x -> cast(x.tid as string)), ' ')").as("token_ids"))
-      .orderBy("seq_id")
+      .select(col("doc_id"), col("woff"),
+        posexplode(col("ids")).as(Seq("sidx", "tid")))
+      .select(col("doc_id"), (col("woff") + col("sidx")).as("pos"), col("tid"))
   }
 
   /** Dense ids for the post-merge subword vocabulary: rank in plain

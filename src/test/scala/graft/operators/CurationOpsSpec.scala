@@ -826,4 +826,42 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(perWordIds.exists { case (t, n) => n < t.length + 1 },
       "no merge ever applied — vacuous tokenizer")
   }
+
+  test("qd39 doc spans tile every packed sequence and cover each doc exactly") {
+    val seqs = TextOps.qd38PackedSequences(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = TextOps.qd39PackedDocSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.map(_._1).toSet == seqs.keySet,
+      "qd38 and qd39 disagree on the sequence set")
+    val spansByDoc = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    rows.foreach { case (sid, nDocs, nToks, spansStr) =>
+      assert(nToks == seqs(sid), s"seq $sid token count diverged from qd38")
+      val spans = spansStr.split(" ").map { sp =>
+        val Array(d, st, ln) = sp.split(":").map(_.toLong); (d, st, ln)
+      }
+      assert(spans.length.toLong == nDocs, s"seq $sid: span count != n_docs")
+      // spans TILE the sequence: start at 0, contiguous, end at n_tokens
+      assert(spans.head._2 == 0L, s"seq $sid: first span not at slot 0")
+      spans.sliding(2).foreach {
+        case Array((_, s1, l1), (_, s2, _)) =>
+          assert(s1 + l1 == s2, s"seq $sid: gap/overlap at slot $s2")
+        case _ =>
+      }
+      assert(spans.last._2 + spans.last._3 == nToks,
+        s"seq $sid: spans do not cover the sequence")
+      // within one sequence a doc appears at most once (docs are
+      // concatenated in order — a doc's tokens are contiguous globally)
+      assert(spans.map(_._1).distinct.length == spans.length,
+        s"seq $sid: doc split into non-adjacent spans")
+      spans.foreach { case (d, _, l) => spansByDoc(d) += l }
+    }
+    // across sequences every doc's spans sum to its encoded token count
+    // (qd29's n_tokens — the independent per-doc encoding)
+    val perDoc = TextOps.qd29BpeEncode(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(spansByDoc.toMap == perDoc,
+      "per-doc span totals diverge from qd29's encoded token counts")
+  }
 }
