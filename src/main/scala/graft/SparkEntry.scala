@@ -195,6 +195,8 @@ object SparkEntry {
     "qe12_truncated_rerank" -> ((s, d) => Ann.qe12TruncatedRerank(s, d)),
     // cluster-balanced diversity sampling: per-cell ceil-20% quotas
     "qe13_cluster_sample"  -> (Ann.qe13ClusterSample _),
+    // MMR-diversified top-k: relevance vs redundancy greedy rerank
+    "qe15_mmr_topk"        -> ((s, d) => Ann.qe15MmrTopk(s, d)),
     // index advisor: recall@5 of every compression method vs exact
     "qe14_index_advisor"   -> ((s, d) => Ann.qe14IndexAdvisor(s, d)),
     // temperature mixture: alpha=0.5 quotas over lang strata
@@ -794,6 +796,81 @@ object SparkEntry {
          |  ) n ON n.sub = p.sub AND n.code = p.code
          |)""".stripMargin
     }.mkString(", ")
+
+  /** qe15's oracle: exact top-c stage (the proven qe12 coarse shape) →
+    * candidate micro-cosine pair matrix → k GENERATED greedy MMR step
+    * CTEs (the qd36/bpe iteration pattern): step t scores every
+    * not-yet-selected candidate λ%·rel − (100−λ%)·max-sim-to-selected
+    * in exact integers and picks the per-query argmax (ties to the
+    * lowest cand_id); sel0 is the typed empty set so step 1's penalty
+    * coalesces to 0 by definition. */
+  private def mmrSql(k: Int, c: Int, lambdaPct: Int): String = {
+    val mu = 100 - lambdaPct
+    val chain = (1 to k).map { t =>
+      s"""pick$t AS MATERIALIZED (
+         |  SELECT q_id, cand_id, rel_us, score_us FROM (
+         |    SELECT s.q_id, s.cand_id, s.rel_us,
+         |      ($lambdaPct * s.rel_us - $mu * coalesce(m.mx, 0))::BIGINT
+         |        AS score_us,
+         |      row_number() OVER (PARTITION BY s.q_id
+         |        ORDER BY $lambdaPct * s.rel_us - $mu * coalesce(m.mx, 0) DESC,
+         |          s.cand_id) AS rk
+         |    FROM s
+         |    LEFT JOIN (
+         |      SELECT p.q_id, p.cand_a AS cand_id, max(p.sim_us) AS mx
+         |      FROM ps p JOIN sel${t - 1} sl
+         |        ON sl.q_id = p.q_id AND sl.cand_id = p.cand_b
+         |      GROUP BY 1, 2
+         |    ) m ON m.q_id = s.q_id AND m.cand_id = s.cand_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} sl
+         |      WHERE sl.q_id = s.q_id AND sl.cand_id = s.cand_id)
+         |  ) WHERE rk = 1
+         |), sel$t AS MATERIALIZED (
+         |  SELECT q_id, cand_id, $t::BIGINT AS step, rel_us, score_us
+         |  FROM pick$t
+         |  UNION ALL
+         |  SELECT q_id, cand_id, step, rel_us, score_us FROM sel${t - 1}
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), qsel AS (
+       |  SELECT vec_id FROM e WHERE vec_id % 25 = 0
+       |  ORDER BY (vec_id * 1000003) % 999983, vec_id
+       |  LIMIT ${Ann.DefaultMaxQueries}
+       |), q AS (
+       |  SELECT e.vec_id AS q_id, e.v AS qv
+       |  FROM e JOIN qsel ON qsel.vec_id = e.vec_id
+       |), pc AS (
+       |  SELECT q.q_id, e.vec_id AS cand_id,
+       |    round(list_inner_product(q.qv, e.v)
+       |      / (sqrt(list_inner_product(q.qv, q.qv))
+       |         * sqrt(list_inner_product(e.v, e.v))), 6) AS psim
+       |  FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id
+       |), s AS MATERIALIZED (
+       |  SELECT q_id, cand_id, CAST(round(psim * 1e6) AS BIGINT) AS rel_us
+       |  FROM (
+       |    SELECT q_id, cand_id, psim, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY psim DESC, cand_id) AS crk
+       |    FROM pc
+       |  ) WHERE crk <= $c
+       |), cv AS MATERIALIZED (
+       |  SELECT s.q_id, s.cand_id, e.v FROM s JOIN e ON e.vec_id = s.cand_id
+       |), ps AS MATERIALIZED (
+       |  SELECT a.q_id, a.cand_id AS cand_a, b.cand_id AS cand_b,
+       |    CAST(round(round(list_inner_product(a.v, b.v)
+       |      / (sqrt(list_inner_product(a.v, a.v))
+       |         * sqrt(list_inner_product(b.v, b.v))), 6) * 1e6) AS BIGINT)
+       |      AS sim_us
+       |  FROM cv a JOIN cv b ON b.q_id = a.q_id AND b.cand_id <> a.cand_id
+       |), sel0 AS (
+       |  SELECT CAST(NULL AS BIGINT) AS q_id, CAST(NULL AS BIGINT) AS cand_id,
+       |    CAST(NULL AS BIGINT) AS step, CAST(NULL AS BIGINT) AS rel_us,
+       |    CAST(NULL AS BIGINT) AS score_us WHERE false
+       |), $chain
+       |SELECT q_id, step, cand_id, rel_us, score_us FROM sel$k
+       |ORDER BY q_id, step""".stripMargin
+  }
 
   /** qd35/qs25 shared oracle (one SQL text serves both keys). */
   private val leakSplitSql: String =
@@ -2805,6 +2882,11 @@ object SparkEntry {
     // rerank the survivors by full 64-dim cosine. Both stages 6dp-round
     // before ranking, ties to the lowest cand_id, self excluded.
     "qe12_truncated_rerank" -> truncSql,
+
+    // qe15: k generated greedy MMR steps over the exact top-c stage —
+    // every constant interpolates from Ann's own defaults
+    "qe15_mmr_topk" -> mmrSql(Ann.DefaultTopK, Ann.DefaultMmrCandidates,
+      Ann.DefaultMmrLambdaPct),
 
     "qe7_ann_recall" ->
       """WITH e AS (

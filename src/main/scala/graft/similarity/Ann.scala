@@ -37,6 +37,8 @@ object Ann {
   val DefaultTopK = 5
   val DefaultPrefixDims = 16
   val DefaultRerankCandidates = 50
+  val DefaultMmrCandidates = 20
+  val DefaultMmrLambdaPct = 70
 
   /** Deterministic capped query sample: the `pred` rows in a hashed
     * total order (multiplicative hash, ties to vec_id), truncated at
@@ -290,6 +292,95 @@ object Ann {
     * corpus shuffle), one rank window per cell (cell-partitioned), and
     * an integer ceil quota (n_cell + 4) div 5 — no floats anywhere the
     * quota could wobble. */
+  /** qe15: MMR-DIVERSIFIED top-k — retrieval with redundancy control
+    * (Carbonell & Goldstein 1998): after the exact top-`c` candidate
+    * stage, `k` greedy Maximal-Marginal-Relevance steps each pick the
+    * candidate maximizing λ·rel(q, d) − (1−λ)·max_{s∈S} sim(d, s) —
+    * relevance traded against similarity to the already-selected set —
+    * so the emitted k are relevant AND mutually diverse (the dedup
+    * engine's own near-dup problem applied to retrieval output).
+    *
+    * ENGINE-DETERMINISTIC: relevance and candidate-pair similarities
+    * are integer MICRO-COSINES (round(round6(cos)×1e6) — the family's
+    * exact-integer trick), λ enters as integer percents
+    * (`score = λ% × rel_us − (100−λ%) × maxSim_us`, no division), the
+    * step-1 penalty is 0 by definition, and every argmax breaks ties
+    * to the lowest cand_id — so the k-step greedy trace is a pure
+    * function of the data, mirrored step-for-step by generated oracle
+    * CTEs (the qd36/bpe iteration pattern).
+    *
+    * Scale shape: queries are the capped sample; stage 1 is the
+    * margin-pruned exact top-c kernel (one corpus stream, partition
+    * winners only); the pairwise-similarity frame is Q×c² SKINNY rows
+    * (cap-bounded, never corpus-proportional); each greedy step is one
+    * aggregate + one window over those bounded frames with the
+    * selection lineage localCheckpointed per step. */
+  def qe15MmrTopk(spark: SparkSession, dir: String, k: Int = DefaultTopK,
+                  c: Int = DefaultMmrCandidates,
+                  lambdaPct: Int = DefaultMmrLambdaPct,
+                  maxQ: Int = DefaultMaxQueries): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val sample = querySample(emb, "vec_id % 25 = 0", maxQ)
+    val crkW = Window.partitionBy("q_id").orderBy(col("psim").desc, col("cand_id"))
+    val cands = graft.operators.VectorOps
+      .exactTopKCandidatesFrom(emb, sample, c)
+      .select(col("q_id"), col("cand_id"), round(col("sim_raw"), 6).as("psim"))
+      .withColumn("crk", row_number().over(crkW))
+      .filter(col("crk") <= c)
+      .select(col("q_id"), col("cand_id"),
+        round(col("psim") * 1e6).cast("long").as("rel_us"))
+      .localCheckpoint(true)
+    val cv = cands.join(
+      emb.select(col("vec_id").as("cand_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v")),
+      "cand_id")
+    val pairSim = cv.as("a")
+      .join(cv.as("b"),
+        col("a.q_id") === col("b.q_id") && col("a.cand_id") =!= col("b.cand_id"))
+      .select(col("a.q_id").as("q_id"), col("a.cand_id").as("cand_a"),
+        col("b.cand_id").as("cand_b"),
+        round(round(cosine(col("a.v"), col("b.v")), 6) * 1e6)
+          .cast("long").as("sim_us"))
+      .localCheckpoint(true)
+    val pickW = Window.partitionBy("q_id")
+      .orderBy(col("score_us").desc, col("cand_id"))
+    var sel = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("q_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cand_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("step",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rel_us",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score_us",
+          org.apache.spark.sql.types.LongType))))
+    (1 to k).foreach { t =>
+      val remaining = cands
+        .join(sel.select("q_id", "cand_id"), Seq("q_id", "cand_id"), "left_anti")
+      val maxToSel = pairSim
+        .join(sel.select(col("q_id"), col("cand_id").as("cand_b")),
+          Seq("q_id", "cand_b"))
+        .select(col("q_id"), col("cand_a").as("cand_id"), col("sim_us"))
+        .groupBy("q_id", "cand_id")
+        .agg(max("sim_us").as("mx"))
+      val pick = remaining
+        .join(maxToSel, Seq("q_id", "cand_id"), "left")
+        .select(col("q_id"), col("cand_id"), col("rel_us"),
+          (lit(lambdaPct.toLong) * col("rel_us")
+            - lit((100 - lambdaPct).toLong) * coalesce(col("mx"), lit(0L)))
+            .as("score_us"))
+        .withColumn("rk", row_number().over(pickW))
+        .filter(col("rk") === 1)
+        .select(col("q_id"), col("cand_id"), lit(t.toLong).as("step"),
+          col("rel_us"), col("score_us"))
+      sel = sel.unionByName(pick).localCheckpoint(true)
+    }
+    sel.orderBy("q_id", "step")
+  }
+
   def qe13ClusterSample(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings").select(col("vec_id"),
       col("label"), col("embedding").cast("array<double>").as("embedding"))

@@ -534,4 +534,63 @@ class AnnSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
     assert(a == b, "refinement moved codewords already at the fixpoint")
   }
+
+  test("MMR trace matches an independent greedy recompute and diversifies") {
+    val dir = SparkTestSession.sfDir
+    val got = Ann.qe15MmrTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))  // (q_id, cand_id, step, rel_us, score_us)
+    assert(got.nonEmpty)
+    // independent recompute: exact cosines in plain JVM doubles, same
+    // rounding (6dp -> micro-units), same greedy with the same tie rule
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val rows = emb.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def us(x: Double): Long = math.round(
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+    val qIds = Ann.querySample(emb, "vec_id % 25 = 0", Ann.DefaultMaxQueries)
+      .select("vec_id").collect().map(_.getLong(0))
+    val expected = qIds.flatMap { q =>
+      val cands = rows.keys.filter(_ != q).toSeq
+        .map(c => (c, us(cos(rows(q), rows(c)))))
+        .sortBy { case (c, r) => (-r, c) }.take(Ann.DefaultMmrCandidates)
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+      (1 to Ann.DefaultTopK).foreach { step =>
+        val chosen = sel.map(_._2).toSet
+        val scored = cands.filterNot(c => chosen(c._1)).map { case (c, rel) =>
+          val mx = if (chosen.isEmpty) 0L
+            else chosen.map(sc => us(cos(rows(c), rows(sc)))).max
+          (c, rel, Ann.DefaultMmrLambdaPct * rel
+            - (100 - Ann.DefaultMmrLambdaPct) * mx)
+        }
+        if (scored.nonEmpty) {
+          val (c, rel, sc) = scored.minBy { case (c, _, sc) => (-sc, c) }
+          sel += ((q, c, step.toLong, rel, sc))
+        }
+      }
+      sel
+    }
+    assert(got.sortBy(t => (t._1, t._3)).toSeq ==
+      expected.sortBy(t => (t._1, t._3)).toSeq,
+      "MMR trace diverged from the independent greedy recompute")
+    // step 1 is the pure relevance argmax (penalty 0 by definition)
+    got.filter(_._3 == 1L).foreach { case (q, c, _, rel, sc) =>
+      assert(sc == Ann.DefaultMmrLambdaPct * rel, s"q $q step-1 score penalized")
+    }
+    // the diversity term BITES: some query's MMR set differs from its
+    // pure-relevance top-k (otherwise lambda might as well be 100)
+    val mmrSets = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val relSets = qIds.map { q =>
+      q -> rows.keys.filter(_ != q).toSeq
+        .map(c => (c, us(cos(rows(q), rows(c)))))
+        .sortBy { case (c, r) => (-r, c) }.take(Ann.DefaultTopK).map(_._1).toSet
+    }.toMap
+    assert(mmrSets.exists { case (q, s) => s != relSets(q) },
+      "MMR never deviated from pure relevance — vacuous diversification")
+  }
 }
