@@ -150,6 +150,8 @@ object SparkEntry {
     "qm5_audio_features"   -> (Multimodal.qm5AudioFeatures _),
     // multimodal flagship: quality + exact + near-dup + image-dup gates
     "qm6_multimodal_curation" -> (Multimodal.qm6MultimodalCuration _),
+    // qm6's arrival-time form: one stream, both curation indices per batch
+    "qs26_stream_curation" -> (Replay.qs26StreamCuration _),
     "qs8_winnow_candidates" -> (graft.text.Fingerprint.fingerprintCandidates(_, _)),
     "qs9_srp_lsh_neardup"  -> (graft.similarity.SrpLsh.qs9NearDups _),
     "qs10_stream_dedup"    -> (Replay.qs10StreamDedup _),
@@ -896,6 +898,40 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM b
         |ORDER BY doc_id""".stripMargin
+
+  /** qm6/qs26 shared oracle (one SQL text serves both keys). */
+  private val multimodalCurationSql: String =
+    s"""WITH RECURSIVE $shinglePairGraphSql, e AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION SELECT doc_b, doc_a FROM p
+        |), r(s, t2) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT r.s, e.b FROM r JOIN e ON r.t2 = e.a
+        |), drop_members AS (
+        |  SELECT s AS doc_id FROM r GROUP BY s HAVING s <> min(t2)
+        |), $phashCoreSql, ph AS (
+        |  SELECT media_id AS doc_id,
+        |    media_id <> min(media_id) OVER (PARTITION BY dhash) AS dup
+        |  FROM h
+        |), fl AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\\s+')) >= 30
+        |      AND length(text) >= 200 AS quality_ok,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        |      AS exact_keep,
+        |    doc_id IN (SELECT doc_id FROM drop_members) AS neardup_drop
+        |  FROM documents
+        |)
+        |SELECT f.doc_id,
+        |  CASE f.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'video'
+        |    ELSE 'audio' END AS modality,
+        |  f.quality_ok, f.exact_keep, f.neardup_drop,
+        |  coalesce(ph.dup, false) AS phash_drop,
+        |  (f.quality_ok AND f.exact_keep AND NOT f.neardup_drop
+        |    AND NOT coalesce(ph.dup, false)) AS keep
+        |FROM fl f LEFT JOIN ph ON ph.doc_id = f.doc_id
+        |ORDER BY f.doc_id""".stripMargin
 
   private val pqSql: String =
     s"""WITH e AS (
@@ -2750,38 +2786,8 @@ object SparkEntry {
     // its standalone form. Exact-dup rank runs over ALL rows here
     // (identical text ⇒ identical quality metrics, so the order of the
     // quality and exact gates cannot change the kept set vs qd10).
-    "qm6_multimodal_curation" ->
-      s"""WITH RECURSIVE $shinglePairGraphSql, e AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM p
-        |  UNION SELECT doc_b, doc_a FROM p
-        |), r(s, t2) AS (
-        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
-        |  UNION
-        |  SELECT r.s, e.b FROM r JOIN e ON r.t2 = e.a
-        |), drop_members AS (
-        |  SELECT s AS doc_id FROM r GROUP BY s HAVING s <> min(t2)
-        |), $phashCoreSql, ph AS (
-        |  SELECT media_id AS doc_id,
-        |    media_id <> min(media_id) OVER (PARTITION BY dhash) AS dup
-        |  FROM h
-        |), fl AS (
-        |  SELECT doc_id,
-        |    len(string_split_regex(trim(text), '\\s+')) >= 30
-        |      AND length(text) >= 200 AS quality_ok,
-        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
-        |      AS exact_keep,
-        |    doc_id IN (SELECT doc_id FROM drop_members) AS neardup_drop
-        |  FROM documents
-        |)
-        |SELECT f.doc_id,
-        |  CASE f.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'video'
-        |    ELSE 'audio' END AS modality,
-        |  f.quality_ok, f.exact_keep, f.neardup_drop,
-        |  coalesce(ph.dup, false) AS phash_drop,
-        |  (f.quality_ok AND f.exact_keep AND NOT f.neardup_drop
-        |    AND NOT coalesce(ph.dup, false)) AS keep
-        |FROM fl f LEFT JOIN ph ON ph.doc_id = f.doc_id
-        |ORDER BY f.doc_id""".stripMargin,
+    "qm6_multimodal_curation" -> multimodalCurationSql,
+    "qs26_stream_curation" -> multimodalCurationSql,
 
     // qm5: WAV is lossless and every feature is integer arithmetic, so
     // the oracle recomputes sample count / peak / total amplitude /

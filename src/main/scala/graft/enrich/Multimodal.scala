@@ -276,18 +276,30 @@ object Multimodal {
     * point: at 100 TB each gate keeps its own proven plan. */
   def qm6MultimodalCuration(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
+    curationAssembly(d,
+      graft.dedup.Clusters.q33DedupClusters(spark, dir),
+      phashReport(phashFrame(d)))
+  }
+
+  /** The qm6 decision-surface assembly over explicit gate inputs —
+    * factored so the streaming form (qs26) feeds the SAME assembly
+    * from its accumulated pair state and phash index: `clusters` is a
+    * (doc_id, cluster_rep) map, `phashed` the qm4-shaped
+    * (media_id, ..., is_dup) report. */
+  private[graft] def curationAssembly(docsDf: DataFrame, clusters: DataFrame,
+                                      phashed: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    val flags = d
+    val flags = docsDf
       .withColumn("quality_ok",
         size(split(trim(col("text")), "\\s+")) >= 30 &&
           length(col("text")) >= 200)
       .withColumn("exact_keep", row_number().over(w) === 1)
       .select("doc_id", "quality_ok", "exact_keep")
-    val nearDupMembers = graft.dedup.Clusters.q33DedupClusters(spark, dir)
+    val nearDupMembers = clusters
       .filter(col("doc_id") =!= col("cluster_rep"))
       .select(col("doc_id"), lit(true).as("neardup_drop"))
-    val imageDups = phashReport(phashFrame(d))
+    val imageDups = phashed
       .select(col("media_id").as("doc_id"), col("is_dup").as("phash_drop"))
     flags
       .join(nearDupMembers, Seq("doc_id"), "left")

@@ -815,6 +815,77 @@ object Replay {
     streamLeakSplit(spark, stagedDocsLake(spark, dir),
       precomputedSigs = Some(graft.dedup.MinHashLSH.signatures(spark, dir)))
 
+  /** Streaming MULTIMODAL curation — qm6's arrival-time form, and the
+    * production ingest shape: ONE stream over the post+media lake
+    * maintains BOTH curation indices per micro-batch — the near-dup
+    * fold's mem/reps/pairs/bands state (O(batch) kernel + band probe,
+    * `nearDupBatchDelta`) and the image perceptual-hash index
+    * (O(batch) codec pass, the qs24 fold) — committed in a single
+    * `endBatch`, so a replayed batch re-lands BOTH gates' deltas
+    * idempotently and the restart contract covers the composite. The
+    * keep-list is the DERIVED view over the accumulated state (the
+    * qs25 rationale: later batches can merge clusters or reveal image
+    * dups, so batch-time keeps are provisional by nature): clusters
+    * from the total pair set, image dups from the folded hash index,
+    * text flags pure per-row — assembled by qm6's own
+    * `curationAssembly`, so the result folds to the batch keep-list
+    * across any boundary and shares qm6's oracle verbatim. */
+  def streamMultimodalCuration(spark: SparkSession, dir: String,
+                               threshold: Double = 0.8,
+                               maxFilesPerTrigger: Int = 1,
+                               pathGlobFilter: String = "*.parquet",
+                               compactEvery: Int = 16,
+                               workDir: Option[String] = None,
+                               precomputedSigs: Option[DataFrame] = None): DataFrame = {
+    import graft.dedup.MinHashLSH
+    val work = resolveWork(workDir, "graft_smmcur")
+    val outDir = s"$work/pairs_out"
+    val hSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("dhash", StringType)))
+    val state = new AppendOnlyState(work,
+      nearDupStateSchemas :+ ("h" -> hSchema), compactEvery)
+    bandRowsPerBatch.clear()
+    val q = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", pathGlobFilter)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(dir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        if (state.alreadyFolded(batchId)) { maybePoison(batchId) }
+        else {
+          val ndDeltas = nearDupBatchDelta(state, ss, batch, batchId,
+            threshold, precomputedSigs, outDir)
+          state.endBatch(ss, batchId,
+            (ndDeltas :+ ("h" -> graft.enrich.Multimodal.phashFrame(batch))): _*)
+          maybePoison(batchId)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val pairs = nearDupEmissions(spark, outDir)
+    val docsDf = spark.read.schema(docsSchema)
+      .option("pathGlobFilter", pathGlobFilter).parquet(dir)
+    val sigs = precomputedSigs.getOrElse(
+      MinHashLSH.docSignatures(spark, docsDf)
+        .toDF("doc_id", "txt_md5", "sh", "bands"))
+    val clusters = graft.dedup.Clusters.repClusters(sigs, pairs)
+    val phashed = graft.enrich.Multimodal.phashReport(state.read(spark, "h"))
+    graft.enrich.Multimodal.curationAssembly(docsDf, clusters, phashed)
+  }
+
+  /** qs26 entry: streaming multimodal curation over the shared staged
+    * docs lake; shares qm6's oracle SQL verbatim across the batch
+    * boundary. The lake IS the corpus, so the per-batch near-dup
+    * kernel reuses the session-memoized signature table. */
+  def qs26StreamCuration(spark: SparkSession, dir: String): DataFrame =
+    streamMultimodalCuration(spark, stagedDocsLake(spark, dir),
+      precomputedSigs = Some(graft.dedup.MinHashLSH.signatures(spark, dir)))
+
   /** qs24 entry: streaming image dedup over the shared staged docs
     * lake; shares qm4's oracle SQL verbatim across the batch boundary. */
   def qs24StreamPhash(spark: SparkSession, dir: String): DataFrame =
@@ -863,6 +934,20 @@ object Replay {
     * pairs accumulate under batch-keyed subdirs across restarts, so the
     * final read returns the COMPLETE pair set. The default (no `workDir`)
     * is a fresh temp dir per invocation, cleaned at JVM exit. */
+  /** The near-dup fold's four append-only state tables — shared by
+    * `streamNearDup` and the composite curation stream (qs26). */
+  private val nearDupStateSchemas: Seq[(String, StructType)] = Seq(
+    "mem" -> StructType(Seq(StructField("txt_md5", StringType),
+      StructField("doc_id", LongType))),
+    "reps" -> StructType(Seq(StructField("txt_md5", StringType),
+      StructField("rep", LongType),
+      StructField("sh", ArrayType(StringType)),
+      StructField("bands", ArrayType(LongType)))),
+    "pairs" -> StructType(Seq(StructField("rep_a", LongType),
+      StructField("rep_b", LongType), StructField("jaccard", DoubleType))),
+    "bands" -> StructType(Seq(StructField("rep", LongType),
+      StructField("band_idx", IntegerType), StructField("band_hash", LongType))))
+
   def streamNearDup(spark: SparkSession, dir: String,
                     threshold: Double = 0.8,
                     maxFilesPerTrigger: Int = 1,
@@ -873,19 +958,7 @@ object Replay {
     import graft.dedup.MinHashLSH
     val work = resolveWork(workDir, "graft_sneardup")
     val outDir = s"$work/pairs_out"
-    val memSchema = StructType(Seq(StructField("txt_md5", StringType),
-      StructField("doc_id", LongType)))
-    val repsSchema = StructType(Seq(StructField("txt_md5", StringType),
-      StructField("rep", LongType),
-      StructField("sh", ArrayType(StringType)),
-      StructField("bands", ArrayType(LongType))))
-    val pairsSchema = StructType(Seq(StructField("rep_a", LongType),
-      StructField("rep_b", LongType), StructField("jaccard", DoubleType)))
-    val bandsSchema = StructType(Seq(StructField("rep", LongType),
-      StructField("band_idx", IntegerType), StructField("band_hash", LongType)))
-    val state = new AppendOnlyState(work,
-      Seq(("mem", memSchema), ("reps", repsSchema), ("pairs", pairsSchema),
-        ("bands", bandsSchema)), compactEvery)
+    val state = new AppendOnlyState(work, nearDupStateSchemas, compactEvery)
     bandRowsPerBatch.clear()
     val q = spark.readStream.schema(docsSchema)
       .option("pathGlobFilter", pathGlobFilter)
@@ -901,6 +974,33 @@ object Replay {
         // (compaction runs inside its endBatch) — so skip it wholesale
         if (state.alreadyFolded(batchId)) { maybePoison(batchId) }
         else {
+          val deltas = nearDupBatchDelta(state, ss, batch, batchId,
+            threshold, precomputedSigs, outDir)
+          state.endBatch(ss, batchId, deltas: _*)
+          maybePoison(batchId)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    nearDupEmissions(spark, outDir)
+  }
+
+  /** One micro-batch of the incremental near-dup fold, WITHOUT the
+    * state commit: computes this batch's mem/reps/pairs/bands deltas
+    * against the accumulated state (reads exclude the batch's own
+    * possibly-crashed writes), writes the batch's pair emissions to
+    * `outDir/b$batchId` (batch-keyed overwrite — replay-idempotent),
+    * and returns the four deltas for the caller's single
+    * `state.endBatch`. Factored so composite streams (qs26) can fold
+    * several gates' states in ONE pass over each batch with ONE
+    * atomic-enough commit point, instead of one stream per gate. */
+  private def nearDupBatchDelta(state: AppendOnlyState,
+                                ss: SparkSession, batch: DataFrame,
+                                batchId: Long, threshold: Double,
+                                precomputedSigs: Option[DataFrame],
+                                outDir: String): Seq[(String, DataFrame)] = {
+        import graft.dedup.MinHashLSH
         // (1) batch kernel; empty shingle sets never band or pair (0/0
         // Jaccard — same exclusion as the batch pipeline and the oracle).
         // When the stream's source IS a lake whose signature table is
@@ -998,15 +1098,13 @@ object Replay {
         // append-only state rollover: O(batch) rows written per table per
         // batch (the r4 versioned-dir scheme rewrote the FULL state each
         // batch — O(total) I/O); generational compaction handled by the
-        // shared AppendOnlyState
-        state.endBatch(ss, batchId, "mem" -> newMem, "reps" -> novelReps,
+        // shared AppendOnlyState, committed ONCE by the caller
+        Seq("mem" -> newMem, "reps" -> novelReps,
           "pairs" -> newRepPairs, "bands" -> newBands)
-        maybePoison(batchId)
-        }
-        ()
-      }
-      .start()
-    q.awaitTermination()
+  }
+
+  /** The accumulated pair emissions of a near-dup stream run. */
+  private def nearDupEmissions(spark: SparkSession, outDir: String): DataFrame =
     if (new java.io.File(outDir).isDirectory)
       spark.read.option("recursiveFileLookup", "true").parquet(outDir)
         .orderBy("doc_a", "doc_b")
@@ -1014,7 +1112,6 @@ object Replay {
       import spark.implicits._
       Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard")
     }
-  }
 
   /** qs13 entry: streaming near-dup over the shared corpus — equals the
     * batch qs1 pair set, so it shares qs1's oracle. The stream source IS

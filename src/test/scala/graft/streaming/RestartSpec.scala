@@ -301,6 +301,37 @@ class RestartSpec extends AnyFunSuite {
       "no clustered doc in the restart run — vacuous")
   }
 
+  test("streamMultimodalCuration killed mid-run resumes and matches qm6") {
+    // the composite stream commits BOTH gates' deltas (near-dup state +
+    // phash index) in one endBatch; the crash window must replay both
+    // idempotently — a half-applied batch would either lose pairs
+    // (cluster scattered across splits) or duplicate hash rows (report
+    // shape broken). Exact equality with the batch qm6 catches either.
+    val lake = docsLake()
+    val w = work("graft_restart_mmcur")
+    Replay.poisonAfterBatch = 1L
+    intercept[Exception] {
+      Replay.streamMultimodalCuration(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w), compactEvery = 2)
+    }
+    assert(Replay.poisonAfterBatch == -1L, "poison should have fired")
+    val streamed = Replay.streamMultimodalCuration(spark, lake,
+        maxFilesPerTrigger = 1, workDir = Some(w), compactEvery = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))
+      .toSeq
+    val batch = graft.enrich.Multimodal
+      .qm6MultimodalCuration(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))
+      .toSeq
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+    // non-vacuous across BOTH gate families after the restart
+    assert(streamed.exists(_._5), "no near-dup drop — vacuous")
+    assert(streamed.exists(_._6), "no image-dup drop — vacuous")
+  }
+
   test("streamSq killed mid-run resumes and matches the batch SQ8 ranking") {
     // same no-fold codes-index contract as streamPq: a double-appended
     // batch duplicates candidates and corrupts the weighted-L2 ranking;
