@@ -941,10 +941,20 @@ object SparkEntry {
         |    list_transform(range(s.sub * 16 + 1, s.sub * 16 + 17),
         |      j -> v[j::INT]) AS x
         |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s
+        |), nn AS (
+        |  SELECT count(*) AS n FROM e
+        |), sd AS MATERIALIZED (
+        |  SELECT rk.sub, (((rk.rn - 1) * ${Ann.DefaultPqCodes}) // nn.n)::INT
+        |    AS code, rk.x
+        |  FROM (
+        |    SELECT sv.sub, sv.vec_id, sv.x,
+        |      row_number() OVER (PARTITION BY sv.sub
+        |        ORDER BY sv.x[1], sv.vec_id) AS rn
+        |    FROM sv
+        |  ) rk CROSS JOIN nn
         |), comp AS (
-        |  SELECT ((i - 1) // 16)::INT AS sub, label AS code, i AS dim,
-        |    avg(v[i::INT]) AS m
-        |  FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
+        |  SELECT sub, code, r.i AS dim, avg(x[r.i::INT]) AS m
+        |  FROM sd CROSS JOIN unnest(range(1, len(x) + 1)) r(i)
         |  GROUP BY 1, 2, 3
         |), cb0 AS MATERIALIZED (
         |  SELECT sub, code, list(m ORDER BY dim) AS cw FROM comp
@@ -1118,10 +1128,20 @@ object SparkEntry {
         |    list_transform(range(s.sub * 16 + 1, s.sub * 16 + 17),
         |      j -> v[j::INT]) AS x
         |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s
+        |), nn AS (
+        |  SELECT count(*) AS n FROM e
+        |), sd AS MATERIALIZED (
+        |  SELECT rk.sub, (((rk.rn - 1) * ${Ann.DefaultPqCodes}) // nn.n)::INT
+        |    AS code, rk.x
+        |  FROM (
+        |    SELECT sv.sub, sv.vec_id, sv.x,
+        |      row_number() OVER (PARTITION BY sv.sub
+        |        ORDER BY sv.x[1], sv.vec_id) AS rn
+        |    FROM sv
+        |  ) rk CROSS JOIN nn
         |), comp AS (
-        |  SELECT ((i - 1) // 16)::INT AS sub, label AS code, i AS dim,
-        |    avg(v[i::INT]) AS m
-        |  FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
+        |  SELECT sub, code, r.i AS dim, avg(x[r.i::INT]) AS m
+        |  FROM sd CROSS JOIN unnest(range(1, len(x) + 1)) r(i)
         |  GROUP BY 1, 2, 3
         |), cb0 AS MATERIALIZED (
         |  SELECT sub, code, list(m ORDER BY dim) AS cw FROM comp

@@ -1042,27 +1042,49 @@ object Ann {
     * training cost at seed + 2 assignment/mean passes. */
   val DefaultPqRefineIters = 2
 
-  /** PQ codebook (sub, code, cw) as a local relation. Codewords are the
-    * label-mean SEED sub-centroids refined by `iters` deterministic
-    * Lloyd rounds (`refineCodebook`) — assignment by 6dp-rounded
-    * squared L2 (ties to the lowest code, the family argmin), codeword
-    * = assigned mean, empty codes keep their previous codeword. Model
-    * state: the streaming form (qs18) trains it once over the lake and
-    * FREEZES it, the SemDedupStream quantizer contract. */
+  /** Codes per PQ sub-space. The label seed capped k at the 10 corpus
+    * labels — a ~10⁴-cell codebook whose budget, not its training,
+    * bound recall (the r10 advisor read pq 0.006 at sf1 even Lloyd-
+    * refined). 64 rank-quantile-seeded codes give a 64⁴ ≈ 1.7e7-cell
+    * budget at the same m — the knob FAISS turns to 256. Shared with
+    * the generated oracle CTEs. */
+  val DefaultPqCodes = 64
+
+  /** PQ codebook (sub, code, cw) as a local relation. Seed: every
+    * sub-vector ranks by (first component, vec_id) within its
+    * sub-space — raw parquet doubles, so the order is ENGINE-EXACT
+    * with no rounding decision — and integer binning
+    * ((rank−1)·k div n) yields k equal-mass seed cells whose means are
+    * the seed codewords (a deterministic quantile quantizer: no RNG,
+    * no kmeans++ sampling, same bins in both engines). Then `iters`
+    * Lloyd rounds (`refineCodebook`) — 6dp-rounded squared-L2
+    * assignment, ties to the lowest code, assigned means, empty codes
+    * keep their codeword — pull the 1-D quantile seed into real
+    * sub-space geometry. Model state: the streaming form (qs18)
+    * trains it once over the lake and FREEZES it, the SemDedupStream
+    * quantizer contract. */
   private[graft] def pqCodebook(emb: DataFrame, m: Int, subDim: Int,
-                                iters: Int = DefaultPqRefineIters): DataFrame = {
-    val cbPlan = emb.select(col("label").as("code"),
-        posexplode(col("embedding")).as(Seq("dim", "v")))
-      .withColumn("sub", (col("dim") / subDim).cast("int"))
+                                iters: Int = DefaultPqRefineIters,
+                                k: Int = DefaultPqCodes): DataFrame = {
+    val n = emb.count() // every sub-space has exactly n sub-vectors
+    val sv = subVectors(emb, m, subDim)
+    val rankW = Window.partitionBy("sub")
+      .orderBy(col("x0"), col("vec_id"))
+    val seeded = sv
+      .withColumn("x0", element_at(col("x"), 1))
+      .withColumn("rn", row_number().over(rankW))
+      .select(col("sub"),
+        expr(s"cast(((rn - 1) * $k) div $n as int)").as("code"), col("x"))
+    val cbPlan = seeded
+      .select(col("sub"), col("code"), posexplode(col("x")).as(Seq("dim", "v")))
       .groupBy("sub", "code", "dim")
-      .agg(avg(col("v").cast("double")).as("mv"))
+      .agg(avg(col("v")).as("mv"))
       .groupBy("sub", "code")
       .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("ps"))
-      .select(col("sub"), col("code").cast("int").as("code"),
-        expr("transform(ps, p -> p.mv)").as("cw"))
+      .select(col("sub"), col("code"), expr("transform(ps, p -> p.mv)").as("cw"))
     val cb0 = emb.sparkSession.createDataFrame(
       java.util.Arrays.asList(cbPlan.collect(): _*), cbPlan.schema)
-    refineCodebook(subVectors(emb, m, subDim), cb0, iters)
+    refineCodebook(sv, cb0, iters)
   }
 
   /** `iters` deterministic Lloyd rounds over a frozen sub-space
