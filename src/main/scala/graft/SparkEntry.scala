@@ -113,6 +113,8 @@ object SparkEntry {
     "qd38_packed_sequences" -> ((s, d) => TextOps.qd38PackedSequences(s, d)),
     // per-sequence document spans (cross-doc attention-mask metadata)
     "qd39_packed_doc_spans" -> ((s, d) => TextOps.qd39PackedDocSpans(s, d)),
+    // hybrid sparse+dense retrieval fused by reciprocal-rank fusion
+    "qd40_hybrid_rrf"      -> (graft.text.Search.qd40HybridRrf _),
     "q36_approx_percentile" -> (Advanced.q36ApproxPercentile _),
     "qd10_corpus_curation" -> (TextOps.qd10CorpusCuration _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
@@ -2271,6 +2273,81 @@ object SparkEntry {
         |FROM scored
         |ORDER BY score DESC, doc_id
         |LIMIT 10""".stripMargin,
+
+    // Hybrid retrieval: the qd8 BM25 ranking (candidate depth candK)
+    // fused by reciprocal-rank fusion with a hashed-TF cosine ranking.
+    // Constants (RRF k, bucket count, candidate depth) interpolate from
+    // the operator's own defaults so a default change fails loudly here.
+    "qd40_hybrid_rrf" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        |  FROM documents
+        |), postings AS (
+        |  SELECT doc_id, term, count(*)::DOUBLE AS tf
+        |  FROM toks WHERE term IN ('spark', 'query', 'window')
+        |  GROUP BY doc_id, term
+        |), dl AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\\s+'))::DOUBLE AS dl
+        |  FROM documents
+        |), stats AS (
+        |  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+        |    (SELECT avg(dl) FROM dl) AS avgdl
+        |), idf AS (
+        |  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM postings
+        |  GROUP BY term
+        |), scored AS (
+        |  SELECT p.doc_id,
+        |    round(sum(ln((s.n - i.df + 0.5) / (i.df + 0.5) + 1.0)
+        |      * (p.tf * 2.2)
+        |      / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl))), 6) AS score
+        |  FROM postings p
+        |  CROSS JOIN stats s
+        |  JOIN idf i ON p.term = i.term
+        |  JOIN dl d ON p.doc_id = d.doc_id
+        |  GROUP BY p.doc_id
+        |), sparse AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+        |    AS sparse_rank
+        |  FROM (SELECT doc_id, score FROM scored
+        |        ORDER BY score DESC, doc_id LIMIT ${graft.text.Search.HybridCandK})
+        |), dtf AS (
+        |  SELECT doc_id,
+        |    (md5_number_lower('htf:' || term) % ${graft.text.Search.HtfBuckets})::INT AS bucket,
+        |    count(*)::DOUBLE AS tf
+        |  FROM toks GROUP BY 1, 2
+        |), dnorm AS (
+        |  SELECT doc_id, sqrt(sum(tf * tf)) AS dnorm FROM dtf GROUP BY 1
+        |), qt AS (
+        |  SELECT (md5_number_lower('htf:' || term) % ${graft.text.Search.HtfBuckets})::INT AS bucket,
+        |    count(*)::DOUBLE AS qtf
+        |  FROM (VALUES ('spark'), ('query'), ('window')) q(term) GROUP BY 1
+        |), qn AS (
+        |  SELECT sqrt(sum(qtf * qtf)) AS qnorm FROM qt
+        |), dense AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id)
+        |    AS dense_rank
+        |  FROM (
+        |    SELECT t.doc_id,
+        |      round(t.dot / (n.dnorm * (SELECT qnorm FROM qn)), 6) AS cos
+        |    FROM (
+        |      SELECT d.doc_id, sum(d.tf * q.qtf) AS dot
+        |      FROM dtf d JOIN qt q ON d.bucket = q.bucket GROUP BY 1
+        |    ) t JOIN dnorm n ON t.doc_id = n.doc_id
+        |    ORDER BY cos DESC, t.doc_id LIMIT ${graft.text.Search.HybridCandK}
+        |  )
+        |), fused AS (
+        |  SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+        |    s.sparse_rank, d.dense_rank,
+        |    round(coalesce(1.0 / (${graft.text.Search.RrfK} + s.sparse_rank), 0.0)
+        |        + coalesce(1.0 / (${graft.text.Search.RrfK} + d.dense_rank), 0.0), 6)
+        |      AS rrf_score
+        |  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+        |)
+        |SELECT row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank,
+        |  doc_id, rrf_score, sparse_rank, dense_rank
+        |FROM (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10)
+        |ORDER BY rank""".stripMargin,
 
     "qe1_knn_brute_force" ->
       """WITH e AS (

@@ -1092,9 +1092,10 @@ object TextOps {
     * `md5_number_lower`. md5_number_lower reads digest bytes 8..15
     * LITTLE-endian, so the hex byte pairs are reversed before conv's
     * big-endian parse; conv yields the unsigned decimal string, exact
-    * through decimal(20,0). Shared by qd25 (split buckets) and qd26
-    * (feature-hash buckets + target membership). */
-  private def md5Lower64Decimal(input: Column): Column = {
+    * through decimal(20,0). Shared by qd25 (split buckets), qd26
+    * (feature-hash buckets + target membership) and qd40 (hashed-TF
+    * retrieval buckets). */
+  private[graft] def md5Lower64Decimal(input: Column): Column = {
     val hex = md5(input)
     val leHex = concat((7 to 0 by -1).map(i => substring(hex, 17 + 2 * i, 2)): _*)
     conv(leHex, 16, 10).cast("decimal(20,0)")

@@ -1,7 +1,7 @@
 package graft.text
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -74,4 +74,91 @@ object Search {
   /** Query entry: a fixed three-term query over the corpus. */
   def qd8Bm25(spark: SparkSession, dir: String): DataFrame =
     bm25(spark, dir, Seq("spark", "query", "window"), topK = 10)
+
+  /** RRF fusion constant (Cormack, Clarke & Buettcher, SIGIR 2009: 60
+    * "was chosen during a pilot investigation" and has been the
+    * de-facto default in Elasticsearch/OpenSearch hybrid search since). */
+  val RrfK = 60.0
+  /** Hashed-TF feature dimensionality (the hashing-trick bucket count;
+    * same fixed-parameter-count rationale as qd26's DSIR B buckets). */
+  val HtfBuckets = 64
+  /** Per-side candidate depth fused by RRF. */
+  val HybridCandK = 20
+
+  /** Hybrid sparse+dense retrieval with Reciprocal Rank Fusion — the
+    * modern two-tower search shape (BM25 lexical ranking fused with a
+    * vector-similarity ranking), internalizing what the reference's
+    * Elasticsearch tier would do with a `rank: {rrf: …}` query. The
+    * dense side derives its vectors IN-QUERY with the hashing trick
+    * (Weinberger et al., ICML 2009): each term hashes to one of
+    * `HtfBuckets` buckets via the engine's cross-engine md5 hash, a
+    * document's vector is its bucket-tf profile, and similarity is
+    * cosine — so the operator is self-contained over `documents` and
+    * exactly mirrorable in SQL (no trained embedding needed; swapping
+    * in a real embedding column only changes the dense-side input).
+    *
+    *   rrf(d) = Σ_sides 1/(RrfK + rank_side(d)),  missing side → 0
+    *
+    * Determinism: the dense dot/norms are sums of small INTEGER tf
+    * products (≤64 buckets, tf ≤ doc length), exact in double in any
+    * order; cosine and the 1/(60+rank) fusion terms are then identical
+    * double expressions on both engines; both rankings and the fused
+    * ranking round to 6 decimals BEFORE ranking with doc_id
+    * tie-breaks.
+    *
+    * Scale shape: one tokenize pass feeds both sides' per-doc
+    * aggregates (Catalyst reuses the scan); the query's ≤|Q| bucket
+    * profile broadcasts into the postings join (never a corpus-side
+    * shuffle keyed by the query); each side's candidate cut is
+    * orderBy().limit() → TakeOrderedAndProject (distributed partial
+    * top-k); the fusion join touches 2×candK rows. At 100 TB the only
+    * corpus-proportional work is the two skinny per-doc aggregates. */
+  def hybridRrf(spark: SparkSession, dir: String, queryTerms: Seq[String],
+                candK: Int = HybridCandK, topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    val sparse = bm25(spark, dir, queryTerms, candK)
+      .select(col("doc_id"), col("rank").as("sparse_rank"))
+
+    val bucketOf = (termCol: Column) => pmod(
+      graft.operators.TextOps.md5Lower64Decimal(concat(lit("htf:"), termCol)),
+      lit(HtfBuckets)).cast("int")
+    val docs = Tables(spark, dir, "documents")
+    val docTf = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .select(col("doc_id"), bucketOf(col("term")).as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    // per-doc l2 norm over ALL buckets (≤64 integer squares — exact)
+    val docNorm = docTf.groupBy("doc_id")
+      .agg(sqrt(sum(col("tf") * col("tf"))).as("dnorm"))
+    // the query's bucket profile: ≤|Q| rows, broadcast into the join
+    val qTf = queryTerms.toDF("term")
+      .select(bucketOf(col("term")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).cast("double").as("qtf"))
+    val qNorm = qTf.agg(sqrt(sum(col("qtf") * col("qtf"))).as("qnorm"))
+    val dense = docTf.join(broadcast(qTf), "bucket")
+      .groupBy("doc_id").agg(sum(col("tf") * col("qtf")).as("dot"))
+      .join(docNorm, "doc_id")
+      .crossJoin(broadcast(qNorm))
+      .withColumn("cos", round(col("dot") / (col("dnorm") * col("qnorm")), 6))
+      .orderBy(col("cos").desc, col("doc_id")).limit(candK)
+      .withColumn("dense_rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "dense_rank")
+
+    val side = (r: Column) =>
+      when(r.isNotNull, lit(1.0) / (lit(RrfK) + r)).otherwise(lit(0.0))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        round(side(col("sparse_rank")) + side(col("dense_rank")), 6))
+      .orderBy(col("rrf_score").desc, col("doc_id")).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_score").desc, col("doc_id"))).cast("long"))
+      .select("rank", "doc_id", "rrf_score", "sparse_rank", "dense_rank")
+      .orderBy("rank")
+  }
+
+  /** Query entry: the qd8 query fused with its hashed-TF dense twin. */
+  def qd40HybridRrf(spark: SparkSession, dir: String): DataFrame =
+    hybridRrf(spark, dir, Seq("spark", "query", "window"))
 }

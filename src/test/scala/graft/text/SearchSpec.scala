@@ -34,6 +34,54 @@ class SearchSpec extends AnyFunSuite {
       s"top score ${got.head.getDouble(2)} vs hand-computed $expected")
   }
 
+  test("hybrid RRF matches an independent JVM recompute of dense + fusion") {
+    import scala.math.BigDecimal.RoundingMode
+    val q = Seq("spark", "query", "window")
+    val got = Search.qd40HybridRrf(spark, SparkTestSession.sfDir).collect()
+    assert(got.length == 10)
+    assert(got.map(_.getLong(0)).toSeq == (1L to 10L))
+
+    // dense side recomputed from raw text with MessageDigest (not the
+    // engine's conv/substring expression chain)
+    def bucket(t: String): Int =
+      (graft.dedup.SimHash.md5Lower64String("htf:" + t) & (Search.HtfBuckets - 1L)).toInt
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, RoundingMode.HALF_UP).toDouble
+    val qtf = q.groupBy(bucket).map { case (b, ts) => b -> ts.size.toDouble }
+    val qnorm = math.sqrt(qtf.values.map(v => v * v).sum)
+    val docs = graft.Tables(spark, SparkTestSession.sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val denseRanked = docs.flatMap { case (id, text) =>
+      val tf = text.trim.split("\\s+").groupBy(bucket)
+        .map { case (b, ts) => b -> ts.size.toDouble }
+      val dot = qtf.map { case (b, qv) => tf.getOrElse(b, 0.0) * qv }.sum
+      // inner join on bucket: docs with no query-bucket term never enter
+      if (qtf.keys.exists(tf.contains))
+        Some(id -> round6(dot / (math.sqrt(tf.values.map(v => v * v).sum) * qnorm)))
+      else None
+    }.sortBy { case (id, cos) => (-cos, id) }.take(Search.HybridCandK)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+
+    // sparse side from the already-spec'd bm25 at candidate depth
+    val sparseRanked = Search.bm25(spark, SparkTestSession.sfDir, q, Search.HybridCandK)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+
+    val fused = (sparseRanked.keySet ++ denseRanked.keySet).toSeq.map { id =>
+      val rrf = round6(
+        sparseRanked.get(id).map(r => 1.0 / (Search.RrfK + r)).getOrElse(0.0) +
+        denseRanked.get(id).map(r => 1.0 / (Search.RrfK + r)).getOrElse(0.0))
+      (id, rrf)
+    }.sortBy { case (id, rrf) => (-rrf, id) }.take(10)
+
+    got.zip(fused).foreach { case (row, (id, rrf)) =>
+      assert(row.getLong(1) == id, s"doc order: ${row.getLong(1)} vs $id")
+      assert(math.abs(row.getDouble(2) - rrf) < 1e-9)
+      assert(Option(row.get(3)).map(_.asInstanceOf[Long]) == sparseRanked.get(id))
+      assert(Option(row.get(4)).map(_.asInstanceOf[Long]) == denseRanked.get(id))
+    }
+  }
+
   test("multi-term queries reward docs matching more terms") {
     val multi = Search.bm25(spark, SparkTestSession.sfDir,
       Seq("spark", "query", "window"), topK = 10).collect()
