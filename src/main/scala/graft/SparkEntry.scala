@@ -53,6 +53,8 @@ object SparkEntry {
     "qd8_bm25_search"      -> (graft.text.Search.qd8Bm25 _),
     "qe1_knn_brute_force"  -> (VectorOps.qe1KnnBruteForce _),
     "qe2_neardup_pairs"    -> (VectorOps.qe2NearDupPairs _),
+    // DBSCAN density clustering (core/border/noise) over the ε-graph
+    "qe17_dbscan"          -> ((s, d) => VectorOps.qe17Dbscan(s, d)),
     "qe3_label_stats"      -> (VectorOps.qe3LabelStats _),
     "q20_distinct_agg"     -> (Advanced.q20DistinctAgg _),
     "q21_rollup"           -> (Advanced.q21Rollup _),
@@ -2382,6 +2384,61 @@ object SparkEntry {
         |    / (sqrt(list_inner_product(a.v, a.v))
         |       * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // DBSCAN over the label-blocked ε-graph: the recursive CTE resolves
+    // core-core components exactly as q33's; borders take the MIN core
+    // neighbor's cluster (the engine's deterministic tie-break); the ε
+    // and MinPts constants interpolate from the operator's defaults.
+    // Seeding r with every core id covers singleton cores (their own
+    // cluster), mirroring the engine's coalesce(comp, id).
+    "qe17_dbscan" ->
+      s"""WITH RECURSIVE e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |), w AS MATERIALIZED (
+        |  SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS nrm
+        |  FROM e
+        |), p AS MATERIALIZED (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM w a JOIN w b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+        |    >= ${graft.operators.VectorOps.DbscanEps}
+        |), n AS (
+        |  SELECT id_a AS id, id_b AS nb FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p
+        |), deg AS (
+        |  SELECT id, count(*) AS n_neighbors FROM n GROUP BY 1
+        |), core AS (
+        |  SELECT id FROM deg
+        |  WHERE n_neighbors + 1 >= ${graft.operators.VectorOps.DbscanMinPts}
+        |), ces AS (
+        |  SELECT id_a AS ea, id_b AS eb FROM p
+        |  WHERE id_a IN (SELECT id FROM core) AND id_b IN (SELECT id FROM core)
+        |  UNION
+        |  SELECT id_b, id_a FROM p
+        |  WHERE id_a IN (SELECT id FROM core) AND id_b IN (SELECT id FROM core)
+        |), r(s, t2) AS (
+        |  SELECT id, id FROM core
+        |  UNION
+        |  SELECT r.s, ces.eb FROM r JOIN ces ON r.t2 = ces.ea
+        |), cc AS (
+        |  SELECT s AS id, min(t2) AS cluster FROM r GROUP BY s
+        |), border AS (
+        |  SELECT n.id, min(cc.cluster) AS cluster
+        |  FROM n JOIN cc ON n.nb = cc.id
+        |  WHERE n.id NOT IN (SELECT id FROM core)
+        |  GROUP BY n.id
+        |)
+        |SELECT e.vec_id,
+        |  CASE WHEN cc.cluster IS NOT NULL THEN 'core'
+        |       WHEN border.cluster IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  coalesce(cc.cluster, border.cluster) AS cluster,
+        |  coalesce(deg.n_neighbors, 0) AS n_neighbors
+        |FROM e
+        |LEFT JOIN deg ON e.vec_id = deg.id
+        |LEFT JOIN cc ON e.vec_id = cc.id
+        |LEFT JOIN border ON e.vec_id = border.id
+        |ORDER BY e.vec_id""".stripMargin,
 
     // SemDeDup keep-list over the corpus ∪ its perturbed copy (the qs9
     // construction). The oracle reproduces the ENTIRE deterministic

@@ -84,6 +84,79 @@ object VectorOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** qe17 ε-neighborhood: cosine ≥ Eps on the 6dp-rounded value (the qe2
+    * comparison idiom — boundary identical in the oracle). */
+  val DbscanEps = 0.25
+  /** qe17 density bar: |N_ε(p) ∪ {p}| ≥ MinPts makes p a core point. */
+  val DbscanMinPts = 4
+
+  /** DBSCAN density clustering over the embedding corpus (Ester et al.,
+    * KDD 1996), deterministic variant: core points are those with ≥
+    * MinPts−1 ε-neighbors, clusters are connected components of the
+    * core-core ε-graph keyed by min member id, and border points join
+    * the MINIMUM cluster id among their core neighbors (canonical DBSCAN
+    * assigns borders to the first-discovered core — an iteration-order
+    * artifact no distributed engine should reproduce; min is the
+    * engine-independent tie-break, matching the q33 rep convention).
+    * Everything else is noise (cluster NULL).
+    *
+    * The ε-graph is qe2's label-blocked exact-cosine self-join (the
+    * coarse-quantizer blocking — at 100 TB the same role is played by
+    * the IVF/SemDedup cell restriction, which this operator would ride
+    * unchanged: only the `pairs` input differs). The pair graph is
+    * localCheckpointed once and feeds all four consumers (degrees,
+    * core-core edges, border assignment) without re-running the
+    * quadratic join; components ride the shared
+    * `Clusters.connectedComponents` kernel (per-iteration checkpoints,
+    * ≤1M-edge gated local fast path).
+    */
+  def qe17Dbscan(spark: SparkSession, dir: String,
+                 eps: Double = DbscanEps, minPts: Int = DbscanMinPts): DataFrame = {
+    val e = emb(spark, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("label"),
+      col("embedding").as("vec_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("label"),
+      col("embedding").as("vec_b"))
+    val pairs = a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("vec_a"), col("vec_b")), 6).as("sim"))
+      .filter(col("sim") >= eps)
+      .select("id_a", "id_b")
+      .localCheckpoint(true)
+    val nbrs = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
+    val deg = nbrs.groupBy("id").agg(count(lit(1)).as("n_neighbors"))
+    val core = deg.filter(col("n_neighbors") + 1 >= minPts).select("id")
+    val coreEdges = pairs
+      .join(core.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
+      .join(core.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
+    val comp = graft.dedup.Clusters.connectedComponents(
+      coreEdges.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+    // singleton cores (dense but no core neighbor) are their own cluster
+    val coreClusters = core
+      .join(comp.withColumnRenamed("doc_id", "id"), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("cluster_rep"), col("id")).as("cluster"))
+    val borderClusters = nbrs
+      .join(coreClusters.select(col("id").as("nb"), col("cluster").as("nb_cluster")),
+        Seq("nb"))
+      .join(core, Seq("id"), "left_anti")
+      .groupBy("id").agg(min("nb_cluster").as("cluster"))
+    e.select(col("vec_id"))
+      .join(deg.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left_outer")
+      .join(coreClusters.select(col("id").as("vec_id"),
+        col("cluster").as("core_cluster")), Seq("vec_id"), "left_outer")
+      .join(borderClusters.select(col("id").as("vec_id"),
+        col("cluster").as("border_cluster")), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        when(col("core_cluster").isNotNull, lit("core"))
+          .when(col("border_cluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("core_cluster"), col("border_cluster")).as("cluster"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"))
+      .orderBy("vec_id")
+  }
+
   /** Exact cosine top-k CANDIDATES of a broadcast query set against the
     * corpus, as one typed per-partition kernel — the scale form of the
     * brute-force ground-truth pass (qe7's exact side). Each corpus

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.{SparkTestSession, Tables}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** qe17 DBSCAN verified against an independent JVM recompute: plain
+  * loops + union-find, sharing nothing with the engine's join/CC
+  * machinery except the float→double widening and 6dp HALF_UP
+  * rounding the family defines as its comparison contract. */
+class DbscanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("qe17 DBSCAN matches an independent union-find recompute") {
+    import scala.math.BigDecimal.RoundingMode
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, RoundingMode.HALF_UP).toDouble
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val vecs = Tables(spark, SparkTestSession.sfDir, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+
+    val pairs = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    for {
+      (_, vs) <- vecs.groupBy(_._2)
+      i <- vs.indices
+      j <- (i + 1) until vs.length
+    } {
+      val (ia, _, va) = vs(i); val (ib, _, vb) = vs(j)
+      val sim = round6(dot(va, vb) /
+        (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb))))
+      if (sim >= VectorOps.DbscanEps)
+        pairs += ((math.min(ia, ib), math.max(ia, ib)))
+    }
+    val nbrs = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (id, ns) => id -> ns.map(_._2).toSet }
+    val deg = nbrs.map { case (id, ns) => id -> ns.size.toLong }
+    val core = deg.collect {
+      case (id, d) if d + 1 >= VectorOps.DbscanMinPts => id
+    }.toSet
+
+    // union-find over core-core edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    core.foreach(c => parent.getOrElseUpdate(c, c))
+    pairs.foreach { case (a, b) =>
+      if (core(a) && core(b)) parent(find(a)) = find(b)
+    }
+    // cluster id = min member id of the component
+    val clusterOf = core.groupBy(find).flatMap { case (_, members) =>
+      val rep = members.min
+      members.map(_ -> rep)
+    }
+
+    val expected = vecs.map { case (id, _, _) =>
+      val d = deg.getOrElse(id, 0L)
+      if (core(id)) (id, "core", Some(clusterOf(id)), d)
+      else {
+        val coreNbs = nbrs.getOrElse(id, Set.empty).filter(core)
+        if (coreNbs.nonEmpty) (id, "border", Some(coreNbs.map(clusterOf).min), d)
+        else (id, "noise", None, d)
+      }
+    }.sortBy(_._1)
+
+    val got = VectorOps.qe17Dbscan(spark, SparkTestSession.sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g vs $e") }
+    // the sf0.001 corpus exercises all three roles (non-vacuous)
+    assert(Set("core", "border", "noise").subsetOf(got.map(_._2).toSet))
+  }
+}
