@@ -51,6 +51,8 @@ object SparkEntry {
     "qd6_ngram_jaccard"    -> (TextOps.qd6NgramJaccard _),
     "qd7_keyword_search"   -> (TextOps.qd7KeywordSearch _),
     "qd8_bm25_search"      -> (graft.text.Search.qd8Bm25 _),
+    // qd8's arrival-time form: incremental inverted-index statistics
+    "qs27_stream_bm25"     -> (Replay.qs27StreamBm25 _),
     "qe1_knn_brute_force"  -> (VectorOps.qe1KnnBruteForce _),
     "qe2_neardup_pairs"    -> (VectorOps.qe2NearDupPairs _),
     // DBSCAN density clustering (core/border/noise) over the ε-graph
@@ -877,6 +879,45 @@ object SparkEntry {
        |SELECT q_id, step, cand_id, rel_us, score_us FROM sel$k
        |ORDER BY q_id, step""".stripMargin
   }
+
+  /** qd8/qs27 shared oracle (one SQL text serves both keys): Okapi BM25
+    * over the corpus; the streaming form folds its postings/length/stats
+    * state to exactly these inputs across the batch boundary. */
+  private val bm25Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents
+      |), postings AS (
+      |  SELECT doc_id, term, count(*)::DOUBLE AS tf
+      |  FROM toks WHERE term IN ('spark', 'query', 'window')
+      |  GROUP BY doc_id, term
+      |), dl AS (
+      |  SELECT doc_id,
+      |    len(string_split_regex(trim(text), '\s+'))::DOUBLE AS dl
+      |  FROM documents
+      |), stats AS (
+      |  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+      |    (SELECT avg(dl) FROM dl) AS avgdl
+      |), idf AS (
+      |  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM postings
+      |  GROUP BY term
+      |), scored AS (
+      |  SELECT p.doc_id,
+      |    round(sum(ln((s.n - i.df + 0.5) / (i.df + 0.5) + 1.0)
+      |      * (p.tf * 2.2)
+      |      / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl))), 6) AS score,
+      |    count(*) AS n_terms_matched
+      |  FROM postings p
+      |  CROSS JOIN stats s
+      |  JOIN idf i ON p.term = i.term
+      |  JOIN dl d ON p.doc_id = d.doc_id
+      |  GROUP BY p.doc_id
+      |)
+      |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+      |  doc_id, score, n_terms_matched
+      |FROM scored
+      |ORDER BY score DESC, doc_id
+      |LIMIT 10""".stripMargin
 
   /** qd35/qs25 shared oracle (one SQL text serves both keys). */
   private val leakSplitSql: String =
@@ -2240,41 +2281,11 @@ object SparkEntry {
         |  AND doc_id NOT IN (SELECT doc_id FROM drop_members)
         |ORDER BY doc_id""".stripMargin,
 
-    "qd8_bm25_search" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-        |  FROM documents
-        |), postings AS (
-        |  SELECT doc_id, term, count(*)::DOUBLE AS tf
-        |  FROM toks WHERE term IN ('spark', 'query', 'window')
-        |  GROUP BY doc_id, term
-        |), dl AS (
-        |  SELECT doc_id,
-        |    len(string_split_regex(trim(text), '\s+'))::DOUBLE AS dl
-        |  FROM documents
-        |), stats AS (
-        |  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-        |    (SELECT avg(dl) FROM dl) AS avgdl
-        |), idf AS (
-        |  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM postings
-        |  GROUP BY term
-        |), scored AS (
-        |  SELECT p.doc_id,
-        |    round(sum(ln((s.n - i.df + 0.5) / (i.df + 0.5) + 1.0)
-        |      * (p.tf * 2.2)
-        |      / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl))), 6) AS score,
-        |    count(*) AS n_terms_matched
-        |  FROM postings p
-        |  CROSS JOIN stats s
-        |  JOIN idf i ON p.term = i.term
-        |  JOIN dl d ON p.doc_id = d.doc_id
-        |  GROUP BY p.doc_id
-        |)
-        |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
-        |  doc_id, score, n_terms_matched
-        |FROM scored
-        |ORDER BY score DESC, doc_id
-        |LIMIT 10""".stripMargin,
+    // ONE SQL text serves the batch form and the streaming form (qs27
+    // folds its accumulated postings/length/stats state to identical
+    // inputs across the batch boundary).
+    "qd8_bm25_search" -> bm25Sql,
+    "qs27_stream_bm25" -> bm25Sql,
 
     // Hybrid retrieval: the qd8 BM25 ranking (candidate depth candK)
     // fused by reciprocal-rank fusion with a hashed-TF cosine ranking.

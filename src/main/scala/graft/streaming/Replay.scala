@@ -725,6 +725,77 @@ object Replay {
   def qs22StreamCms(spark: SparkSession, dir: String): DataFrame =
     streamCms(spark, stagedDocsLake(spark, dir))
 
+  /** Streaming BM25 — qd8's arrival-time form: the inverted-index
+    * STATISTICS a search tier serves from are maintained incrementally
+    * (the reference's per-PUT Lambda → Elasticsearch indexing loop,
+    * internalized). Each micro-batch pays only its own tokenize +
+    * query-term aggregates and appends three monotone facts:
+    * query-term postings (doc_id, term, tf), doc lengths of MATCHED
+    * docs only, and a ONE-ROW (n_docs, sum_dl) corpus-stats increment
+    * — so durable state is O(matched docs) + O(1), never
+    * corpus-proportional (the full per-doc length table never leaves
+    * the batch). Docs arrive exactly once, making postings/lengths
+    * append-only; the stats row is a sum monoid whose terms are
+    * integer-valued doubles, so the folded avgdl is bit-equal to the
+    * batch `avg` and the final ranking folds to exactly qd8 across any
+    * batch boundary (shared oracle SQL). Restart contract as the
+    * sketch siblings: batch-keyed overwrites, `alreadyFolded` skip,
+    * kill-tested. */
+  def streamBm25(spark: SparkSession, dir: String,
+                 queryTerms: Seq[String] = Seq("spark", "query", "window"),
+                 topK: Int = 10,
+                 maxFilesPerTrigger: Int = 1,
+                 pathGlobFilter: String = "*.parquet",
+                 workDir: Option[String] = None,
+                 compactEvery: Int = 16): DataFrame = {
+    val work = resolveWork(workDir, "graft_sbm25")
+    val ptSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("term", StringType),
+      StructField("tf", LongType)))
+    val dlSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("dl", DoubleType)))
+    val csSchema = StructType(Seq(
+      StructField("n_docs", LongType),
+      StructField("sum_dl", DoubleType)))
+    val state = new AppendOnlyState(work,
+      Seq(("pt", ptSchema), ("dl", dlSchema), ("cs", csSchema)), compactEvery,
+      folds = Map(
+        "cs" -> ((df: DataFrame) => df.agg(
+          sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl")))))
+    val q = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", pathGlobFilter)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(dir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!state.alreadyFolded(batchId)) {
+          val (pt, dl, cs) =
+            graft.text.Search.bm25BatchDeltas(batch, queryTerms)
+          state.endBatch(batch.sparkSession, batchId,
+            "pt" -> pt, "dl" -> dl, "cs" -> cs)
+        }
+        maybePoison(batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val stats = state.read(spark, "cs")
+      .agg(sum("n_docs").as("nl"), sum("sum_dl").as("sdl"))
+      .select(col("nl").cast("double").as("n"),
+        (col("sdl") / col("nl")).as("avgdl"))
+    graft.text.Search.bm25From(
+      state.read(spark, "pt"), state.read(spark, "dl"), stats, topK)
+  }
+
+  /** qs27 entry: BM25 over the shared staged docs lake; shares qd8's
+    * oracle SQL verbatim across the batch boundary. */
+  def qs27StreamBm25(spark: SparkSession, dir: String): DataFrame =
+    streamBm25(spark, stagedDocsLake(spark, dir))
+
   /** Streaming perceptual image dedup — qm4's arrival-time form and
     * the multimodal member of the streaming-dedup family (qs10 exact
     * text, qs13 near-dup text, qs15 semantic, this one images): media

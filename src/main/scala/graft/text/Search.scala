@@ -45,6 +45,18 @@ object Search {
 
     val query = queryTerms.toDF("term")
     val qPostings = postings.join(broadcast(query), "term")
+    bm25From(qPostings, docLen, stats, topK)
+  }
+
+  /** The BM25 scoring tail over pre-built inputs — shared by the batch
+    * form above (which derives them from one corpus scan) and the
+    * streaming form (`streaming.Replay.streamBm25`, which folds them
+    * from per-batch deltas). `qPostings` is (doc_id, term, tf) already
+    * restricted to the query terms; `docLen` is (doc_id, dl) covering
+    * at least every posting doc; `stats` is one row (n, avgdl) over the
+    * FULL corpus. */
+  def bm25From(qPostings: DataFrame, docLen: DataFrame, stats: DataFrame,
+               topK: Int): DataFrame = {
     val idf = qPostings.groupBy("term")
       .agg(countDistinct("doc_id").cast("double").as("df"))
       .crossJoin(broadcast(stats))
@@ -161,4 +173,31 @@ object Search {
   /** Query entry: the qd8 query fused with its hashed-TF dense twin. */
   def qd40HybridRrf(spark: SparkSession, dir: String): DataFrame =
     hybridRrf(spark, dir, Seq("spark", "query", "window"))
+
+  /** Per-micro-batch BM25 index deltas for the streaming form:
+    * (query-term postings, doc lengths of MATCHED docs only, a one-row
+    * corpus-stats increment). Docs arrive exactly once, so postings and
+    * lengths are append-only facts; the stats row is a sum monoid
+    * (n_docs, sum_dl — dl sums are integer-valued doubles, exact in any
+    * grouping, so the folded avgdl is bit-equal to the batch `avg`).
+    * State stays O(matched docs) + O(1), never corpus-proportional in
+    * the doc-length table. Tokenization is byte-identical to `bm25`. */
+  def bm25BatchDeltas(batch: DataFrame, queryTerms: Seq[String])
+      : (DataFrame, DataFrame, DataFrame) = {
+    import batch.sparkSession.implicits._
+    val toks = batch.select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("toks"))
+    val pt = toks
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .join(broadcast(queryTerms.toDF("term")), "term")
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+      .select("doc_id", "term", "tf")
+    val dl = toks
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+      .join(pt.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+    val cs = toks.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks")).cast("double")).as("sum_dl"))
+    (pt, dl, cs)
+  }
 }

@@ -248,6 +248,30 @@ class RestartSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streamBm25 killed mid-run resumes and matches the batch ranking") {
+    // postings/lengths are append-only facts and the (n_docs, sum_dl)
+    // stats row is a sum monoid — a double-appended batch would inflate
+    // n/avgdl/tf and shift every idf and score; exact equality with qd8
+    // across a compaction (compactEvery=2 on the 4-file lake) catches it
+    val lake = docsLake()
+    val w = work("graft_restart_bm25")
+    Replay.poisonAfterBatch = 1L
+    intercept[Exception] {
+      Replay.streamBm25(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w), compactEvery = 2)
+    }
+    assert(Replay.poisonAfterBatch == -1L, "poison should have fired")
+    val streamed = Replay.streamBm25(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w), compactEvery = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    val batch = graft.text.Search.qd8Bm25(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streamPhash killed mid-run resumes and matches the batch image dedup") {
     // the hash index has no fold — a double-appended batch duplicates
     // (media_id, dhash) rows and breaks the one-row-per-image report;
