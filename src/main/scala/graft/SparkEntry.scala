@@ -57,6 +57,8 @@ object SparkEntry {
     "qe2_neardup_pairs"    -> (VectorOps.qe2NearDupPairs _),
     // DBSCAN density clustering (core/border/noise) over the ε-graph
     "qe17_dbscan"          -> ((s, d) => VectorOps.qe17Dbscan(s, d)),
+    // dominant principal direction via integer-moment power iteration
+    "qe18_pca_power"       -> ((s, d) => graft.similarity.Pca.qe18PcaPower(s, d)),
     "qe3_label_stats"      -> (VectorOps.qe3LabelStats _),
     "q20_distinct_agg"     -> (Advanced.q20DistinctAgg _),
     "q21_rollup"           -> (Advanced.q21Rollup _),
@@ -878,6 +880,52 @@ object SparkEntry {
        |), $chain
        |SELECT q_id, step, cand_id, rel_us, score_us FROM sel$k
        |ORDER BY q_id, step""".stripMargin
+  }
+
+  /** qe18's oracle: the FULL pipeline in SQL — integer-micro second
+    * moment (exact HUGEINT sums, cast to double only once summed),
+    * `Pca.Iters` GENERATED power-iteration CTEs (the qd36/bpeChainSql
+    * iteration-CTE pattern: each step is a matvec via
+    * `list_inner_product` + an l2 normalization, float order identical
+    * to the engine's sequential driver loop), then the projection. */
+  private val pcaPowerSql: String = {
+    import graft.similarity.Pca
+    // ONE MATERIALIZED CTE per step (matvec + normalize fused):
+    // DuckDB's binder inlines plain CTEs, so a 64-step chain exceeds
+    // its 128-deep recursion cap — MATERIALIZED pins each step and the
+    // chain binds flat (verified: plain CTEs fail at depth 64, the
+    // materialized chain runs).
+    val iterCtes = (1 to Pca.Iters).map { s =>
+      s"""x$s AS MATERIALIZED (
+         |  SELECT list_transform(xr,
+         |    v -> v / sqrt(list_inner_product(xr, xr))) AS x
+         |  FROM (SELECT list(ip ORDER BY i) AS xr FROM (
+         |    SELECT i, list_inner_product(row, (SELECT x FROM x${s - 1})) AS ip
+         |    FROM crow))
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding::DOUBLE[],
+       |      v -> round(v * ${Pca.Micro})::BIGINT) AS vi
+       |  FROM embeddings
+       |), cm AS MATERIALIZED (
+       |  SELECT i.i, j.j, sum(e.vi[i.i] * e.vi[j.j])::DOUBLE AS c
+       |  FROM e
+       |  CROSS JOIN (SELECT unnest(range(1, ${Pca.Dim + 1})) AS i) i
+       |  CROSS JOIN (SELECT unnest(range(1, ${Pca.Dim + 1})) AS j) j
+       |  GROUP BY 1, 2
+       |), crow AS MATERIALIZED (
+       |  SELECT i, list(c ORDER BY j) AS row FROM cm GROUP BY i
+       |), x0 AS MATERIALIZED (
+       |  SELECT list_transform(range(1, ${Pca.Dim + 1}),
+       |    i -> 1.0 / sqrt(${Pca.Dim}.0)) AS x
+       |), $iterCtes
+       |SELECT e.vec_id, e.label,
+       |  round(list_inner_product(list_transform(vi, v -> v::DOUBLE),
+       |    (SELECT x FROM x${Pca.Iters})) / ${Pca.Micro}, 6) AS pc1
+       |FROM e
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** qd8/qs27 shared oracle (one SQL text serves both keys): Okapi BM25
@@ -2402,6 +2450,11 @@ object SparkEntry {
     // and MinPts constants interpolate from the operator's defaults.
     // Seeding r with every core id covers singleton cores (their own
     // cluster), mirroring the engine's coalesce(comp, id).
+    // Power-iteration PCA: the whole pipeline (micro quantization →
+    // exact integer second moment → 8 generated iteration CTEs →
+    // projection) recomputed in SQL.
+    "qe18_pca_power" -> pcaPowerSql,
+
     "qe17_dbscan" ->
       s"""WITH RECURSIVE e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
