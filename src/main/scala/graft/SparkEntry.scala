@@ -121,6 +121,8 @@ object SparkEntry {
     "qd39_packed_doc_spans" -> ((s, d) => TextOps.qd39PackedDocSpans(s, d)),
     // hybrid sparse+dense retrieval fused by reciprocal-rank fusion
     "qd40_hybrid_rrf"      -> (graft.text.Search.qd40HybridRrf _),
+    // Unicode NFC + control-strip + whitespace-collapse cleaning
+    "qd41_unicode_clean"   -> ((s, d) => TextOps.qd41UnicodeClean(s, d)),
     "q36_approx_percentile" -> (Advanced.q36ApproxPercentile _),
     "qd10_corpus_curation" -> (TextOps.qd10CorpusCuration _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
@@ -2334,6 +2336,33 @@ object SparkEntry {
     // inputs across the batch boundary).
     "qd8_bm25_search" -> bm25Sql,
     "qs27_stream_bm25" -> bm25Sql,
+
+    // Unicode cleaning over the deterministically-dirtied derived
+    // corpus: chr() builds the exact decoration the engine adds as
+    // string literals (decomposed accent pair, BEL, TAB run, trailing
+    // blanks, parity é+BEL tail); nfc_normalize mirrors the native
+    // graft_nfc expression, the RE2 character classes mirror the Java
+    // ones, and both engines clean in the same rule order.
+    "qd41_unicode_clean" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    chr(101) || chr(769) || chr(7) || ' ' || text
+        |      || chr(9) || '  '
+        |      || CASE WHEN doc_id % 2 = 0 THEN chr(233) || chr(7)
+        |              ELSE '' END AS dirty
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, length(dirty)::BIGINT AS n_raw,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(dirty),
+        |      '[\p{Cc}\p{Cf}]', '', 'g'),
+        |      '[ \t\n\r\f\x0B]+', ' ', 'g')) AS clean_text
+        |  FROM d
+        |)
+        |SELECT doc_id, n_raw, clean_text,
+        |  length(clean_text)::BIGINT AS n_clean,
+        |  (n_raw - length(clean_text))::BIGINT AS n_stripped
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
 
     // Hybrid retrieval: the qd8 BM25 ranking (candidate depth candK)
     // fused by reciprocal-rank fusion with a hashed-TF cosine ranking.

@@ -1920,4 +1920,37 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** qd41: Unicode cleaning — the C4/CCNet normalize stage every text
+    * pipeline runs before hashing/dedup: NFC canonical composition
+    * (the native codegen'd `graft_nfc` expression), control/format
+    * character strip (\\p{Cc}\\p{Cf}), whitespace-run collapse, trim —
+    * in that order on both engines.
+    *
+    * The testdata corpus is pure ASCII (already NFC, no controls), so
+    * a direct oracle would pass vacuously; instead the operator runs
+    * over a deterministically-DIRTIED derived corpus (the qs9
+    * derived-union idiom): every document gains a decomposed accent
+    * pair (e + U+0301 — composes to one é under NFC), a BEL control, a
+    * TAB run and trailing blanks, and even ids a pre-composed é + BEL
+    * tail — so every rule fires on every row and the per-doc stripped
+    * counts differ by parity. Per-row string work, no shuffle before
+    * the presentation sort; the whole expression chain stays inside
+    * one whole-stage-codegen span. */
+  def qd41UnicodeClean(spark: SparkSession, dir: String): DataFrame = {
+    val marker = "e\u0301\u0007 " // decomposed accent + BEL + space
+    val evenTail = "\u00e9\u0007" // pre-composed e-acute + BEL
+    val dirty = concat(lit(marker), col("text"), lit("\t  "),
+      when(col("doc_id") % 2 === 0, lit(evenTail)).otherwise(lit("")))
+    val nfc = graft.functions.TextNormalize.nfc(dirty)
+    val stripped = regexp_replace(nfc, "[\\p{Cc}\\p{Cf}]", "")
+    val collapsed = regexp_replace(stripped, "[ \\t\\n\\r\\f\\x0B]+", " ")
+    docs(spark, dir).select(
+        col("doc_id"),
+        length(dirty).cast("long").as("n_raw"),
+        trim(collapsed).as("clean_text"))
+      .withColumn("n_clean", length(col("clean_text")).cast("long"))
+      .withColumn("n_stripped", col("n_raw") - col("n_clean"))
+      .orderBy("doc_id")
+  }
+
 }

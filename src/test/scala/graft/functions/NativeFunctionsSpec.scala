@@ -72,4 +72,26 @@ class NativeFunctionsSpec extends AnyFunSuite {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
     assert(df.select(VectorFunctions.dot(col("a"), col("b"))).head().getDouble(0) == 32.0)
   }
+
+  test("graft_nfc composes canonically and is identity on NFC input") {
+    // decomposed e + U+0301 composes to one code point; ASCII and
+    // already-composed strings come back unchanged (same object path)
+    val rows = Seq(
+      ("éclair", "éclair"),
+      ("plain ascii", "plain ascii"),
+      ("é", "é"),
+      // Hangul decomposed jamo -> precomposed syllable
+      ("가", "가"),
+      ("", "")).toDF("in", "want")
+    val got = rows.select(col("want"), TextNormalize.nfc(col("in")).as("got"))
+      .collect()
+    got.foreach(r => assert(r.getString(1) == r.getString(0),
+      s"got ${r.getString(1)} want ${r.getString(0)}"))
+    // kernel fast path: NFC input returns the SAME UTF8String instance
+    val s = UTF8String.fromString("already nfc")
+    assert(NfcNormalize.normalize(s) eq s)
+    // null propagates
+    assert(rows.select(TextNormalize.nfc(lit(null).cast("string")))
+      .head().isNullAt(0))
+  }
 }

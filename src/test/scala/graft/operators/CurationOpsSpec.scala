@@ -10,6 +10,28 @@ class CurationOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val dir = SparkTestSession.sfDir
 
+  test("unicode cleaning strips controls, collapses runs, composes NFC") {
+    val got = TextOps.qd41UnicodeClean(spark, dir).collect()
+    assert(got.nonEmpty)
+    val composed = "é"
+    got.foreach { r =>
+      val id = r.getLong(0); val clean = r.getString(2)
+      // every control/format char stripped, every run collapsed, trimmed
+      assert(!clean.exists(c => Character.isISOControl(c)), s"doc $id")
+      assert(!clean.contains("  "), s"doc $id has a residual run")
+      assert(clean == clean.trim, s"doc $id not trimmed")
+      // the decomposed marker composed to one pre-composed char
+      assert(clean.startsWith(composed + " "), s"doc $id marker")
+      assert(!clean.contains("́"), s"doc $id combining mark survived")
+      // parity tail: even ids keep the pre-composed tail char
+      assert(clean.endsWith(composed) == (id % 2 == 0), s"doc $id tail")
+      // derived-corpus arithmetic: the decoration always nets 5 chars
+      // (1 composed-away + BEL + tab-run collapse on odd; the even tail
+      // adds one kept char and one stripped BEL — same net)
+      assert(r.getLong(4) == 5L, s"doc $id stripped ${r.getLong(4)}")
+    }
+  }
+
   test("chunking covers every token with the configured overlap") {
     val chunks = TextOps.qd11Chunking(spark, dir).collect()
     val tokCounts = graft.Tables(spark, dir, "documents")
