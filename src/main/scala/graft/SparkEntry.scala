@@ -53,6 +53,8 @@ object SparkEntry {
     "qd8_bm25_search"      -> (graft.text.Search.qd8Bm25 _),
     // qd8's arrival-time form: incremental inverted-index statistics
     "qs27_stream_bm25"     -> (Replay.qs27StreamBm25 _),
+    // qd40's arrival-time form: both retrieval indices in one stream
+    "qs28_stream_hybrid"   -> (Replay.qs28StreamHybridRrf _),
     "qe1_knn_brute_force"  -> (VectorOps.qe1KnnBruteForce _),
     "qe2_neardup_pairs"    -> (VectorOps.qe2NearDupPairs _),
     // DBSCAN density clustering (core/border/noise) over the ε-graph
@@ -929,6 +931,80 @@ object SparkEntry {
        |FROM e
        |ORDER BY vec_id""".stripMargin
   }
+
+  /** qd40/qs28 shared oracle (one SQL text serves both keys): hybrid
+    * sparse+dense RRF; the streaming form folds both indices to these
+    * inputs across the batch boundary. */
+  private val hybridRrfSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      |  FROM documents
+      |), postings AS (
+      |  SELECT doc_id, term, count(*)::DOUBLE AS tf
+      |  FROM toks WHERE term IN ('spark', 'query', 'window')
+      |  GROUP BY doc_id, term
+      |), dl AS (
+      |  SELECT doc_id,
+      |    len(string_split_regex(trim(text), '\\s+'))::DOUBLE AS dl
+      |  FROM documents
+      |), stats AS (
+      |  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+      |    (SELECT avg(dl) FROM dl) AS avgdl
+      |), idf AS (
+      |  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM postings
+      |  GROUP BY term
+      |), scored AS (
+      |  SELECT p.doc_id,
+      |    round(sum(ln((s.n - i.df + 0.5) / (i.df + 0.5) + 1.0)
+      |      * (p.tf * 2.2)
+      |      / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl))), 6) AS score
+      |  FROM postings p
+      |  CROSS JOIN stats s
+      |  JOIN idf i ON p.term = i.term
+      |  JOIN dl d ON p.doc_id = d.doc_id
+      |  GROUP BY p.doc_id
+      |), sparse AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+      |    AS sparse_rank
+      |  FROM (SELECT doc_id, score FROM scored
+      |        ORDER BY score DESC, doc_id LIMIT ${graft.text.Search.HybridCandK})
+      |), dtf AS (
+      |  SELECT doc_id,
+      |    (md5_number_lower('htf:' || term) % ${graft.text.Search.HtfBuckets})::INT AS bucket,
+      |    count(*)::DOUBLE AS tf
+      |  FROM toks GROUP BY 1, 2
+      |), dnorm AS (
+      |  SELECT doc_id, sqrt(sum(tf * tf)) AS dnorm FROM dtf GROUP BY 1
+      |), qt AS (
+      |  SELECT (md5_number_lower('htf:' || term) % ${graft.text.Search.HtfBuckets})::INT AS bucket,
+      |    count(*)::DOUBLE AS qtf
+      |  FROM (VALUES ('spark'), ('query'), ('window')) q(term) GROUP BY 1
+      |), qn AS (
+      |  SELECT sqrt(sum(qtf * qtf)) AS qnorm FROM qt
+      |), dense AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id)
+      |    AS dense_rank
+      |  FROM (
+      |    SELECT t.doc_id,
+      |      round(t.dot / (n.dnorm * (SELECT qnorm FROM qn)), 6) AS cos
+      |    FROM (
+      |      SELECT d.doc_id, sum(d.tf * q.qtf) AS dot
+      |      FROM dtf d JOIN qt q ON d.bucket = q.bucket GROUP BY 1
+      |    ) t JOIN dnorm n ON t.doc_id = n.doc_id
+      |    ORDER BY cos DESC, t.doc_id LIMIT ${graft.text.Search.HybridCandK}
+      |  )
+      |), fused AS (
+      |  SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+      |    s.sparse_rank, d.dense_rank,
+      |    round(coalesce(1.0 / (${graft.text.Search.RrfK} + s.sparse_rank), 0.0)
+      |        + coalesce(1.0 / (${graft.text.Search.RrfK} + d.dense_rank), 0.0), 6)
+      |      AS rrf_score
+      |  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+      |)
+      |SELECT row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank,
+      |  doc_id, rrf_score, sparse_rank, dense_rank
+      |FROM (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10)
+      |ORDER BY rank""".stripMargin
 
   /** qd8/qs27 shared oracle (one SQL text serves both keys): Okapi BM25
     * over the corpus; the streaming form folds its postings/length/stats
@@ -2366,78 +2442,13 @@ object SparkEntry {
 
     // Hybrid retrieval: the qd8 BM25 ranking (candidate depth candK)
     // fused by reciprocal-rank fusion with a hashed-TF cosine ranking.
-    // Constants (RRF k, bucket count, candidate depth) interpolate from
-    // the operator's own defaults so a default change fails loudly here.
-    "qd40_hybrid_rrf" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
-        |  FROM documents
-        |), postings AS (
-        |  SELECT doc_id, term, count(*)::DOUBLE AS tf
-        |  FROM toks WHERE term IN ('spark', 'query', 'window')
-        |  GROUP BY doc_id, term
-        |), dl AS (
-        |  SELECT doc_id,
-        |    len(string_split_regex(trim(text), '\\s+'))::DOUBLE AS dl
-        |  FROM documents
-        |), stats AS (
-        |  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-        |    (SELECT avg(dl) FROM dl) AS avgdl
-        |), idf AS (
-        |  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM postings
-        |  GROUP BY term
-        |), scored AS (
-        |  SELECT p.doc_id,
-        |    round(sum(ln((s.n - i.df + 0.5) / (i.df + 0.5) + 1.0)
-        |      * (p.tf * 2.2)
-        |      / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl))), 6) AS score
-        |  FROM postings p
-        |  CROSS JOIN stats s
-        |  JOIN idf i ON p.term = i.term
-        |  JOIN dl d ON p.doc_id = d.doc_id
-        |  GROUP BY p.doc_id
-        |), sparse AS (
-        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
-        |    AS sparse_rank
-        |  FROM (SELECT doc_id, score FROM scored
-        |        ORDER BY score DESC, doc_id LIMIT ${graft.text.Search.HybridCandK})
-        |), dtf AS (
-        |  SELECT doc_id,
-        |    (md5_number_lower('htf:' || term) % ${graft.text.Search.HtfBuckets})::INT AS bucket,
-        |    count(*)::DOUBLE AS tf
-        |  FROM toks GROUP BY 1, 2
-        |), dnorm AS (
-        |  SELECT doc_id, sqrt(sum(tf * tf)) AS dnorm FROM dtf GROUP BY 1
-        |), qt AS (
-        |  SELECT (md5_number_lower('htf:' || term) % ${graft.text.Search.HtfBuckets})::INT AS bucket,
-        |    count(*)::DOUBLE AS qtf
-        |  FROM (VALUES ('spark'), ('query'), ('window')) q(term) GROUP BY 1
-        |), qn AS (
-        |  SELECT sqrt(sum(qtf * qtf)) AS qnorm FROM qt
-        |), dense AS (
-        |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id)
-        |    AS dense_rank
-        |  FROM (
-        |    SELECT t.doc_id,
-        |      round(t.dot / (n.dnorm * (SELECT qnorm FROM qn)), 6) AS cos
-        |    FROM (
-        |      SELECT d.doc_id, sum(d.tf * q.qtf) AS dot
-        |      FROM dtf d JOIN qt q ON d.bucket = q.bucket GROUP BY 1
-        |    ) t JOIN dnorm n ON t.doc_id = n.doc_id
-        |    ORDER BY cos DESC, t.doc_id LIMIT ${graft.text.Search.HybridCandK}
-        |  )
-        |), fused AS (
-        |  SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
-        |    s.sparse_rank, d.dense_rank,
-        |    round(coalesce(1.0 / (${graft.text.Search.RrfK} + s.sparse_rank), 0.0)
-        |        + coalesce(1.0 / (${graft.text.Search.RrfK} + d.dense_rank), 0.0), 6)
-        |      AS rrf_score
-        |  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
-        |)
-        |SELECT row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank,
-        |  doc_id, rrf_score, sparse_rank, dense_rank
-        |FROM (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10)
-        |ORDER BY rank""".stripMargin,
+    // ONE SQL text serves the batch form and the streaming form (qs28
+    // folds both indices' state to identical inputs across the batch
+    // boundary). Constants (RRF k, bucket count, candidate depth)
+    // interpolate from the operator's own defaults so a default change
+    // fails loudly here.
+    "qd40_hybrid_rrf" -> hybridRrfSql,
+    "qs28_stream_hybrid" -> hybridRrfSql,
 
     "qe1_knn_brute_force" ->
       """WITH e AS (

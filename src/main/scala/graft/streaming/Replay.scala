@@ -796,6 +796,90 @@ object Replay {
   def qs27StreamBm25(spark: SparkSession, dir: String): DataFrame =
     streamBm25(spark, stagedDocsLake(spark, dir))
 
+  /** Streaming hybrid retrieval — qd40's arrival-time form: ONE stream
+    * maintains BOTH retrieval indices per micro-batch (the qs26
+    * both-indices-in-one-endBatch shape): the qs27 sparse state
+    * (query-term postings + matched lengths + the one-row corpus-stats
+    * monoid) and the dense state (query-bucket hashed-TF rows + l2
+    * norms of matched docs — the norm computed inside the arrival
+    * batch over ALL the doc's buckets, then only matched docs kept).
+    * Every fact is append-only and O(matched batch docs) + O(1); the
+    * report rebuilds both rankings from state with the SAME factored
+    * tails the batch form uses (bm25From / denseRanked / rrfFuse), so
+    * the fused ranking folds to exactly qd40 across any batch boundary
+    * and the oracle SQL is shared verbatim. Restart contract as the
+    * family: batch-keyed overwrites, `alreadyFolded` skip,
+    * kill-tested. */
+  def streamHybridRrf(spark: SparkSession, dir: String,
+                      queryTerms: Seq[String] = Seq("spark", "query", "window"),
+                      candK: Int = graft.text.Search.HybridCandK,
+                      topK: Int = 10,
+                      maxFilesPerTrigger: Int = 1,
+                      pathGlobFilter: String = "*.parquet",
+                      workDir: Option[String] = None,
+                      compactEvery: Int = 16): DataFrame = {
+    val work = resolveWork(workDir, "graft_shybrid")
+    val ptSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("term", StringType),
+      StructField("tf", LongType)))
+    val dlSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("dl", DoubleType)))
+    val csSchema = StructType(Seq(
+      StructField("n_docs", LongType),
+      StructField("sum_dl", DoubleType)))
+    val dtSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("bucket", IntegerType),
+      StructField("tf", DoubleType)))
+    val dnSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("dnorm", DoubleType)))
+    val state = new AppendOnlyState(work,
+      Seq(("pt", ptSchema), ("dl", dlSchema), ("cs", csSchema),
+        ("dt", dtSchema), ("dn", dnSchema)), compactEvery,
+      folds = Map(
+        "cs" -> ((df: DataFrame) => df.agg(
+          sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl")))))
+    val q = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", pathGlobFilter)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(dir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!state.alreadyFolded(batchId)) {
+          val (pt, dl, cs) =
+            graft.text.Search.bm25BatchDeltas(batch, queryTerms)
+          val (dt, dn) =
+            graft.text.Search.htfBatchDeltas(batch, queryTerms)
+          state.endBatch(batch.sparkSession, batchId,
+            "pt" -> pt, "dl" -> dl, "cs" -> cs, "dt" -> dt, "dn" -> dn)
+        }
+        maybePoison(batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val stats = state.read(spark, "cs")
+      .agg(sum("n_docs").as("nl"), sum("sum_dl").as("sdl"))
+      .select(col("nl").cast("double").as("n"),
+        (col("sdl") / col("nl")).as("avgdl"))
+    val sparse = graft.text.Search.bm25From(
+        state.read(spark, "pt"), state.read(spark, "dl"), stats, candK)
+      .select(col("doc_id"), col("rank").as("sparse_rank"))
+    val dense = graft.text.Search.denseRanked(spark,
+      state.read(spark, "dt"), state.read(spark, "dn"), queryTerms, candK)
+    graft.text.Search.rrfFuse(sparse, dense, topK)
+  }
+
+  /** qs28 entry: hybrid RRF over the shared staged docs lake; shares
+    * qd40's oracle SQL verbatim across the batch boundary. */
+  def qs28StreamHybridRrf(spark: SparkSession, dir: String): DataFrame =
+    streamHybridRrf(spark, stagedDocsLake(spark, dir))
+
   /** Streaming perceptual image dedup — qm4's arrival-time form and
     * the multimodal member of the streaming-dedup family (qs10 exact
     * text, qs13 near-dup text, qs15 semantic, this one images): media

@@ -127,28 +127,41 @@ object Search {
     * corpus-proportional work is the two skinny per-doc aggregates. */
   def hybridRrf(spark: SparkSession, dir: String, queryTerms: Seq[String],
                 candK: Int = HybridCandK, topK: Int = 10): DataFrame = {
-    import spark.implicits._
     val sparse = bm25(spark, dir, queryTerms, candK)
       .select(col("doc_id"), col("rank").as("sparse_rank"))
-
-    val bucketOf = (termCol: Column) => pmod(
-      graft.operators.TextOps.md5Lower64Decimal(concat(lit("htf:"), termCol)),
-      lit(HtfBuckets)).cast("int")
     val docs = Tables(spark, dir, "documents")
     val docTf = docs
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
-      .select(col("doc_id"), bucketOf(col("term")).as("bucket"))
+      .select(col("doc_id"), htfBucket(col("term")).as("bucket"))
       .groupBy("doc_id", "bucket")
       .agg(count(lit(1)).cast("double").as("tf"))
     // per-doc l2 norm over ALL buckets (≤64 integer squares — exact)
     val docNorm = docTf.groupBy("doc_id")
       .agg(sqrt(sum(col("tf") * col("tf"))).as("dnorm"))
-    // the query's bucket profile: ≤|Q| rows, broadcast into the join
+    rrfFuse(sparse,
+      denseRanked(spark, docTf, docNorm, queryTerms, candK), topK)
+  }
+
+  /** Hashing-trick bucket of a term column (the qd25/qd26 cross-engine
+    * md5 hash, domain-tagged). */
+  private[graft] def htfBucket(termCol: Column): Column = pmod(
+    graft.operators.TextOps.md5Lower64Decimal(concat(lit("htf:"), termCol)),
+    lit(HtfBuckets)).cast("int")
+
+  /** The dense-side ranking tail: cosine of the query's bucket profile
+    * against per-doc bucket tfs. `docTf` may carry ALL buckets (batch)
+    * or only query buckets (the streaming state) — the broadcast qTf
+    * join restricts identically; `docNorm` must cover every doc in
+    * `docTf`'s query buckets. */
+  private[graft] def denseRanked(spark: SparkSession, docTf: DataFrame,
+                                 docNorm: DataFrame, queryTerms: Seq[String],
+                                 candK: Int): DataFrame = {
+    import spark.implicits._
     val qTf = queryTerms.toDF("term")
-      .select(bucketOf(col("term")).as("bucket"))
+      .select(htfBucket(col("term")).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).cast("double").as("qtf"))
     val qNorm = qTf.agg(sqrt(sum(col("qtf") * col("qtf"))).as("qnorm"))
-    val dense = docTf.join(broadcast(qTf), "bucket")
+    docTf.join(broadcast(qTf), "bucket")
       .groupBy("doc_id").agg(sum(col("tf") * col("qtf")).as("dot"))
       .join(docNorm, "doc_id")
       .crossJoin(broadcast(qNorm))
@@ -157,7 +170,11 @@ object Search {
       .withColumn("dense_rank", row_number().over(
         Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
       .select("doc_id", "dense_rank")
+  }
 
+  /** Reciprocal-rank fusion of the two candidate rankings. */
+  private[graft] def rrfFuse(sparse: DataFrame, dense: DataFrame,
+                             topK: Int): DataFrame = {
     val side = (r: Column) =>
       when(r.isNotNull, lit(1.0) / (lit(RrfK) + r)).otherwise(lit(0.0))
     sparse.join(dense, Seq("doc_id"), "full_outer")
@@ -199,5 +216,28 @@ object Search {
     val cs = toks.agg(count(lit(1)).as("n_docs"),
       sum(size(col("toks")).cast("double")).as("sum_dl"))
     (pt, dl, cs)
+  }
+
+  /** Per-micro-batch dense-side deltas for the streaming hybrid:
+    * (query-bucket doc tfs, l2 norms of MATCHED docs). The norm is
+    * over ALL of a doc's buckets, computed inside the batch the doc
+    * arrives in (docs arrive whole and once), then only matched docs'
+    * rows persist — state O(matched docs), like the sparse side. */
+  def htfBatchDeltas(batch: DataFrame, queryTerms: Seq[String])
+      : (DataFrame, DataFrame) = {
+    import batch.sparkSession.implicits._
+    val docTf = batch
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .select(col("doc_id"), htfBucket(col("term")).as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val qBuckets = queryTerms.toDF("term")
+      .select(htfBucket(col("term")).as("bucket")).distinct()
+    val dtQ = docTf.join(broadcast(qBuckets), "bucket")
+      .select("doc_id", "bucket", "tf")
+    val dn = docTf.groupBy("doc_id")
+      .agg(sqrt(sum(col("tf") * col("tf"))).as("dnorm"))
+      .join(dtQ.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+    (dtQ, dn)
   }
 }

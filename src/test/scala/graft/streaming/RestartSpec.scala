@@ -272,6 +272,30 @@ class RestartSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streamHybridRrf killed mid-run resumes and matches the batch fusion") {
+    // five state tables fold into two rankings; a double-appended batch
+    // would inflate tf/df/norms on BOTH sides and shift the fused order
+    val lake = docsLake()
+    val w = work("graft_restart_hybrid")
+    Replay.poisonAfterBatch = 1L
+    intercept[Exception] {
+      Replay.streamHybridRrf(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w), compactEvery = 2)
+    }
+    assert(Replay.poisonAfterBatch == -1L, "poison should have fired")
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]))
+    val streamed = Replay.streamHybridRrf(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w), compactEvery = 2)
+      .collect().map(norm).toSeq
+    val batch = graft.text.Search.qd40HybridRrf(spark, SparkTestSession.sfDir)
+      .collect().map(norm).toSeq
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.nonEmpty)
+  }
+
   test("streamPhash killed mid-run resumes and matches the batch image dedup") {
     // the hash index has no fold — a double-appended batch duplicates
     // (media_id, dhash) rows and breaks the one-row-per-image report;
