@@ -211,6 +211,8 @@ object SparkEntry {
     "qe13_cluster_sample"  -> (Ann.qe13ClusterSample _),
     // MMR-diversified top-k: relevance vs redundancy greedy rerank
     "qe15_mmr_topk"        -> ((s, d) => Ann.qe15MmrTopk(s, d)),
+    // label-graded nDCG@k + MRR of the SQ8 ranking (IR quality pair)
+    "qe19_ndcg_eval"       -> ((s, d) => Ann.qe19NdcgEval(s, d)),
     // index advisor: recall@5 of every compression method vs exact
     "qe14_index_advisor"   -> ((s, d) => Ann.qe14IndexAdvisor(s, d)),
     // temperature mixture: alpha=0.5 quotas over lang strata
@@ -689,6 +691,55 @@ object SparkEntry {
         |  FROM rr
         |) WHERE rank <= ${Ann.DefaultTopK}
         |ORDER BY q_id, rank""".stripMargin
+
+  /** qe19's composed oracle: the FULL qe11 SQ8 mirror re-run verbatim
+    * as a subquery (the advisorSql embedding pattern), graded by the
+    * label join, discounted by integer micro-weights computed in-SQL
+    * from the same closed form the engine bakes as literals, and
+    * reduced per query with exact integer sums and floor-divisions. */
+  private def ndcgSql: String = {
+    val k = Ann.DefaultTopK
+    s"""WITH sq AS (
+       |  SELECT q_id, rank, cand_id FROM (
+       |$sqSql
+       |  )
+       |), lab AS (
+       |  SELECT vec_id, label FROM embeddings
+       |), lc AS (
+       |  SELECT label, count(*)::BIGINT AS n FROM lab GROUP BY 1
+       |), wt AS (
+       |  SELECT i AS rank,
+       |    CAST(round(1000000 * ln(2.0) / ln(i + 1.0)) AS BIGINT) AS w
+       |  FROM unnest(range(1, $k + 1)) r(i)
+       |), cw AS (
+       |  SELECT rank, sum(w) OVER (ORDER BY rank)::BIGINT AS cum FROM wt
+       |), rel AS (
+       |  SELECT s.q_id, ql.label AS q_label, s.rank,
+       |    CASE WHEN cl.label = ql.label THEN 1 ELSE 0 END AS rel
+       |  FROM sq s
+       |  JOIN lab ql ON ql.vec_id = s.q_id
+       |  JOIN lab cl ON cl.vec_id = s.cand_id
+       |), perq AS (
+       |  SELECT r.q_id, r.q_label,
+       |    sum(r.rel * wt.w)::BIGINT AS dcg_micro,
+       |    min(CASE WHEN r.rel = 1 THEN r.rank END) AS first_rel
+       |  FROM rel r JOIN wt ON wt.rank = r.rank
+       |  GROUP BY 1, 2
+       |), graded AS (
+       |  SELECT p.q_id, (lc.n - 1)::BIGINT AS n_rel, p.dcg_micro,
+       |    CASE WHEN lc.n - 1 >= 1
+       |      THEN (SELECT cum FROM cw WHERE rank = least($k, lc.n - 1))
+       |      ELSE 0 END AS idcg_micro,
+       |    p.first_rel
+       |  FROM perq p JOIN lc ON lc.label = p.q_label
+       |)
+       |SELECT q_id, n_rel, dcg_micro,
+       |  CASE WHEN idcg_micro > 0
+       |    THEN (dcg_micro * 1000000) // idcg_micro END AS ndcg_micro,
+       |  coalesce(1000000 // first_rel, 0)::BIGINT AS rr_micro
+       |FROM graded
+       |ORDER BY q_id""".stripMargin
+  }
 
   /** qe14's composed oracle: exact capped ground truth + every
     * compression method's FULL SQL mirror re-run verbatim as a
@@ -3239,6 +3290,8 @@ object SparkEntry {
     // Index advisor: every compression method's full mirror re-run
     // verbatim, integer hit counts vs the exact capped ground truth.
     "qe14_index_advisor" -> advisorSql,
+    // nDCG@k + MRR of the SQ8 ranking, label-graded, integer-micro
+    "qe19_ndcg_eval" -> ndcgSql,
 
     "qe13_cluster_sample" ->
       """WITH e AS (

@@ -905,6 +905,60 @@ object Ann {
       .orderBy("method")
   }
 
+  /** qe19: graded ranking-quality evaluation of the SQ8 index — nDCG@k
+    * and reciprocal rank per query, binary relevance = same-label (the
+    * qe3/qe7 label convention). Complements qe7/qe14, which measure
+    * set-overlap RECALL vs the exact kernel: nDCG grades WHERE in the
+    * ranking the relevant candidates land, MRR how fast the first one
+    * appears — the IR-facing quality pair an index rollout watches.
+    *
+    * Integer-deterministic (the qd36 idiom): position discounts are
+    * integer micro-weights w_i = round(1e6·ln2/ln(i+1)) — each a single
+    * scalar expression, no float SUM ever crosses engines. Then
+    * dcg_micro = Σ rel_i·w_i is an exact integer sum (order-free),
+    * idcg_micro is a cumulative-weight table lookup at min(k, n_rel)
+    * (n_rel from the label histogram, excluding the query itself), and
+    * ndcg/rr are integer floor-divisions — the qe14 recall_micro
+    * convention. Per-query output rows, so the oracle hash covers every
+    * query, not just an aggregate.
+    *
+    * Scale shape: rides qe11's capped-sample kernel unchanged; the
+    * grading adds two broadcast label joins (k·|sample| rows) and a
+    * vocab-bounded label histogram. */
+  def qe19NdcgEval(spark: SparkSession, dir: String, k: Int = DefaultTopK,
+                   maxQ: Int = DefaultMaxQueries): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val sq = qe11SqTopk(spark, dir, k, maxQ)
+    val lab = emb.select(col("vec_id"), col("label"))
+    val lc = lab.groupBy("label").agg(count(lit(1)).as("n"))
+    val weights = (1 to k).map(i =>
+      math.round(1e6 * math.log(2.0) / math.log(i + 1.0)))
+    val cumw = weights.scanLeft(0L)(_ + _).tail
+    val wCol = element_at(array(weights.map(lit): _*), col("rank").cast("int"))
+    val rel = sq
+      .join(lab.select(col("vec_id").as("q_id"), col("label").as("q_label")),
+        "q_id")
+      .join(lab.select(col("vec_id").as("cand_id"),
+        col("label").as("cand_label")), "cand_id")
+      .withColumn("rel",
+        when(col("cand_label") === col("q_label"), 1L).otherwise(0L))
+    val perQ = rel.groupBy("q_id", "q_label")
+      .agg(sum(col("rel") * wCol).as("dcg_micro"),
+        min(when(col("rel") === 1L, col("rank"))).as("first_rel"))
+    perQ
+      .join(lc.withColumnRenamed("label", "q_label"), "q_label")
+      .withColumn("n_rel", col("n") - 1)
+      .withColumn("idcg_micro",
+        when(col("n_rel") >= 1,
+          element_at(array(cumw.map(lit): _*),
+            least(lit(k), col("n_rel")).cast("int"))).otherwise(lit(0L)))
+      .select(col("q_id"), col("n_rel"), col("dcg_micro"),
+        when(col("idcg_micro") > 0,
+          expr("(dcg_micro * 1000000) div idcg_micro")).as("ndcg_micro"),
+        coalesce(expr("1000000 div first_rel"), lit(0L)).as("rr_micro"))
+      .orderBy("q_id")
+  }
+
   /** dim/m with the divisibility check — one place for both forms. */
   private[graft] def pqSubDim(emb: DataFrame, m: Int): Int = {
     val dim = emb.select(size(col("embedding"))).head.getInt(0)

@@ -548,6 +548,43 @@ class AnnSpec extends AnyFunSuite {
       s"refined distortion $dRef above seed $dSeed — not a descent step")
   }
 
+  test("nDCG/MRR grading matches an independent recompute over the SQ8 ranking") {
+    val dir = SparkTestSession.sfDir
+    val k = Ann.DefaultTopK
+    // the integer micro-weights the engine bakes as literals are the
+    // closed form the oracle computes in-SQL — pin the first ten
+    val w10 = (1 to 10).map(i => math.round(1e6 * math.log(2.0) / math.log(i + 1.0)))
+    assert(w10 == Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+      356207L, 333333L, 315465L, 301030L, 289065L))
+    val labels = graft.Tables(spark, dir, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val labelN = labels.values.groupBy(identity).map { case (l, xs) => l -> xs.size }
+    val ranking = Ann.qe11SqTopk(spark, dir, k, Ann.DefaultMaxQueries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val w = w10.take(k)
+    val cumw = w.scanLeft(0L)(_ + _).tail
+    val expected = ranking.map { case (q, rows) =>
+      val rels = rows.sortBy(_._2).map { case (_, rank, cand) =>
+        (rank.toInt, labels(cand) == labels(q)) }
+      val dcg = rels.collect { case (r, true) => w(r - 1) }.sum
+      val nRel = labelN(labels(q)) - 1
+      val idcg = if (nRel >= 1) cumw(math.min(k, nRel) - 1) else 0L
+      val ndcg = if (idcg > 0) Some(dcg * 1000000L / idcg) else None
+      val rr = rels.collectFirst { case (r, true) => 1000000L / r }.getOrElse(0L)
+      q -> ((nRel.toLong, dcg, ndcg, rr))
+    }
+    val got = Ann.qe19NdcgEval(spark, dir).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4)))
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (q, e) => assert(got(q) == e, s"query $q: ${got(q)} vs $e") }
+    // non-vacuous: some query found a relevant candidate, some did not
+    assert(got.values.exists(_._4 > 0) && got.values.exists(_._4 == 0))
+  }
+
   test("MMR trace matches an independent greedy recompute and diversifies") {
     val dir = SparkTestSession.sfDir
     val got = Ann.qe15MmrTopk(spark, dir).collect()
