@@ -61,6 +61,8 @@ object SparkEntry {
     "qe17_dbscan"          -> ((s, d) => VectorOps.qe17Dbscan(s, d)),
     // dominant principal direction via integer-moment power iteration
     "qe18_pca_power"       -> ((s, d) => graft.similarity.Pca.qe18PcaPower(s, d)),
+    // qe18's arrival-time form: dim^2 sum-monoid state, O(1) in corpus
+    "qs29_stream_pca"      -> (graft.streaming.PqStream.qs29StreamPca _),
     "qe3_label_stats"      -> (VectorOps.qe3LabelStats _),
     "q20_distinct_agg"     -> (Advanced.q20DistinctAgg _),
     "q21_rollup"           -> (Advanced.q21Rollup _),
@@ -2542,9 +2544,12 @@ object SparkEntry {
     // Seeding r with every core id covers singleton cores (their own
     // cluster), mirroring the engine's coalesce(comp, id).
     // Power-iteration PCA: the whole pipeline (micro quantization →
-    // exact integer second moment → 8 generated iteration CTEs →
-    // projection) recomputed in SQL.
+    // exact integer second moment → 64 generated iteration CTEs →
+    // projection) recomputed in SQL. ONE SQL text serves the batch
+    // form and the streaming form (qs29 folds its per-batch moment
+    // deltas to the identical integer matrix across the boundary).
     "qe18_pca_power" -> pcaPowerSql,
+    "qs29_stream_pca" -> pcaPowerSql,
 
     "qe17_dbscan" ->
       s"""WITH RECURSIVE e AS (

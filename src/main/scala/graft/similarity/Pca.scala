@@ -74,20 +74,20 @@ object Pca {
     x
   }
 
-  /** qe18: per-vector projection onto the corpus' dominant principal
-    * direction. */
-  def qe18PcaPower(spark: SparkSession, dir: String,
-                   dim: Int = Dim, iters: Int = Iters): DataFrame = {
+  /** Integer-micro quantized view: (vec_id, label, vi long[dim]). */
+  private[graft] def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * lit(Micro)).cast("long")).as("vi"))
+
+  /** One corpus pass: per-partition outer-product accumulation into
+    * long[dim^2] (exact integer sums — order-independent), merged by
+    * elementwise reduce; the result is dim^2 longs on the driver (a
+    * bounded local structure, like the k-centroid tables). */
+  private[graft] def secondMoment(quant: DataFrame, dim: Int): Array[Long] = {
+    val spark = quant.sparkSession
     import spark.implicits._
-    val e = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("label"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * lit(Micro)).cast("long")).as("vi"))
-    // one corpus pass: per-partition outer-product accumulation into
-    // long[dim^2] (exact integer sums — order-independent), merged by
-    // elementwise reduce; the result is dim^2 longs on the driver (a
-    // bounded local structure, like the k-centroid tables)
-    val second = e.select("vi").as[Seq[Long]]
+    quant.select("vi").as[Seq[Long]]
       .mapPartitions { it =>
         val acc = new Array[Long](dim * dim)
         it.foreach { v =>
@@ -106,12 +106,29 @@ object Pca {
         while (i < a.length) { out(i) = a(i) + b(i); i += 1 }
         out
       }
+  }
+
+  /** The projection tail: iterate the (already summed) moment matrix and
+    * project every quantized vector — shared by the batch form and the
+    * streaming report (qs29, which folds the matrix from per-batch
+    * deltas; identical integers → identical direction → identical
+    * rows). */
+  private[graft] def projectionFrom(quant: DataFrame, second: Array[Long],
+                                    dim: Int, iters: Int): DataFrame = {
     val x = powerIterate(second, dim, iters)
     val xLit = array(x.map(lit): _*)
-    e.select(col("vec_id"), col("label"),
+    quant.select(col("vec_id"), col("label"),
         round(graft.functions.VectorFunctions.dot(
           transform(col("vi"), v => v.cast("double")), xLit) / lit(Micro), 6)
           .as("pc1"))
       .orderBy("vec_id")
+  }
+
+  /** qe18: per-vector projection onto the corpus' dominant principal
+    * direction. */
+  def qe18PcaPower(spark: SparkSession, dir: String,
+                   dim: Int = Dim, iters: Int = Iters): DataFrame = {
+    val e = quantized(Tables(spark, dir, "embeddings"))
+    projectionFrom(e, secondMoment(e, dim), dim, iters)
   }
 }

@@ -279,4 +279,94 @@ object PqStream {
           .write.mode("overwrite").parquet(t)
         t
       })
+
+  private val pcaStreamSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Two-file embeddings lake CARRYING labels (qs29 projects the full
+    * row), memoized like the qs18/qs20 lake. */
+  private def stagedPcaLake(spark: SparkSession, dir: String,
+                            emb: DataFrame): String =
+    Replay.stagedLakes.computeIfAbsent(
+      "pca|" + Tables.contentKey(s"$dir/embeddings.parquet"), _ => {
+        val t = Files.createTempDirectory("graft_pca_lake").toString
+        Replay.cleanupAtExit(t)
+        emb.select(col("vec_id"), col("embedding"), col("label"))
+          .repartitionByRange(2, col("vec_id"))
+          .write.mode("overwrite").parquet(t)
+        t
+      })
+
+  /** Streaming PCA — qe18's arrival-time form, and the cleanest
+    * streaming-sufficient-statistics story in the engine: the integer
+    * second-moment matrix is a PURE SUM MONOID, so durable state is
+    * exactly dim² longs — independent of corpus size, batch count, and
+    * arrival order (the CMS D×W promise, for linear algebra). Each
+    * micro-batch pays one quantize + outer-product kernel over its own
+    * rows and appends its (i, j, c) moment delta; any snapshot read
+    * folds the deltas (exact integers — bit-equal to the batch matrix),
+    * power-iterates on the driver, and projects the arrived corpus,
+    * returning byte-identical rows to qe18 over the same vectors — so
+    * qe18's oracle SQL is shared verbatim. A double-applied batch
+    * doubles ITS contribution relative to the others, bending the
+    * dominant direction — which the shared oracle and the RestartSpec
+    * kill-test both catch. */
+  def streamPca(spark: SparkSession, stagedDir: String,
+                dim: Int = graft.similarity.Pca.Dim,
+                iters: Int = graft.similarity.Pca.Iters,
+                maxFilesPerTrigger: Int = 1,
+                compactEvery: Int = 16,
+                workDir: Option[String] = None): DataFrame = {
+    import graft.similarity.Pca
+    val work = workDir match {
+      case Some(w) =>
+        Files.createDirectories(java.nio.file.Paths.get(w)); w
+      case None =>
+        val t = Files.createTempDirectory("graft_spca").toString
+        Replay.cleanupAtExit(t); t
+    }
+    val smSchema = StructType(Seq(
+      StructField("i", IntegerType),
+      StructField("j", IntegerType),
+      StructField("c", LongType)))
+    val state = new AppendOnlyState(work, Seq(("sm", smSchema)), compactEvery,
+      folds = Map("sm" -> ((df: DataFrame) =>
+        df.groupBy("i", "j").agg(sum("c").as("c")))))
+    val q = spark.readStream.schema(pcaStreamSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(stagedDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!state.alreadyFolded(batchId)) {
+          val acc = Pca.secondMoment(Pca.quantized(batch), dim)
+          val rows = acc.indices.collect {
+            case idx if acc(idx) != 0L => (idx / dim, idx % dim, acc(idx))
+          }
+          val sess = batch.sparkSession
+          import sess.implicits._
+          state.endBatch(sess, batchId, "sm" -> rows.toDF("i", "j", "c"))
+        }
+        Replay.maybePoison(batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val folded = state.read(spark, "sm").groupBy("i", "j")
+      .agg(sum("c").as("c")).collect()
+    val second = new Array[Long](dim * dim)
+    folded.foreach(r => second(r.getInt(0) * dim + r.getInt(1)) = r.getLong(2))
+    val snapshot = spark.read.schema(pcaStreamSchema).parquet(stagedDir)
+    Pca.projectionFrom(Pca.quantized(snapshot), second, dim, iters)
+  }
+
+  /** qs29 entry: streaming PCA over the label-carrying two-file
+    * embeddings lake; shares qe18's oracle SQL verbatim across the
+    * batch boundary. */
+  def qs29StreamPca(spark: SparkSession, dir: String): DataFrame =
+    streamPca(spark, stagedPcaLake(spark, dir, Tables(spark, dir, "embeddings")))
 }

@@ -272,6 +272,33 @@ class RestartSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streamPca killed mid-run resumes and matches the batch projection") {
+    // the moment matrix is a sum monoid with no dedup at read — a
+    // double-folded batch doubles ITS outer-product contribution
+    // relative to the others, bending the dominant direction and every
+    // projection; exact equality with qe18 catches it across the
+    // compaction (compactEvery=1 on the two-file lake)
+    val emb = graft.Tables(spark, SparkTestSession.sfDir, "embeddings")
+    val lake = java.nio.file.Files.createTempDirectory("graft_pca_killlake").toString
+    emb.select(col("vec_id"), col("embedding"), col("label"))
+      .repartitionByRange(2, col("vec_id"))
+      .write.mode("overwrite").parquet(lake)
+    val w = work("graft_restart_pca")
+    Replay.poisonAfterBatch = 0L
+    intercept[Exception] {
+      PqStream.streamPca(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w), compactEvery = 1)
+    }
+    assert(Replay.poisonAfterBatch == -1L, "poison should have fired")
+    val streamed = PqStream.streamPca(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w), compactEvery = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val batch = graft.similarity.Pca.qe18PcaPower(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streamHybridRrf killed mid-run resumes and matches the batch fusion") {
     // five state tables fold into two rankings; a double-appended batch
     // would inflate tf/df/norms on BOTH sides and shift the fused order
