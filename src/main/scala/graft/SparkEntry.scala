@@ -127,6 +127,8 @@ object SparkEntry {
     "qd40_hybrid_rrf"      -> (graft.text.Search.qd40HybridRrf _),
     // Unicode NFC + control-strip + whitespace-collapse cleaning
     "qd41_unicode_clean"   -> ((s, d) => TextOps.qd41UnicodeClean(s, d)),
+    // Kneser-Ney smoothed bigram fluency (the production LM smoother)
+    "qd42_kneser_ney"      -> ((s, d) => TextOps.qd42KneserNey(s, d)),
     "q36_approx_percentile" -> (Advanced.q36ApproxPercentile _),
     "qd10_corpus_curation" -> (TextOps.qd10CorpusCuration _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
@@ -2465,6 +2467,40 @@ object SparkEntry {
     // inputs across the batch boundary).
     "qd8_bm25_search" -> bm25Sql,
     "qs27_stream_bm25" -> bm25Sql,
+
+    // Kneser-Ney: one bigram-type table feeds every model quantity
+    // (context totals, forward/backward type counts, the type total);
+    // the oracle joins on the raw n-gram strings where the engine
+    // joins on their xxhash64 pairs — equal joins absent a 128-bit
+    // collision, which the hash-compare would expose.
+    "qd42_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, t[i::INT] AS u, t[(i + 1)::INT] AS w
+        |  FROM toks CROSS JOIN unnest(range(1, len(t))) r(i)
+        |  WHERE len(t) >= 2
+        |), types AS (
+        |  SELECT u, w, count(*)::BIGINT AS c FROM pos GROUP BY 1, 2
+        |), ctx AS (
+        |  SELECT u, sum(c)::BIGINT AS cu, count(*)::BIGINT AS nfw
+        |  FROM types GROUP BY 1
+        |), back AS (
+        |  SELECT w, count(*)::BIGINT AS nbw FROM types GROUP BY 1
+        |), tt AS (
+        |  SELECT count(*)::DOUBLE AS t FROM types
+        |)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  round(avg(-ln(greatest(c - 0.75, 0.0) / cu
+        |    + 0.75 * nfw / cu * (nbw / t))), 6) AS avg_neg_logprob
+        |FROM pos
+        |JOIN types USING (u, w)
+        |JOIN ctx USING (u)
+        |JOIN back USING (w)
+        |CROSS JOIN tt
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // Unicode cleaning over the deterministically-dirtied derived
     // corpus: chr() builds the exact decoration the engine adds as

@@ -733,6 +733,57 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** qd42: KNESER-NEY smoothed bigram fluency — the LM family's
+    * production smoother (Kneser & Ney 1995; the KenLM default), next
+    * to the add-one/interpolated members (qd18/qd21/qd37):
+    *
+    *   P(w|u) = max(c(u,w) − D, 0)/c(u)
+    *          + D·N₁₊(u,·)/c(u) · N₁₊(·,w)/T
+    *
+    * with absolute discount D = 0.75, continuation probability from the
+    * count of DISTINCT left contexts of w (the "how novel is this word's
+    * company" signal add-one smoothing cannot express), and T the
+    * bigram-type total. All model quantities are integer aggregates of
+    * ONE bigram-type table (Heaps'-bounded like the qd21/qd37 tables);
+    * the per-position probability is a fixed arithmetic shape over those
+    * integers, so determinism rides qd37's proven contract (identical
+    * per-position doubles, per-doc avg, 6dp round). Trained on the
+    * corpus itself, every position's c(u,w) ≥ 1, so the discounted term
+    * is always positive — the greatest() guard still mirrors the
+    * textbook form on both engines. N-grams shuffle as xxhash64 pairs
+    * (the qd37 skinny-shuffle idiom; join keys only, strings never
+    * leave the scan). */
+  def qd42KneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val toksArr = docs(spark, dir).select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("toks"))
+    val pos = toksArr.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2)," +
+          " i -> struct(toks[i] AS u, toks[i+1] AS w))")).as("p"))
+      .select(col("doc_id"),
+        xxhash64(lit(1), col("p.u")).as("hu1"),
+        xxhash64(lit(2), col("p.u")).as("hu2"),
+        xxhash64(lit(1), col("p.w")).as("hw1"),
+        xxhash64(lit(2), col("p.w")).as("hw2"))
+    val types = pos.groupBy("hu1", "hu2", "hw1", "hw2")
+      .agg(count(lit(1)).as("c"))
+    val ctx = types.groupBy("hu1", "hu2")
+      .agg(sum("c").as("cu"), count(lit(1)).as("nfw"))
+    val back = types.groupBy("hw1", "hw2").agg(count(lit(1)).as("nbw"))
+    val tt = types.agg(count(lit(1)).cast("double").as("t"))
+    val p = greatest(col("c") - lit(0.75), lit(0.0)) / col("cu") +
+      lit(0.75) * col("nfw") / col("cu") * (col("nbw") / col("t"))
+    pos
+      .join(types, Seq("hu1", "hu2", "hw1", "hw2"))
+      .join(ctx, Seq("hu1", "hu2"))
+      .join(back, Seq("hw1", "hw2"))
+      .crossJoin(broadcast(tt))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(p)), 6).as("avg_neg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Content-defined chunk dedup — blob-level duplicate detection whose
     * chunk boundaries move WITH the content (a one-character insertion
     * shifts every fixed-size chunk after it, but only the chunk it lands

@@ -165,6 +165,41 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("kneser-ney bigram score matches a directly computed reference") {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def toks(s: String) = s.trim.split("\\s+").toSeq
+    val bgs = docs.flatMap { case (id, t) =>
+      val ts = toks(t)
+      ts.zip(ts.drop(1)).map { case (a, b) => (id, a, b) }
+    }
+    val typeC = bgs.map(r => (r._2, r._3)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val cu = typeC.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nfw = typeC.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nbw = typeC.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val t = typeC.size.toDouble
+    val want = bgs.groupBy(_._1).map { case (id, rows) =>
+      val lps = rows.map { case (_, u, w) =>
+        val p = math.max(typeC((u, w)) - 0.75, 0.0) / cu(u) +
+          0.75 * nfw(u) / cu(u) * (nbw(w) / t)
+        -math.log(p)
+      }
+      (id, rows.size.toLong, lps.sum / lps.size)
+    }
+    val got = graft.operators.TextOps.qd42KneserNey(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.size == want.size)
+    want.foreach { case (id, n, score) =>
+      assert(got(id)._1 == n, s"doc $id bigram count")
+      assert(math.abs(got(id)._2 - score) <= 2e-5, s"doc $id: ${got(id)} vs $score")
+    }
+    // the discount actually bites: every probability < its add-one-free
+    // MLE sibling, so scores are strictly positive and finite
+    assert(want.forall { case (_, _, s) => s > 0.0 && !s.isNaN })
+  }
+
   test("trigram interpolated logprob matches a directly computed reference") {
     val docs = graft.Tables(spark, dir, "documents")
       .select("doc_id", "text")
