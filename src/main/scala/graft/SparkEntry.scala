@@ -53,6 +53,8 @@ object SparkEntry {
     "qd8_bm25_search"      -> (graft.text.Search.qd8Bm25 _),
     // qd8's arrival-time form: incremental inverted-index statistics
     "qs27_stream_bm25"     -> (Replay.qs27StreamBm25 _),
+    // qm5's arrival-time form: per-batch codec pass, append-only facts
+    "qs30_stream_audio"    -> (Replay.qs30StreamAudio _),
     // qd40's arrival-time form: both retrieval indices in one stream
     "qs28_stream_hybrid"   -> (Replay.qs28StreamHybridRrf _),
     "qe1_knn_brute_force"  -> (VectorOps.qe1KnnBruteForce _),
@@ -1060,6 +1062,33 @@ object SparkEntry {
       |  doc_id, rrf_score, sparse_rank, dense_rank
       |FROM (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10)
       |ORDER BY rank""".stripMargin
+
+  /** qm5/qs30 shared oracle (one SQL text serves both keys). */
+  private val audioFeaturesSql: String =
+    """WITH a AS (
+      |  SELECT doc_id, text, n_chars,
+      |    (64 + 16 * (doc_id % 5))::BIGINT AS n
+      |  FROM documents WHERE doc_id % 3 = 2 AND n_chars >= 1
+      |), s AS (
+      |  SELECT doc_id, n, r.i,
+      |    ((ascii(substr(text, (r.i % greatest(n_chars, 1))::INT + 1, 1)) - 96)
+      |      * 256)::BIGINT AS s
+      |  FROM a CROSS JOIN unnest(range(0, n)) r(i)
+      |), w AS (
+      |  SELECT doc_id, n, i, s,
+      |    lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      |  FROM s
+      |), f AS (
+      |  SELECT doc_id, n,
+      |    max(abs(s))::BIGINT AS peak,
+      |    sum(abs(s))::BIGINT AS sum_abs,
+      |    sum(CASE WHEN i > 0 AND ((prev >= 0) <> (s >= 0))
+      |        THEN 1 ELSE 0 END)::BIGINT AS zc
+      |  FROM w GROUP BY doc_id, n
+      |)
+      |SELECT doc_id AS media_id, 8000::BIGINT AS sample_rate,
+      |  n AS n_samples, peak, sum_abs, zc AS zero_crossings
+      |FROM f ORDER BY media_id""".stripMargin
 
   /** qd8/qs27 shared oracle (one SQL text serves both keys): Okapi BM25
     * over the corpus; the streaming form folds its postings/length/stats
@@ -3145,31 +3174,8 @@ object SparkEntry {
     // Spark side produces them from a REAL RIFF/WAVE chunk walk +
     // PCM16LE sample decode; an endianness or offset bug scrambles
     // every feature.
-    "qm5_audio_features" ->
-      """WITH a AS (
-        |  SELECT doc_id, text, n_chars,
-        |    (64 + 16 * (doc_id % 5))::BIGINT AS n
-        |  FROM documents WHERE doc_id % 3 = 2 AND n_chars >= 1
-        |), s AS (
-        |  SELECT doc_id, n, r.i,
-        |    ((ascii(substr(text, (r.i % greatest(n_chars, 1))::INT + 1, 1)) - 96)
-        |      * 256)::BIGINT AS s
-        |  FROM a CROSS JOIN unnest(range(0, n)) r(i)
-        |), w AS (
-        |  SELECT doc_id, n, i, s,
-        |    lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
-        |  FROM s
-        |), f AS (
-        |  SELECT doc_id, n,
-        |    max(abs(s))::BIGINT AS peak,
-        |    sum(abs(s))::BIGINT AS sum_abs,
-        |    sum(CASE WHEN i > 0 AND ((prev >= 0) <> (s >= 0))
-        |        THEN 1 ELSE 0 END)::BIGINT AS zc
-        |  FROM w GROUP BY doc_id, n
-        |)
-        |SELECT doc_id AS media_id, 8000::BIGINT AS sample_rate,
-        |  n AS n_samples, peak, sum_abs, zc AS zero_crossings
-        |FROM f ORDER BY media_id""".stripMargin,
+    "qm5_audio_features" -> audioFeaturesSql,
+    "qs30_stream_audio" -> audioFeaturesSql,
 
     "qm3_video_frames" ->
       """SELECT doc_id AS media_id,

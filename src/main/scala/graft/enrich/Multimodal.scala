@@ -421,9 +421,17 @@ object Multimodal {
     *
     * Plan shape: one narrow per-partition codec pass, no shuffle before
     * the presentation sort — the qm3 geometry. */
-  def qm5AudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+  def qm5AudioFeatures(spark: SparkSession, dir: String): DataFrame =
+    audioFrame(Tables(spark, dir, "documents")).orderBy("media_id")
+
+  /** The per-row audio codec kernel shared by qm5 and its streaming
+    * form (qs30): synthesize PCM16 from the payload bytes, round-trip
+    * through the REAL RIFF/WAVE codec, emit integer signal features.
+    * Pure per-row map — O(batch) in the streaming case. */
+  private[graft] def audioFrame(docsDf: DataFrame): DataFrame = {
+    val spark = docsDf.sparkSession
     import spark.implicits._
-    Tables(spark, dir, "documents")
+    docsDf
       .filter(pmod(col("doc_id"), lit(3)) === 2) // the media table's audio rows
       // an empty payload has no bytes to sample — excluded IDENTICALLY
       // in the oracle (n_chars >= 1) so i % len never divides by zero
@@ -454,7 +462,6 @@ object Multimodal {
       }
       .toDF("media_id", "sample_rate", "n_samples", "peak", "sum_abs",
         "zero_crossings")
-      .orderBy("media_id")
   }
 
   /** Max |decoded − painted| mean-luma drift qm3 tolerates per frame.

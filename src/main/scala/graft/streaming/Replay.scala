@@ -925,6 +925,57 @@ object Replay {
     graft.enrich.Multimodal.phashReport(state.read(spark, "h"))
   }
 
+  /** Streaming audio features — qm5's arrival-time form, completing the
+    * multimodal streaming symmetry next to qs24 (images): audio rows
+    * stream in, each micro-batch pays its OWN codec pass (the real
+    * RIFF/WAVE synthesize→decode→integer-features kernel over batch
+    * rows only — per-batch cost O(batch), embarrassingly per-row) and
+    * appends its feature rows to the append-only table. Features are
+    * immutable integer facts, so the snapshot read IS the report — no
+    * fold — and equals qm5 over the same corpus (shared oracle SQL).
+    * Restart contract as the family: batch-keyed overwrites,
+    * `alreadyFolded` skip; a double-appended batch would duplicate
+    * media rows and break the one-row-per-clip shape, which the shared
+    * oracle's row count catches. */
+  def streamAudioFeatures(spark: SparkSession, dir: String,
+                          maxFilesPerTrigger: Int = 1,
+                          pathGlobFilter: String = "*.parquet",
+                          workDir: Option[String] = None,
+                          compactEvery: Int = 16): DataFrame = {
+    val work = resolveWork(workDir, "graft_saudio")
+    val afSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("sample_rate", LongType),
+      StructField("n_samples", LongType),
+      StructField("peak", LongType),
+      StructField("sum_abs", LongType),
+      StructField("zero_crossings", LongType)))
+    val state = new AppendOnlyState(work, Seq(("af", afSchema)), compactEvery)
+    val q = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", pathGlobFilter)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(dir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!state.alreadyFolded(batchId)) {
+          state.endBatch(batch.sparkSession, batchId,
+            "af" -> graft.enrich.Multimodal.audioFrame(batch))
+        }
+        maybePoison(batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    state.read(spark, "af").orderBy("media_id")
+  }
+
+  /** qs30 entry: audio features over the shared staged docs lake;
+    * shares qm5's oracle SQL verbatim across the batch boundary. */
+  def qs30StreamAudio(spark: SparkSession, dir: String): DataFrame =
+    streamAudioFeatures(spark, stagedDocsLake(spark, dir))
+
   /** Streaming LEAKAGE-SAFE split — qd35's arrival-time form: documents
     * stream in, every micro-batch pays only its own near-dup kernel +
     * band probe (the `streamNearDup` machinery and its append-only

@@ -347,6 +347,30 @@ class RestartSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streamAudio killed mid-run resumes and matches the batch features") {
+    // features are append-only facts with no fold — a double-appended
+    // batch duplicates media rows and breaks the one-row-per-clip
+    // shape; exact equality with qm5 across a compaction catches it
+    val lake = docsLake()
+    val w = work("graft_restart_audio")
+    Replay.poisonAfterBatch = 1L
+    intercept[Exception] {
+      Replay.streamAudioFeatures(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w), compactEvery = 2)
+    }
+    assert(Replay.poisonAfterBatch == -1L, "poison should have fired")
+    def key(r: Row) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))
+    val streamed = Replay.streamAudioFeatures(spark, lake,
+        maxFilesPerTrigger = 1, workDir = Some(w), compactEvery = 2)
+      .collect().map(key).toSeq
+    val batch = graft.enrich.Multimodal
+      .qm5AudioFeatures(spark, SparkTestSession.sfDir)
+      .collect().map(key).toSeq
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streamLeakSplit killed mid-run resumes and matches the batch split map") {
     // the split map derives from the accumulated pair state, so a
     // double-applied batch (duplicated pairs) can't corrupt buckets —
