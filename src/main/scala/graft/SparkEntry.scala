@@ -219,6 +219,8 @@ object SparkEntry {
     "qe15_mmr_topk"        -> ((s, d) => Ann.qe15MmrTopk(s, d)),
     // label-graded nDCG@k + MRR of the SQ8 ranking (IR quality pair)
     "qe19_ndcg_eval"       -> ((s, d) => Ann.qe19NdcgEval(s, d)),
+    // IVF-SQ8: cell-pruned scalar-quantized search (FAISS "IVF,SQ8")
+    "qe20_ivfsq_topk"      -> ((s, d) => Ann.qe20IvfSqTopk(s, d)),
     // index advisor: recall@5 of every compression method vs exact
     "qe14_index_advisor"   -> ((s, d) => Ann.qe14IndexAdvisor(s, d)),
     // temperature mixture: alpha=0.5 quotas over lang strata
@@ -660,6 +662,89 @@ object SparkEntry {
         |) WHERE rank <= ${Ann.DefaultTopK}
         |ORDER BY q_id, rank""".stripMargin
 
+  /** qe20's oracle: the qe11 SQ8 encode CTEs + the qe9 cell/probe CTEs,
+    * with the weighted-L2 score restricted to candidates whose assigned
+    * cell is among the query's nprobe best — every stage a proven
+    * mirror, composed. */
+  private val ivfSqSql: String =
+      s"""WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |), st AS (
+        |  SELECT i AS dim, min(v[i::INT]) AS mn, max(v[i::INT]) AS mx
+        |  FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
+        |  GROUP BY 1
+        |), w AS (
+        |  SELECT dim,
+        |    CASE WHEN mx > mn
+        |      THEN CAST(round(((mx - mn) / 255.0) * ((mx - mn) / 255.0)
+        |                      * 1e12) AS BIGINT)
+        |      ELSE 0 END AS w
+        |  FROM st
+        |), wl AS (
+        |  SELECT list(w ORDER BY dim) AS w FROM w
+        |), codes AS MATERIALIZED (
+        |  SELECT vec_id, list(c ORDER BY dim) AS cl FROM (
+        |    SELECT e.vec_id, st.dim,
+        |      CASE WHEN st.mx > st.mn
+        |        THEN CAST(round((e.v[st.dim::INT] - st.mn) * 255.0
+        |                        / (st.mx - st.mn)) AS INT)
+        |        ELSE 0 END AS c
+        |    FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
+        |    JOIN st ON st.dim = r.i
+        |  ) GROUP BY vec_id
+        |), qsel AS (
+        |  SELECT vec_id FROM e WHERE vec_id % 25 = 0
+        |  ORDER BY (vec_id * 1000003) % 999983, vec_id
+        |  LIMIT ${Ann.DefaultMaxQueries}
+        |), cents AS (
+        |  SELECT cell, list(m ORDER BY dim) AS centroid FROM (
+        |    SELECT label AS cell, i AS dim, avg(v[i::INT]) AS m
+        |    FROM e CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
+        |    GROUP BY 1, 2
+        |  ) GROUP BY cell
+        |), assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_inner_product(e.v, c.centroid)
+        |          / (sqrt(list_inner_product(e.v, e.v))
+        |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
+        |        c.cell) AS rk
+        |    FROM e CROSS JOIN cents c
+        |  ) WHERE rk = 1
+        |), q AS (
+        |  SELECT vec_id AS q_id, v AS q_vec FROM e JOIN qsel USING (vec_id)
+        |), probed AS (
+        |  SELECT q_id, cell FROM (
+        |    SELECT q.q_id, c.cell,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        round(list_inner_product(q.q_vec, c.centroid)
+        |          / (sqrt(list_inner_product(q.q_vec, q.q_vec))
+        |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
+        |        c.cell) AS crk
+        |    FROM q CROSS JOIN cents c
+        |  ) WHERE crk <= 2
+        |), score AS (
+        |  SELECT p.q_id, c.vec_id AS cand_id,
+        |    CAST(list_sum(list_transform(range(1, len(qc.cl) + 1),
+        |      i -> w.w[i::INT] * (qc.cl[i::INT] - c.cl[i::INT])
+        |                       * (qc.cl[i::INT] - c.cl[i::INT])))
+        |      AS BIGINT) AS d2_units
+        |  FROM probed p
+        |  JOIN assign a ON a.cell = p.cell
+        |  JOIN codes c ON c.vec_id = a.vec_id
+        |  JOIN codes qc ON qc.vec_id = p.q_id
+        |  CROSS JOIN wl w
+        |  WHERE c.vec_id <> p.q_id
+        |)
+        |SELECT q_id, rank, cand_id, d2_units FROM (
+        |  SELECT q_id, cand_id, d2_units,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY d2_units, cand_id) AS rank
+        |  FROM score
+        |) WHERE rank <= ${Ann.DefaultTopK}
+        |ORDER BY q_id, rank""".stripMargin
+
   private val truncSql: String =
       s"""WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -752,6 +837,7 @@ object SparkEntry {
     * subquery, hit counts joined per method, integer recall micro. */
   private def advisorSql: String = {
     val methods = Seq(
+      "ivf_sq8" -> ivfSqSql,
       "pq" -> pqSql, "residual_pq" -> resPqSql,
       "sq8" -> sqSql, "truncated_rerank" -> truncSql)
     val union = methods.map { case (n, body) =>
@@ -786,8 +872,8 @@ object SparkEntry {
        |), nq AS (
        |  SELECT count(DISTINCT q_id)::BIGINT AS n FROM exact
        |), names AS (
-       |  SELECT unnest(['pq', 'residual_pq', 'sq8', 'truncated_rerank'])
-       |    AS method
+       |  SELECT unnest(['ivf_sq8', 'pq', 'residual_pq', 'sq8',
+       |                 'truncated_rerank']) AS method
        |)
        |SELECT names.method, nq.n AS n_queries,
        |  coalesce(h.hits, 0)::BIGINT AS hits,
@@ -3339,6 +3425,8 @@ object SparkEntry {
     "qe14_index_advisor" -> advisorSql,
     // nDCG@k + MRR of the SQ8 ranking, label-graded, integer-micro
     "qe19_ndcg_eval" -> ndcgSql,
+    // IVF-SQ8: qe11's encode + qe9's probe, composed
+    "qe20_ivfsq_topk" -> ivfSqSql,
 
     "qe13_cluster_sample" ->
       """WITH e AS (

