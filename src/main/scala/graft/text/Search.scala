@@ -130,11 +130,15 @@ object Search {
     val sparse = bm25(spark, dir, queryTerms, candK)
       .select(col("doc_id"), col("rank").as("sparse_rank"))
     val docs = Tables(spark, dir, "documents")
+    // the md5 bucket hash costs ~1µs/token over every token in the
+    // corpus; norm + dot would otherwise re-run that subtree, so pin
+    // the AGGREGATED frame (≤ docs × buckets rows — tiny) once
     val docTf = docs
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
       .select(col("doc_id"), htfBucket(col("term")).as("bucket"))
       .groupBy("doc_id", "bucket")
       .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint(true)
     // per-doc l2 norm over ALL buckets (≤64 integer squares — exact)
     val docNorm = docTf.groupBy("doc_id")
       .agg(sqrt(sum(col("tf") * col("tf"))).as("dnorm"))
@@ -226,11 +230,14 @@ object Search {
   def htfBatchDeltas(batch: DataFrame, queryTerms: Seq[String])
       : (DataFrame, DataFrame) = {
     import batch.sparkSession.implicits._
+    // pinned for the same reason as the batch form: the md5-per-token
+    // subtree feeds both the restriction and the norm
     val docTf = batch
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
       .select(col("doc_id"), htfBucket(col("term")).as("bucket"))
       .groupBy("doc_id", "bucket")
       .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint(true)
     val qBuckets = queryTerms.toDF("term")
       .select(htfBucket(col("term")).as("bucket")).distinct()
     val dtQ = docTf.join(broadcast(qBuckets), "bucket")
