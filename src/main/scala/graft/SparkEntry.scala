@@ -65,6 +65,10 @@ object SparkEntry {
     "qe18_pca_power"       -> ((s, d) => graft.similarity.Pca.qe18PcaPower(s, d)),
     // qe18's arrival-time form: dim^2 sum-monoid state, O(1) in corpus
     "qs29_stream_pca"      -> (graft.streaming.PqStream.qs29StreamPca _),
+    // per-arrival-window embedding drift (qd31's embedding-space twin)
+    "qe21_embedding_drift" -> ((s, d) => graft.similarity.Pca.qe21EmbeddingDrift(s, d)),
+    // qe21's arrival-time form: O(windows x dim) sum-monoid state
+    "qs31_stream_embdrift" -> (graft.streaming.PqStream.qs31StreamEmbDrift _),
     "qe3_label_stats"      -> (VectorOps.qe3LabelStats _),
     "q20_distinct_agg"     -> (Advanced.q20DistinctAgg _),
     "q21_rollup"           -> (Advanced.q21Rollup _),
@@ -1175,6 +1179,41 @@ object SparkEntry {
       |SELECT doc_id AS media_id, 8000::BIGINT AS sample_rate,
       |  n AS n_samples, peak, sum_abs, zc AS zero_crossings
       |FROM f ORDER BY media_id""".stripMargin
+
+  /** qe21/qs31 shared oracle (one SQL text serves both keys): integer
+    * component sums per arrival window, TRUNCATED integer-division
+    * micro means (Spark `div` truncates toward zero; DuckDB's `//`
+    * floors, so negative sums mirror the truncation explicitly), and
+    * the long-safe squared displacement vs the lifetime mean. */
+  private val embDriftSql: String = {
+    import graft.similarity.Pca
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      v -> round(v * ${Pca.Micro})::BIGINT) AS vi
+       |  FROM embeddings
+       |), sums AS (
+       |  SELECT (vec_id // ${Pca.DriftSpan})::BIGINT AS w,
+       |    (r.i - 1)::INT AS i,
+       |    sum(vi[r.i::INT])::BIGINT AS s, count(*)::BIGINT AS n
+       |  FROM e CROSS JOIN unnest(range(1, ${Pca.Dim + 1})) r(i)
+       |  GROUP BY 1, 2
+       |), life AS (
+       |  SELECT i, sum(s)::BIGINT AS ls, sum(n)::BIGINT AS ln
+       |  FROM sums GROUP BY 1
+       |), d AS (
+       |  SELECT s.w, s.n,
+       |    (CASE WHEN s.s < 0 THEN -((-s.s) // s.n) ELSE s.s // s.n END
+       |     - CASE WHEN l.ls < 0 THEN -((-l.ls) // l.ln)
+       |            ELSE l.ls // l.ln END)::BIGINT AS dm
+       |  FROM sums s JOIN life l USING (i)
+       |)
+       |SELECT w, max(n)::BIGINT AS n_vecs,
+       |  sum(dm * dm)::BIGINT AS d2_units,
+       |  sum(dm * dm) > ${Pca.DriftD2Alarm} AS alarm
+       |FROM d GROUP BY w
+       |ORDER BY w""".stripMargin
+  }
 
   /** qd8/qs27 shared oracle (one SQL text serves both keys): Okapi BM25
     * over the corpus; the streaming form folds its postings/length/stats
@@ -2701,6 +2740,10 @@ object SparkEntry {
     // deltas to the identical integer matrix across the boundary).
     "qe18_pca_power" -> pcaPowerSql,
     "qs29_stream_pca" -> pcaPowerSql,
+    // Embedding drift: window/lifetime integer mean displacement; one
+    // SQL text serves the batch and arrival-time forms.
+    "qe21_embedding_drift" -> embDriftSql,
+    "qs31_stream_embdrift" -> embDriftSql,
 
     "qe17_dbscan" ->
       s"""WITH RECURSIVE e AS (

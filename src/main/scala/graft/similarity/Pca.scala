@@ -131,4 +131,55 @@ object Pca {
     val e = quantized(Tables(spark, dir, "embeddings"))
     projectionFrom(e, secondMoment(e, dim), dim, iters)
   }
+
+  /** qe21 arrival-window width (vec_id div span — deterministic under
+    * replay where a wall-clock window would not be; the qd31 idiom). */
+  val DriftSpan = 100L
+  /** qe21 alarm bar on the squared micro-mean displacement: natural
+    * window noise on this corpus tops out at ~1.3e10 micro² across all
+    * SFs (sampling error of ~100-vector windows), so 5e10 stays quiet
+    * on clean data while a 0.03-unit per-dimension mean shift
+    * (0.03²·1e12·64 ≈ 5.8e10) — a small real embedding-model
+    * regression — crosses it (spec-planted). */
+  val DriftD2Alarm = 50000000000L
+
+  /** qe21: EMBEDDING drift monitoring — the embedding-space twin of
+    * qd31's text drift: per arrival-window, the squared displacement of
+    * the window's mean vector from the lifetime mean, in integer micro²
+    * units. The signal an embedding pipeline pages on when an upstream
+    * model, normalizer, or corrupted shard shifts the representation
+    * distribution mid-ingest.
+    *
+    * Integer-exact end to end: per-(window, dim) component sums are
+    * exact longs (order-free under any partitioning), means are
+    * TRUNCATED integer division (Spark `div`; the oracle mirrors
+    * truncation explicitly — DuckDB's `//` floors, which differs on
+    * negative sums), and the displacement square-sum stays within long
+    * (|dmean| ≤ 2.4e6 micro → Σ ≤ 3.7e14). */
+  def qe21EmbeddingDrift(spark: SparkSession, dir: String,
+                         span: Long = DriftSpan,
+                         alarm: Long = DriftD2Alarm): DataFrame =
+    embDriftReport(
+      embDriftSums(quantized(Tables(spark, dir, "embeddings")), span), alarm)
+
+  /** The (w, i, s, n) integer component sums — qe21's only corpus-width
+    * stage, shared with the streaming form (qs31: pure sum monoid,
+    * state O(windows × dim)). */
+  private[graft] def embDriftSums(quant: DataFrame, span: Long): DataFrame =
+    quant.select(expr(s"vec_id div $span").as("w"),
+        posexplode(col("vi")).as(Seq("i", "v")))
+      .groupBy("w", "i").agg(sum("v").as("s"), count(lit(1)).as("n"))
+
+  /** The drift report over a (w, i, s, n) sum table — bounded by
+    * windows × dim after the first shuffle. */
+  private[graft] def embDriftReport(sums: DataFrame, alarm: Long): DataFrame = {
+    val life = sums.groupBy("i").agg(sum("s").as("ls"), sum("n").as("ln"))
+    sums.join(life, "i")
+      .withColumn("dmean", expr("s div n - ls div ln"))
+      .groupBy("w")
+      .agg(max("n").as("n_vecs"),
+        sum(col("dmean") * col("dmean")).as("d2_units"))
+      .withColumn("alarm", col("d2_units") > lit(alarm))
+      .orderBy("w")
+  }
 }

@@ -369,4 +369,61 @@ object PqStream {
     * batch boundary. */
   def qs29StreamPca(spark: SparkSession, dir: String): DataFrame =
     streamPca(spark, stagedPcaLake(spark, dir, Tables(spark, dir, "embeddings")))
+
+  /** Streaming embedding-drift monitoring — qe21's arrival-time form
+    * (and qs21's embedding-space twin): each micro-batch pays one
+    * quantize + component-sum pass over its own rows and appends its
+    * (w, i, s, n) delta; durable state is O(windows × dim) longs, a
+    * pure sum monoid independent of arrival order, so any snapshot
+    * read folds to the exact batch report and qe21's oracle SQL is
+    * shared verbatim. This is the alarm a live ingest watches — the
+    * batch form is the postmortem view of the same statistic. */
+  def streamEmbDrift(spark: SparkSession, stagedDir: String,
+                     span: Long = graft.similarity.Pca.DriftSpan,
+                     alarm: Long = graft.similarity.Pca.DriftD2Alarm,
+                     maxFilesPerTrigger: Int = 1,
+                     compactEvery: Int = 16,
+                     workDir: Option[String] = None): DataFrame = {
+    import graft.similarity.Pca
+    val work = workDir match {
+      case Some(w) =>
+        Files.createDirectories(java.nio.file.Paths.get(w)); w
+      case None =>
+        val t = Files.createTempDirectory("graft_sembdrift").toString
+        Replay.cleanupAtExit(t); t
+    }
+    val wiSchema = StructType(Seq(
+      StructField("w", LongType),
+      StructField("i", IntegerType),
+      StructField("s", LongType),
+      StructField("n", LongType)))
+    val state = new AppendOnlyState(work, Seq(("wi", wiSchema)), compactEvery,
+      folds = Map("wi" -> ((df: DataFrame) =>
+        df.groupBy("w", "i").agg(sum("s").as("s"), sum("n").as("n")))))
+    val q = spark.readStream.schema(pcaStreamSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(stagedDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!state.alreadyFolded(batchId)) {
+          state.endBatch(batch.sparkSession, batchId,
+            "wi" -> Pca.embDriftSums(Pca.quantized(batch), span))
+        }
+        Replay.maybePoison(batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    Pca.embDriftReport(
+      state.read(spark, "wi").groupBy("w", "i")
+        .agg(sum("s").as("s"), sum("n").as("n")), alarm)
+  }
+
+  /** qs31 entry: embedding drift over the shared label-carrying lake;
+    * shares qe21's oracle SQL verbatim across the batch boundary. */
+  def qs31StreamEmbDrift(spark: SparkSession, dir: String): DataFrame =
+    streamEmbDrift(spark, stagedPcaLake(spark, dir, Tables(spark, dir, "embeddings")))
 }

@@ -57,6 +57,41 @@ class PcaSpec extends AnyFunSuite {
     assert(along >= maxAxis, s"pc energy $along < best axis $maxAxis")
   }
 
+  test("embedding drift stays quiet on clean data, alarms on a planted shift") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    // clean corpus: no window's displacement crosses the bar
+    val clean = Pca.qe21EmbeddingDrift(spark, SparkTestSession.sfDir).collect()
+    assert(clean.nonEmpty)
+    assert(clean.forall(!_.getBoolean(3)), "clean corpus alarmed")
+    // independent recompute of one window's d2 from raw vectors
+    val vs = graft.Tables(spark, SparkTestSession.sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(f => quant(f.toDouble)).toArray))
+    def truncDiv(s: Long, n: Long): Long = s / n // JVM long division truncates
+    val ls = Array.tabulate(Pca.Dim)(i => vs.map(_._2(i)).sum)
+    val ln = vs.length.toLong
+    val w0 = vs.filter(_._1 / Pca.DriftSpan == 0L)
+    val d2 = (0 until Pca.Dim).map { i =>
+      val dm = truncDiv(w0.map(_._2(i)).sum, w0.length.toLong) - truncDiv(ls(i), ln)
+      dm * dm
+    }.sum
+    assert(clean.find(_.getLong(0) == 0L).get.getLong(2) == d2)
+    // planted regression: shift every window-2 vector by +0.05/dim —
+    // a small real embedding-model drift — and only that window alarms
+    val planted = graft.Tables(spark, SparkTestSession.sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        when(expr(s"vec_id div ${Pca.DriftSpan}") === 2L,
+          transform(col("embedding"), v => v + lit(0.05f)))
+          .otherwise(col("embedding")).as("embedding"))
+    val shifted = Pca.embDriftReport(
+      Pca.embDriftSums(Pca.quantized(planted), Pca.DriftSpan),
+      Pca.DriftD2Alarm).collect()
+    assert(shifted.filter(_.getBoolean(3)).map(_.getLong(0)).toSeq == Seq(2L),
+      s"expected exactly window 2 to alarm: ${shifted.mkString(",")}")
+  }
+
   test("qe18 projections equal a direct recompute on the driver") {
     val vs = Tables(spark, SparkTestSession.sfDir, "embeddings")
       .select("vec_id", "embedding").collect()

@@ -299,6 +299,34 @@ class RestartSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streamEmbDrift killed mid-run resumes and matches the batch report") {
+    // the (w, i) component sums are an additive monoid with no dedup —
+    // a double-folded batch inflates its windows' sums AND the lifetime
+    // mean, shifting every window's displacement; exact equality with
+    // qe21 across the compaction catches it
+    val emb = graft.Tables(spark, SparkTestSession.sfDir, "embeddings")
+    val lake = java.nio.file.Files.createTempDirectory("graft_embdrift_lake").toString
+    emb.select(col("vec_id"), col("embedding"), col("label"))
+      .repartitionByRange(2, col("vec_id"))
+      .write.mode("overwrite").parquet(lake)
+    val w = work("graft_restart_embdrift")
+    Replay.poisonAfterBatch = 0L
+    intercept[Exception] {
+      PqStream.streamEmbDrift(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w), compactEvery = 1)
+    }
+    assert(Replay.poisonAfterBatch == -1L, "poison should have fired")
+    def key(r: Row) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))
+    val streamed = PqStream.streamEmbDrift(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w), compactEvery = 1)
+      .collect().map(key).toSeq
+    val batch = graft.similarity.Pca
+      .qe21EmbeddingDrift(spark, SparkTestSession.sfDir)
+      .collect().map(key).toSeq
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.nonEmpty)
+  }
+
   test("streamHybridRrf killed mid-run resumes and matches the batch fusion") {
     // five state tables fold into two rankings; a double-appended batch
     // would inflate tf/df/norms on BOTH sides and shift the fused order
