@@ -135,6 +135,8 @@ object SparkEntry {
     "qd41_unicode_clean"   -> ((s, d) => TextOps.qd41UnicodeClean(s, d)),
     // Kneser-Ney smoothed bigram fluency (the production LM smoother)
     "qd42_kneser_ney"      -> ((s, d) => TextOps.qd42KneserNey(s, d)),
+    // qd42's arrival-time form: Heaps'-bounded type-count monoid state
+    "qs32_stream_kn"       -> (Replay.qs32StreamKneserNey _),
     "q36_approx_percentile" -> (Advanced.q36ApproxPercentile _),
     "qd10_corpus_curation" -> (TextOps.qd10CorpusCuration _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
@@ -1214,6 +1216,36 @@ object SparkEntry {
        |FROM d GROUP BY w
        |ORDER BY w""".stripMargin
   }
+
+  /** qd42/qs32 shared oracle (one SQL text serves both keys). */
+  private val kneserNeySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents
+      |), pos AS (
+      |  SELECT doc_id, t[i::INT] AS u, t[(i + 1)::INT] AS w
+      |  FROM toks CROSS JOIN unnest(range(1, len(t))) r(i)
+      |  WHERE len(t) >= 2
+      |), types AS (
+      |  SELECT u, w, count(*)::BIGINT AS c FROM pos GROUP BY 1, 2
+      |), ctx AS (
+      |  SELECT u, sum(c)::BIGINT AS cu, count(*)::BIGINT AS nfw
+      |  FROM types GROUP BY 1
+      |), back AS (
+      |  SELECT w, count(*)::BIGINT AS nbw FROM types GROUP BY 1
+      |), tt AS (
+      |  SELECT count(*)::DOUBLE AS t FROM types
+      |)
+      |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+      |  round(avg(-ln(greatest(c - 0.75, 0.0) / cu
+      |    + 0.75 * nfw / cu * (nbw / t))), 6) AS avg_neg_logprob
+      |FROM pos
+      |JOIN types USING (u, w)
+      |JOIN ctx USING (u)
+      |JOIN back USING (w)
+      |CROSS JOIN tt
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 
   /** qd8/qs27 shared oracle (one SQL text serves both keys): Okapi BM25
     * over the corpus; the streaming form folds its postings/length/stats
@@ -2627,34 +2659,9 @@ object SparkEntry {
     // the oracle joins on the raw n-gram strings where the engine
     // joins on their xxhash64 pairs — equal joins absent a 128-bit
     // collision, which the hash-compare would expose.
-    "qd42_kneser_ney" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        |  FROM documents
-        |), pos AS (
-        |  SELECT doc_id, t[i::INT] AS u, t[(i + 1)::INT] AS w
-        |  FROM toks CROSS JOIN unnest(range(1, len(t))) r(i)
-        |  WHERE len(t) >= 2
-        |), types AS (
-        |  SELECT u, w, count(*)::BIGINT AS c FROM pos GROUP BY 1, 2
-        |), ctx AS (
-        |  SELECT u, sum(c)::BIGINT AS cu, count(*)::BIGINT AS nfw
-        |  FROM types GROUP BY 1
-        |), back AS (
-        |  SELECT w, count(*)::BIGINT AS nbw FROM types GROUP BY 1
-        |), tt AS (
-        |  SELECT count(*)::DOUBLE AS t FROM types
-        |)
-        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-        |  round(avg(-ln(greatest(c - 0.75, 0.0) / cu
-        |    + 0.75 * nfw / cu * (nbw / t))), 6) AS avg_neg_logprob
-        |FROM pos
-        |JOIN types USING (u, w)
-        |JOIN ctx USING (u)
-        |JOIN back USING (w)
-        |CROSS JOIN tt
-        |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
+    "qd42_kneser_ney" -> kneserNeySql,
+    "qs32_stream_kn" -> kneserNeySql,
+
 
     // Unicode cleaning over the deterministically-dirtied derived
     // corpus: chr() builds the exact decoration the engine adds as

@@ -754,9 +754,18 @@ object TextOps {
     * (the qd37 skinny-shuffle idiom; join keys only, strings never
     * leave the scan). */
   def qd42KneserNey(spark: SparkSession, dir: String): DataFrame = {
-    val toksArr = docs(spark, dir).select(col("doc_id"),
-      split(trim(col("text")), "\\s+").as("toks"))
-    val pos = toksArr.filter(size(col("toks")) >= 2)
+    val pos = knPositions(docs(spark, dir))
+    knReport(pos, pos.groupBy("hu1", "hu2", "hw1", "hw2")
+      .agg(count(lit(1)).as("c")))
+  }
+
+  /** The per-position hashed bigram stream — shared by qd42 and its
+    * streaming form (qs32, where each batch contributes its own
+    * positions to the type-count monoid). */
+  private[graft] def knPositions(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 2)," +
           " i -> struct(toks[i] AS u, toks[i+1] AS w))")).as("p"))
@@ -765,8 +774,10 @@ object TextOps {
         xxhash64(lit(2), col("p.u")).as("hu2"),
         xxhash64(lit(1), col("p.w")).as("hw1"),
         xxhash64(lit(2), col("p.w")).as("hw2"))
-    val types = pos.groupBy("hu1", "hu2", "hw1", "hw2")
-      .agg(count(lit(1)).as("c"))
+
+  /** The KN scoring tail over a position stream and a (folded) bigram
+    * type-count table — every model quantity derives from `types`. */
+  private[graft] def knReport(pos: DataFrame, types: DataFrame): DataFrame = {
     val ctx = types.groupBy("hu1", "hu2")
       .agg(sum("c").as("cu"), count(lit(1)).as("nfw"))
     val back = types.groupBy("hw1", "hw2").agg(count(lit(1)).as("nbw"))

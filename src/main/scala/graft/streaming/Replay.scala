@@ -976,6 +976,64 @@ object Replay {
   def qs30StreamAudio(spark: SparkSession, dir: String): DataFrame =
     streamAudioFeatures(spark, stagedDocsLake(spark, dir))
 
+  /** Streaming Kneser-Ney — qd42's arrival-time form, extending the
+    * streaming LM family (qs17 DSIR, qs19/qs21 drift, qs22 CMS): each
+    * micro-batch tokenizes ONLY its own rows and appends its hashed
+    * bigram type-count delta — a Heaps'-bounded count monoid, the same
+    * sublinear-state argument as the batch table. The report folds the
+    * types and scores a snapshot of the arrived corpus with the batch
+    * form's factored tail (`knReport`), so every model quantity
+    * (context totals, continuation counts, the type total) derives
+    * from the folded monoid and the result equals qd42 exactly —
+    * shared oracle SQL. Restart contract as the family: batch-keyed
+    * overwrites, `alreadyFolded` skip; a double-folded batch inflates
+    * its bigrams' counts AND every derived quantity, which exact
+    * equality catches. */
+  def streamKneserNey(spark: SparkSession, dir: String,
+                      maxFilesPerTrigger: Int = 1,
+                      pathGlobFilter: String = "*.parquet",
+                      workDir: Option[String] = None,
+                      compactEvery: Int = 16): DataFrame = {
+    val work = resolveWork(workDir, "graft_skn")
+    val tySchema = StructType(Seq(
+      StructField("hu1", LongType), StructField("hu2", LongType),
+      StructField("hw1", LongType), StructField("hw2", LongType),
+      StructField("c", LongType)))
+    val state = new AppendOnlyState(work, Seq(("ty", tySchema)), compactEvery,
+      folds = Map("ty" -> ((df: DataFrame) =>
+        df.groupBy("hu1", "hu2", "hw1", "hw2").agg(sum("c").as("c")))))
+    val q = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", pathGlobFilter)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(dir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!state.alreadyFolded(batchId)) {
+          state.endBatch(batch.sparkSession, batchId,
+            "ty" -> graft.operators.TextOps.knPositions(batch)
+              .groupBy("hu1", "hu2", "hw1", "hw2")
+              .agg(count(lit(1)).as("c")))
+        }
+        maybePoison(batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val snapshot = spark.read.schema(docsSchema)
+      .option("pathGlobFilter", pathGlobFilter).parquet(dir)
+    graft.operators.TextOps.knReport(
+      graft.operators.TextOps.knPositions(snapshot),
+      state.read(spark, "ty").groupBy("hu1", "hu2", "hw1", "hw2")
+        .agg(sum("c").as("c")))
+  }
+
+  /** qs32 entry: Kneser-Ney over the shared staged docs lake; shares
+    * qd42's oracle SQL verbatim across the batch boundary. */
+  def qs32StreamKneserNey(spark: SparkSession, dir: String): DataFrame =
+    streamKneserNey(spark, stagedDocsLake(spark, dir))
+
   /** Streaming LEAKAGE-SAFE split — qd35's arrival-time form: documents
     * stream in, every micro-batch pays only its own near-dup kernel +
     * band probe (the `streamNearDup` machinery and its append-only

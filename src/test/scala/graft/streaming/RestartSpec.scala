@@ -375,6 +375,30 @@ class RestartSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streamKneserNey killed mid-run resumes and matches the batch scores") {
+    // the bigram type counts are an additive monoid — a double-folded
+    // batch inflates its bigrams' counts AND the derived context/
+    // continuation/type totals, shifting every document's score; exact
+    // equality with qd42 across a compaction catches it
+    val lake = docsLake()
+    val w = work("graft_restart_kn")
+    Replay.poisonAfterBatch = 1L
+    intercept[Exception] {
+      Replay.streamKneserNey(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w), compactEvery = 2)
+    }
+    assert(Replay.poisonAfterBatch == -1L, "poison should have fired")
+    def key(r: Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val streamed = Replay.streamKneserNey(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w), compactEvery = 2)
+      .collect().map(key).toSeq
+    val batch = graft.operators.TextOps
+      .qd42KneserNey(spark, SparkTestSession.sfDir)
+      .collect().map(key).toSeq
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streamAudio killed mid-run resumes and matches the batch features") {
     // features are append-only facts with no fold — a double-appended
     // batch duplicates media rows and breaks the one-row-per-clip
