@@ -729,7 +729,7 @@ object SparkEntry {
         |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
         |        c.cell) AS crk
         |    FROM q CROSS JOIN cents c
-        |  ) WHERE crk <= 2
+        |  ) WHERE crk <= ${Ann.DefaultNProbe}
         |), score AS (
         |  SELECT p.q_id, c.vec_id AS cand_id,
         |    CAST(list_sum(list_transform(range(1, len(qc.cl) + 1),

@@ -577,19 +577,18 @@ object TextOps {
     * and how many chunks it spans. Token counts use qd2's whitespace
     * tokenizer, so the two operators agree on what a token is.
     *
-    * One window cumsum over the corpus; integer arithmetic end to end,
-    * so the layout is deterministic and fully SQL-oracle-able. The
-    * global-order window is the honest semantic here; at 100 TB it
-    * becomes per-shard windows plus broadcast shard base offsets (one
-    * extra tiny agg) with the per-document math unchanged. */
+    * Integer arithmetic end to end, so the layout is deterministic and
+    * fully SQL-oracle-able. The corpus-order running total runs as a
+    * SHARDED two-phase cumsum (`shardedCumsum`): per-doc_id-range-shard
+    * hash-partitioned windows plus one broadcast base-offset frame —
+    * no corpus-proportional single-partition window anywhere in the
+    * plan, with per-document math (and the oracle) unchanged. */
   def qd20SequencePack(spark: SparkSession, dir: String,
                        budget: Int = DefaultPackBudget): DataFrame = {
-    val w = Window.orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs(spark, dir)
+    val counted = docs(spark, dir)
       .select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("tok_cnt"))
-      .withColumn("cum", sum("tok_cnt").over(w))
+    shardedCumsum(counted, "tok_cnt", Seq("doc_id"))
       .withColumn("tok_offset", col("cum") - col("tok_cnt"))
       .select(
         col("doc_id"), col("tok_cnt"), col("tok_offset"),
@@ -1148,6 +1147,47 @@ object TextOps {
   val DefaultBpeMerges = 32
   val DefaultPackBudget = 512
 
+  /** doc_ids per cumsum shard (shardedCumsum): small enough that the
+    * gate corpora exercise ≥2 shards (sf0.01 = 500 docs → 4 shards),
+    * large enough that the per-shard-totals frame is negligible. At
+    * 100 TB this is the knob: span ~2^20 docs keeps the totals frame
+    * at ~corpus/2^20 skinny rows while each shard's window stays a
+    * single executor's work. */
+  val DefaultCumsumShardSpan = 128L
+
+  /** Two-phase sharded cumulative running sum — the 100-TB form of a
+    * global-order cumsum, replacing the engine's last
+    * corpus-proportional single-partition window (qd20/qd38/qd39).
+    * Phase 1 cuts the stream into contiguous doc_id-range shards
+    * (`shard = orderCols.head div span` — contiguity is what lets
+    * shard order stand in for global order) and runs the running sum
+    * WITHIN each shard under a hash-partitioned window. Phase 2
+    * aggregates ONE skinny (shard, total) row per shard, prefix-sums
+    * that corpus/span-sized frame (the only remaining ordered window —
+    * ~10^4 rows at 10^10 docs with span 2^20), and broadcast-joins
+    * each shard's exclusive base offset back. `cum` = base + local
+    * running sum is exact integer math, so the result is byte-identical
+    * to the single-window form — proven by the unchanged qd20/qd38/qd39
+    * oracles (DuckDB computes the naive global window). */
+  private[graft] def shardedCumsum(df: DataFrame, valueCol: String,
+                                   orderCols: Seq[String],
+                                   span: Long = DefaultCumsumShardSpan): DataFrame = {
+    val sharded = df.withColumn("__shard", expr(s"${orderCols.head} div $span"))
+    val local = Window.partitionBy("__shard")
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val shardW = Window.orderBy("__shard")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = sharded.groupBy("__shard")
+      .agg(sum(valueCol).as("__tot"))
+      .withColumn("__base", sum("__tot").over(shardW) - col("__tot"))
+      .select("__shard", "__base")
+    sharded
+      .join(broadcast(bases), "__shard")
+      .withColumn("cum", col("__base") + sum(valueCol).over(local))
+      .drop("__shard", "__base")
+  }
+
   /** Lower 64 bits of md5(input) as an UNSIGNED decimal(20,0) — the
     * declarative (conv/substring, fully codegen'd) form of
     * `SimHash.md5Lower64String`, bit-equal to DuckDB's
@@ -1613,9 +1653,9 @@ object TextOps {
     * Scale shape: the subword id table is TINY (alphabet + ≤ nMerges
     * entries — collected and broadcast); term→ids is the Heaps'-law
     * vocabulary table broadcast exactly like qd29's encode join; the
-    * corpus pays one posexplode + one global-order cumsum window (the
-    * qd20 caveat: at 100 TB this becomes per-shard windows plus
-    * broadcast shard base offsets, per-row math unchanged) + ONE
+    * corpus pays one posexplode + one SHARDED two-phase cumsum
+    * (`shardedCumsum` — per-shard hash-partitioned windows plus a
+    * broadcast base-offset frame, no global-order task) + ONE
     * groupBy(seq_id) whose groups are budget-bounded, aggregated with
     * a sort-on-finish list (≤ budget elements per group, never a
     * corpus-wide sort). */
@@ -1668,8 +1708,9 @@ object TextOps {
   /** The (doc_id, pos, tid) global token-id stream qd38/qd39 pack:
     * BPE-encode every word under the depth-`nMerges` merge table, id
     * subwords by binary-collation rank, and position tokens by the
-    * corpus-order cumulative word offset (the qd20 window; per-shard
-    * windows + broadcast base offsets at 100 TB). */
+    * corpus-order cumulative word offset — computed with the SHARDED
+    * two-phase cumsum (`shardedCumsum`), so even the per-word
+    * positioned stream never funnels through one global-order task. */
   private def packedTokenStream(spark: SparkSession, dir: String,
                                 nMerges: Int): DataFrame = {
     import spark.implicits._
@@ -1682,10 +1723,9 @@ object TextOps {
       .select(col("doc_id"),
         posexplode(split(trim(col("text")), "\\s+")).as(Seq("widx", "term")))
       .filter(col("term") =!= "")
-    val wg = Window.orderBy("doc_id", "widx")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    stream.join(broadcast(termIds), Seq("term"))
-      .withColumn("woff", sum("n_syms").over(wg) - col("n_syms"))
+    shardedCumsum(stream.join(broadcast(termIds), Seq("term")),
+        "n_syms", Seq("doc_id", "widx"))
+      .withColumn("woff", col("cum") - col("n_syms"))
       .select(col("doc_id"), col("woff"),
         posexplode(col("ids")).as(Seq("sidx", "tid")))
       .select(col("doc_id"), (col("woff") + col("sidx")).as("pos"), col("tid"))

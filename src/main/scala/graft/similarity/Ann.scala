@@ -35,6 +35,7 @@ object Ann {
     * interpolates these into the mirrors, so a changed default can
     * never silently desync code and oracle). */
   val DefaultTopK = 5
+  val DefaultNProbe = 2
   val DefaultPrefixDims = 16
   val DefaultRerankCandidates = 50
   val DefaultMmrCandidates = 20
@@ -707,7 +708,8 @@ object Ann {
     * actually deploys: SQ8's near-exact recall at 1/4 the bytes, paying
     * only the probed fraction of the scan. */
   def qe20IvfSqTopk(spark: SparkSession, dir: String, k: Int = DefaultTopK,
-                    nprobe: Int = 2, maxQ: Int = DefaultMaxQueries): DataFrame = {
+                    nprobe: Int = DefaultNProbe,
+                    maxQ: Int = DefaultMaxQueries): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     val (codes, weights) = sqEncode(emb)
     val cents = localCentroids(emb)
@@ -748,7 +750,11 @@ object Ann {
       case Some(pr) =>
         val qIdx = qRows.map(_._1).zipWithIndex.toMap
         val rows = pr.collect()
-        val nCells = rows.map(_.getInt(1)).max + 1
+        // Size from the max probed cell but GUARD every kernel lookup by
+        // length (below): a candidate assigned to a never-probed cell with
+        // id beyond the probed max must be skipped, not crash the executor;
+        // an empty probe set yields all-empty bitmaps (every cand skipped).
+        val nCells = if (rows.isEmpty) 0 else rows.map(_.getInt(1)).max + 1
         val arr = Array.fill(qRows.length)(new Array[Boolean](nCells))
         rows.foreach(r => arr(qIdx(r.getLong(0)))(r.getInt(1)) = true)
         arr
@@ -772,7 +778,8 @@ object Ann {
         var qi = 0
         while (qi < nq) {
           val (qid, qc) = qs(qi)
-          if (qid != vid && (alw == null || alw(qi)(cell))) {
+          if (qid != vid && (alw == null ||
+              (cell >= 0 && cell < alw(qi).length && alw(qi)(cell)))) {
             var d2 = 0L
             var d = 0
             while (d < qc.length) {

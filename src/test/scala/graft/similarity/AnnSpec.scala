@@ -571,6 +571,32 @@ class AnnSpec extends AnyFunSuite {
     assert(low.nonEmpty && flatByQ.nonEmpty)
   }
 
+  test("IVF-SQ8 bitmap survives candidates in never-probed cells (r10 advice)") {
+    // nprobe = 1: queries concentrate on few cells, so some cells are
+    // probed by NO query — a candidate assigned to an unprobed cell with
+    // id beyond the max probed cell must be SKIPPED by the kernel's
+    // length guard, not crash the executor. Pre-guard this threw
+    // ArrayIndexOutOfBoundsException whenever such a cell existed.
+    val dir = SparkTestSession.sfDir
+    val got = Ann.qe20IvfSqTopk(spark, dir, nprobe = 1).collect()
+    assert(got.nonEmpty)
+    // every query still gets a full (or corpus-limited) top-k from its
+    // single probed cell
+    val perQ = got.groupBy(_.getLong(0)).values.map(_.length)
+    assert(perQ.forall(_ >= 1))
+    // non-vacuous synthetic form: candidate 99's cell (7) is beyond the
+    // max probed cell (0), so the bitmap is length 1 and only the length
+    // guard keeps the kernel alive; the unprobed candidate must not rank
+    import spark.implicits._
+    val codes = Seq((1L, Seq(0, 0), 0), (2L, Seq(10, 10), 0),
+      (99L, Seq(1, 1), 7)).toDF("vec_id", "codes", "cell")
+    val probed = Seq((1L, 0)).toDF("q_id", "cell")
+    val ranked = Ann.sqRank(codes, Array(1L, 1L),
+      Seq(Tuple1(1L)).toDF("vec_id"), k = 5, probed = Some(probed)).collect()
+    assert(ranked.map(_.getLong(2)).toSet == Set(2L),
+      "unprobed-cell candidate leaked into (or crashed) the ranking")
+  }
+
   test("nDCG/MRR grading matches an independent recompute over the SQ8 ranking") {
     val dir = SparkTestSession.sfDir
     val k = Ann.DefaultTopK
