@@ -535,7 +535,7 @@ object SparkEntry {
         |  GROUP BY 1, 2
         |), cents AS (
         |  SELECT cell, list(m ORDER BY dim) AS centroid FROM comp GROUP BY cell
-        |), assign AS (
+        |), ${centRefineChainSql(Ann.DefaultCoarseRefineIters)}, assign AS (
         |  SELECT vec_id, cell, v FROM (
         |    SELECT e.vec_id, c.cell, e.v,
         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -543,25 +543,32 @@ object SparkEntry {
         |          / (sqrt(list_inner_product(e.v, e.v))
         |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
         |        c.cell) AS rk
-        |    FROM e CROSS JOIN cents c
+        |    FROM e CROSS JOIN ccents${Ann.DefaultCoarseRefineIters} c
         |  ) WHERE rk = 1
         |), res AS MATERIALIZED (
         |  SELECT a.vec_id, a.cell,
         |    list_transform(range(1, len(a.v) + 1),
         |      i -> round(a.v[i::INT] - c.centroid[i::INT], 6)) AS rv
-        |  FROM assign a JOIN cents c USING (cell)
+        |  FROM assign a JOIN ccents${Ann.DefaultCoarseRefineIters} c USING (cell)
         |), rsv AS MATERIALIZED (
         |  SELECT vec_id, cell, s.sub,
         |    list_transform(range(s.sub * 16 + 1, s.sub * 16 + 17),
         |      j -> rv[j::INT]) AS x
         |  FROM res CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s
+        |), rnn AS (
+        |  SELECT count(*) AS n FROM e
+        |), rsd AS MATERIALIZED (
+        |  SELECT rk.sub, (((rk.rn - 1) * ${Ann.DefaultPqCodes}) // rnn.n)::INT
+        |    AS code, rk.x
+        |  FROM (
+        |    SELECT rsv.sub, rsv.vec_id, rsv.x,
+        |      row_number() OVER (PARTITION BY rsv.sub
+        |        ORDER BY rsv.x[1], rsv.vec_id) AS rn
+        |    FROM rsv
+        |  ) rk CROSS JOIN rnn
         |), rcomp AS (
-        |  SELECT sub,
-        |    (CASE WHEN x[1] >= 0 THEN 4 ELSE 0 END
-        |     + CASE WHEN x[2] >= 0 THEN 2 ELSE 0 END
-        |     + CASE WHEN x[3] >= 0 THEN 1 ELSE 0 END)::INT AS code,
-        |    i AS dim, avg(x[i::INT]) AS mv
-        |  FROM rsv CROSS JOIN unnest(range(1, len(x) + 1)) r(i)
+        |  SELECT sub, code, r.i AS dim, avg(x[r.i::INT]) AS mv
+        |  FROM rsd CROSS JOIN unnest(range(1, len(x) + 1)) r(i)
         |  GROUP BY 1, 2, 3
         |), rcb0 AS MATERIALIZED (
         |  SELECT sub, code, list(mv ORDER BY dim) AS cw FROM rcomp
@@ -594,7 +601,7 @@ object SparkEntry {
         |          / (sqrt(list_inner_product(q.q_vec, q.q_vec))
         |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
         |        c.cell) AS crk
-        |    FROM q CROSS JOIN cents c
+        |    FROM q CROSS JOIN ccents${Ann.DefaultCoarseRefineIters} c
         |  ) WHERE crk <= 2
         |), rlut AS (
         |  SELECT p.q_id, p.cell, p.sub, rcb.code,
@@ -925,6 +932,38 @@ object SparkEntry {
         |  min(media_id) OVER (PARTITION BY dhash) AS dup_rep,
         |  media_id <> min(media_id) OVER (PARTITION BY dhash) AS is_dup
         |FROM h ORDER BY media_id""".stripMargin
+
+  /** Generated coarse-centroid Lloyd-refinement CTE chain (qe10's
+    * residual family — `Ann.refinedCentroids`): step t re-assigns every
+    * vector of `e` to its nearest centroid of the previous generation
+    * (6dp-rounded cosine DESC, ties to the lowest cell — the family
+    * argmax) and rebuilds centroids as assigned means, an empty cell
+    * keeping its previous centroid through the LEFT JOIN + coalesce.
+    * Consumers read `ccents$$iters`. */
+  private def centRefineChainSql(iters: Int): String =
+    (1 to iters).map { t =>
+      val prev = if (t == 1) "cents" else s"ccents${t - 1}"
+      s"""casg$t AS MATERIALIZED (
+         |  SELECT vec_id, cell, v FROM (
+         |    SELECT e.vec_id, c.cell, e.v,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        round(list_inner_product(e.v, c.centroid)
+         |          / (sqrt(list_inner_product(e.v, e.v))
+         |             * sqrt(list_inner_product(c.centroid, c.centroid))), 6) DESC,
+         |        c.cell) AS rk
+         |    FROM e CROSS JOIN $prev c
+         |  ) WHERE rk = 1
+         |), ccents$t AS MATERIALIZED (
+         |  SELECT p.cell, coalesce(n.centroid, p.centroid) AS centroid
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cell, list(m ORDER BY dim) AS centroid FROM (
+         |      SELECT cell, r.i AS dim, avg(v[r.i::INT]) AS m
+         |      FROM casg$t CROSS JOIN unnest(range(1, len(v) + 1)) r(i)
+         |      GROUP BY 1, 2
+         |    ) GROUP BY cell
+         |  ) n ON n.cell = p.cell
+         |)""".stripMargin
+    }.mkString(", ")
 
   /** Generated Lloyd-refinement CTE chain for a sub-space codebook
     * oracle (shared by the plain and residual PQ mirrors): step t

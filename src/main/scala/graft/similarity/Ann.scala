@@ -140,6 +140,47 @@ object Ann {
       java.util.Arrays.asList(centsPlan.collect(): _*), centsPlan.schema)
   }
 
+  /** Coarse-centroid Lloyd refinement iterations for the RESIDUAL
+    * family (qe10), shared with the generated oracle CTE chain. On
+    * label-noise corpora the label-mean seed gives residuals no
+    * variance reduction (residual ≈ vector − global mean) — the r10/r11
+    * equal-m recall inversion; two refinement rounds make the cells
+    * GEOMETRIC, which is the precondition Jégou §IV-A's residual
+    * advantage actually rests on (measured at sf1: residual recall
+    * 0.0348 → 0.0425 vs plain PQ 0.0378 at nprobe=2). */
+  val DefaultCoarseRefineIters = 2
+
+  /** `iters` deterministic Lloyd rounds over the coarse centroids: each
+    * round re-assigns every vector by the family argmax (6dp-rounded
+    * cosine, ties to the lowest cell) and recomputes centroids as
+    * assigned means; a cell that loses every member keeps its previous
+    * centroid (refineCodebook's empty-cluster rule, mirrored by the
+    * oracle's LEFT JOIN + coalesce). One broadcast-argmax corpus pass +
+    * one skinny (cell, dim) aggregate per round; the centroid table
+    * stays a driver-held k×dim local relation throughout. */
+  private[graft] def refinedCentroids(emb: DataFrame,
+      iters: Int = DefaultCoarseRefineIters): DataFrame = {
+    val spark = emb.sparkSession
+    var cents = localCentroids(emb)
+    (1 to iters).foreach { _ =>
+      val refreshed = assignments(emb, cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("ps"))
+        .select(col("cell"), expr("transform(ps, p -> p.m)").as("centroid"))
+        .collect().map(r => r.get(0) -> r.getSeq[Double](1)).toMap
+      val merged = cents.collect().map { r =>
+        org.apache.spark.sql.Row(r.get(0),
+          refreshed.getOrElse(r.get(0), r.getSeq[Double](1)))
+      }
+      cents = spark.createDataFrame(
+        java.util.Arrays.asList(merged: _*), cents.schema)
+    }
+    cents
+  }
+
   /** Shared probe/rank tail: rank cells per query, restrict candidates to
     * the probed cells, exact cosine + top-k. `queriesIn` carries
     * (vec_id, embedding, …) rows — a raw filter or a capped sample. */
@@ -202,11 +243,47 @@ object Ann {
 
   private def canonDir(dir: String): String = graft.Tables.contentKey(dir)
 
-  /** Drop all memoized index locations (bench inter-pass hygiene; the
-    * dirs themselves are reclaimed by the JVM-exit cleanup). */
-  def clearCache(): Unit = idxCache.synchronized {
-    idxCache.values.forEach(_.clear())
-    idxCache.clear()
+  // Trained PQ codebooks, memoized per (session, corpus contents, family
+  // tag, m/subDim/iters/k) — VERDICT r10 #3: codebook training is
+  // per-MODEL-BUILD cost (a vector store trains once and serves every
+  // query), but qe8/qe9/qe10/qs18/qs20/qe14 each paid the k=64 × 2-round
+  // training inside their measured window. Training is deterministic, so
+  // every consumer reconstructs the identical m×k×(dim/m) local relation
+  // from the cached rows; contentKey misses on an in-place corpus
+  // rewrite exactly like the index memo above.
+  private val cbCache = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[
+      String, (org.apache.spark.sql.types.StructType,
+               Array[org.apache.spark.sql.Row])]]()
+
+  private def cbPerSession(spark: SparkSession) = cbCache.synchronized {
+    var m = cbCache.get(spark)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[
+        String, (org.apache.spark.sql.types.StructType,
+                 Array[org.apache.spark.sql.Row])]()
+      cbCache.put(spark, m)
+    }
+    m
+  }
+
+  /** Memo-key base for a corpus-trained codebook: contents fingerprint +
+    * family tag ("pq" raw vectors, "rpq" residuals). */
+  private[graft] def codebookMemoKey(dir: String, tag: String): String =
+    s"${graft.Tables.contentKey(dir)}|$tag"
+
+  /** Drop all memoized index locations and trained codebooks (bench
+    * inter-pass hygiene; the dirs themselves are reclaimed by the
+    * JVM-exit cleanup). */
+  def clearCache(): Unit = {
+    idxCache.synchronized {
+      idxCache.values.forEach(_.clear())
+      idxCache.clear()
+    }
+    cbCache.synchronized {
+      cbCache.values.forEach(_.clear())
+      cbCache.clear()
+    }
   }
 
   private[similarity] def knnIndexedRaw(spark: SparkSession, dir: String,
@@ -442,7 +519,8 @@ object Ann {
                 m: Int = 4, maxQ: Int = DefaultMaxQueries): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     val subDim = pqSubDim(emb, m)
-    val (cb, codes) = pqEncode(emb, m, subDim)
+    val (cb, codes) = pqEncode(emb, m, subDim,
+      Some(codebookMemoKey(dir, "pq")))
     adcTopk(querySample(emb, "vec_id % 25 = 0", maxQ), cb, codes, k, m, subDim)
   }
 
@@ -469,7 +547,8 @@ object Ann {
                    maxQ: Int = DefaultMaxQueries): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     val subDim = pqSubDim(emb, m)
-    val (cb, codes) = pqEncode(emb, m, subDim)
+    val (cb, codes) = pqEncode(emb, m, subDim,
+      Some(codebookMemoKey(dir, "pq")))
     val cents = localCentroids(emb)
     val assigned = assignments(emb, cents)
       .select(col("vec_id"), col("cell").cast("int").as("cell"))
@@ -495,7 +574,11 @@ object Ann {
     * codebook budget quantizes them much more finely — the property
     * that makes m = 4..8 usable at real recall (spec-asserted:
     * residual-PQ recall ≥ plain-PQ recall at equal m on clustered
-    * data). At query time each query builds a LUT per PROBED CELL from
+    * data). The coarse quantizer here is the Lloyd-REFINED centroid
+    * table (`refinedCentroids`), not the raw label means: residual
+    * encoding only wins when cells are geometric (see that scaladoc;
+    * the unique consumer, so the rest of the IVF family's label-mean
+    * oracle chains are untouched). At query time each query builds a LUT per PROBED CELL from
     * its own residual against that cell's centroid; candidates in that
     * cell rank by the integer ADC sum over their stored codes.
     *
@@ -509,11 +592,13 @@ object Ann {
     * residuals are zero-centered within their cell by construction, so
     * every label's mean residual collapses toward the origin and the
     * codebook degenerates (measured recall 0.15 — worse than plain PQ).
-    * Instead codewords are OCTANT-SIGN seeded means — code = the sign
-    * bits of the residual sub-vector's first three components (8
-    * geometric codes per sub-space), codeword = that octant's mean —
-    * a deterministic one-step structured quantizer that captures noise
-    * DIRECTION, which is exactly what within-cell ranking needs.
+    * Instead it is the SHARED k=64 rank-quantile + Lloyd trainer
+    * (`pqCodebook`) run ON THE RESIDUALS: the equal-mass 1-D quantile
+    * seed adapts to the residual distribution by construction (bins
+    * narrow where residuals concentrate), and the Lloyd rounds pull it
+    * into sub-space geometry — same training, same code budget as
+    * plain PQ, so the equal-m comparison isolates exactly the
+    * raw-vs-residual encoding question Jégou §IV-A answers.
     *
     * Plan shape: residuals are one broadcast(cents) join + zip_with —
     * no corpus shuffle; the codebook is an m×k×(dim/m) local relation;
@@ -524,14 +609,16 @@ object Ann {
   def qe10IvfPqResidualTopk(spark: SparkSession, dir: String, k: Int = 5,
                             m: Int = 4, nprobe: Int = 2,
                             maxQ: Int = DefaultMaxQueries): DataFrame =
-    ivfPqResidualTopk(Tables(spark, dir, "embeddings"), k, m, nprobe, maxQ)
+    ivfPqResidualTopk(Tables(spark, dir, "embeddings"), k, m, nprobe, maxQ,
+      Some(codebookMemoKey(dir, "rpq")))
 
   private[graft] def ivfPqResidualTopk(emb: DataFrame, k: Int, m: Int,
-                                       nprobe: Int, maxQ: Int): DataFrame = {
+                                       nprobe: Int, maxQ: Int,
+                                       memoKey: Option[String] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val subDim = pqSubDim(emb, m)
-    val cents = localCentroids(emb)
+    val cents = refinedCentroids(emb)
     // (vec_id, cell, rv): residual against the assigned cell's centroid,
     // 6dp per component — one broadcast join over the assigned corpus
     val res = assignments(emb, cents)
@@ -539,27 +626,16 @@ object Ann {
       .select(col("vec_id"), col("cell").cast("int").as("cell"),
         expr("zip_with(transform(v, x -> cast(x as double)), centroid," +
           " (a, b) -> round(a - b, 6))").as("embedding"))
-    // residual codebook: octant-sign seeded means (see scaladoc) —
-    // 8 geometric codes per sub-space from the 6dp-rounded residual
-    // sub-vectors, so the seed decision is identical in both engines
-    val rsv = subVectors(res.select(col("vec_id"), col("embedding")), m, subDim)
-    val octant = (when(element_at(col("x"), 1) >= 0, 4).otherwise(0)
-      + when(element_at(col("x"), 2) >= 0, 2).otherwise(0)
-      + when(element_at(col("x"), 3) >= 0, 1).otherwise(0)).cast("int")
-    val rcbPlan = rsv.withColumn("code", octant)
-      .select(col("sub"), col("code"), posexplode(col("x")).as(Seq("dim", "xv")))
-      .groupBy("sub", "code", "dim")
-      .agg(avg(col("xv")).as("mv"))
-      .groupBy("sub", "code")
-      .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("ps"))
-      .select(col("sub"), col("code"),
-        expr("transform(ps, p -> p.mv)").as("cw"))
-    val rcb0 = spark.createDataFrame(
-      java.util.Arrays.asList(rcbPlan.collect(): _*), rcbPlan.schema)
-    // the octant seed fixes noise DIRECTION; the shared Lloyd rounds
-    // then pull each octant's codeword to its actual members — same
-    // refinement contract (and oracle chain) as the plain codebook
-    val rcb = refineCodebook(rsv, rcb0, DefaultPqRefineIters)
+    // residual codebook: the SAME k=64 rank-quantile + Lloyd trainer as
+    // the plain codebook (pqCodebook), seeded from the RESIDUAL
+    // distribution — residual first components are the 6dp-rounded
+    // post-subtract values, so the rank order is engine-exact exactly
+    // like the raw-parquet first components are for qe8. (The r10
+    // octant seed's 8 codes gave residuals a 4096-cell budget against
+    // plain PQ's 64⁴ — the equal-m recall inversion VERDICT r10 #2;
+    // equal training, equal budget restores Jégou §IV-A's advantage.)
+    val rcb = pqCodebook(res.select(col("vec_id"), col("embedding")), m,
+      subDim, memoKey = memoKey)
     // encode residuals against the frozen residual codebook — the qe8
     // argmin shape (6dp round, ties to the lowest code)
     val codes = pqCodes(res.select(col("vec_id"), col("embedding")), rcb, m, subDim)
@@ -1146,9 +1222,10 @@ object Ann {
   /** PQ codebook (sub, code, cw) as a local relation plus the encoded
     * corpus (vec_id, codes ordered by sub) — the batch composition of
     * `pqCodebook` + `pqCodes`. */
-  private[similarity] def pqEncode(emb: DataFrame, m: Int,
-                                   subDim: Int): (DataFrame, DataFrame) = {
-    val cb = pqCodebook(emb, m, subDim)
+  private[similarity] def pqEncode(emb: DataFrame, m: Int, subDim: Int,
+                                   memoKey: Option[String] = None)
+      : (DataFrame, DataFrame) = {
+    val cb = pqCodebook(emb, m, subDim, memoKey = memoKey)
     (cb, pqCodes(emb, cb, m, subDim))
   }
 
@@ -1183,7 +1260,23 @@ object Ann {
     * quantizer contract. */
   private[graft] def pqCodebook(emb: DataFrame, m: Int, subDim: Int,
                                 iters: Int = DefaultPqRefineIters,
-                                k: Int = DefaultPqCodes): DataFrame = {
+                                k: Int = DefaultPqCodes,
+                                memoKey: Option[String] = None): DataFrame =
+    memoKey match {
+      case Some(base) =>
+        val spark = emb.sparkSession
+        val cached = cbPerSession(spark).computeIfAbsent(
+          s"$base|m=$m|sd=$subDim|it=$iters|k=$k", _ => {
+            val cb = trainPqCodebook(emb, m, subDim, iters, k)
+            (cb.schema, cb.collect()) // local relation — collect is free
+          })
+        spark.createDataFrame(
+          java.util.Arrays.asList(cached._2: _*), cached._1)
+      case None => trainPqCodebook(emb, m, subDim, iters, k)
+    }
+
+  private def trainPqCodebook(emb: DataFrame, m: Int, subDim: Int,
+                              iters: Int, k: Int): DataFrame = {
     val n = emb.count() // every sub-space has exactly n sub-vectors
     val sv = subVectors(emb, m, subDim)
     val rankW = Window.partitionBy("sub")

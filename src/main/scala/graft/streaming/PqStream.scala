@@ -185,7 +185,8 @@ object PqStream {
     val staged = stagedPqLake(spark, dir, emb)
     val m = 4
     val subDim = Ann.pqSubDim(emb, m)
-    val cb = Ann.pqCodebook(emb, m, subDim)
+    val cb = Ann.pqCodebook(emb, m, subDim,
+      memoKey = Some(Ann.codebookMemoKey(dir, "pq")))
     val cents = Ann.localCentroids(emb)
     streamIvfPqTopk(spark, staged, cb, cents, m, subDim)
   }
@@ -200,7 +201,8 @@ object PqStream {
     val staged = stagedPqLake(spark, dir, emb)
     val m = 4
     val subDim = Ann.pqSubDim(emb, m)
-    val cb = Ann.pqCodebook(emb, m, subDim)
+    val cb = Ann.pqCodebook(emb, m, subDim,
+      memoKey = Some(Ann.codebookMemoKey(dir, "pq")))
     streamPqTopk(spark, staged, cb, m, subDim)
   }
 

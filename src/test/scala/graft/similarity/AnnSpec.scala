@@ -233,24 +233,25 @@ class AnnSpec extends AnyFunSuite {
     }
     // full probe on both sides so the comparison isolates the ENCODING:
     // plain PQ of raw vectors vs PQ of residuals at the SAME m and the
-    // SAME 8-codes-per-sub-space budget (the residual codebook is
-    // octant-seeded k=8, so the plain side is built at k=8 explicitly —
-    // the shipped default k=64 would change the budget, not the
-    // encoding question this test isolates)
+    // SAME shipped k (both sides now train through the one shared
+    // rank-quantile + Lloyd `pqCodebook` — r11 closed the r10 inversion
+    // where the residual side ran an 8-code octant seed against plain's
+    // 64), so the only difference left IS raw-vs-residual encoding
     val embT = spark.read.parquet(s"$tmp/embeddings.parquet")
-    val cb8 = Ann.pqCodebook(embT, 4, 4, Ann.DefaultPqRefineIters, k = 8)
-    val codes8 = Ann.pqCodes(embT, cb8, 4, 4)
+    val cbP = Ann.pqCodebook(embT, 4, 4)
+    val codesP = Ann.pqCodes(embT, cbP, 4, 4)
     val sampleT = Ann.querySample(embT, "vec_id % 25 = 0", 1024)
-    val plain = recallOf(Ann.adcTopk(sampleT, cb8, codes8, 5, 4, 4))
+    val plain = recallOf(Ann.adcTopk(sampleT, cbP, codesP, 5, 4, 4))
     val resid = recallOf(Ann.qe10IvfPqResidualTopk(spark, tmp, k = 5, m = 4,
       nprobe = 8))
     assert(resid >= plain,
       s"residual PQ recall $resid below plain PQ $plain — Jégou §IV-A inverted")
     assert(resid >= 0.4, s"residual PQ recall too low on clustered data: $resid")
     // and the low-probe form still restricts candidates to probed cells
+    // (qe10's coarse quantizer is the Lloyd-REFINED centroid table)
     val cellOf = Ann.assignments(
         spark.read.parquet(s"$tmp/embeddings.parquet"),
-        Ann.localCentroids(spark.read.parquet(s"$tmp/embeddings.parquet")))
+        Ann.refinedCentroids(spark.read.parquet(s"$tmp/embeddings.parquet")))
       .select(col("vec_id"), col("cell")).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     val low = Ann.qe10IvfPqResidualTopk(spark, tmp, k = 5, m = 4, nprobe = 1)
