@@ -38,8 +38,9 @@ object Clusters {
     * distributed label-propagation loop (the 100 TB path) takes over. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           localThreshold: Long = 1000000L): DataFrame = {
-    val longPairs = pairs.selectExpr("cast(doc_a as long) doc_a",
-      "cast(doc_b as long) doc_b").localCheckpoint(true)
+    val longPairs = graft.plans.ScaleTechniques.iterCheckpoint(
+      pairs.selectExpr("cast(doc_a as long) doc_a",
+        "cast(doc_b as long) doc_b"))
     if (longPairs.count() <= localThreshold) return localCC(longPairs)
     val edges = longPairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(longPairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -81,10 +82,10 @@ object Clusters {
       // localCheckpoint breaks the lineage each round: without it the
       // logical plan nests one level per iteration and blows up planning
       // (an O(2^iters) plan tree — the iterative-algorithm trap)
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("comp"), coalesce(col("n_comp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+      val next = graft.plans.ScaleTechniques.iterCheckpoint(
+        labels.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("comp"), coalesce(col("n_comp"), col("comp"))).as("comp")))
       val nextTotal = labelTotal(next)
       // release the superseded generation: the iteration-0 `.cache()` is
       // dropped from the SQL cache here (it was never unpersisted before —

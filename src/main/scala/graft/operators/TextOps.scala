@@ -1103,11 +1103,11 @@ object TextOps {
     // one eager materialization of the expensive subtree: every
     // iteration (and the final degree join) reads these blocks, never
     // the tokenize→shingle→self-join lineage
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
-    val edgesDeg = edges.join(deg, "src")
-      .select(col("src"), col("dst"), col("deg"))
-      .localCheckpoint(true)
+    val deg = graft.plans.ScaleTechniques.iterCheckpoint(
+      edges.groupBy("src").agg(count(lit(1)).as("deg")))
+    val edgesDeg = graft.plans.ScaleTechniques.iterCheckpoint(
+      edges.join(deg, "src")
+        .select(col("src"), col("dst"), col("deg")))
     var r = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     (1 to iters).foreach { _ =>
       val inflow = edgesDeg
@@ -1120,9 +1120,9 @@ object TextOps {
       // truncates the rank lineage each step (superseded generations'
       // blocks are reclaimed by the ContextCleaner once the rebind
       // drops the last reference).
-      r = inflow.select(col("node"),
-        (lit(150000L) + col("inflow")).as("r"))
-        .localCheckpoint(true)
+      r = graft.plans.ScaleTechniques.iterCheckpoint(
+        inflow.select(col("node"),
+          (lit(150000L) + col("inflow")).as("r")))
     }
     r.join(deg.select(col("src").as("node"), col("deg")), "node")
       .select(col("node").as("doc_id"), col("deg").cast("long").as("degree"),

@@ -11,6 +11,28 @@ import org.apache.spark.sql.functions._
   */
 object ScaleTechniques {
 
+  /** Lineage truncation for ITERATIVE kernels (CC, PageRank, the MMR
+    * greedy trace): every round must break the plan chain or planning
+    * goes O(2^iters). `localCheckpoint(true)` is the right single-JVM
+    * idiom but is EXECUTOR-STORAGE-ONLY — on a real cluster an executor
+    * loss drops the blocks and the truncated lineage cannot recompute
+    * them, killing a long iterative job near its end. When the session
+    * sets `spark.graft.checkpointDir`, iterative kernels route through
+    * RELIABLE-storage checkpoints there instead (HDFS/S3 on a cluster);
+    * unset, the executor-local fast path is kept. The checkpoint is a
+    * plan LEAF either way, so downstream plans are identical — asserted
+    * by the CC spec that runs both modes to equal results. */
+  def iterCheckpoint(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.checkpointDir").filter(_.nonEmpty) match {
+      case Some(d) =>
+        val sc = spark.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(true)
+    }
+  }
+
   /** Size-gated presentation sort — safe at ANY output size. The naive
     * choices both fail at one end: `repartition(1).sortWithinPartitions`
     * funnels an unexpectedly large result through a single partition

@@ -407,7 +407,7 @@ object Ann {
       .filter(col("crk") <= c)
       .select(col("q_id"), col("cand_id"),
         round(col("psim") * 1e6).cast("long").as("rel_us"))
-      .localCheckpoint(true)
+      .transform(graft.plans.ScaleTechniques.iterCheckpoint)
     val cv = cands.join(
       emb.select(col("vec_id").as("cand_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v")),
@@ -419,7 +419,7 @@ object Ann {
         col("b.cand_id").as("cand_b"),
         round(round(cosine(col("a.v"), col("b.v")), 6) * 1e6)
           .cast("long").as("sim_us"))
-      .localCheckpoint(true)
+      .transform(graft.plans.ScaleTechniques.iterCheckpoint)
     val pickW = Window.partitionBy("q_id")
       .orderBy(col("score_us").desc, col("cand_id"))
     var sel = spark.createDataFrame(
@@ -454,7 +454,7 @@ object Ann {
         .filter(col("rk") === 1)
         .select(col("q_id"), col("cand_id"), lit(t.toLong).as("step"),
           col("rel_us"), col("score_us"))
-      sel = sel.unionByName(pick).localCheckpoint(true)
+      sel = graft.plans.ScaleTechniques.iterCheckpoint(sel.unionByName(pick))
     }
     sel.orderBy("q_id", "step")
   }

@@ -44,6 +44,32 @@ class ClustersSpec extends AnyFunSuite {
     assert(dist == local)
   }
 
+  test("reliable-storage checkpoint mode equals executor-local mode (CC)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pairs = ((1L until 12L).map(i => (i, i + 1)) ++
+      (0 until 150).map(_ => { val a = rnd.nextInt(80).toLong + 100L
+        val b = rnd.nextInt(80).toLong + 100L; (math.min(a, b), math.max(a, b)) })
+    ).filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+    // localThreshold = 0 forces the distributed label loop — the path
+    // whose per-iteration truncation the checkpoint mode actually routes
+    val base = Clusters.connectedComponents(pairs, localThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    try {
+      spark.conf.set("spark.graft.checkpointDir", ckptDir.toString)
+      val reliable = Clusters.connectedComponents(pairs, localThreshold = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(reliable == base)
+      // the run really went through RELIABLE storage: the dir holds the
+      // ReliableCheckpointRDD part files localCheckpoint never writes
+      def walk(f: java.io.File): Seq[java.io.File] =
+        Seq(f) ++ Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      assert(walk(ckptDir.toFile).exists(f => f.getName.startsWith("part-")),
+        "no reliable checkpoint files written — mode never engaged")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
   test("rep-graph CC equals member-level CC on the corpus") {
     // the optimized q33 (CC over collapsed representatives, members
     // attached after) must give exactly the clusters of CC over the full
