@@ -65,6 +65,7 @@ object SparkEntry {
     "qe18_pca_power"       -> ((s, d) => graft.similarity.Pca.qe18PcaPower(s, d)),
     // qe18's arrival-time form: dim^2 sum-monoid state, O(1) in corpus
     "qs29_stream_pca"      -> (graft.streaming.PqStream.qs29StreamPca _),
+    "qs33_stream_mmr"      -> (graft.streaming.PqStream.qs33StreamMmr _),
     // per-arrival-window embedding drift (qd31's embedding-space twin)
     "qe21_embedding_drift" -> ((s, d) => graft.similarity.Pca.qe21EmbeddingDrift(s, d)),
     // qe21's arrival-time form: O(windows x dim) sum-monoid state
@@ -205,6 +206,9 @@ object SparkEntry {
     "qe7_ann_recall"       -> ((s, d) => Ann.qe7AnnRecall(s, d)),
     // product-quantization ADC top-k (compressed-domain ANN)
     "qe8_pq_topk"          -> ((s, d) => Ann.qe8PqTopk(s, d)),
+    // cap BELOW the gate's Q (sf0.01: 20 sampled queries) so the hashed
+    // truncation order is what the hash-match actually exercises
+    "qe8_pq_topk_cap8"     -> ((s, d) => Ann.qe8PqTopk(s, d, maxQ = 8)),
     // qe8's arrival-time form: frozen codebook, append-only codes index
     "qs18_stream_pq"       -> (graft.streaming.PqStream.qs18StreamPq _),
     // IVF-PQ composition: probed cells restrict the integer ADC ranking
@@ -1384,7 +1388,15 @@ object SparkEntry {
         |FROM fl f LEFT JOIN ph ON ph.doc_id = f.doc_id
         |ORDER BY f.doc_id""".stripMargin
 
-  private val pqSql: String =
+  private val pqSql: String = pqSqlAt(Ann.DefaultMaxQueries)
+
+  /** qe8's oracle at an explicit query-sample cap — the default-cap
+    * instance serves qe8; the LOW-cap instance (cap < Q at the gate)
+    * oracle-proves the `querySample` truncation path itself: the hashed
+    * total order and LIMIT must pick the identical query subset in both
+    * engines, or every capped driver structure in the ADC family is
+    * only code-read, never hash-checked (VERDICT r10 #5). */
+  private def pqSqlAt(maxQ: Int): String =
     s"""WITH e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
         |), sv AS (
@@ -1424,7 +1436,7 @@ object SparkEntry {
         |  ) WHERE rk = 1
         |), qsel AS (
         |  SELECT vec_id FROM e WHERE vec_id % 25 = 0
-        |  ORDER BY (vec_id * 1000003) % 999983, vec_id LIMIT ${Ann.DefaultMaxQueries}
+        |  ORDER BY (vec_id * 1000003) % 999983, vec_id LIMIT $maxQ
         |), lut AS (
         |  SELECT c.vec_id AS q_id, c.sub, c.code,
         |    CAST(round(c.d2 * 1e6) AS BIGINT) AS d2us
@@ -3381,6 +3393,7 @@ object SparkEntry {
     // cand_id). d2 is expressed through list_inner_product — the
     // primitive already proven bit-equal to the engine's dot fold.
     "qe8_pq_topk" -> pqSql,
+    "qe8_pq_topk_cap8" -> pqSqlAt(8),
     // IVF-PQ composition: qs12's probe CTEs restrict qe8's integer ADC
     // ranking to each query's nprobe=2 cells
     "qe9_ivfpq_topk" -> ivfPqSql,
@@ -3423,6 +3436,10 @@ object SparkEntry {
     // qe15: k generated greedy MMR steps over the exact top-c stage —
     // every constant interpolates from Ann's own defaults
     "qe15_mmr_topk" -> mmrSql(Ann.DefaultTopK, Ann.DefaultMmrCandidates,
+      Ann.DefaultMmrLambdaPct),
+    // ONE SQL text serves the batch form and the streaming form (qs33
+    // runs the identical trace over the accumulated vector index)
+    "qs33_stream_mmr" -> mmrSql(Ann.DefaultTopK, Ann.DefaultMmrCandidates,
       Ann.DefaultMmrLambdaPct),
 
     "qe7_ann_recall" ->

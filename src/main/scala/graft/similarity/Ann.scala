@@ -396,8 +396,16 @@ object Ann {
   def qe15MmrTopk(spark: SparkSession, dir: String, k: Int = DefaultTopK,
                   c: Int = DefaultMmrCandidates,
                   lambdaPct: Int = DefaultMmrLambdaPct,
+                  maxQ: Int = DefaultMaxQueries): DataFrame =
+    mmrTopkFrom(Tables(spark, dir, "embeddings"), k, c, lambdaPct, maxQ)
+
+  /** qe15's trace over ANY (vec_id, embedding) frame — the streaming
+    * form (qs33) runs it over the accumulated vector index snapshot. */
+  private[graft] def mmrTopkFrom(emb: DataFrame, k: Int = DefaultTopK,
+                  c: Int = DefaultMmrCandidates,
+                  lambdaPct: Int = DefaultMmrLambdaPct,
                   maxQ: Int = DefaultMaxQueries): DataFrame = {
-    val emb = Tables(spark, dir, "embeddings")
+    val spark = emb.sparkSession
     val sample = querySample(emb, "vec_id % 25 = 0", maxQ)
     val crkW = Window.partitionBy("q_id").orderBy(col("psim").desc, col("cand_id"))
     val cands = graft.operators.VectorOps

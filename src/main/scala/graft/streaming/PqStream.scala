@@ -282,6 +282,68 @@ object PqStream {
         t
       })
 
+  /** Streaming MMR-diversified retrieval — qe15's arrival-time form
+    * and the last retrieval-family member without a streaming twin
+    * (VERDICT r10 #6, the qs27/qs28 pattern): vectors stream in, each
+    * micro-batch appends its OWN (vec_id, embedding) rows to the
+    * append-only vector index — O(batch) per batch, no model state to
+    * freeze because MMR is a pure function of the exact cosines — and
+    * a snapshot read runs qe15's margin-pruned top-c kernel + k-step
+    * integer greedy trace over the accumulated index (`mmrTopkFrom`).
+    * The trace is engine-deterministic (integer micro-cosines, λ as
+    * integer percents, ties to the lowest cand_id), so the report over
+    * the fully-arrived lake is byte-identical to qe15 over the same
+    * vectors and SHARES ITS ORACLE SQL VERBATIM across the two-file
+    * batch boundary: a query's candidate set and every greedy step can
+    * mix vectors that arrived in different batches.
+    *
+    * Restart contract as the codes-index siblings: batch-keyed
+    * overwrites + `alreadyFolded` skip (a double-appended batch would
+    * duplicate vectors, corrupting the pair frame's cand_a ≠ cand_b
+    * shape and every affected trace — which the shared oracle catches);
+    * kill-tested in RestartSpec. */
+  def streamMmr(spark: SparkSession, stagedDir: String,
+                k: Int = Ann.DefaultTopK,
+                c: Int = Ann.DefaultMmrCandidates,
+                lambdaPct: Int = Ann.DefaultMmrLambdaPct,
+                maxQ: Int = Ann.DefaultMaxQueries,
+                maxFilesPerTrigger: Int = 1,
+                compactEvery: Int = 16,
+                workDir: Option[String] = None): DataFrame = {
+    val work = workDir match {
+      case Some(w) =>
+        Files.createDirectories(java.nio.file.Paths.get(w)); w
+      case None =>
+        val t = Files.createTempDirectory("graft_smmr").toString
+        Replay.cleanupAtExit(t); t
+    }
+    val state = new AppendOnlyState(work, Seq(("vx", embStreamSchema)),
+      compactEvery)
+    val q = spark.readStream.schema(embStreamSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(stagedDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!state.alreadyFolded(batchId)) {
+          state.endBatch(batch.sparkSession, batchId,
+            "vx" -> batch.select(col("vec_id"), col("embedding")))
+        }
+        Replay.maybePoison(batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    Ann.mmrTopkFrom(state.read(spark, "vx"), k, c, lambdaPct, maxQ)
+  }
+
+  /** qs33 entry: streaming MMR over the shared two-file embeddings
+    * lake; shares qe15's oracle SQL verbatim across the batch
+    * boundary. */
+  def qs33StreamMmr(spark: SparkSession, dir: String): DataFrame =
+    streamMmr(spark, stagedPqLake(spark, dir, Tables(spark, dir, "embeddings")))
+
   private val pcaStreamSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType)),

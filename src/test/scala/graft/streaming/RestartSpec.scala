@@ -299,6 +299,34 @@ class RestartSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streamMmr killed mid-run resumes and matches the batch trace") {
+    // the vector index has no dedup at read — a double-appended batch
+    // duplicates its vectors, corrupting the pair frame and every
+    // affected greedy step; exact equality with qe15 catches it
+    val emb = graft.Tables(spark, SparkTestSession.sfDir, "embeddings")
+    val lake = java.nio.file.Files.createTempDirectory("graft_mmr_killlake").toString
+    Replay.cleanupAtExit(lake)
+    emb.select(col("vec_id"), col("embedding"))
+      .repartitionByRange(2, col("vec_id"))
+      .write.mode("overwrite").parquet(lake)
+    val w = work("graft_restart_mmr")
+    Replay.poisonAfterBatch = 0L
+    intercept[Exception] {
+      PqStream.streamMmr(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w), compactEvery = 1)
+    }
+    assert(Replay.poisonAfterBatch == -1L, "poison should have fired")
+    val streamed = PqStream.streamMmr(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w), compactEvery = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val batch = Ann.qe15MmrTopk(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streamEmbDrift killed mid-run resumes and matches the batch report") {
     // the (w, i) component sums are an additive monoid with no dedup —
     // a double-folded batch inflates its windows' sums AND the lifetime
