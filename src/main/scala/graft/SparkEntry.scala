@@ -175,6 +175,8 @@ object SparkEntry {
     "qm5_audio_features"   -> (Multimodal.qm5AudioFeatures _),
     // multimodal flagship: quality + exact + near-dup + image-dup gates
     "qm6_multimodal_curation" -> (Multimodal.qm6MultimodalCuration _),
+    "qm7_mp4_metadata"     -> (Multimodal.qm7Mp4Metadata _),
+    "qm8_mp3_adts_metadata" -> (Multimodal.qm8Mp3AdtsMetadata _),
     // qm6's arrival-time form: one stream, both curation indices per batch
     "qs26_stream_curation" -> (Replay.qs26StreamCuration _),
     "qs8_winnow_candidates" -> (graft.text.Fingerprint.fingerprintCandidates(_, _)),
@@ -3363,6 +3365,58 @@ object SparkEntry {
     // every feature.
     "qm5_audio_features" -> audioFeaturesSql,
     "qs30_stream_audio" -> audioFeaturesSql,
+
+    // qm7: the synthesized ISO-BMFF containers' parameters are pure
+    // integer functions of the document row, so the oracle recomputes
+    // them in closed form — the hash matches only when the engine's
+    // recursive box walk (version-aware mvhd offsets, stsd entry walk,
+    // computed nested sizes) is byte-faithful. container_bytes is the
+    // exact writer layout: fixed boxes (221 with the 2-track v0 moov on
+    // even ids, 167 with the 1-track v1 moov on odd) + the document's
+    // UTF-8 bytes riding in the opaque skip box.
+    "qm7_mp4_metadata" ->
+      """SELECT doc_id AS media_id,
+        |  'isom' AS brand,
+        |  90000::BIGINT AS timescale,
+        |  (n_chars * 900)::BIGINT AS duration_units,
+        |  (n_chars * 10)::BIGINT AS duration_ms,
+        |  (2 - doc_id % 2)::BIGINT AS n_tracks,
+        |  concat(CASE WHEN (doc_id // 2) % 2 = 0 THEN 'avc1' ELSE 'hvc1' END,
+        |         CASE WHEN doc_id % 2 = 0 THEN ' mp4a' ELSE '' END) AS codecs,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 221 ELSE 167 END
+        |   + octet_length(encode(text)))::BIGINT AS container_bytes
+        |FROM documents WHERE doc_id % 3 = 1
+        |ORDER BY media_id""".stripMargin,
+
+    // qm8: like qm7, the synthesized MP3/ADTS streams' parameters are
+    // pure integer functions of the document row, recomputed in closed
+    // form — the stream_bytes column folds the Layer III length formula
+    // (144000·br/sr per frame + one padding byte per odd frame index,
+    // after the 10-byte ID3 header + the document's bytes in the tag)
+    // and the ADTS per-frame length (7-byte header + 1 + id mod 7
+    // payload), so the hash matches only when the engine's frame walk
+    // strides those exact lengths.
+    "qm8_mp3_adts_metadata" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    octet_length(encode(text)) AS tb,
+        |    CASE ((doc_id // 2) % 3) WHEN 0 THEN 44100
+        |         WHEN 1 THEN 48000 ELSE 32000 END AS sr,
+        |    CASE ((doc_id // 2) % 4) WHEN 0 THEN 128 WHEN 1 THEN 192
+        |         WHEN 2 THEN 320 ELSE 64 END AS br,
+        |    3 + doc_id % 5 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'mp3' ELSE 'adts' END AS container,
+        |  sr::BIGINT AS sample_rate,
+        |  (CASE WHEN doc_id % 2 = 0 THEN br ELSE 0 END)::BIGINT AS bitrate_kbps,
+        |  nf::BIGINT AS n_frames,
+        |  (CASE WHEN doc_id % 2 = 0 THEN nf * 1152 * 1000 // sr
+        |        ELSE nf * 1024 * 1000 // sr END)::BIGINT AS duration_ms,
+        |  (CASE WHEN doc_id % 2 = 0
+        |        THEN 10 + tb + nf * (144000 * br // sr) + nf // 2
+        |        ELSE nf * (8 + doc_id % 7) END)::BIGINT AS stream_bytes
+        |FROM a ORDER BY media_id""".stripMargin,
 
     "qm3_video_frames" ->
       """SELECT doc_id AS media_id,

@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
   * remain out of JVM reach without native libs — that is the one
   * residual simulation, and it is confined to the payload-decode leaf:
   * schema, binary encoding, partition-wise batch shape, and the
-  * feature contract are the production path either way.
+  * feature contract are the production path either way. The `.mp4`
+  * CONTAINER, by contrast, is first-class: qm7 walks real ISO-BMFF
+  * box trees (`Mp4Box`) for duration/track/codec metadata, so only
+  * FRAME decode of the reference store is simulated, never its
+  * container handling.
   *
   * Scale shape: all transforms are narrow (no shuffle); feature
   * extraction is a per-partition batch loop, the JVM analog of a Pandas
@@ -462,6 +466,119 @@ object Multimodal {
       }
       .toDF("media_id", "sample_rate", "n_samples", "peak", "sum_abs",
         "zero_crossings")
+  }
+
+  /** qm7: `.mp4` container metadata — the honesty probe for the
+    * reference's ACTUAL video store (H.264-in-MP4; see `Mp4Box`). Every
+    * video row synthesizes a structurally-valid ISO-BMFF file whose
+    * parameters derive deterministically from the document — movie
+    * timescale 90000 (the video convention), duration = n_chars × 10 ms
+    * in those units, track layout 1 + (id mod 2) tracks with the video
+    * codec fourcc alternating avc1/hvc1 on (id div 2) and an mp4a audio
+    * track on even ids, mvhd version alternating 0/1 so BOTH header
+    * layouts are exercised, and the document's own bytes riding in the
+    * opaque `skip` box the walker must step over — then probes it back
+    * through the REAL recursive box walk and reports what it found.
+    * Integer end to end (duration_ms = units × 1000 div timescale), so
+    * the oracle recomputes everything in closed form from the document
+    * row; the hash only matches when the box tree, the version-aware
+    * mvhd offsets, and the stsd entry walk are all faithful — any
+    * size/offset bug lands the walker off a box boundary and the row
+    * drops to None (asserted none do).
+    *
+    * Plan shape: one narrow per-partition codec pass, no shuffle before
+    * the presentation sort — the qm3/qm5 geometry; per-row cost is the
+    * box walk, O(payload). */
+  def qm7Mp4Metadata(spark: SparkSession, dir: String): DataFrame =
+    mp4Frame(Tables(spark, dir, "documents")).orderBy("media_id")
+
+  /** The per-row `.mp4` kernel shared by qm7 and its streaming form
+    * (qs34) — synthesize, then probe back through the real recursive
+    * box walk. Pure per-row map, O(payload) per row. */
+  private[graft] def mp4Frame(docsDf: DataFrame): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    docsDf
+      .filter(pmod(col("doc_id"), lit(3)) === 1) // the media table's video rows
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text, nChars) =>
+          val timescale = 90000L
+          val units = nChars * 10L * 90L // n_chars × 10 ms at 90 kHz
+          val codecs = (if ((id / 2) % 2 == 0) Seq("avc1") else Seq("hvc1")) ++
+            (if (id % 2 == 0) Seq("mp4a") else Nil)
+          val mp4 = Mp4Box.write(timescale, units, codecs,
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            mvhdVersion = (id % 2).toInt)
+          val (brand, ts, dur, nTracks, found) = Mp4Box.probe(mp4)
+            .getOrElse(throw new IllegalStateException(
+              s"walker rejected its own container for doc $id"))
+          (id, brand, ts, dur, dur * 1000L / ts, nTracks.toLong,
+            found.mkString(" "), mp4.length.toLong)
+        }
+      }
+      .toDF("media_id", "brand", "timescale", "duration_units",
+        "duration_ms", "n_tracks", "codecs", "container_bytes")
+  }
+
+  /** qm8: MP3/ADTS stream metadata — the AUDIO half of the qm7 honesty
+    * probe (see `MpegAudio`): perceptual MP3/AAC decode needs native
+    * codecs, but the framing layer is pure bit-packed structure, so the
+    * engine extracts bitrate/rate/frame-count/exact-duration metadata
+    * from real bytes. Every audio row synthesizes a structurally-valid
+    * stream with parameters derived deterministically from the document
+    * — even ids an ID3v2-tagged MPEG-1 Layer III CBR stream (bitrate
+    * cycling 128/192/320/64 kbps, the document's bytes riding in the
+    * ID3 tag, padding alternating per frame), odd ids an AAC-LC ADTS
+    * stream (1 + id mod 7 payload bytes per frame), both cycling
+    * 44.1/48/32 kHz — then walks it back frame by frame through the
+    * REAL parser and reports what the walk found. Integer end to end,
+    * so the oracle recomputes everything in closed form; the hash only
+    * matches when the frame-length arithmetic (the padding-bit stride,
+    * the 13-bit ADTS length split) is byte-faithful — any stride bug
+    * desyncs the walker and the row drops to None (asserted none do).
+    *
+    * Plan shape: one narrow per-partition codec pass, no shuffle before
+    * the presentation sort — the qm3/qm5/qm7 geometry. */
+  def qm8Mp3AdtsMetadata(spark: SparkSession, dir: String): DataFrame =
+    mpegAudioFrame(Tables(spark, dir, "documents")).orderBy("media_id")
+
+  /** The per-row MP3/ADTS kernel shared by qm8 and its streaming form:
+    * synthesize, then probe back through the real frame walk. */
+  private[graft] def mpegAudioFrame(docsDf: DataFrame): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    docsDf
+      .filter(pmod(col("doc_id"), lit(3)) === 2) // the media table's audio rows
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val sr = Array(44100, 48000, 32000)(((id / 2) % 3).toInt)
+          val nf = (3 + id % 5).toInt
+          if (id % 2 == 0) {
+            val br = Array(128, 192, 320, 64)(((id / 2) % 4).toInt)
+            val mp3 = MpegAudio.writeMp3(br, sr, nf,
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val (gbr, gsr, n, durMs, _) = MpegAudio.probeMp3(mp3)
+              .getOrElse(throw new IllegalStateException(
+                s"walker rejected its own mp3 for doc $id"))
+            (id, "mp3", gsr.toLong, gbr.toLong, n, durMs, mp3.length.toLong)
+          } else {
+            // the writer's freq-index form of the same rate cycle
+            val freqIdx = sr match { case 44100 => 4; case 48000 => 3
+                                     case _ => 5 }
+            val adts = MpegAudio.writeAdts(freqIdx, 1 + ((id / 4) % 2).toInt,
+              nf, 1 + (id % 7).toInt)
+            val (_, gsr, _, n, durMs) = MpegAudio.probeAdts(adts)
+              .getOrElse(throw new IllegalStateException(
+                s"walker rejected its own adts for doc $id"))
+            (id, "adts", gsr.toLong, 0L, n, durMs, adts.length.toLong)
+          }
+        }
+      }
+      .toDF("media_id", "container", "sample_rate", "bitrate_kbps",
+        "n_frames", "duration_ms", "stream_bytes")
   }
 
   /** Max |decoded − painted| mean-luma drift qm3 tolerates per frame.
