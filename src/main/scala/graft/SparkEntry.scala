@@ -177,6 +177,7 @@ object SparkEntry {
     "qm6_multimodal_curation" -> (Multimodal.qm6MultimodalCuration _),
     "qm7_mp4_metadata"     -> (Multimodal.qm7Mp4Metadata _),
     "qm8_mp3_adts_metadata" -> (Multimodal.qm8Mp3AdtsMetadata _),
+    "qm9_h264_dimensions"  -> (Multimodal.qm9H264Dimensions _),
     // qm6's arrival-time form: one stream, both curation indices per batch
     "qs26_stream_curation" -> (Replay.qs26StreamCuration _),
     "qs8_winnow_candidates" -> (graft.text.Fingerprint.fingerprintCandidates(_, _)),
@@ -3385,6 +3386,21 @@ object SparkEntry {
         |         CASE WHEN doc_id % 2 = 0 THEN ' mp4a' ELSE '' END) AS codecs,
         |  (CASE WHEN doc_id % 2 = 0 THEN 221 ELSE 167 END
         |   + octet_length(encode(text)))::BIGINT AS container_bytes
+        |FROM documents WHERE doc_id % 3 = 1
+        |ORDER BY media_id""".stripMargin,
+
+    // qm9: profile/level/display-size are pure integer functions of the
+    // document row; the engine can only reproduce them by round-tripping
+    // a real Exp-Golomb SPS through the avcC box stack (width/height
+    // fold the §7.4.2.1.1 crop arithmetic: coded macroblock size minus
+    // 2 px per crop unit at 4:2:0).
+    "qm9_h264_dimensions" ->
+      """SELECT doc_id AS media_id,
+        |  (CASE WHEN (doc_id // 2) % 2 = 0 THEN 66 ELSE 100 END)::BIGINT
+        |    AS profile_idc,
+        |  (30 + doc_id % 3)::BIGINT AS level_idc,
+        |  (16 * (1 + doc_id % 8) - 2 * (doc_id % 5))::BIGINT AS width,
+        |  (16 * (1 + doc_id % 6) - 2 * (doc_id % 4))::BIGINT AS height
         |FROM documents WHERE doc_id % 3 = 1
         |ORDER BY media_id""".stripMargin,
 

@@ -71,7 +71,8 @@ object Mp4Box {
     * trailing opaque `udta`. Every size is computed, so a parser that
     * mis-walks any level lands off a box boundary. */
   def write(timescale: Long, duration: Long, codecs: Seq[String],
-            skipPayload: Array[Byte], mvhdVersion: Int = 0): Array[Byte] = {
+            skipPayload: Array[Byte], mvhdVersion: Int = 0,
+            avcSps: Option[Array[Byte]] = None): Array[Byte] = {
     require(mvhdVersion == 0 || mvhdVersion == 1, s"mvhd v$mvhdVersion")
     require(codecs.forall(_.length == 4), "codec fourccs must be 4 bytes")
     val ftyp = box("ftyp", bytes { o =>
@@ -93,10 +94,43 @@ object Mp4Box {
       putU32(o, 0x01000000L)               // volume 1.0 + reserved
     })
     val traks = codecs.map { cc =>
-      val entry = box(cc, bytes { o =>
-        o.write(new Array[Byte](6))        // reserved
-        putU32(o, 0x00010000L)             // data_reference_index + pad
-      })
+      val entry =
+        if (cc == "avc1" && avcSps.isDefined) {
+          // full ISO 14496-12 §12.1.3 VisualSampleEntry (78-byte body)
+          // with an ISO 14496-15 §5.3.3 avcC child carrying the SPS —
+          // the layout real muxers emit, so the prober's fixed 78-byte
+          // step to the extension boxes is exercised against the spec
+          val sps = avcSps.get
+          val avcC = box("avcC", bytes { o =>
+            o.write(1)                     // configurationVersion
+            o.write(sps(1) & 0xff)         // AVCProfileIndication
+            o.write(0)                     // profile_compatibility
+            o.write(sps(3) & 0xff)         // AVCLevelIndication
+            o.write(0xff)                  // reserved | lengthSizeMinusOne
+            o.write(0xe1)                  // reserved | numOfSPS = 1
+            o.write((sps.length >>> 8) & 0xff); o.write(sps.length & 0xff)
+            o.write(sps)
+            o.write(0)                     // numOfPPS
+          })
+          box(cc, bytes { o =>
+            o.write(new Array[Byte](6))    // reserved
+            o.write(0); o.write(1)         // data_reference_index
+            o.write(new Array[Byte](16))   // pre_defined/reserved
+            o.write(0); o.write(0)         // width (0: SPS governs)
+            o.write(0); o.write(0)         // height
+            putU32(o, 0x00480000L)         // 72 dpi horiz
+            putU32(o, 0x00480000L)         // 72 dpi vert
+            putU32(o, 0L)                  // reserved
+            o.write(0); o.write(1)         // frame_count
+            o.write(new Array[Byte](32))   // compressorname
+            o.write(0); o.write(0x18)      // depth 24
+            o.write(0xff); o.write(0xff)   // pre_defined −1
+            o.write(avcC)
+          })
+        } else box(cc, bytes { o =>
+          o.write(new Array[Byte](6))      // reserved
+          putU32(o, 0x00010000L)           // data_reference_index + pad
+        })
       val stsd = box("stsd", bytes { o =>
         putU32(o, 0L)                      // version + flags
         putU32(o, 1L)                      // entry count
@@ -115,11 +149,27 @@ object Mp4Box {
     * (majorBrand, timescale, duration, nTracks, codec fourccs in trak
     * order). None on anything malformed — truncated boxes, missing
     * ftyp/moov/mvhd, sizes past the buffer. */
-  def probe(b: Array[Byte]): Option[(String, Long, Long, Int, Seq[String])] = {
+  def probe(b: Array[Byte]): Option[(String, Long, Long, Int, Seq[String])] =
+    walkAll(b).map { case (brand, ts, dur, n, codecs, _) =>
+      (brand, ts, dur, n, codecs)
+    }
+
+  /** The SPS NAL carried by the first `avc1` sample entry's `avcC`
+    * box, if present — the full-fidelity path a VisualSampleEntry
+    * layout exercises: fixed 78-byte entry body, then a child-box scan
+    * for `avcC`, then the 14496-15 config layout (version, profile,
+    * lengthSize, SPS count + u16-length-prefixed NAL). None when the
+    * container is malformed OR the entry carries no decoder config. */
+  def probeAvcSps(b: Array[Byte]): Option[Array[Byte]] =
+    walkAll(b).flatMap(_._6)
+
+  private def walkAll(b: Array[Byte])
+  : Option[(String, Long, Long, Int, Seq[String], Option[Array[Byte]])] = {
     var brand: String = null
     var timescale = -1L; var duration = -1L
     var nTracks = 0
     val codecs = scala.collection.mutable.ArrayBuffer.empty[String]
+    var sps: Option[Array[Byte]] = None
     var bad = false
     def walk(from: Int, to: Int, inStsd: Boolean): Unit = {
       var off = from
@@ -153,6 +203,27 @@ object Mp4Box {
             walk(body, end, inStsd = false)
           case _ if inStsd =>
             codecs += tpe // direct child of stsd = a sample entry
+            // a VisualSampleEntry-sized avc1 may carry extension boxes
+            // past its fixed 78-byte body; scan them for the avcC
+            if (tpe == "avc1" && sps.isEmpty && size >= 8 + 78 + 8) {
+              var coff = body + 78
+              while (coff + 8 <= end && sps.isEmpty) {
+                val csize = u32(b, coff)
+                if (csize < 8 || coff + csize > end) { bad = true; return }
+                if (fourcc(b, coff + 4) == "avcC") {
+                  val cb = coff + 8
+                  // version, profile, compat, level, lenSize, count
+                  if (csize >= 8 + 6 + 2 &&
+                      (b(cb) & 0xff) == 1 && (b(cb + 5) & 0x1f) >= 1) {
+                    val spsLen = ((b(cb + 6) & 0xff) << 8) | (b(cb + 7) & 0xff)
+                    if (cb + 8 + spsLen <= coff + csize)
+                      sps = Some(java.util.Arrays.copyOfRange(
+                        b, cb + 8, cb + 8 + spsLen))
+                  }
+                }
+                coff += csize.toInt
+              }
+            }
           case _ => // opaque box (skip/udta/mdat/...) — step over
         }
         off = end
@@ -161,6 +232,6 @@ object Mp4Box {
     if (b.length < 8) return None
     walk(0, b.length, inStsd = false)
     if (bad || brand == null || timescale < 0 || duration < 0) None
-    else Some((brand, timescale, duration, nTracks, codecs.toSeq))
+    else Some((brand, timescale, duration, nTracks, codecs.toSeq, sps))
   }
 }

@@ -581,6 +581,57 @@ object Multimodal {
         "n_frames", "duration_ms", "stream_bytes")
   }
 
+  /** qm9: H.264 stream self-description — the deepest honesty-probe
+    * layer (see `H264Sps`): every video row synthesizes a REAL SPS NAL
+    * (Exp-Golomb bit syntax, profile-conditional chroma block,
+    * crop window, emulation prevention), embeds it in a full
+    * VisualSampleEntry + `avcC` box inside the qm7 container, then
+    * reads its own dimensions back through the full stack — box walk →
+    * 78-byte entry step → avcC config layout → EP removal → bit-exact
+    * §7.3.2.1 parse → §7.4.2.1.1 crop-unit arithmetic. Parameters
+    * derive deterministically from the document: profile alternating
+    * Baseline 66 / High 100 (so the conditional chroma block is
+    * exercised BOTH ways), level 30 + id mod 3, coded size
+    * (1 + id mod 8) × (1 + id mod 6) macroblocks, crop id mod 5 ×
+    * id mod 4 units (2 px each at 4:2:0). Integer end to end; the hash
+    * only matches when every layer of the stack is bit-faithful.
+    *
+    * Plan shape: one narrow per-partition codec pass — the qm3/qm7/qm8
+    * geometry. */
+  def qm9H264Dimensions(spark: SparkSession, dir: String): DataFrame =
+    h264Frame(Tables(spark, dir, "documents")).orderBy("media_id")
+
+  /** The per-row SPS kernel shared by qm9 and its streaming form:
+    * synthesize SPS → embed in avcC → probe + parse back. */
+  private[graft] def h264Frame(docsDf: DataFrame): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    docsDf
+      .filter(pmod(col("doc_id"), lit(3)) === 1) // the media table's video rows
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text, nChars) =>
+          val sps = H264Sps.write(
+            profileIdc = if ((id / 2) % 2 == 0) 66 else 100,
+            levelIdc = (30 + id % 3).toInt,
+            widthMbs = (1 + id % 8).toInt,
+            heightMbs = (1 + id % 6).toInt,
+            cropRightUnits = (id % 5).toInt,
+            cropBottomUnits = (id % 4).toInt)
+          val mp4 = Mp4Box.write(90000L, nChars * 900L, Seq("avc1"),
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            mvhdVersion = (id % 2).toInt, avcSps = Some(sps))
+          val (profile, level, w, h) = Mp4Box.probeAvcSps(mp4)
+            .flatMap(H264Sps.parse)
+            .getOrElse(throw new IllegalStateException(
+              s"SPS stack rejected its own stream for doc $id"))
+          (id, profile.toLong, level.toLong, w.toLong, h.toLong)
+        }
+      }
+      .toDF("media_id", "profile_idc", "level_idc", "width", "height")
+  }
+
   /** Max |decoded − painted| mean-luma drift qm3 tolerates per frame.
     * A solid frame survives baseline JPEG almost exactly (DC-only
     * blocks; the error is DC quantization ± chroma rounding, ~1–2

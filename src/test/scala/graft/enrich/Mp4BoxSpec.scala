@@ -34,6 +34,22 @@ class Mp4BoxSpec extends AnyFunSuite {
     assert(dur == 42L && n == 1 && codecs == Seq("avc1"))
   }
 
+  test("avcC-bearing avc1 entries round-trip the SPS; plain probe unchanged") {
+    val sps = H264Sps.write(100, 31, 8, 6, cropRightUnits = 2)
+    val mp4 = Mp4Box.write(90000L, 9000L, Seq("avc1", "mp4a"),
+      "payload".getBytes, mvhdVersion = 0, avcSps = Some(sps))
+    // the container walk still reads the same metadata around the
+    // now-78-byte visual entry + its extension box
+    val Some((brand, ts, dur, n, codecs)) = Mp4Box.probe(mp4)
+    assert(brand == "isom" && ts == 90000L && dur == 9000L)
+    assert(n == 2 && codecs == Seq("avc1", "mp4a"))
+    // and the avcC scan surfaces the SPS byte-for-byte
+    assert(Mp4Box.probeAvcSps(mp4).exists(_.sameElements(sps)))
+    // no decoder config → None, not a crash
+    val bare = Mp4Box.write(90000L, 9000L, Seq("avc1"), Array.emptyByteArray)
+    assert(Mp4Box.probe(bare).isDefined && Mp4Box.probeAvcSps(bare).isEmpty)
+  }
+
   test("malformed input returns None, never throws") {
     val good = Mp4Box.write(1000L, 42L, Seq("avc1"), Array.emptyByteArray)
     assert(Mp4Box.probe(Array.emptyByteArray).isEmpty)
