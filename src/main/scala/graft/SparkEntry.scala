@@ -178,6 +178,9 @@ object SparkEntry {
     "qm7_mp4_metadata"     -> (Multimodal.qm7Mp4Metadata _),
     "qm8_mp3_adts_metadata" -> (Multimodal.qm8Mp3AdtsMetadata _),
     "qm9_h264_dimensions"  -> (Multimodal.qm9H264Dimensions _),
+    // qm7's arrival-time form: per-batch box walks into an append-only
+    // metadata index
+    "qs34_stream_mp4"      -> (Replay.qs34StreamMp4 _),
     // qm6's arrival-time form: one stream, both curation indices per batch
     "qs26_stream_curation" -> (Replay.qs26StreamCuration _),
     "qs8_winnow_candidates" -> (graft.text.Fingerprint.fingerprintCandidates(_, _)),
@@ -1200,6 +1203,29 @@ object SparkEntry {
       |  doc_id, rrf_score, sparse_rank, dense_rank
       |FROM (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10)
       |ORDER BY rank""".stripMargin
+
+  /** qm7/qs34 shared oracle (one SQL text serves both keys): the
+    * synthesized ISO-BMFF containers' parameters are pure integer
+    * functions of the document row, so the oracle recomputes them in
+    * closed form — the hash matches only when the engine's recursive
+    * box walk (version-aware mvhd offsets, stsd entry walk, computed
+    * nested sizes) is byte-faithful. container_bytes is the exact
+    * writer layout: fixed boxes (221 with the 2-track v0 moov on even
+    * ids, 167 with the 1-track v1 moov on odd) + the document's UTF-8
+    * bytes riding in the opaque skip box. */
+  private val mp4MetadataSql: String =
+    """SELECT doc_id AS media_id,
+      |  'isom' AS brand,
+      |  90000::BIGINT AS timescale,
+      |  (n_chars * 900)::BIGINT AS duration_units,
+      |  (n_chars * 10)::BIGINT AS duration_ms,
+      |  (2 - doc_id % 2)::BIGINT AS n_tracks,
+      |  concat(CASE WHEN (doc_id // 2) % 2 = 0 THEN 'avc1' ELSE 'hvc1' END,
+      |         CASE WHEN doc_id % 2 = 0 THEN ' mp4a' ELSE '' END) AS codecs,
+      |  (CASE WHEN doc_id % 2 = 0 THEN 221 ELSE 167 END
+      |   + octet_length(encode(text)))::BIGINT AS container_bytes
+      |FROM documents WHERE doc_id % 3 = 1
+      |ORDER BY media_id""".stripMargin
 
   /** qm5/qs30 shared oracle (one SQL text serves both keys). */
   private val audioFeaturesSql: String =
@@ -3367,27 +3393,8 @@ object SparkEntry {
     "qm5_audio_features" -> audioFeaturesSql,
     "qs30_stream_audio" -> audioFeaturesSql,
 
-    // qm7: the synthesized ISO-BMFF containers' parameters are pure
-    // integer functions of the document row, so the oracle recomputes
-    // them in closed form — the hash matches only when the engine's
-    // recursive box walk (version-aware mvhd offsets, stsd entry walk,
-    // computed nested sizes) is byte-faithful. container_bytes is the
-    // exact writer layout: fixed boxes (221 with the 2-track v0 moov on
-    // even ids, 167 with the 1-track v1 moov on odd) + the document's
-    // UTF-8 bytes riding in the opaque skip box.
-    "qm7_mp4_metadata" ->
-      """SELECT doc_id AS media_id,
-        |  'isom' AS brand,
-        |  90000::BIGINT AS timescale,
-        |  (n_chars * 900)::BIGINT AS duration_units,
-        |  (n_chars * 10)::BIGINT AS duration_ms,
-        |  (2 - doc_id % 2)::BIGINT AS n_tracks,
-        |  concat(CASE WHEN (doc_id // 2) % 2 = 0 THEN 'avc1' ELSE 'hvc1' END,
-        |         CASE WHEN doc_id % 2 = 0 THEN ' mp4a' ELSE '' END) AS codecs,
-        |  (CASE WHEN doc_id % 2 = 0 THEN 221 ELSE 167 END
-        |   + octet_length(encode(text)))::BIGINT AS container_bytes
-        |FROM documents WHERE doc_id % 3 = 1
-        |ORDER BY media_id""".stripMargin,
+    "qm7_mp4_metadata" -> mp4MetadataSql,
+    "qs34_stream_mp4" -> mp4MetadataSql,
 
     // qm9: profile/level/display-size are pure integer functions of the
     // document row; the engine can only reproduce them by round-tripping

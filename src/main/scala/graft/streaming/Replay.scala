@@ -1034,6 +1034,59 @@ object Replay {
   def qs32StreamKneserNey(spark: SparkSession, dir: String): DataFrame =
     streamKneserNey(spark, stagedDocsLake(spark, dir))
 
+  /** Streaming `.mp4` container metadata — qm7's arrival-time form,
+    * extending the streaming media family (qs24 pHash, qs30 audio):
+    * media arrives, each micro-batch runs ONLY its own rows through the
+    * real ISO-BMFF box walk (`Multimodal.mp4Frame`) and appends the
+    * per-clip metadata facts. Append-only with no fold — one row per
+    * clip, O(batch) per trigger — so the converged state equals the
+    * batch answer regardless of arrival order and the driver can
+    * hash-check it against qm7's SQL oracle verbatim. Restart contract
+    * as the family: batch-keyed overwrites, `alreadyFolded` skip; a
+    * double-appended batch duplicates clip rows and breaks the
+    * one-row-per-clip shape, which the shared oracle's row count
+    * catches. */
+  def streamMp4Metadata(spark: SparkSession, dir: String,
+                        maxFilesPerTrigger: Int = 1,
+                        pathGlobFilter: String = "*.parquet",
+                        workDir: Option[String] = None,
+                        compactEvery: Int = 16): DataFrame = {
+    val work = resolveWork(workDir, "graft_smp4")
+    val mmSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("brand", StringType),
+      StructField("timescale", LongType),
+      StructField("duration_units", LongType),
+      StructField("duration_ms", LongType),
+      StructField("n_tracks", LongType),
+      StructField("codecs", StringType),
+      StructField("container_bytes", LongType)))
+    val state = new AppendOnlyState(work, Seq(("mm", mmSchema)), compactEvery)
+    val q = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", pathGlobFilter)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(dir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!state.alreadyFolded(batchId)) {
+          state.endBatch(batch.sparkSession, batchId,
+            "mm" -> graft.enrich.Multimodal.mp4Frame(batch))
+        }
+        maybePoison(batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    state.read(spark, "mm").orderBy("media_id")
+  }
+
+  /** qs34 entry: `.mp4` metadata over the shared staged docs lake;
+    * shares qm7's oracle SQL verbatim across the batch boundary. */
+  def qs34StreamMp4(spark: SparkSession, dir: String): DataFrame =
+    streamMp4Metadata(spark, stagedDocsLake(spark, dir))
+
   /** Streaming LEAKAGE-SAFE split — qd35's arrival-time form: documents
     * stream in, every micro-batch pays only its own near-dup kernel +
     * band probe (the `streamNearDup` machinery and its append-only

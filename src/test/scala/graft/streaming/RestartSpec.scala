@@ -451,6 +451,30 @@ class RestartSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streamMp4Metadata killed mid-run resumes and matches the batch walk") {
+    // like streamAudio: append-only facts, no fold — a double-appended
+    // batch duplicates clip rows; exact equality with qm7 across a
+    // compaction catches it
+    val lake = docsLake()
+    val w = work("graft_restart_mp4")
+    Replay.poisonAfterBatch = 1L
+    intercept[Exception] {
+      Replay.streamMp4Metadata(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w), compactEvery = 2)
+    }
+    assert(Replay.poisonAfterBatch == -1L, "poison should have fired")
+    def key(r: Row) = (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6), r.getLong(7))
+    val streamed = Replay.streamMp4Metadata(spark, lake,
+        maxFilesPerTrigger = 1, workDir = Some(w), compactEvery = 2)
+      .collect().map(key).toSeq
+    val batch = graft.enrich.Multimodal
+      .qm7Mp4Metadata(spark, SparkTestSession.sfDir)
+      .collect().map(key).toSeq
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streamLeakSplit killed mid-run resumes and matches the batch split map") {
     // the split map derives from the accumulated pair state, so a
     // double-applied batch (duplicated pairs) can't corrupt buckets —
