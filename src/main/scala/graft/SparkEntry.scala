@@ -178,6 +178,7 @@ object SparkEntry {
     "qm7_mp4_metadata"     -> (Multimodal.qm7Mp4Metadata _),
     "qm8_mp3_adts_metadata" -> (Multimodal.qm8Mp3AdtsMetadata _),
     "qm9_h264_dimensions"  -> (Multimodal.qm9H264Dimensions _),
+    "qm10_mp4_samples"     -> (Multimodal.qm10Mp4Samples _),
     // qm7's arrival-time form: per-batch box walks into an append-only
     // metadata index
     "qs34_stream_mp4"      -> (Replay.qs34StreamMp4 _),
@@ -3395,6 +3396,31 @@ object SparkEntry {
 
     "qm7_mp4_metadata" -> mp4MetadataSql,
     "qs34_stream_mp4" -> mp4MetadataSql,
+
+    // qm10: the sample plan is a pure integer function of the document
+    // row — duration_units folds the two-run stts decode ((n−2)·d +
+    // 2·2d), n_keyframes the every-k stss schedule, and the byte
+    // profile the per-sample stsz table the oracle regenerates with a
+    // range() unnest.
+    "qm10_mp4_samples" ->
+      """WITH a AS (
+        |  SELECT doc_id, 5 + doc_id % 6 AS n, 3000 + 10 * (doc_id % 4) AS d,
+        |         1 + doc_id % 3 AS k
+        |  FROM documents WHERE doc_id % 3 = 1
+        |), s AS (
+        |  SELECT doc_id, (100 + (doc_id + 7 * r.i) % 50)::BIGINT AS sz
+        |  FROM a CROSS JOIN unnest(range(0, n)) r(i)
+        |), agg AS (
+        |  SELECT doc_id, sum(sz) AS tot, max(sz) AS mx FROM s GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS media_id,
+        |  n::BIGINT AS n_samples,
+        |  ((n + 2) * d)::BIGINT AS duration_units,
+        |  ((n + k - 1) // k)::BIGINT AS n_keyframes,
+        |  agg.tot::BIGINT AS total_sample_bytes,
+        |  agg.mx::BIGINT AS max_sample_bytes
+        |FROM a JOIN agg ON agg.doc_id = a.doc_id
+        |ORDER BY media_id""".stripMargin,
 
     // qm9: profile/level/display-size are pure integer functions of the
     // document row; the engine can only reproduce them by round-tripping

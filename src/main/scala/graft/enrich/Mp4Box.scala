@@ -34,6 +34,22 @@ object Mp4Box {
     * header + entry count precede its child sample entries. */
   private val Containers = Set("moov", "trak", "mdia", "minf", "stbl")
 
+  /** A track's sample-table triple (ISO 14496-12 §8.6.1/§8.7.3/§8.6.2):
+    * `sttsRuns` = run-length (sample_count, sample_delta) decoding
+    * times, `sizes` = per-sample byte sizes (stsz with sample_size 0),
+    * `syncs` = 1-based keyframe sample numbers (stss); `syncs = None`
+    * omits the box, which per §8.6.2.1 declares EVERY sample sync. The
+    * writer requires the §8.6.1.2 consistency rule — stts sample counts
+    * must total the stsz sample count — and the parser re-checks it. */
+  final case class SampleTable(sttsRuns: Seq[(Long, Long)],
+                               sizes: Seq[Long],
+                               syncs: Option[Seq[Long]]) {
+    require(sttsRuns.map(_._1).sum == sizes.length.toLong,
+      "stts total != stsz count")
+    require(syncs.forall(_.forall(s => s >= 1 && s <= sizes.length)),
+      "stss sample number out of range")
+  }
+
   private def fourcc(b: Array[Byte], off: Int): String =
     new String(b, off, 4, US_ASCII)
 
@@ -72,7 +88,8 @@ object Mp4Box {
     * mis-walks any level lands off a box boundary. */
   def write(timescale: Long, duration: Long, codecs: Seq[String],
             skipPayload: Array[Byte], mvhdVersion: Int = 0,
-            avcSps: Option[Array[Byte]] = None): Array[Byte] = {
+            avcSps: Option[Array[Byte]] = None,
+            sampleTable: Option[SampleTable] = None): Array[Byte] = {
     require(mvhdVersion == 0 || mvhdVersion == 1, s"mvhd v$mvhdVersion")
     require(codecs.forall(_.length == 4), "codec fourccs must be 4 bytes")
     val ftyp = box("ftyp", bytes { o =>
@@ -136,7 +153,30 @@ object Mp4Box {
         putU32(o, 1L)                      // entry count
         o.write(entry)
       })
-      box("trak", box("mdia", box("minf", box("stbl", stsd))))
+      // the sample table rides the FIRST (video) track's stbl
+      val tables = sampleTable match {
+        case Some(st) if cc == codecs.head =>
+          val stts = box("stts", bytes { o =>
+            putU32(o, 0L)
+            putU32(o, st.sttsRuns.length)
+            st.sttsRuns.foreach { case (c, d) => putU32(o, c); putU32(o, d) }
+          })
+          val stsz = box("stsz", bytes { o =>
+            putU32(o, 0L)
+            putU32(o, 0L)                  // sample_size 0: per-sample table
+            putU32(o, st.sizes.length)
+            st.sizes.foreach(putU32(o, _))
+          })
+          val stss = st.syncs.map(sy => box("stss", bytes { o =>
+            putU32(o, 0L)
+            putU32(o, sy.length)
+            sy.foreach(putU32(o, _))
+          }))
+          bytes { o => o.write(stts); o.write(stsz); stss.foreach(o.write) }
+        case _ => Array.emptyByteArray
+      }
+      box("trak", box("mdia", box("minf",
+        box("stbl", bytes { o => o.write(stsd); o.write(tables) }))))
     }
     val udta = box("udta", "graft".getBytes(US_ASCII))
     val moov = box("moov", bytes { o =>
@@ -150,9 +190,8 @@ object Mp4Box {
     * order). None on anything malformed — truncated boxes, missing
     * ftyp/moov/mvhd, sizes past the buffer. */
   def probe(b: Array[Byte]): Option[(String, Long, Long, Int, Seq[String])] =
-    walkAll(b).map { case (brand, ts, dur, n, codecs, _) =>
-      (brand, ts, dur, n, codecs)
-    }
+    walkAll(b).map { m => (m.brand, m.timescale, m.duration, m.nTracks,
+      m.codecs) }
 
   /** The SPS NAL carried by the first `avc1` sample entry's `avcC`
     * box, if present — the full-fidelity path a VisualSampleEntry
@@ -161,15 +200,31 @@ object Mp4Box {
     * lengthSize, SPS count + u16-length-prefixed NAL). None when the
     * container is malformed OR the entry carries no decoder config. */
   def probeAvcSps(b: Array[Byte]): Option[Array[Byte]] =
-    walkAll(b).flatMap(_._6)
+    walkAll(b).flatMap(_.sps)
 
-  private def walkAll(b: Array[Byte])
-  : Option[(String, Long, Long, Int, Seq[String], Option[Array[Byte]])] = {
+  /** Per-track sample statistics from a REAL stts/stsz/stss walk
+    * (§8.6.1/§8.7.3/§8.6.2): (nSamples, durationUnits = Σ count×delta
+    * over the stts runs, nKeyframes, totalSampleBytes, maxSampleBytes).
+    * The §8.6.1.2 consistency rule — stts counts must total the stsz
+    * count — is re-checked; a violation (or any malformed table) → None
+    * even when the container otherwise parses. */
+  def probeSampleStats(b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] =
+    walkAll(b).flatMap(_.samples)
+
+  private final case class WalkMeta(brand: String, timescale: Long,
+    duration: Long, nTracks: Int, codecs: Seq[String],
+    sps: Option[Array[Byte]], samples: Option[(Long, Long, Long, Long, Long)])
+
+  private def walkAll(b: Array[Byte]): Option[WalkMeta] = {
     var brand: String = null
     var timescale = -1L; var duration = -1L
     var nTracks = 0
     val codecs = scala.collection.mutable.ArrayBuffer.empty[String]
     var sps: Option[Array[Byte]] = None
+    // sample-table accumulators (first table wins; −1 = absent)
+    var sttsTotal = -1L; var sttsDur = 0L
+    var szCount = -1L; var szTot = 0L; var szMax = 0L
+    var nKey = -1L
     var bad = false
     def walk(from: Int, to: Int, inStsd: Boolean): Unit = {
       var off = from
@@ -199,6 +254,35 @@ object Mp4Box {
           case "stsd" =>
             if (size < 16) { bad = true; return }
             walk(body + 8, end, inStsd = true) // skip fullbox hdr + count
+          case "stts" if sttsTotal < 0 =>
+            if (size < 16) { bad = true; return }
+            val n = u32(b, body + 4)
+            if (size < 16 + n * 8) { bad = true; return }
+            sttsTotal = 0L
+            var i = 0L
+            while (i < n) {
+              val c = u32(b, (body + 8 + i * 8).toInt)
+              val d = u32(b, (body + 12 + i * 8).toInt)
+              sttsTotal += c; sttsDur += c * d
+              i += 1
+            }
+          case "stsz" if szCount < 0 =>
+            if (size < 20) { bad = true; return }
+            if (u32(b, body + 4) != 0) { bad = true; return } // constant-size unsupported
+            val n = u32(b, body + 8)
+            if (size < 20 + n * 4) { bad = true; return }
+            szCount = n; szTot = 0L; szMax = 0L
+            var i = 0L
+            while (i < n) {
+              val s = u32(b, (body + 12 + i * 4).toInt)
+              szTot += s; if (s > szMax) szMax = s
+              i += 1
+            }
+          case "stss" if nKey < 0 =>
+            if (size < 16) { bad = true; return }
+            val n = u32(b, body + 4)
+            if (size < 16 + n * 4) { bad = true; return }
+            nKey = n
           case t if Containers.contains(t) =>
             walk(body, end, inStsd = false)
           case _ if inStsd =>
@@ -232,6 +316,18 @@ object Mp4Box {
     if (b.length < 8) return None
     walk(0, b.length, inStsd = false)
     if (bad || brand == null || timescale < 0 || duration < 0) None
-    else Some((brand, timescale, duration, nTracks, codecs.toSeq, sps))
+    else {
+      // §8.6.1.2 consistency: stts run totals must equal the stsz
+      // count; a missing stss means EVERY sample is sync (§8.6.2.1),
+      // not a malformed file
+      val samples =
+        if (sttsTotal < 0 && szCount < 0 && nKey < 0) None
+        else if (sttsTotal < 0 || szCount < 0 || sttsTotal != szCount)
+          return None
+        else Some((szCount, sttsDur, if (nKey < 0) szCount else nKey,
+          szTot, szMax))
+      Some(WalkMeta(brand, timescale, duration, nTracks, codecs.toSeq, sps,
+        samples))
+    }
   }
 }

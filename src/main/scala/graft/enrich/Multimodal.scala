@@ -632,6 +632,55 @@ object Multimodal {
       .toDF("media_id", "profile_idc", "level_idc", "width", "height")
   }
 
+  /** qm10: `.mp4` sample-table planner — the layer below qm7's movie
+    * header that a frame-sampling/thumbnailing job actually plans from:
+    * per-track sample count, EXACT track duration from the stts
+    * run-length decoding times, the keyframe index (stss — the only
+    * samples a decoder can seek to), and the sample-size profile (stsz)
+    * that prices a byte-range fetch. Every video row synthesizes a
+    * container whose first track carries a real stts/stsz/stss triple —
+    * a TWO-run stts (n−2 samples at the base delta, 2 trailing samples
+    * at twice it, so run-length decode is really exercised), per-sample
+    * sizes 100 + (id + 7i) mod 50, keyframes every 1 + id mod 3
+    * samples — then reads the plan back through the real box walk,
+    * which re-checks the §8.6.1.2 stts≡stsz consistency rule. Integer
+    * end to end; closed-form oracle.
+    *
+    * Plan shape: one narrow per-partition codec pass — the qm7/qm8/qm9
+    * geometry. */
+  def qm10Mp4Samples(spark: SparkSession, dir: String): DataFrame =
+    mp4SamplesFrame(Tables(spark, dir, "documents")).orderBy("media_id")
+
+  /** The per-row sample-table kernel shared by qm10 and its streaming
+    * form: synthesize stts/stsz/stss → probe back. */
+  private[graft] def mp4SamplesFrame(docsDf: DataFrame): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    docsDf
+      .filter(pmod(col("doc_id"), lit(3)) === 1) // the media table's video rows
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val n = (5 + id % 6).toInt
+          val d = 3000L + 10L * (id % 4)
+          val k = (1 + id % 3).toInt
+          val table = Mp4Box.SampleTable(
+            sttsRuns = Seq((n - 2L, d), (2L, 2L * d)),
+            sizes = (0 until n).map(i => 100L + (id + 7L * i) % 50L),
+            syncs = Some((1 to n by k).map(_.toLong)))
+          val mp4 = Mp4Box.write(90000L, (n + 2) * d, Seq("avc1"),
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            mvhdVersion = (id % 2).toInt, sampleTable = Some(table))
+          val (nS, dur, nKey, tot, mx) = Mp4Box.probeSampleStats(mp4)
+            .getOrElse(throw new IllegalStateException(
+              s"sample-table walk rejected its own container for doc $id"))
+          (id, nS, dur, nKey, tot, mx)
+        }
+      }
+      .toDF("media_id", "n_samples", "duration_units", "n_keyframes",
+        "total_sample_bytes", "max_sample_bytes")
+  }
+
   /** Max |decoded − painted| mean-luma drift qm3 tolerates per frame.
     * A solid frame survives baseline JPEG almost exactly (DC-only
     * blocks; the error is DC quantization ± chroma rounding, ~1–2

@@ -50,6 +50,37 @@ class Mp4BoxSpec extends AnyFunSuite {
     assert(Mp4Box.probe(bare).isDefined && Mp4Box.probeAvcSps(bare).isEmpty)
   }
 
+  test("sample tables round-trip and enforce the stts/stsz consistency rule") {
+    val st = Mp4Box.SampleTable(
+      sttsRuns = Seq((3L, 1000L), (2L, 2000L)),
+      sizes = Seq(10L, 20L, 30L, 40L, 50L),
+      syncs = Some(Seq(1L, 4L)))
+    val mp4 = Mp4Box.write(90000L, 9000L, Seq("avc1", "mp4a"),
+      "p".getBytes, sampleTable = Some(st))
+    assert(Mp4Box.probeSampleStats(mp4).contains((5L, 7000L, 2L, 150L, 50L)))
+    // container metadata unchanged around the enlarged stbl
+    assert(Mp4Box.probe(mp4).exists(_._5 == Seq("avc1", "mp4a")))
+    // no stss box → every sample is sync (§8.6.2.1), not malformed
+    val allSync = Mp4Box.write(90000L, 9000L, Seq("avc1"), "p".getBytes,
+      sampleTable = Some(st.copy(syncs = None)))
+    assert(Mp4Box.probeSampleStats(allSync).contains((5L, 7000L, 5L, 150L, 50L)))
+    // a table-less container has no sample stats, not a crash
+    val bare = Mp4Box.write(90000L, 9000L, Seq("avc1"), Array.emptyByteArray)
+    assert(Mp4Box.probe(bare).isDefined && Mp4Box.probeSampleStats(bare).isEmpty)
+    // corrupting the stsz count violates §8.6.1.2 → the whole probe
+    // rejects (the walker cross-checks, it doesn't trust one table)
+    val idx = {
+      // locate the stsz box and its sample_count field
+      def find(b: Array[Byte], t: String): Int =
+        (0 until b.length - 4).find(i => new String(b, i, 4, "US-ASCII") == t).get
+      find(mp4, "stsz") + 4 + 4 + 4
+    }
+    val broken = mp4.clone()
+    broken(idx + 3) = (broken(idx + 3) + 1).toByte
+    assert(Mp4Box.probe(broken).isEmpty &&
+      Mp4Box.probeSampleStats(broken).isEmpty)
+  }
+
   test("malformed input returns None, never throws") {
     val good = Mp4Box.write(1000L, 42L, Seq("avc1"), Array.emptyByteArray)
     assert(Mp4Box.probe(Array.emptyByteArray).isEmpty)
