@@ -182,6 +182,8 @@ object SparkEntry {
     // qm7's arrival-time form: per-batch box walks into an append-only
     // metadata index
     "qs34_stream_mp4"      -> (Replay.qs34StreamMp4 _),
+    // qm8's arrival-time form: per-batch frame walks, append-only index
+    "qs35_stream_mpeg_audio" -> (Replay.qs35StreamMpegAudio _),
     // qm6's arrival-time form: one stream, both curation indices per batch
     "qs26_stream_curation" -> (Replay.qs26StreamCuration _),
     "qs8_winnow_candidates" -> (graft.text.Fingerprint.fingerprintCandidates(_, _)),
@@ -1227,6 +1229,29 @@ object SparkEntry {
       |   + octet_length(encode(text)))::BIGINT AS container_bytes
       |FROM documents WHERE doc_id % 3 = 1
       |ORDER BY media_id""".stripMargin
+
+  /** qm8/qs35 shared oracle (one SQL text serves both keys). */
+  private val mp3AdtsSql: String =
+    """WITH a AS (
+        |  SELECT doc_id,
+        |    octet_length(encode(text)) AS tb,
+        |    CASE ((doc_id // 2) % 3) WHEN 0 THEN 44100
+        |         WHEN 1 THEN 48000 ELSE 32000 END AS sr,
+        |    CASE ((doc_id // 2) % 4) WHEN 0 THEN 128 WHEN 1 THEN 192
+        |         WHEN 2 THEN 320 ELSE 64 END AS br,
+        |    3 + doc_id % 5 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'mp3' ELSE 'adts' END AS container,
+        |  sr::BIGINT AS sample_rate,
+        |  (CASE WHEN doc_id % 2 = 0 THEN br ELSE 0 END)::BIGINT AS bitrate_kbps,
+        |  nf::BIGINT AS n_frames,
+        |  (CASE WHEN doc_id % 2 = 0 THEN nf * 1152 * 1000 // sr
+        |        ELSE nf * 1024 * 1000 // sr END)::BIGINT AS duration_ms,
+        |  (CASE WHEN doc_id % 2 = 0
+        |        THEN 10 + tb + nf * (144000 * br // sr) + nf // 2
+        |        ELSE nf * (8 + doc_id % 7) END)::BIGINT AS stream_bytes
+        |FROM a ORDER BY media_id""".stripMargin
 
   /** qm5/qs30 shared oracle (one SQL text serves both keys). */
   private val audioFeaturesSql: String =
@@ -3445,27 +3470,8 @@ object SparkEntry {
     // and the ADTS per-frame length (7-byte header + 1 + id mod 7
     // payload), so the hash matches only when the engine's frame walk
     // strides those exact lengths.
-    "qm8_mp3_adts_metadata" ->
-      """WITH a AS (
-        |  SELECT doc_id,
-        |    octet_length(encode(text)) AS tb,
-        |    CASE ((doc_id // 2) % 3) WHEN 0 THEN 44100
-        |         WHEN 1 THEN 48000 ELSE 32000 END AS sr,
-        |    CASE ((doc_id // 2) % 4) WHEN 0 THEN 128 WHEN 1 THEN 192
-        |         WHEN 2 THEN 320 ELSE 64 END AS br,
-        |    3 + doc_id % 5 AS nf
-        |  FROM documents WHERE doc_id % 3 = 2)
-        |SELECT doc_id AS media_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'mp3' ELSE 'adts' END AS container,
-        |  sr::BIGINT AS sample_rate,
-        |  (CASE WHEN doc_id % 2 = 0 THEN br ELSE 0 END)::BIGINT AS bitrate_kbps,
-        |  nf::BIGINT AS n_frames,
-        |  (CASE WHEN doc_id % 2 = 0 THEN nf * 1152 * 1000 // sr
-        |        ELSE nf * 1024 * 1000 // sr END)::BIGINT AS duration_ms,
-        |  (CASE WHEN doc_id % 2 = 0
-        |        THEN 10 + tb + nf * (144000 * br // sr) + nf // 2
-        |        ELSE nf * (8 + doc_id % 7) END)::BIGINT AS stream_bytes
-        |FROM a ORDER BY media_id""".stripMargin,
+    "qm8_mp3_adts_metadata" -> mp3AdtsSql,
+    "qs35_stream_mpeg_audio" -> mp3AdtsSql,
 
     "qm3_video_frames" ->
       """SELECT doc_id AS media_id,

@@ -1087,6 +1087,55 @@ object Replay {
   def qs34StreamMp4(spark: SparkSession, dir: String): DataFrame =
     streamMp4Metadata(spark, stagedDocsLake(spark, dir))
 
+  /** Streaming MP3/ADTS metadata — qm8's arrival-time form, completing
+    * the media streaming symmetry (qs24 images, qs30 audio features,
+    * qs34 video containers, qs35 audio containers): per-batch frame
+    * walks (`Multimodal.mpegAudioFrame`) into an append-only per-stream
+    * metadata index. Same append-only/no-fold convergence and restart
+    * contract as qs34. (qm9/qm10 probe DEEPER layers of the same `.mp4`
+    * object qs34 already streams — their arrival-time shape would be
+    * this same kernel swap, so they deliberately get no separate
+    * streaming entries.) */
+  def streamMpegAudioMetadata(spark: SparkSession, dir: String,
+                              maxFilesPerTrigger: Int = 1,
+                              pathGlobFilter: String = "*.parquet",
+                              workDir: Option[String] = None,
+                              compactEvery: Int = 16): DataFrame = {
+    val work = resolveWork(workDir, "graft_smpeg")
+    val maSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("container", StringType),
+      StructField("sample_rate", LongType),
+      StructField("bitrate_kbps", LongType),
+      StructField("n_frames", LongType),
+      StructField("duration_ms", LongType),
+      StructField("stream_bytes", LongType)))
+    val state = new AppendOnlyState(work, Seq(("ma", maSchema)), compactEvery)
+    val q = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", pathGlobFilter)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(dir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!state.alreadyFolded(batchId)) {
+          state.endBatch(batch.sparkSession, batchId,
+            "ma" -> graft.enrich.Multimodal.mpegAudioFrame(batch))
+        }
+        maybePoison(batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    state.read(spark, "ma").orderBy("media_id")
+  }
+
+  /** qs35 entry: MP3/ADTS metadata over the shared staged docs lake;
+    * shares qm8's oracle SQL verbatim across the batch boundary. */
+  def qs35StreamMpegAudio(spark: SparkSession, dir: String): DataFrame =
+    streamMpegAudioMetadata(spark, stagedDocsLake(spark, dir))
+
   /** Streaming LEAKAGE-SAFE split — qd35's arrival-time form: documents
     * stream in, every micro-batch pays only its own near-dup kernel +
     * band probe (the `streamNearDup` machinery and its append-only

@@ -475,6 +475,27 @@ class RestartSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streamMpegAudio killed mid-run resumes and matches the batch walk") {
+    val lake = docsLake()
+    val w = work("graft_restart_mpeg")
+    Replay.poisonAfterBatch = 1L
+    intercept[Exception] {
+      Replay.streamMpegAudioMetadata(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w), compactEvery = 2)
+    }
+    assert(Replay.poisonAfterBatch == -1L, "poison should have fired")
+    def key(r: Row) = (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    val streamed = Replay.streamMpegAudioMetadata(spark, lake,
+        maxFilesPerTrigger = 1, workDir = Some(w), compactEvery = 2)
+      .collect().map(key).toSeq
+    val batch = graft.enrich.Multimodal
+      .qm8Mp3AdtsMetadata(spark, SparkTestSession.sfDir)
+      .collect().map(key).toSeq
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streamLeakSplit killed mid-run resumes and matches the batch split map") {
     // the split map derives from the accumulated pair state, so a
     // double-applied batch (duplicated pairs) can't corrupt buckets —
