@@ -179,6 +179,7 @@ object SparkEntry {
     "qm8_mp3_adts_metadata" -> (Multimodal.qm8Mp3AdtsMetadata _),
     "qm9_h264_dimensions"  -> (Multimodal.qm9H264Dimensions _),
     "qm10_mp4_samples"     -> (Multimodal.qm10Mp4Samples _),
+    "qm11_keyframe_ranges" -> (Multimodal.qm11KeyframeRanges _),
     // qm7's arrival-time form: per-batch box walks into an append-only
     // metadata index
     "qs34_stream_mp4"      -> (Replay.qs34StreamMp4 _),
@@ -3421,6 +3422,37 @@ object SparkEntry {
 
     "qm7_mp4_metadata" -> mp4MetadataSql,
     "qs34_stream_mp4" -> mp4MetadataSql,
+
+    // qm11: the seek plan is a pure integer function of the document
+    // row; the oracle rebuilds the §8.7.4 sample→chunk mapping (two-run
+    // stsc expansion with a partial final chunk) and the §8.7.5 offset
+    // arithmetic (chunk base + intra-chunk predecessor-size prefix sum)
+    // in SQL, one row per stss keyframe — any off-by-one in the
+    // engine's demuxer walk shifts a file_offset and breaks the hash.
+    "qm11_keyframe_ranges" ->
+      """WITH a AS (
+        |  SELECT doc_id, 5 + doc_id % 6 AS n, 1 + doc_id % 3 AS k,
+        |         1 + doc_id % 2 AS s1, 2 + (doc_id // 3) % 2 AS s2
+        |  FROM documents WHERE doc_id % 3 = 1
+        |), s AS (
+        |  SELECT doc_id, k, s1, s2, r.i + 1 AS sn,
+        |    (100 + (doc_id + 7 * r.i) % 50)::BIGINT AS sz
+        |  FROM a CROSS JOIN unnest(range(0, n)) r(i)
+        |), c AS (
+        |  SELECT *, CASE WHEN sn <= s1 THEN 1
+        |                 ELSE 2 + (sn - s1 - 1) // s2 END AS chunk
+        |  FROM s
+        |), o AS (
+        |  SELECT *, coalesce(SUM(sz) OVER (
+        |      PARTITION BY doc_id, chunk ORDER BY sn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS intra
+        |  FROM c
+        |)
+        |SELECT doc_id AS media_id, sn::BIGINT AS sample_number,
+        |  (4096 + (chunk - 1) * 8192 + intra)::BIGINT AS file_offset,
+        |  sz AS sample_bytes
+        |FROM o WHERE (sn - 1) % k = 0
+        |ORDER BY media_id, sample_number""".stripMargin,
 
     // qm10: the sample plan is a pure integer function of the document
     // row — duration_units folds the two-run stts decode ((n−2)·d +

@@ -43,11 +43,17 @@ object Mp4Box {
     * must total the stsz sample count — and the parser re-checks it. */
   final case class SampleTable(sttsRuns: Seq[(Long, Long)],
                                sizes: Seq[Long],
-                               syncs: Option[Seq[Long]]) {
+                               syncs: Option[Seq[Long]],
+                               stscRuns: Seq[(Long, Long)] = Nil,
+                               chunkOffsets: Seq[Long] = Nil) {
     require(sttsRuns.map(_._1).sum == sizes.length.toLong,
       "stts total != stsz count")
     require(syncs.forall(_.forall(s => s >= 1 && s <= sizes.length)),
       "stss sample number out of range")
+    require(stscRuns.isEmpty == chunkOffsets.isEmpty,
+      "stsc and stco come together")
+    require(stscRuns.map(_._1) == stscRuns.map(_._1).sorted.distinct,
+      "stsc first_chunk strictly increasing")
   }
 
   private def fourcc(b: Array[Byte], off: Int): String =
@@ -172,7 +178,28 @@ object Mp4Box {
             putU32(o, sy.length)
             sy.foreach(putU32(o, _))
           }))
-          bytes { o => o.write(stts); o.write(stsz); stss.foreach(o.write) }
+          val chunked =
+            if (st.stscRuns.isEmpty) Array.emptyByteArray
+            else {
+              val stsc = box("stsc", bytes { o =>
+                putU32(o, 0L)
+                putU32(o, st.stscRuns.length)
+                st.stscRuns.foreach { case (fc, spc) =>
+                  putU32(o, fc); putU32(o, spc)
+                  putU32(o, 1L)            // sample_description_index
+                }
+              })
+              val stco = box("stco", bytes { o =>
+                putU32(o, 0L)
+                putU32(o, st.chunkOffsets.length)
+                st.chunkOffsets.foreach(putU32(o, _))
+              })
+              bytes { o => o.write(stsc); o.write(stco) }
+            }
+          bytes { o =>
+            o.write(stts); o.write(stsz); stss.foreach(o.write)
+            o.write(chunked)
+          }
         case _ => Array.emptyByteArray
       }
       box("trak", box("mdia", box("minf",
@@ -211,9 +238,26 @@ object Mp4Box {
   def probeSampleStats(b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] =
     walkAll(b).flatMap(_.samples)
 
+  /** One keyframe's seek plan: (sampleNumber, fileOffset, byteLength).
+    * fileOffset is the §8.7.5 chunk offset plus the sizes of the
+    * sample's predecessors WITHIN its chunk (§8.7.4) — the byte-range
+    * GET a thumbnailing job issues. */
+  type SeekEntry = (Long, Long, Long)
+
+  /** Keyframe byte ranges from the REAL chunk-mapping walk: expand the
+    * stsc run-length (first_chunk, samples_per_chunk) table, assign
+    * samples to chunks greedily in order (the demuxer algorithm — the
+    * last chunk may be partial), then for each stss keyframe return
+    * chunk offset + intra-chunk predecessor sizes. None when the
+    * container lacks chunk tables, declares fewer chunk slots than
+    * samples, or is otherwise malformed. */
+  def probeKeyframeRanges(b: Array[Byte]): Option[Seq[SeekEntry]] =
+    walkAll(b).flatMap(_.seekPlan)
+
   private final case class WalkMeta(brand: String, timescale: Long,
     duration: Long, nTracks: Int, codecs: Seq[String],
-    sps: Option[Array[Byte]], samples: Option[(Long, Long, Long, Long, Long)])
+    sps: Option[Array[Byte]], samples: Option[(Long, Long, Long, Long, Long)],
+    seekPlan: Option[Seq[SeekEntry]])
 
   private def walkAll(b: Array[Byte]): Option[WalkMeta] = {
     var brand: String = null
@@ -225,6 +269,10 @@ object Mp4Box {
     var sttsTotal = -1L; var sttsDur = 0L
     var szCount = -1L; var szTot = 0L; var szMax = 0L
     var nKey = -1L
+    var sizes: Array[Long] = null
+    var syncNums: Array[Long] = null
+    var stscRuns: Array[(Long, Long)] = null
+    var chunkOffs: Array[Long] = null
     var bad = false
     def walk(from: Int, to: Int, inStsd: Boolean): Unit = {
       var off = from
@@ -272,10 +320,12 @@ object Mp4Box {
             val n = u32(b, body + 8)
             if (size < 20 + n * 4) { bad = true; return }
             szCount = n; szTot = 0L; szMax = 0L
+            sizes = new Array[Long](n.toInt)
             var i = 0L
             while (i < n) {
               val s = u32(b, (body + 12 + i * 4).toInt)
               szTot += s; if (s > szMax) szMax = s
+              sizes(i.toInt) = s
               i += 1
             }
           case "stss" if nKey < 0 =>
@@ -283,6 +333,18 @@ object Mp4Box {
             val n = u32(b, body + 4)
             if (size < 16 + n * 4) { bad = true; return }
             nKey = n
+            syncNums = Array.tabulate(n.toInt)(i => u32(b, body + 8 + i * 4))
+          case "stsc" if stscRuns == null =>
+            if (size < 16) { bad = true; return }
+            val n = u32(b, body + 4)
+            if (size < 16 + n * 12) { bad = true; return }
+            stscRuns = Array.tabulate(n.toInt)(i =>
+              (u32(b, body + 8 + i * 12), u32(b, body + 12 + i * 12)))
+          case "stco" if chunkOffs == null =>
+            if (size < 16) { bad = true; return }
+            val n = u32(b, body + 4)
+            if (size < 16 + n * 4) { bad = true; return }
+            chunkOffs = Array.tabulate(n.toInt)(i => u32(b, body + 8 + i * 4))
           case t if Containers.contains(t) =>
             walk(body, end, inStsd = false)
           case _ if inStsd =>
@@ -326,8 +388,48 @@ object Mp4Box {
           return None
         else Some((szCount, sttsDur, if (nKey < 0) szCount else nKey,
           szTot, szMax))
+      // §8.7.4/§8.7.5 chunk mapping: expand the stsc runs over the stco
+      // chunk count, assign samples to chunks greedily in order, then
+      // plan each keyframe's byte range. Present-but-inconsistent chunk
+      // tables reject the container, like the stts/stsz rule.
+      val seekPlan: Option[Seq[SeekEntry]] =
+        if (stscRuns == null || chunkOffs == null || sizes == null) None
+        else {
+          val nc = chunkOffs.length
+          if (stscRuns.isEmpty || stscRuns.head._1 != 1L ||
+              stscRuns.exists(_._2 < 1) || stscRuns.last._1 > nc)
+            return None
+          // the run applies until the next run's first_chunk (§8.7.4)
+          val capacity = new Array[Long](nc)
+          var r = 0
+          var c = 1
+          while (c <= nc) {
+            while (r + 1 < stscRuns.length && stscRuns(r + 1)._1 <= c) r += 1
+            capacity(c - 1) = stscRuns(r)._2
+            c += 1
+          }
+          val keys =
+            if (syncNums != null) syncNums.toSet
+            else sizes.indices.map(i => (i + 1).toLong).toSet
+          val out = Seq.newBuilder[SeekEntry]
+          var s = 1
+          var chunk = 0
+          while (s <= sizes.length) {
+            if (chunk >= nc) return None // fewer chunk slots than samples
+            var intra = 0L
+            var taken = 0L
+            while (taken < capacity(chunk) && s <= sizes.length) {
+              if (keys.contains(s.toLong))
+                out += ((s.toLong, chunkOffs(chunk) + intra, sizes(s - 1)))
+              intra += sizes(s - 1)
+              taken += 1; s += 1
+            }
+            chunk += 1
+          }
+          Some(out.result())
+        }
       Some(WalkMeta(brand, timescale, duration, nTracks, codecs.toSeq, sps,
-        samples))
+        samples, seekPlan))
     }
   }
 }

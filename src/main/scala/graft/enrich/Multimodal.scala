@@ -681,6 +681,63 @@ object Multimodal {
         "total_sample_bytes", "max_sample_bytes")
   }
 
+  /** qm11: keyframe byte-range planner — the PAYOFF of the sample-table
+    * stack: compose stss (which samples a decoder can seek to) with the
+    * §8.7.4 stsc chunk mapping and the §8.7.5 stco chunk offsets into
+    * the exact (offset, length) byte-range GETs a 100-TB thumbnailing
+    * job issues against its object store — fetch keyframes only, never
+    * whole objects. Every video row synthesizes a container with a
+    * TWO-run stsc (chunk 1 holds 1 + id mod 2 samples, later chunks
+    * 2 + (id div 3) mod 2 — so run expansion, the run-boundary chunk
+    * switch, AND a partial final chunk are all really exercised) and
+    * deterministic chunk offsets 4096 + 8192·(chunk−1); the engine
+    * reads the plan back through the real demuxer algorithm — greedy
+    * sequential sample→chunk assignment, intra-chunk predecessor-size
+    * sums — and emits ONE ROW PER KEYFRAME. Integer end to end; the
+    * oracle rebuilds the mapping in SQL (a per-chunk prefix-sum
+    * window), so any off-by-one in run expansion or intra-chunk
+    * arithmetic shifts an offset and breaks the hash.
+    *
+    * Plan shape: one narrow per-partition codec pass (rows fan out
+    * ~n_keyframes per clip) — the qm7 family geometry. */
+  def qm11KeyframeRanges(spark: SparkSession, dir: String): DataFrame =
+    keyframeRangesFrame(Tables(spark, dir, "documents"))
+      .orderBy("media_id", "sample_number")
+
+  /** The per-row seek-plan kernel shared by qm11 and its streaming
+    * form: synthesize chunked tables → probe the keyframe ranges. */
+  private[graft] def keyframeRangesFrame(docsDf: DataFrame): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    docsDf
+      .filter(pmod(col("doc_id"), lit(3)) === 1) // the media table's video rows
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, text) =>
+          val n = (5 + id % 6).toInt
+          val d = 3000L + 10L * (id % 4)
+          val k = (1 + id % 3).toInt
+          val s1 = 1L + id % 2
+          val s2 = 2L + (id / 3) % 2
+          val nc = (1L + (n - s1 + s2 - 1) / s2).toInt
+          val table = Mp4Box.SampleTable(
+            sttsRuns = Seq((n - 2L, d), (2L, 2L * d)),
+            sizes = (0 until n).map(i => 100L + (id + 7L * i) % 50L),
+            syncs = Some((1 to n by k).map(_.toLong)),
+            stscRuns = Seq((1L, s1), (2L, s2)),
+            chunkOffsets = (1 to nc).map(c => 4096L + 8192L * (c - 1)))
+          val mp4 = Mp4Box.write(90000L, (n + 2) * d, Seq("avc1"),
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            mvhdVersion = (id % 2).toInt, sampleTable = Some(table))
+          Mp4Box.probeKeyframeRanges(mp4)
+            .getOrElse(throw new IllegalStateException(
+              s"seek-plan walk rejected its own container for doc $id"))
+            .map { case (sn, off, len) => (id, sn, off, len) }
+        }
+      }
+      .toDF("media_id", "sample_number", "file_offset", "sample_bytes")
+  }
+
   /** Max |decoded − painted| mean-luma drift qm3 tolerates per frame.
     * A solid frame survives baseline JPEG almost exactly (DC-only
     * blocks; the error is DC quantization ± chroma rounding, ~1–2

@@ -159,26 +159,40 @@ object Ann {
     * one skinny (cell, dim) aggregate per round; the centroid table
     * stays a driver-held k×dim local relation throughout. */
   private[graft] def refinedCentroids(emb: DataFrame,
-      iters: Int = DefaultCoarseRefineIters): DataFrame = {
+      iters: Int = DefaultCoarseRefineIters,
+      memoKey: Option[String] = None): DataFrame = {
     val spark = emb.sparkSession
-    var cents = localCentroids(emb)
-    (1 to iters).foreach { _ =>
-      val refreshed = assignments(emb, cents)
-        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim")
-        .agg(avg(col("x").cast("double")).as("m"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("ps"))
-        .select(col("cell"), expr("transform(ps, p -> p.m)").as("centroid"))
-        .collect().map(r => r.get(0) -> r.getSeq[Double](1)).toMap
-      val merged = cents.collect().map { r =>
-        org.apache.spark.sql.Row(r.get(0),
-          refreshed.getOrElse(r.get(0), r.getSeq[Double](1)))
+    def train(): DataFrame = {
+      var cents = localCentroids(emb)
+      (1 to iters).foreach { _ =>
+        val refreshed = assignments(emb, cents)
+          .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy("cell", "dim")
+          .agg(avg(col("x").cast("double")).as("m"))
+          .groupBy("cell")
+          .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("ps"))
+          .select(col("cell"), expr("transform(ps, p -> p.m)").as("centroid"))
+          .collect().map(r => r.get(0) -> r.getSeq[Double](1)).toMap
+        val merged = cents.collect().map { r =>
+          org.apache.spark.sql.Row(r.get(0),
+            refreshed.getOrElse(r.get(0), r.getSeq[Double](1)))
+        }
+        cents = spark.createDataFrame(
+          java.util.Arrays.asList(merged: _*), cents.schema)
       }
-      cents = spark.createDataFrame(
-        java.util.Arrays.asList(merged: _*), cents.schema)
+      cents
     }
-    cents
+    // refinement is per-MODEL-BUILD cost like codebook training (two
+    // corpus passes per round) — memoized through the same cache so
+    // every consumer of the same corpus reuses the k×dim local relation
+    memoKey match {
+      case Some(base) =>
+        val cached = cbPerSession(spark).computeIfAbsent(
+          s"$base|cents|$iters", _ => { val df = train(); (df.schema, df.collect()) })
+        spark.createDataFrame(
+          java.util.Arrays.asList(cached._2: _*), cached._1)
+      case None => train()
+    }
   }
 
   /** Shared probe/rank tail: rank cells per query, restrict candidates to
@@ -626,7 +640,7 @@ object Ann {
     val spark = emb.sparkSession
     import spark.implicits._
     val subDim = pqSubDim(emb, m)
-    val cents = refinedCentroids(emb)
+    val cents = refinedCentroids(emb, memoKey = memoKey)
     // (vec_id, cell, rv): residual against the assigned cell's centroid,
     // 6dp per component — one broadcast join over the assigned corpus
     val res = assignments(emb, cents)

@@ -81,6 +81,40 @@ class Mp4BoxSpec extends AnyFunSuite {
       Mp4Box.probeSampleStats(broken).isEmpty)
   }
 
+  test("keyframe ranges follow the stsc/stco chunk mapping exactly") {
+    // 7 samples, chunk 1 holds 2, later chunks 3 each → chunks are
+    // {1,2} {3,4,5} {6,7}; keyframes 1,3,6 land at each chunk's head or
+    // mid-chunk, exercising the intra-chunk predecessor sum
+    val st = Mp4Box.SampleTable(
+      sttsRuns = Seq((7L, 1000L)),
+      sizes = Seq(10L, 11L, 12L, 13L, 14L, 15L, 16L),
+      syncs = Some(Seq(1L, 4L, 6L)),
+      stscRuns = Seq((1L, 2L), (2L, 3L)),
+      chunkOffsets = Seq(100L, 200L, 300L))
+    val mp4 = Mp4Box.write(90000L, 7000L, Seq("avc1"), "p".getBytes,
+      sampleTable = Some(st))
+    // sample 1: chunk 1 head → 100; sample 4: chunk 2, after sample 3
+    // (12 bytes) → 212; sample 6: chunk 3 head → 300, 15 bytes
+    assert(Mp4Box.probeKeyframeRanges(mp4).contains(Seq(
+      (1L, 100L, 10L), (4L, 212L, 13L), (6L, 300L, 15L))))
+    // no stss → EVERY sample is a seek point (§8.6.2.1)
+    val all = Mp4Box.write(90000L, 7000L, Seq("avc1"), "p".getBytes,
+      sampleTable = Some(st.copy(syncs = None)))
+    assert(Mp4Box.probeKeyframeRanges(all).exists(_.map(_._1) ==
+      (1L to 7L).toSeq))
+    // declaring fewer chunk slots than samples rejects the container
+    val tight = st.copy(chunkOffsets = Seq(100L, 200L))
+    val short = Mp4Box.write(90000L, 7000L, Seq("avc1"), "p".getBytes,
+      sampleTable = Some(tight))
+    assert(Mp4Box.probe(short).isEmpty &&
+      Mp4Box.probeKeyframeRanges(short).isEmpty)
+    // chunk tables absent → no seek plan, container still fine
+    val noChunks = Mp4Box.write(90000L, 7000L, Seq("avc1"), "p".getBytes,
+      sampleTable = Some(st.copy(stscRuns = Nil, chunkOffsets = Nil)))
+    assert(Mp4Box.probe(noChunks).isDefined &&
+      Mp4Box.probeKeyframeRanges(noChunks).isEmpty)
+  }
+
   test("malformed input returns None, never throws") {
     val good = Mp4Box.write(1000L, 42L, Seq("avc1"), Array.emptyByteArray)
     assert(Mp4Box.probe(Array.emptyByteArray).isEmpty)
