@@ -74,6 +74,9 @@ object Clusters {
     var total = labelTotal(labels)
     var iter = 0
     var converged = false
+    // generation-bounded checkpointing: each round's reclaim of the
+    // superseded generation happens as soon as the next materializes
+    val chain = new graft.plans.ScaleTechniques.CheckpointChain
     while (iter < maxIter && !converged) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
@@ -82,7 +85,7 @@ object Clusters {
       // localCheckpoint breaks the lineage each round: without it the
       // logical plan nests one level per iteration and blows up planning
       // (an O(2^iters) plan tree — the iterative-algorithm trap)
-      val next = graft.plans.ScaleTechniques.iterCheckpoint(
+      val next = chain.next(
         labels.join(neighborMin, Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("comp"), coalesce(col("n_comp"), col("comp"))).as("comp")))

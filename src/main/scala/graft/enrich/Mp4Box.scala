@@ -97,6 +97,10 @@ object Mp4Box {
             avcSps: Option[Array[Byte]] = None,
             sampleTable: Option[SampleTable] = None): Array[Byte] = {
     require(mvhdVersion == 0 || mvhdVersion == 1, s"mvhd v$mvhdVersion")
+    // mvhd v0 carries duration in 32 bits; silently truncating would desync
+    // the written container from any closed-form mirror of its fields
+    require(mvhdVersion == 1 || duration <= 0xffffffffL,
+      s"mvhd v0 cannot hold duration $duration (use mvhdVersion = 1)")
     require(codecs.forall(_.length == 4), "codec fourccs must be 4 bytes")
     val ftyp = box("ftyp", bytes { o =>
       o.write("isom".getBytes(US_ASCII)) // major brand

@@ -91,7 +91,7 @@ object MpegAudio {
     var nFrames = 0L
     while (off < b.length) {
       if (off + 4 > b.length) return None
-      if ((b(off) & 0xff) != 0xff || (b(off + 1) & 0xfb) != 0xfb)
+      if ((b(off) & 0xff) != 0xff || (b(off + 1) & 0xff) != 0xfb)
         return None                      // sync / MPEG-1 / Layer III / no-CRC
       val brIdx = (b(off + 2) & 0xf0) >>> 4
       val srIdx = (b(off + 2) & 0x0c) >>> 2

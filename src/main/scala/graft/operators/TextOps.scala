@@ -1109,6 +1109,7 @@ object TextOps {
       edges.join(deg, "src")
         .select(col("src"), col("dst"), col("deg")))
     var r = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    val chain = new graft.plans.ScaleTechniques.CheckpointChain
     (1 to iters).foreach { _ =>
       val inflow = edgesDeg
         .join(r.withColumnRenamed("node", "src"), "src")
@@ -1120,7 +1121,7 @@ object TextOps {
       // truncates the rank lineage each step (superseded generations'
       // blocks are reclaimed by the ContextCleaner once the rebind
       // drops the last reference).
-      r = graft.plans.ScaleTechniques.iterCheckpoint(
+      r = chain.next(
         inflow.select(col("node"),
           (lit(150000L) + col("inflow")).as("r")))
     }

@@ -11,6 +11,8 @@ import org.apache.spark.sql.functions._
   */
 object ScaleTechniques {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Lineage truncation for ITERATIVE kernels (CC, PageRank, the MMR
     * greedy trace): every round must break the plan chain or planning
     * goes O(2^iters). `localCheckpoint(true)` is the right single-JVM
@@ -21,15 +23,75 @@ object ScaleTechniques {
     * RELIABLE-storage checkpoints there instead (HDFS/S3 on a cluster);
     * unset, the executor-local fast path is kept. The checkpoint is a
     * plan LEAF either way, so downstream plans are identical — asserted
-    * by the CC spec that runs both modes to equal results. */
+    * by the CC spec that runs both modes to equal results.
+    *
+    * Storage lifecycle: a ONE-SHOT checkpoint's files live for the job
+    * (acceptable — one generation's worth). Iterative loops must NOT call
+    * this per round in reliable mode, or every superseded generation's
+    * corpus-sized snapshot stays on disk for the life of the job
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints` defaults to
+    * false, and enabling it post-hoc is ineffective — the SparkConf is
+    * pinned at context creation). Loops use [[CheckpointChain]], which
+    * reclaims the superseded generation as soon as its successor is
+    * materialized. */
   def iterCheckpoint(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption("spark.graft.checkpointDir").filter(_.nonEmpty) match {
       case Some(d) =>
         val sc = spark.sparkContext
         if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+        else {
+          // Spark pins the checkpoint dir (base/<uuid>) per context; a
+          // LATER change to spark.graft.checkpointDir cannot take effect.
+          // Warn instead of silently writing to the old location.
+          val active = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+          val fs = active.getFileSystem(sc.hadoopConfiguration)
+          val wanted =
+            fs.makeQualified(new org.apache.hadoop.fs.Path(d)).toString
+          if (active.getParent == null || active.getParent.toString != wanted)
+            log.warn(s"spark.graft.checkpointDir=$d ignored: this context " +
+              s"already pinned its checkpoint dir to $active")
+        }
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(true)
+    }
+  }
+
+  /** Generation-bounded checkpointing for ITERATIVE loops: `next(df)`
+    * checkpoints `df` (same mode selection as [[iterCheckpoint]]) and,
+    * once the new generation is eagerly materialized, RECLAIMS the
+    * previous generation this chain produced — deletes its reliable
+    * checkpoint files (the ContextCleaner never would:
+    * `cleanCheckpoints` defaults off) and unpersists its blocks. This
+    * caps a loop's checkpoint footprint at ONE generation instead of
+    * `iters` corpus-sized snapshots.
+    *
+    * CONTRACT — chain semantics: after `next(g_i+1)` returns, `g_i` is
+    * unrecomputable (lineage was truncated AND its storage is gone).
+    * Callers must therefore derive each generation only from the
+    * PREVIOUS generation plus chain-external inputs, and must not hold
+    * other references to superseded generations — exactly the shape of
+    * the CC / PageRank / MMR loops. The FINAL generation is never
+    * reclaimed; it stays live for downstream consumption. */
+  final class CheckpointChain {
+    private var prev: Option[org.apache.spark.rdd.RDD[_]] = None
+
+    def next(df: DataFrame): DataFrame = {
+      val out = iterCheckpoint(df) // eager: materialized before reclaim
+      val rdd = out.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+      prev.foreach { r =>
+        r.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val fs = p.getFileSystem(
+            df.sparkSession.sparkContext.hadoopConfiguration)
+          fs.delete(p, true); ()
+        }
+        r.unpersist(blocking = false)
+      }
+      prev = rdd
+      out
     }
   }
 

@@ -457,6 +457,7 @@ object Ann {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("score_us",
           org.apache.spark.sql.types.LongType))))
+    val chain = new graft.plans.ScaleTechniques.CheckpointChain
     (1 to k).foreach { t =>
       val remaining = cands
         .join(sel.select("q_id", "cand_id"), Seq("q_id", "cand_id"), "left_anti")
@@ -476,7 +477,7 @@ object Ann {
         .filter(col("rk") === 1)
         .select(col("q_id"), col("cand_id"), lit(t.toLong).as("step"),
           col("rel_us"), col("score_us"))
-      sel = graft.plans.ScaleTechniques.iterCheckpoint(sel.unionByName(pick))
+      sel = chain.next(sel.unionByName(pick))
     }
     sel.orderBy("q_id", "step")
   }

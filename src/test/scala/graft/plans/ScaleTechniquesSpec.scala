@@ -178,4 +178,48 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(memo.count() == 500)
     memo.unpersist(blocking = true)
   }
+
+  test("CheckpointChain reclaims superseded reliable generations; " +
+       "final generation survives total block loss (kill proxy)") {
+    import org.apache.hadoop.fs.Path
+    val sc = spark.sparkContext
+    // the context may already have a pinned checkpoint dir from an earlier
+    // suite (Spark pins base/<uuid> per context); reuse it via the conf,
+    // else pin a fresh temp dir
+    val base = sc.getCheckpointDir
+      .map(d => new Path(d).getParent.toUri.getPath)
+      .getOrElse(java.nio.file.Files.createTempDirectory("graft_chain").toString)
+    spark.conf.set("spark.graft.checkpointDir", base)
+    if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(base)
+    try {
+      val active = new Path(sc.getCheckpointDir.get)
+      val fs = active.getFileSystem(sc.hadoopConfiguration)
+      def rddDirs(): Set[String] =
+        if (!fs.exists(active)) Set.empty[String]
+        else fs.listStatus(active).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("rdd-")).toSet
+      val baseline = rddDirs() // pre-existing one-shots from other suites
+      val chain = new ScaleTechniques.CheckpointChain
+      var df = spark.range(0, 1000).toDF("id")
+      val liveAfterEach = (1 to 5).map { _ =>
+        df = chain.next(df.withColumn("id", col("id") + 1))
+        (rddDirs() -- baseline).size
+      }
+      // after every next() exactly ONE of this chain's generations remains
+      // on disk (the superseded one was deleted as soon as its successor
+      // materialized) — without the chain this would read 1,2,3,4,5
+      assert(liveAfterEach.forall(_ == 1),
+        s"superseded generations accumulated: $liveAfterEach")
+      // kill proxy: reliable checkpoints must carry the computation even
+      // when every storage block this frame ever held is gone (on a real
+      // cluster: executor loss mid-iteration). localCheckpoint dies here —
+      // that asymmetry is the whole reason the reliable mode exists.
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(blocking = true))
+      val expected = (0L until 1000L).map(_ + 5L).sum
+      assert(df.agg(sum("id")).head.getLong(0) == expected,
+        "final generation unreadable after block loss — not reliable storage")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
 }
