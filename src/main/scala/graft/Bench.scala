@@ -119,9 +119,13 @@ object Bench {
       if (p > 1) {
         // each pass pays the shared signature/pair-graph kernel (and the
         // materialized ANN index build) once, via the same (alphabetically
-        // first) consumer as every other pass
+        // first) consumer as every other pass. Trained CODEBOOK memos are
+        // NOT cleared here: their training cost has its own line item
+        // (qb1_pq_model_build evicts + retrains them inside its timed
+        // window each pass), so the PQ queries measure as memo-served
+        // searches instead of re-billing training to the first consumer
         graft.dedup.MinHashLSH.clearCache()
-        graft.similarity.Ann.clearCache()
+        graft.similarity.Ann.clearIndexCache()
         graft.similarity.SemDedup.clearCache()
         System.gc() // let the ContextCleaner reclaim dropped checkpoints
       }
@@ -213,7 +217,9 @@ object Bench {
     while (settleRound < SettleMax && ordered.exists(t => unsettled(t._1))) {
       settleRound += 1
       graft.dedup.MinHashLSH.clearCache()
-      graft.similarity.Ann.clearCache()
+      // index memo only — codebook memos stay, same policy as inter-pass
+      // (qb1's settle runs re-evict them inside their own window anyway)
+      graft.similarity.Ann.clearIndexCache()
       graft.similarity.SemDedup.clearCache()
       System.gc(); Thread.sleep(200); System.gc()
       ordered.filter(t => unsettled(t._1)).foreach { case (name, fn) =>

@@ -264,6 +264,16 @@ object SparkEntry {
     * keeps the production compute shape on the benchmark clock. */
   def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qs3_palette_by_source" -> (Palette.paletteBySource _),
+    // explicit PQ-family model build: evicts the codebook memos and
+    // retrains plain PQ + refined coarse centroids + residual PQ inside
+    // its own timed window, so the PQ queries (qe8/qe9/qe10/qs18/qs20)
+    // are billed as memo-served searches — the production
+    // train-once/serve-many split. Sorts before every q{d,e,m,s} entry,
+    // so within a pass it is always the trainer. Bench-only: the
+    // trained models themselves are oracle-proven through their
+    // consumers' full-mirror SQL (qe8/qe9/qe10), which would be
+    // vacuously re-proven here.
+    "qb1_pq_model_build" -> ((s, d) => Ann.buildPqModels(s, d)),
   )
 
   /** The low-probe IVF oracle, shared VERBATIM by qs12 (in-memory) and
