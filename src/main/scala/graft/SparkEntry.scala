@@ -180,6 +180,7 @@ object SparkEntry {
     "qm9_h264_dimensions"  -> (Multimodal.qm9H264Dimensions _),
     "qm10_mp4_samples"     -> (Multimodal.qm10Mp4Samples _),
     "qm11_keyframe_ranges" -> (Multimodal.qm11KeyframeRanges _),
+    "qm12_aac_config"      -> (Multimodal.qm12AacConfig _),
     // qm7's arrival-time form: per-batch box walks into an append-only
     // metadata index
     "qs34_stream_mp4"      -> (Replay.qs34StreamMp4 _),
@@ -3487,6 +3488,31 @@ object SparkEntry {
         |  agg.tot::BIGINT AS total_sample_bytes,
         |  agg.mx::BIGINT AS max_sample_bytes
         |FROM a JOIN agg ON agg.doc_id = a.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // qm12: every ASC field is a pure integer function of the document
+    // row; the engine can only reproduce them by round-tripping a real
+    // ES_Descriptor chain (base-128 expandable lengths, both layouts)
+    // through the mp4a entry and unpacking the 5/4/4-bit ASC. The
+    // sample_rate column pins the ISO 14496-3 index table; the
+    // container_bytes column pins the full writer layout (212 fixed
+    // bytes single-byte lengths, 224 padded, + the document's UTF-8
+    // bytes riding in the skip box).
+    "qm12_aac_config" ->
+      """SELECT doc_id AS media_id,
+        |  64::BIGINT AS object_type,
+        |  (1 + doc_id % 2)::BIGINT AS audio_object_type,
+        |  (3 + doc_id % 9)::BIGINT AS freq_index,
+        |  (CASE (3 + doc_id % 9)
+        |     WHEN 3 THEN 48000 WHEN 4 THEN 44100 WHEN 5 THEN 32000
+        |     WHEN 6 THEN 24000 WHEN 7 THEN 22050 WHEN 8 THEN 16000
+        |     WHEN 9 THEN 12000 WHEN 10 THEN 11025
+        |     ELSE 8000 END)::BIGINT AS sample_rate,
+        |  (1 + doc_id % 6)::BIGINT AS channels,
+        |  (8000 * (1 + doc_id % 24))::BIGINT AS avg_bitrate,
+        |  (CASE WHEN (doc_id // 2) % 2 = 1 THEN 224 ELSE 212 END
+        |   + octet_length(encode(text)))::BIGINT AS container_bytes
+        |FROM documents WHERE doc_id % 3 = 1
         |ORDER BY media_id""".stripMargin,
 
     // qm9: profile/level/display-size are pure integer functions of the

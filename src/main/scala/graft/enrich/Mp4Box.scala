@@ -56,6 +56,36 @@ object Mp4Box {
       "stsc first_chunk strictly increasing")
   }
 
+  /** ISO 14496-3 §1.6.3 sampling-frequency-index table (indices 13/14
+    * reserved, 15 = explicit 24-bit escape the minimal writer never
+    * emits and the parser rejects). */
+  private[graft] val AacSampleRates: Array[Int] = Array(
+    96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  /** An `mp4a` AudioSampleEntry's decoder configuration — the audio
+    * twin of the `avcC`-carried SPS (qm9): audioObjectType (5 bits;
+    * 1 = Main, 2 = LC), samplingFrequencyIndex (4 bits into
+    * [[AacSampleRates]]), channelConfiguration (4 bits), and the
+    * DecoderConfigDescriptor's avgBitrate. `paddedLengths` selects the
+    * 4-byte 0x80-continued expandable-length form some real muxers emit
+    * for every descriptor, so the parser's base-128 walk is exercised
+    * against both layouts. */
+  final case class AacConfig(audioObjectType: Int, freqIndex: Int,
+                             channelConfig: Int, avgBitrate: Long,
+                             paddedLengths: Boolean = false) {
+    require(audioObjectType >= 1 && audioObjectType <= 30,
+      s"audioObjectType $audioObjectType (escape form unsupported)")
+    require(freqIndex >= 0 && freqIndex <= 12, s"freqIndex $freqIndex")
+    // the 16.16 fixed-point samplerate field caps the writable rate
+    require(AacSampleRates(freqIndex) <= 0xffff,
+      s"rate ${AacSampleRates(freqIndex)} overflows the 16.16 field")
+    require(channelConfig >= 1 && channelConfig <= 7,
+      s"channelConfig $channelConfig")
+    require(avgBitrate >= 0 && avgBitrate <= 0xffffffffL,
+      s"avgBitrate $avgBitrate")
+  }
+
   private def fourcc(b: Array[Byte], off: Int): String =
     new String(b, off, 4, US_ASCII)
 
@@ -92,10 +122,28 @@ object Mp4Box {
     * version, one stsd sample-entry chain per codec fourcc, and a
     * trailing opaque `udta`. Every size is computed, so a parser that
     * mis-walks any level lands off a box boundary. */
+  /** One ISO 14496-1 §8.3.3 descriptor: tag byte, expandable length
+    * (single-byte, or the 4-byte 0x80-continued form when `padded`),
+    * payload. */
+  private def descriptor(tag: Int, payload: Array[Byte],
+                         padded: Boolean): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    o.write(tag)
+    if (padded) {
+      o.write(0x80 | ((payload.length >>> 21) & 0x7f))
+      o.write(0x80 | ((payload.length >>> 14) & 0x7f))
+      o.write(0x80 | ((payload.length >>> 7) & 0x7f))
+    } else require(payload.length < 128, "single-byte descriptor length")
+    o.write(payload.length & 0x7f)
+    o.write(payload)
+    o.toByteArray
+  }
+
   def write(timescale: Long, duration: Long, codecs: Seq[String],
             skipPayload: Array[Byte], mvhdVersion: Int = 0,
             avcSps: Option[Array[Byte]] = None,
-            sampleTable: Option[SampleTable] = None): Array[Byte] = {
+            sampleTable: Option[SampleTable] = None,
+            aacConfig: Option[AacConfig] = None): Array[Byte] = {
     require(mvhdVersion == 0 || mvhdVersion == 1, s"mvhd v$mvhdVersion")
     // mvhd v0 carries duration in 32 bits; silently truncating would desync
     // the written container from any closed-form mirror of its fields
@@ -153,6 +201,43 @@ object Mp4Box {
             o.write(0); o.write(0x18)      // depth 24
             o.write(0xff); o.write(0xff)   // pre_defined −1
             o.write(avcC)
+          })
+        } else if (cc == "mp4a" && aacConfig.isDefined) {
+          // full ISO 14496-12 §12.2.3 AudioSampleEntry (28-byte body)
+          // with an ISO 14496-14 §5.6 esds child carrying the
+          // ES_Descriptor → DecoderConfigDescriptor →
+          // DecoderSpecificInfo(AudioSpecificConfig) chain — the layout
+          // real AAC muxers emit (the reference's media store is
+          // H.264+AAC in MP4)
+          val cfg = aacConfig.get
+          val asc = Array[Byte](
+            ((cfg.audioObjectType << 3) | (cfg.freqIndex >>> 1)).toByte,
+            (((cfg.freqIndex & 1) << 7) | (cfg.channelConfig << 3)).toByte)
+          val dsi = descriptor(0x05, asc, cfg.paddedLengths)
+          val dcd = descriptor(0x04, bytes { o =>
+            o.write(0x40)                  // objectTypeIndication: MPEG-4 Audio
+            o.write(0x15)                  // streamType 5 (audio) <<2 | reserved
+            o.write(0); o.write(0x18); o.write(0) // bufferSizeDB 6144
+            putU32(o, cfg.avgBitrate)      // maxBitrate
+            putU32(o, cfg.avgBitrate)
+            o.write(dsi)
+          }, cfg.paddedLengths)
+          val sl = descriptor(0x06, Array[Byte](0x02), cfg.paddedLengths)
+          val es = descriptor(0x03, bytes { o =>
+            o.write(0); o.write(1)         // ES_ID
+            o.write(0)                     // no dependence/URL/OCR, priority 0
+            o.write(dcd); o.write(sl)
+          }, cfg.paddedLengths)
+          val esds = box("esds", bytes { o => putU32(o, 0L); o.write(es) })
+          box(cc, bytes { o =>
+            o.write(new Array[Byte](6))    // reserved
+            o.write(0); o.write(1)         // data_reference_index
+            o.write(new Array[Byte](8))    // reserved
+            o.write(0); o.write(cfg.channelConfig) // channelcount
+            o.write(0); o.write(16)        // samplesize
+            o.write(new Array[Byte](4))    // pre_defined + reserved
+            putU32(o, AacSampleRates(cfg.freqIndex).toLong << 16) // 16.16
+            o.write(esds)
           })
         } else box(cc, bytes { o =>
           o.write(new Array[Byte](6))      // reserved
@@ -233,6 +318,22 @@ object Mp4Box {
   def probeAvcSps(b: Array[Byte]): Option[Array[Byte]] =
     walkAll(b).flatMap(_.sps)
 
+  /** The AAC decoder configuration carried by the first `mp4a` sample
+    * entry's `esds` box, if present: (objectTypeIndication,
+    * audioObjectType, samplingFrequencyIndex, sampleRateHz,
+    * channelConfiguration, avgBitrate) — the audio twin of
+    * [[probeAvcSps]]. Parsed through the REAL ISO 14496-1 descriptor
+    * walk: expandable base-128 lengths (single-byte and padded forms),
+    * the ES_Descriptor's dependence/URL/OCR flag skips, the
+    * DecoderConfigDescriptor fixed fields, then the AudioSpecificConfig
+    * bit unpack (5-bit AOT, 4-bit freq index, 4-bit channel config).
+    * None when malformed, when the stream is not audio, or on the
+    * escape forms the minimal profile excludes (AOT 31, freq index
+    * 13..15). */
+  def probeAacConfig(b: Array[Byte])
+      : Option[(Int, Int, Int, Int, Int, Long)] =
+    walkAll(b).flatMap(_.aac)
+
   /** Per-track sample statistics from a REAL stts/stsz/stss walk
     * (§8.6.1/§8.7.3/§8.6.2): (nSamples, durationUnits = Σ count×delta
     * over the stts runs, nKeyframes, totalSampleBytes, maxSampleBytes).
@@ -261,7 +362,66 @@ object Mp4Box {
   private final case class WalkMeta(brand: String, timescale: Long,
     duration: Long, nTracks: Int, codecs: Seq[String],
     sps: Option[Array[Byte]], samples: Option[(Long, Long, Long, Long, Long)],
-    seekPlan: Option[Seq[SeekEntry]])
+    seekPlan: Option[Seq[SeekEntry]],
+    aac: Option[(Int, Int, Int, Int, Int, Long)])
+
+  /** One ISO 14496-1 §8.3.3 descriptor header at `off`: (tag, bodyOff,
+    * bodyLen). The expandable length is base-128, high bit = continue,
+    * at most 4 bytes; None on truncation or a body past `limit`. */
+  private def readDescriptor(b: Array[Byte], off: Int,
+                             limit: Int): Option[(Int, Int, Int)] = {
+    if (off + 2 > limit) return None
+    val tag = b(off) & 0xff
+    var p = off + 1
+    var len = 0
+    var i = 0
+    var cont = true
+    while (cont && i < 4 && p < limit) {
+      val v = b(p) & 0xff
+      len = (len << 7) | (v & 0x7f)
+      cont = (v & 0x80) != 0
+      p += 1; i += 1
+    }
+    if (cont || p + len > limit) None else Some((tag, p, len))
+  }
+
+  /** The esds descriptor chain (body starts at `cb`, box ends at
+    * `end`): ES_Descriptor(3) → DecoderConfigDescriptor(4) →
+    * DecoderSpecificInfo(5)=AudioSpecificConfig. */
+  private def parseEsds(b: Array[Byte], cb: Int,
+                        end: Int): Option[(Int, Int, Int, Int, Int, Long)] = {
+    if (cb + 4 > end || u32(b, cb) != 0L) return None // fullbox ver+flags
+    for {
+      (esTag, esOff, esLen) <- readDescriptor(b, cb + 4, end)
+      if esTag == 0x03 && esLen >= 3
+      esEnd = esOff + esLen
+      flags = b(esOff + 2) & 0xff
+      // §7.2.6.5: optional dependsOn_ES_ID (u16), URL (len-prefixed),
+      // OCR_ES_Id (u16) precede the embedded descriptors
+      afterFlags = {
+        var q = esOff + 3
+        if ((flags & 0x80) != 0) q += 2
+        if ((flags & 0x40) != 0 && q < esEnd) q += 1 + (b(q) & 0xff)
+        if ((flags & 0x20) != 0) q += 2
+        q
+      }
+      if afterFlags <= esEnd
+      (dcTag, dcOff, dcLen) <- readDescriptor(b, afterFlags, esEnd)
+      if dcTag == 0x04 && dcLen >= 13
+      // streamType (6 bits) must be 5 = AudioStream
+      if ((b(dcOff + 1) & 0xff) >>> 2) == 0x05
+      (dsTag, dsOff, dsLen) <- readDescriptor(b, dcOff + 13, dcOff + dcLen)
+      if dsTag == 0x05 && dsLen >= 2
+      asc0 = b(dsOff) & 0xff
+      asc1 = b(dsOff + 1) & 0xff
+      aot = asc0 >>> 3
+      if aot != 31 // escape form: 6 more bits, out of the minimal profile
+      freqIdx = ((asc0 & 0x7) << 1) | (asc1 >>> 7)
+      if freqIdx < AacSampleRates.length // 13/14 reserved, 15 explicit
+      chan = (asc1 >>> 3) & 0xf
+    } yield ((b(dcOff) & 0xff), aot, freqIdx, AacSampleRates(freqIdx),
+      chan, u32(b, dcOff + 9))
+  }
 
   private def walkAll(b: Array[Byte]): Option[WalkMeta] = {
     var brand: String = null
@@ -269,6 +429,7 @@ object Mp4Box {
     var nTracks = 0
     val codecs = scala.collection.mutable.ArrayBuffer.empty[String]
     var sps: Option[Array[Byte]] = None
+    var aac: Option[(Int, Int, Int, Int, Int, Long)] = None
     // sample-table accumulators (first table wins; −1 = absent)
     var sttsTotal = -1L; var sttsDur = 0L
     var szCount = -1L; var szTot = 0L; var szMax = 0L
@@ -374,6 +535,18 @@ object Mp4Box {
                 coff += csize.toInt
               }
             }
+            // an AudioSampleEntry-sized mp4a may carry an esds past its
+            // fixed 28-byte body; scan its children like avc1's avcC
+            if (tpe == "mp4a" && aac.isEmpty && size >= 8 + 28 + 8) {
+              var coff = body + 28
+              while (coff + 8 <= end && aac.isEmpty) {
+                val csize = u32(b, coff)
+                if (csize < 8 || coff + csize > end) { bad = true; return }
+                if (fourcc(b, coff + 4) == "esds")
+                  aac = parseEsds(b, coff + 8, coff + csize.toInt)
+                coff += csize.toInt
+              }
+            }
           case _ => // opaque box (skip/udta/mdat/...) — step over
         }
         off = end
@@ -433,7 +606,7 @@ object Mp4Box {
           Some(out.result())
         }
       Some(WalkMeta(brand, timescale, duration, nTracks, codecs.toSeq, sps,
-        samples, seekPlan))
+        samples, seekPlan, aac))
     }
   }
 }

@@ -681,6 +681,62 @@ object Multimodal {
         "total_sample_bytes", "max_sample_bytes")
   }
 
+  /** qm12: AAC AudioSpecificConfig from `esds` — the audio twin of
+    * qm9's SPS probe, completing the per-track `.mp4` metadata story
+    * qm7 starts (the reference's media store is H.264+AAC in MP4;
+    * perceptual AAC decode needs native filterbanks, but the decoder
+    * CONFIGURATION is pure bit-packed structure). Every media row
+    * synthesizes an audio-only container whose `mp4a` entry carries a
+    * full ES_Descriptor → DecoderConfigDescriptor →
+    * DecoderSpecificInfo(ASC) chain with parameters derived
+    * deterministically from the document — audioObjectType 1/2
+    * (Main/LC), freq index cycling 3..11 (48 kHz down to 8 kHz),
+    * channel config 1..6, avgBitrate 8..192 kbps, and the 4-byte padded
+    * expandable-length form on every other row so BOTH descriptor
+    * length layouts real muxers emit are walked — then parses it back
+    * through the REAL base-128 descriptor walk and the ASC bit unpack.
+    * Integer end to end; container_bytes pins the writer layout in
+    * closed form (212/224 fixed + the document's bytes in `skip`), so
+    * the hash only matches when the descriptor arithmetic is
+    * byte-faithful.
+    *
+    * Plan shape: one narrow per-partition codec pass, no shuffle before
+    * the presentation sort — the qm7/qm8/qm9 geometry. */
+  def qm12AacConfig(spark: SparkSession, dir: String): DataFrame =
+    aacConfigFrame(Tables(spark, dir, "documents")).orderBy("media_id")
+
+  /** The per-row esds kernel shared by qm12 and its streaming form:
+    * synthesize the mp4a+esds container → parse the descriptor chain
+    * back. Pure per-row map, O(payload). */
+  private[graft] def aacConfigFrame(docsDf: DataFrame): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    docsDf
+      .filter(pmod(col("doc_id"), lit(3)) === 1) // the media table's video rows
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text, nChars) =>
+          val cfg = Mp4Box.AacConfig(
+            audioObjectType = (1 + id % 2).toInt,
+            freqIndex = (3 + id % 9).toInt,
+            channelConfig = (1 + id % 6).toInt,
+            avgBitrate = 8000L * (1 + id % 24),
+            paddedLengths = (id / 2) % 2 == 1)
+          val m4a = Mp4Box.write(90000L, nChars * 900L, Seq("mp4a"),
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            mvhdVersion = 0, aacConfig = Some(cfg))
+          val (ot, aot, fi, rate, chan, abr) = Mp4Box.probeAacConfig(m4a)
+            .getOrElse(throw new IllegalStateException(
+              s"descriptor walk rejected its own esds for doc $id"))
+          (id, ot.toLong, aot.toLong, fi.toLong, rate.toLong, chan.toLong,
+            abr, m4a.length.toLong)
+        }
+      }
+      .toDF("media_id", "object_type", "audio_object_type", "freq_index",
+        "sample_rate", "channels", "avg_bitrate", "container_bytes")
+  }
+
   /** qm11: keyframe byte-range planner — the PAYOFF of the sample-table
     * stack: compose stss (which samples a decoder can seek to) with the
     * §8.7.4 stsc chunk mapping and the §8.7.5 stco chunk offsets into

@@ -115,6 +115,87 @@ class Mp4BoxSpec extends AnyFunSuite {
       Mp4Box.probeKeyframeRanges(noChunks).isEmpty)
   }
 
+  test("esds-bearing mp4a entries round-trip the AAC config in both " +
+       "descriptor-length layouts") {
+    for (padded <- Seq(false, true)) {
+      val cfg = Mp4Box.AacConfig(audioObjectType = 2, freqIndex = 4,
+        channelConfig = 2, avgBitrate = 128000L, paddedLengths = padded)
+      val m4a = Mp4Box.write(90000L, 9000L, Seq("mp4a"), "doc".getBytes,
+        aacConfig = Some(cfg))
+      // the container walk still reads the movie metadata around the
+      // now-full AudioSampleEntry + its esds child
+      val Some((brand, ts, dur, n, codecs)) = Mp4Box.probe(m4a)
+      assert(brand == "isom" && ts == 90000L && dur == 9000L)
+      assert(n == 1 && codecs == Seq("mp4a"), s"padded=$padded")
+      // and the descriptor walk surfaces every ASC field
+      assert(Mp4Box.probeAacConfig(m4a)
+        .contains((0x40, 2, 4, 44100, 2, 128000L)), s"padded=$padded")
+      // the padded form costs exactly 3 bytes per descriptor (4 of them)
+      if (padded) {
+        val plain = Mp4Box.write(90000L, 9000L, Seq("mp4a"), "doc".getBytes,
+          aacConfig = Some(cfg.copy(paddedLengths = false)))
+        assert(m4a.length == plain.length + 12)
+      }
+    }
+    // a video track alongside: both probes coexist on one container
+    val sps = H264Sps.write(66, 30, 4, 3)
+    val both = Mp4Box.write(90000L, 9000L, Seq("avc1", "mp4a"),
+      "p".getBytes, avcSps = Some(sps),
+      aacConfig = Some(Mp4Box.AacConfig(1, 11, 1, 8000L)))
+    assert(Mp4Box.probeAvcSps(both).exists(_.sameElements(sps)))
+    assert(Mp4Box.probeAacConfig(both).contains((0x40, 1, 11, 8000, 1, 8000L)))
+    // minimal mp4a (no config) → None, not a crash — and the plain
+    // probe's byte layout is unchanged (qm7's closed-form oracle)
+    val bare = Mp4Box.write(90000L, 9000L, Seq("mp4a"), Array.emptyByteArray)
+    assert(Mp4Box.probe(bare).isDefined && Mp4Box.probeAacConfig(bare).isEmpty)
+  }
+
+  test("esds parser rejects non-audio streams and ASC escape forms") {
+    // hand-build the container so fields the WRITER refuses (escape
+    // AOT, reserved freq index, non-audio streamType) still reach the
+    // parser
+    def boxOf(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      val sz = 8L + payload.length
+      b.write(((sz >>> 24) & 0xff).toInt); b.write(((sz >>> 16) & 0xff).toInt)
+      b.write(((sz >>> 8) & 0xff).toInt); b.write((sz & 0xff).toInt)
+      b.write(tpe.getBytes); b.write(payload); b.toByteArray
+    }
+    def withAsc(asc0: Int, asc1: Int, streamType: Int = 0x15): Array[Byte] = {
+      val es = Array(
+        0x03, 25, 0, 1, 0,                          // ES_Descriptor
+        0x04, 17, 0x40, streamType, 0, 0x18, 0,     // DecoderConfig
+        0, 0, 0, 0, 0, 0, 0, 0,                     // max/avg bitrate 0
+        0x05, 2, asc0, asc1,                        // DecoderSpecificInfo
+        0x06, 1, 0x02).map(_.toByte)                // SLConfig
+      val esds = boxOf("esds", new Array[Byte](4) ++ es)
+      val entry = boxOf("mp4a", new Array[Byte](28) ++ esds)
+      val stsd = boxOf("stsd",
+        new Array[Byte](4) ++ Array[Byte](0, 0, 0, 1) ++ entry)
+      val mvhd = boxOf("mvhd", new Array[Byte](12) ++
+        Array[Byte](0, 0, 3, 0xe8.toByte) ++        // timescale 1000
+        Array[Byte](0, 0, 0, 42) ++ new Array[Byte](8))
+      val trak = boxOf("trak", boxOf("mdia", boxOf("minf",
+        boxOf("stbl", stsd))))
+      val ftyp = boxOf("ftyp", "isom".getBytes ++ new Array[Byte](4) ++
+        "isomiso2".getBytes)
+      ftyp ++ boxOf("moov", mvhd ++ trak)
+    }
+    // AAC-LC 44.1 kHz stereo through the hand-built path = the baseline
+    assert(Mp4Box.probeAacConfig(withAsc(0x12, 0x10))
+      .contains((0x40, 2, 4, 44100, 2, 0L)))
+    // AOT escape 31 (11111xxx) → None
+    assert(Mp4Box.probeAacConfig(withAsc(0xfa, 0x10)).isEmpty)
+    // freq index 15 (explicit 24-bit form) → None
+    assert(Mp4Box.probeAacConfig(withAsc(0x17, 0x90)).isEmpty)
+    // streamType visual (4 << 2) → not audio → None
+    assert(Mp4Box.probeAacConfig(withAsc(0x12, 0x10, streamType = 0x11)).isEmpty)
+    // truncated descriptor chain → None, never a throw
+    val good = Mp4Box.write(90000L, 9000L, Seq("mp4a"), Array.emptyByteArray,
+      aacConfig = Some(Mp4Box.AacConfig(2, 4, 2, 128000L)))
+    assert(Mp4Box.probeAacConfig(good.dropRight(6)).isEmpty)
+  }
+
   test("malformed input returns None, never throws") {
     val good = Mp4Box.write(1000L, 42L, Seq("avc1"), Array.emptyByteArray)
     assert(Mp4Box.probe(Array.emptyByteArray).isEmpty)
