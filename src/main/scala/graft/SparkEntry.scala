@@ -181,6 +181,7 @@ object SparkEntry {
     "qm10_mp4_samples"     -> (Multimodal.qm10Mp4Samples _),
     "qm11_keyframe_ranges" -> (Multimodal.qm11KeyframeRanges _),
     "qm12_aac_config"      -> (Multimodal.qm12AacConfig _),
+    "qm13_ranged_fetch"    -> (Multimodal.qm13RangedFetch _),
     // qm7's arrival-time form: per-batch box walks into an append-only
     // metadata index
     "qs34_stream_mp4"      -> (Replay.qs34StreamMp4 _),
@@ -3464,6 +3465,41 @@ object SparkEntry {
         |  sz AS sample_bytes
         |FROM o WHERE (sn - 1) % k = 0
         |ORDER BY media_id, sample_number""".stripMargin,
+
+    // qm13: qm11's plan DRIVEN through the deterministic ranged-GET
+    // transport (byte i of a range = (offset + i) mod 251), so each
+    // payload checksum is a pure integer function of the planned
+    // (offset, length) — the oracle rebuilds the chunk mapping like
+    // qm11 and folds the mod-251 position sum per range; any drift in
+    // what was actually fetched shifts the sum and breaks the hash.
+    "qm13_ranged_fetch" ->
+      """WITH a AS (
+        |  SELECT doc_id, 5 + doc_id % 6 AS n, 1 + doc_id % 3 AS k,
+        |         1 + doc_id % 2 AS s1, 2 + (doc_id // 3) % 2 AS s2
+        |  FROM documents WHERE doc_id % 3 = 1
+        |), s AS (
+        |  SELECT doc_id, k, s1, s2, r.i + 1 AS sn,
+        |    (100 + (doc_id + 7 * r.i) % 50)::BIGINT AS sz
+        |  FROM a CROSS JOIN unnest(range(0, n)) r(i)
+        |), c AS (
+        |  SELECT *, CASE WHEN sn <= s1 THEN 1
+        |                 ELSE 2 + (sn - s1 - 1) // s2 END AS chunk
+        |  FROM s
+        |), o AS (
+        |  SELECT *, coalesce(SUM(sz) OVER (
+        |      PARTITION BY doc_id, chunk ORDER BY sn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS intra
+        |  FROM c
+        |), f AS (
+        |  SELECT doc_id, sn, 4096 + (chunk - 1) * 8192 + intra AS off, sz
+        |  FROM o WHERE (sn - 1) % k = 0
+        |)
+        |SELECT doc_id AS media_id, sn::BIGINT AS sample_number,
+        |  off::BIGINT AS file_offset, sz AS sample_bytes,
+        |  sz AS content_length,
+        |  (SELECT sum((off + r2.j) % 251)
+        |   FROM unnest(range(0, sz)) r2(j))::BIGINT AS checksum
+        |FROM f ORDER BY media_id, sample_number""".stripMargin,
 
     // qm10: the sample plan is a pure integer function of the document
     // row — duration_units folds the two-run stts decode ((n−2)·d +

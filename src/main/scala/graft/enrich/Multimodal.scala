@@ -770,28 +770,95 @@ object Multimodal {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { batch =>
         batch.flatMap { case (id, text) =>
-          val n = (5 + id % 6).toInt
-          val d = 3000L + 10L * (id % 4)
-          val k = (1 + id % 3).toInt
-          val s1 = 1L + id % 2
-          val s2 = 2L + (id / 3) % 2
-          val nc = (1L + (n - s1 + s2 - 1) / s2).toInt
-          val table = Mp4Box.SampleTable(
-            sttsRuns = Seq((n - 2L, d), (2L, 2L * d)),
-            sizes = (0 until n).map(i => 100L + (id + 7L * i) % 50L),
-            syncs = Some((1 to n by k).map(_.toLong)),
-            stscRuns = Seq((1L, s1), (2L, s2)),
-            chunkOffsets = (1 to nc).map(c => 4096L + 8192L * (c - 1)))
-          val mp4 = Mp4Box.write(90000L, (n + 2) * d, Seq("avc1"),
-            text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-            mvhdVersion = (id % 2).toInt, sampleTable = Some(table))
-          Mp4Box.probeKeyframeRanges(mp4)
+          Mp4Box.probeKeyframeRanges(qm11Container(id, text))
             .getOrElse(throw new IllegalStateException(
               s"seek-plan walk rejected its own container for doc $id"))
             .map { case (sn, off, len) => (id, sn, off, len) }
         }
       }
       .toDF("media_id", "sample_number", "file_offset", "sample_bytes")
+  }
+
+  /** The chunked synthetic container behind qm11/qm13 and the
+    * ranged-fetch spec corpus: a two-run stsc (run expansion, the
+    * run-boundary switch, AND a partial final chunk all exercised) with
+    * deterministic chunk offsets 4096 + 8192·(chunk−1), every
+    * parameter a pure integer function of the document row. */
+  private[graft] def qm11Container(id: Long, text: String): Array[Byte] = {
+    val n = (5 + id % 6).toInt
+    val d = 3000L + 10L * (id % 4)
+    val k = (1 + id % 3).toInt
+    val s1 = 1L + id % 2
+    val s2 = 2L + (id / 3) % 2
+    val nc = (1L + (n - s1 + s2 - 1) / s2).toInt
+    val table = Mp4Box.SampleTable(
+      sttsRuns = Seq((n - 2L, d), (2L, 2L * d)),
+      sizes = (0 until n).map(i => 100L + (id + 7L * i) % 50L),
+      syncs = Some((1 to n by k).map(_.toLong)),
+      stscRuns = Seq((1L, s1), (2L, s2)),
+      chunkOffsets = (1 to nc).map(c => 4096L + 8192L * (c - 1)))
+    Mp4Box.write(90000L, (n + 2) * d, Seq("avc1"),
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      mvhdVersion = (id % 2).toInt, sampleTable = Some(table))
+  }
+
+  /** Deterministic ranged-GET transport for the qm13 oracle: byte i of
+    * any range reads (offset + i) mod 251 — a pure function of the
+    * byte POSITION in the object, so the oracle can recompute every
+    * fetched payload's checksum in closed form without seeing the
+    * bytes. */
+  private[graft] def oracleRange(off: Long, len: Long): Array[Byte] =
+    Array.tabulate(len.toInt)(i => ((off + i) % 251).toByte)
+
+  /** qm13: planned RANGED fetch — the qm11 seek plan actually DRIVEN
+    * through a ranged-GET transport, the reference's thumbnail pipeline
+    * (fetch media, derive stills) done the 100-TB way: a thumbnailing
+    * job over a petabyte media lake must issue byte-range GETs for
+    * keyframes only, never whole-object downloads. Each media row plans
+    * its keyframes (the real §8.7.4/§8.7.5 demuxer walk), fetches every
+    * planned (offset, length) range through the transport, and reports
+    * the payload's length and byte checksum. With the deterministic
+    * position-based transport, the checksum is a pure integer function
+    * of (offset, length), so the oracle recomputes it in closed form —
+    * the hash only matches when the engine fetched EXACTLY the planned
+    * ranges (any off-by-one in offset or length shifts the mod-251 sum).
+    * The store-backed form of the same operator (existence-checked,
+    * idempotent replay) is `ingest.MediaFetch.fetchKeyframeRanges`,
+    * spec-proven equal to this kernel's rows on a shared corpus.
+    *
+    * Plan shape: one narrow per-partition codec pass fanning out
+    * ~n_keyframes rows per clip — the qm7 family geometry; the
+    * transport call is per PLANNED RANGE, never per object byte. */
+  def qm13RangedFetch(spark: SparkSession, dir: String): DataFrame =
+    rangedFetchFrame(Tables(spark, dir, "documents"),
+      (_, off, len) => oracleRange(off, len))
+      .orderBy("media_id", "sample_number")
+
+  /** The per-row plan+fetch kernel shared by qm13 and the MediaFetch
+    * ranged-replay spec: synthesize the chunked container, plan the
+    * keyframe ranges, drive each through the pluggable transport. */
+  private[graft] def rangedFetchFrame(docsDf: DataFrame,
+      fetchRange: (String, Long, Long) => Array[Byte]): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    docsDf
+      .filter(pmod(col("doc_id"), lit(3)) === 1) // the media table's video rows
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, text) =>
+          Mp4Box.probeKeyframeRanges(qm11Container(id, text))
+            .getOrElse(throw new IllegalStateException(
+              s"seek-plan walk rejected its own container for doc $id"))
+            .map { case (sn, off, len) =>
+              val payload = fetchRange(s"media/$id", off, len)
+              var sum = 0L
+              payload.foreach(b => sum += (b & 0xff))
+              (id, sn, off, len, payload.length.toLong, sum)
+            }
+        }
+      }
+      .toDF("media_id", "sample_number", "file_offset", "sample_bytes",
+        "content_length", "checksum")
   }
 
   /** Max |decoded − painted| mean-luma drift qm3 tolerates per frame.

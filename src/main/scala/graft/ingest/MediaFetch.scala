@@ -70,32 +70,102 @@ object MediaFetch {
       }
       .toDF("key", "url", "payload", "content_length")
       .localCheckpoint(true)
-    if (!fetched.isEmpty) {
-      // ATOMIC-ish append: write the batch to a dot-prefixed staging dir
-      // (invisible to parquet listings), then move the completed part
-      // files into the store one rename at a time. A crash mid-write
-      // leaves only the staging dir (ignored by the next inventory read);
-      // a crash mid-move leaves some COMPLETE files in the store — the
-      // idempotent anti join simply refetches the remainder. The direct
-      // `mode(Append)` it replaces could die mid-part-file and poison
-      // every subsequent inventory read with a truncated footer.
-      val staging = new org.apache.hadoop.fs.Path(
-        storePath, s".staging-${java.util.UUID.randomUUID}")
-      fetched.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-      fs.listStatus(staging)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .foreach { f =>
-          val dest = new org.apache.hadoop.fs.Path(storePath, f.getPath.getName)
-          // a silently-false rename would DROP a completed batch part (the
-          // rows were fetched and returned, but never reach the store, and
-          // the next run's anti join re-downloads them) — fail loudly
-          if (!fs.rename(f.getPath, dest))
-            throw new java.io.IOException(
-              s"failed to move completed media batch part ${f.getPath} -> $dest")
-        }
-      fs.delete(staging, true)
-    }
+    // ATOMIC-ish append (stagedAppend): it replaces a direct
+    // `mode(Append)` that could die mid-part-file and poison every
+    // subsequent inventory read with a truncated footer
+    if (!fetched.isEmpty) stagedAppend(fetched, fs, storePath)
     fetched
+  }
+
+  /** Ranged media mirroring — the thumbnail pipeline the 100-TB way
+    * (s3-to-es_aws.py:101-128 downloads each media object whole to
+    * derive stills; at petabyte scale a thumbnailing job must fetch
+    * KEYFRAME BYTE RANGES only). Composition of the two machines this
+    * file and `Mp4Box` provide: per candidate object, ONE small header
+    * GET feeds the real §8.7.4/§8.7.5 demuxer walk
+    * (`Mp4Box.probeKeyframeRanges`) to plan the keyframe ranges; the
+    * plan anti-joins the store on (key, sample_number) — K1's existence
+    * check at range granularity — and only MISSING ranges are fetched,
+    * one ranged GET each, and staged-append'ed to the store. Replay is
+    * idempotent on the side effects that matter: a re-run re-issues
+    * only the O(1)-per-object header GETs (planning is stateless and
+    * cheap, like a HEAD probe) and zero range GETs.
+    *
+    * `fetchRange(url, offset, length)` is the single transport
+    * primitive (an S3/HTTP ranged GET); a header whose `moov` lies
+    * beyond `headerBytes` fails its box walk and the object is SKIPPED
+    * this run (production would retry with a tail GET), never
+    * half-planned. */
+  def fetchKeyframeRanges(candidates: DataFrame, storeDir: String,
+                          fetchRange: (String, Long, Long) => Array[Byte],
+                          headerBytes: Long = 1L << 16): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(storeDir).getFileSystem(hconf)
+    val storePath =
+      fs.makeQualified(new org.apache.hadoop.fs.Path(storeDir))
+    val hasData = fs.exists(storePath) &&
+      fs.listStatus(storePath).exists(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val inventory: DataFrame =
+      if (hasData) spark.read.parquet(storeDir).select("key", "sample_number")
+      else spark.emptyDataset[(String, Long)].toDF("key", "sample_number")
+    val planned = candidates.select("key", "url")
+      .groupBy("key").agg(min("url").as("url")) // deterministic, like fetchMissing
+      .as[(String, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (key, url) =>
+          val header = fetchRange(url, 0L, headerBytes)
+          graft.enrich.Mp4Box.probeKeyframeRanges(header).toSeq.flatten
+            .map { case (sn, off, len) => (key, url, sn, off, len) }
+        }
+      }
+      .toDF("key", "url", "sample_number", "file_offset", "byte_length")
+    val missing = planned
+      .join(inventory, Seq("key", "sample_number"), "left_anti")
+    // EAGER localCheckpoint before the write, as in fetchMissing: each
+    // missing range must be GET exactly once (the join put its keys
+    // first — reselect before the positional tuple encoder)
+    val fetched = missing
+      .select("key", "url", "sample_number", "file_offset", "byte_length")
+      .as[(String, String, Long, Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (key, url, sn, off, len) =>
+          val payload = fetchRange(url, off, len)
+          (key, url, sn, off, len, payload, payload.length.toLong)
+        }
+      }
+      .toDF("key", "url", "sample_number", "file_offset", "byte_length",
+        "payload", "content_length")
+      .localCheckpoint(true)
+    if (!fetched.isEmpty) stagedAppend(fetched, fs, storePath)
+    fetched
+  }
+
+  /** Atomic-ish append shared by both fetch operators: write to a
+    * dot-prefixed staging dir (invisible to parquet listings), then
+    * move completed part files into the store one rename at a time. A
+    * crash mid-write leaves only the staging dir; a crash mid-move
+    * leaves some COMPLETE files — the idempotent anti join refetches
+    * the remainder. */
+  private def stagedAppend(fetched: DataFrame,
+                           fs: org.apache.hadoop.fs.FileSystem,
+                           storePath: org.apache.hadoop.fs.Path): Unit = {
+    val staging = new org.apache.hadoop.fs.Path(
+      storePath, s".staging-${java.util.UUID.randomUUID}")
+    fetched.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    fs.listStatus(staging)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .foreach { f =>
+        val dest = new org.apache.hadoop.fs.Path(storePath, f.getPath.getName)
+        // a silently-false rename would DROP a completed batch part —
+        // fail loudly
+        if (!fs.rename(f.getPath, dest))
+          throw new java.io.IOException(
+            s"failed to move completed media batch part ${f.getPath} -> $dest")
+      }
+    fs.delete(staging, true)
   }
 
   /** The reference's candidate builder: per-post media + thumbnail keys

@@ -8,6 +8,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * The transport here resolves a deterministic byte payload per URL (the
   * container has no egress); production swaps in an HTTP client without
   * touching the operator. */
+/** Transport-call counters for the ranged-fetch spec: static so the
+  * serialized transport closure and the driver-side assertions see the
+  * same cells (one JVM in local mode). */
+object RangedCalls {
+  val headers = new java.util.concurrent.atomic.AtomicInteger(0)
+  val ranges = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class MediaFetchSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
@@ -42,6 +50,66 @@ class MediaFetchSpec extends AnyFunSuite {
     assert(new String(p.getAs[Array[Byte]]("payload"), "UTF-8") ==
       "payload-of:cdn://a.jpg")
     assert(p.getAs[Long]("content_length") == "payload-of:cdn://a.jpg".length.toLong)
+  }
+
+  test("ranged fetch plans keyframes from one header GET, fetches only " +
+       "missing ranges, and replays idempotently") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_ranged").toString
+    // two synthetic media objects, each the qm11 chunked container; the
+    // transport serves the header from the container and every other
+    // range from the deterministic position-based byte function
+    val docs = Seq((1L, "alpha"), (4L, "beta gamma"))
+    val headerByUrl = docs.map { case (id, text) =>
+      s"media/$id" -> graft.enrich.Multimodal.qm11Container(id, text)
+    }.toMap
+    // count transport calls via a static accumulator-free counter (one
+    // JVM in local mode); header GETs are off == 0
+    RangedCalls.headers.set(0); RangedCalls.ranges.set(0)
+    val transport: (String, Long, Long) => Array[Byte] = { (url, off, len) =>
+      if (off == 0L) {
+        RangedCalls.headers.incrementAndGet()
+        headerByUrl(url).take(len.toInt)
+      } else {
+        RangedCalls.ranges.incrementAndGet()
+        graft.enrich.Multimodal.oracleRange(off, len)
+      }
+    }
+    val candidates = docs.map { case (id, _) => (s"kf/$id", s"media/$id") }
+      .toDF("key", "url")
+    val got1 = MediaFetch.fetchKeyframeRanges(candidates, store, transport)
+      .collect()
+    assert(got1.nonEmpty)
+    val expectedRanges = got1.length
+    assert(RangedCalls.headers.get() == 2, "one header GET per object")
+    assert(RangedCalls.ranges.get() == expectedRanges,
+      "one ranged GET per planned keyframe")
+    // the fetched rows are EXACTLY the qm13 kernel's rows for the same
+    // corpus — the store-backed operator and the oracle-checked query
+    // are the same machine
+    val kernel = graft.enrich.Multimodal
+      .rangedFetchFrame(docs.toDF("doc_id", "text"),
+        (_, off, len) => graft.enrich.Multimodal.oracleRange(off, len))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSet
+    val opRows = got1.map(r => (r.getString(1).stripPrefix("media/").toLong,
+      r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getAs[Long]("content_length"))).toSet
+    assert(opRows == kernel)
+    // replay: planning re-runs (one header GET per object — the cheap
+    // HEAD-like probe), but ZERO range GETs and nothing appended
+    RangedCalls.headers.set(0); RangedCalls.ranges.set(0)
+    val got2 = MediaFetch.fetchKeyframeRanges(candidates, store, transport)
+    assert(got2.count() == 0)
+    assert(RangedCalls.headers.get() == 2 && RangedCalls.ranges.get() == 0)
+    assert(spark.read.parquet(store).count() == expectedRanges.toLong)
+    // a header whose moov exceeds the budget is skipped, never
+    // half-planned: nothing new fetched, nothing thrown
+    val got3 = MediaFetch.fetchKeyframeRanges(candidates, store, transport,
+      headerBytes = 16L)
+    assert(got3.count() == 0)
   }
 
   test("candidate keys follow the reference's store layout") {
