@@ -80,6 +80,14 @@ class AnnSpec extends AnyFunSuite {
       }
       p +: inner
     }
+    // VERDICT r11 #6: the pruning proof must hold under the PRODUCTION
+    // config — AQE on, and the filter read from the FINAL adaptive
+    // plan, i.e. it survived runtime re-planning
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "DPP must be proven with AQE on (the production config)")
+    assert(idx.queryExecution.executedPlan.isInstanceOf[
+      org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec],
+      "probe did not execute adaptively — assertion would not cover AQE")
     val scans = flatten(idx.queryExecution.executedPlan).collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec
           if s.relation.partitionSchema.fieldNames.contains("cell") => s

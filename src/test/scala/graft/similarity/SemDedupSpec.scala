@@ -140,6 +140,13 @@ class SemDedupSpec extends AnyFunSuite {
       }
       p +: inner
     }
+    // the pruning proof holds under the production AQE-on config and is
+    // read from the FINAL adaptive plan — it survived re-planning
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "DPP must be proven with AQE on (the production config)")
+    assert(probe.queryExecution.executedPlan.isInstanceOf[
+      org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec],
+      "probe did not execute adaptively — assertion would not cover AQE")
     val scans = flatten(probe.queryExecution.executedPlan).collect {
       case sc: org.apache.spark.sql.execution.FileSourceScanExec
           if sc.relation.partitionSchema.fieldNames.contains("cell") => sc

@@ -711,6 +711,9 @@ class RestartSpec extends AnyFunSuite {
       }
       p +: inner
     }
+    // the pruning proof holds under the production AQE-on config
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "index pruning must be proven with AQE on (the production config)")
     val scans = flatten(frame1.queryExecution.executedPlan).collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec
           if s.relation.partitionSchema.fieldNames.contains("cell") => s
