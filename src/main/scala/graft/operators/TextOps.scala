@@ -1492,7 +1492,16 @@ object TextOps {
                               driverGate: Long = BpeDriverVocabGate): (DataFrame, Dataset[(String, Seq[String], Long)]) = {
     val spark = v0In.sparkSession
     import spark.implicits._
-    var vocab = v0In.localCheckpoint(true)
+    // generation-bounded iterative checkpointing (the CC/PageRank/MMR
+    // discipline): each merge supersedes the previous vocabulary, so the
+    // chain reclaims it as soon as the next generation materializes —
+    // and under spark.graft.checkpointDir the generations are RELIABLE,
+    // surviving executor loss mid-training on a real cluster
+    val chain = new graft.plans.ScaleTechniques.CheckpointChain
+    def gen(ds: Dataset[(String, Seq[String], Long)]) =
+      chain.next(ds.toDF("term", "syms", "wc"))
+        .as[(String, Seq[String], Long)]
+    var vocab = gen(v0In)
     if (vocab.count() <= driverGate) return bpeTrainLocal(spark, vocab.collect(), nMerges)
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var it = 1
@@ -1516,7 +1525,7 @@ object TextOps {
       } else {
         val (a, b, n) = (win(0).getString(0), win(0).getString(1), win(0).getLong(2))
         merges += ((it.toLong, a, b, n))
-        vocab = vocab.map { case (t, syms, wc) =>
+        vocab = gen(vocab.map { case (t, syms, wc) =>
           val out = Seq.newBuilder[String]
           var i = 0
           while (i < syms.length) {
@@ -1525,7 +1534,7 @@ object TextOps {
             } else { out += syms(i); i += 1 }
           }
           (t, out.result(), wc)
-        }.localCheckpoint(true)
+        })
         it += 1
       }
     }
