@@ -58,14 +58,29 @@ class ClustersSpec extends AnyFunSuite {
     val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt")
     try {
       spark.conf.set("spark.graft.checkpointDir", ckptDir.toString)
+      // Spark pins the checkpoint dir per context: if an earlier suite
+      // already set one, the run writes THERE (iterCheckpoint warns) —
+      // assert against the ACTIVE dir, not our conf value, so the test
+      // is suite-order-robust
+      val sc = spark.sparkContext
+      def activeRddDirs(): Set[String] = sc.getCheckpointDir match {
+        case None => Set.empty[String]
+        case Some(d) =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          val fs = p.getFileSystem(sc.hadoopConfiguration)
+          if (!fs.exists(p)) Set.empty[String]
+          else fs.listStatus(p).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith("rdd-")).toSet
+      }
+      val before = activeRddDirs()
       val reliable = Clusters.connectedComponents(pairs, localThreshold = 0L)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(reliable == base)
-      // the run really went through RELIABLE storage: the dir holds the
-      // ReliableCheckpointRDD part files localCheckpoint never writes
-      def walk(f: java.io.File): Seq[java.io.File] =
-        Seq(f) ++ Option(f.listFiles()).toSeq.flatten.flatMap(walk)
-      assert(walk(ckptDir.toFile).exists(f => f.getName.startsWith("part-")),
+      // the run really went through RELIABLE storage: new
+      // ReliableCheckpointRDD dirs appeared (the chain reclaims
+      // superseded generations, but the final one and the one-shot
+      // longPairs checkpoint remain); localCheckpoint writes nothing
+      assert((activeRddDirs() -- before).nonEmpty,
         "no reliable checkpoint files written — mode never engaged")
     } finally spark.conf.unset("spark.graft.checkpointDir")
   }
