@@ -182,6 +182,7 @@ object SparkEntry {
     "qm11_keyframe_ranges" -> (Multimodal.qm11KeyframeRanges _),
     "qm12_aac_config"      -> (Multimodal.qm12AacConfig _),
     "qm13_ranged_fetch"    -> (Multimodal.qm13RangedFetch _),
+    "qm14_pcm_decode"      -> (Multimodal.qm14PcmDecode _),
     // qm7's arrival-time form: per-batch box walks into an append-only
     // metadata index
     "qs34_stream_mp4"      -> (Replay.qs34StreamMp4 _),
@@ -3500,6 +3501,50 @@ object SparkEntry {
         |  (SELECT sum((off + r2.j) % 251)
         |   FROM unnest(range(0, sz)) r2(j))::BIGINT AS checksum
         |FROM f ORDER BY media_id, sample_number""".stripMargin,
+
+    // qm14: the decoded I_PCM planes are a pure byte model of the
+    // document row ((id + 7·(384·mb + j)) mod 256 at PCM payload index
+    // j), but the ENGINE only sees them through the full demux+decode
+    // chain — avcC parameter sets, seek plan into a real mdat,
+    // length-prefixed NAL, slice-header walk, alignment bits, EP
+    // removal, §6.4.1 tile placement. The oracle re-derives every
+    // plane sample at its raster position (macroblock index and
+    // intra-tile offset recomputed from x/y), so the position-weighted
+    // checksum breaks on any single misplaced or misread byte.
+    "qm14_pcm_decode" ->
+      """WITH v AS (
+        |  SELECT doc_id, 1 + doc_id % 3 AS wmb, 1 + doc_id % 2 AS hmb,
+        |         16 * (1 + doc_id % 3) AS w, 16 * (1 + doc_id % 2) AS h
+        |  FROM documents WHERE doc_id % 3 = 1
+        |), luma AS (
+        |  SELECT doc_id,
+        |    SUM((doc_id + 7 * (384 * ((r.i // w // 16) * wmb + (r.i % w) // 16)
+        |         + ((r.i // w) % 16) * 16 + (r.i % w) % 16)) % 256) AS luma_sum,
+        |    SUM(((r.i % 97) + 1) *
+        |        ((doc_id + 7 * (384 * ((r.i // w // 16) * wmb + (r.i % w) // 16)
+        |         + ((r.i // w) % 16) * 16 + (r.i % w) % 16)) % 256))
+        |      AS luma_checksum
+        |  FROM v CROSS JOIN unnest(range(0, w * h)) r(i)
+        |  GROUP BY doc_id
+        |), chroma AS (
+        |  SELECT doc_id,
+        |    SUM((doc_id + 7 * (384 * ((r.i // (w // 2) // 8) * wmb
+        |         + (r.i % (w // 2)) // 8) + 256
+        |         + ((r.i // (w // 2)) % 8) * 8 + (r.i % (w // 2)) % 8)) % 256)
+        |      AS cb_sum,
+        |    SUM((doc_id + 7 * (384 * ((r.i // (w // 2) // 8) * wmb
+        |         + (r.i % (w // 2)) // 8) + 320
+        |         + ((r.i // (w // 2)) % 8) * 8 + (r.i % (w // 2)) % 8)) % 256)
+        |      AS cr_sum
+        |  FROM v CROSS JOIN unnest(range(0, (w // 2) * (h // 2))) r(i)
+        |  GROUP BY doc_id
+        |)
+        |SELECT v.doc_id AS media_id, w::BIGINT AS width, h::BIGINT AS height,
+        |  (wmb * hmb)::BIGINT AS n_mbs, (v.doc_id % 16)::BIGINT AS idr_pic_id,
+        |  luma_sum::BIGINT AS luma_sum, cb_sum::BIGINT AS cb_sum,
+        |  cr_sum::BIGINT AS cr_sum, luma_checksum::BIGINT AS luma_checksum
+        |FROM v JOIN luma USING (doc_id) JOIN chroma USING (doc_id)
+        |ORDER BY media_id""".stripMargin,
 
     // qm10: the sample plan is a pure integer function of the document
     // row — duration_units folds the two-run stts decode ((n−2)·d +

@@ -29,7 +29,12 @@ object H264Sps {
   private val HighFamily =
     Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
 
-  private final class BitWriter {
+  /** MSB-first RBSP bit packer, shared by the SPS writer and the
+    * PPS/I_PCM-slice writers in [[H264Pcm]]. `se(v)` is the §9.1.1
+    * signed Exp-Golomb map (v>0 → 2v−1, v≤0 → −2v); `alignZero` emits
+    * pcm_alignment_zero_bit padding (§7.3.5: zero bits to the byte
+    * boundary); `raw` appends byte-aligned sample bytes. */
+  private[enrich] final class BitWriter {
     private val out = new ByteArrayOutputStream()
     private var cur = 0
     private var nBits = 0
@@ -46,6 +51,12 @@ object H264Sps {
       val lead = 63 - java.lang.Long.numberOfLeadingZeros(v + 1)
       u(0L, lead); u(1L, 1); u(v + 1 - (1L << lead), lead)
     }
+    def se(v: Long): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
+    def alignZero(): Unit = if (nBits > 0) u(0L, 8 - nBits)
+    def raw(b: Array[Byte]): Unit = {
+      require(nBits == 0, "raw bytes must start byte-aligned")
+      out.write(b, 0, b.length)
+    }
     /** rbsp_trailing_bits: stop bit + zero-fill to a byte boundary. */
     def trailing(): Array[Byte] = {
       u(1L, 1)
@@ -54,7 +65,10 @@ object H264Sps {
     }
   }
 
-  private final class BitReader(b: Array[Byte]) {
+  /** Bit-exact reader over a de-EP'd RBSP; the inverse of [[BitWriter]],
+    * with the same §9.1.1 se(v) inverse and the byte-aligned fast path
+    * the I_PCM sample walk uses. Any read past the end sets `bad`. */
+  private[enrich] final class BitReader(b: Array[Byte]) {
     private var pos = 0
     var bad = false
     def u(n: Int): Long = {
@@ -73,6 +87,23 @@ object H264Sps {
         if (lead > 32) { bad = true; return 0L }
       }
       if (bad) 0L else (1L << lead) - 1 + u(lead)
+    }
+    def se(): Long = {
+      val k = ue()
+      if ((k & 1) == 1) (k + 1) / 2 else -(k / 2)
+    }
+    /** §7.3.5 pcm_alignment_zero_bit: consume zero bits to the byte
+      * boundary; a nonzero pad bit marks the stream malformed. */
+    def alignZero(): Unit =
+      while (!bad && (pos & 7) != 0) if (u(1) != 0) bad = true
+    /** n byte-aligned raw bytes (the I_PCM sample payload). */
+    def raw(n: Int): Array[Byte] = {
+      if ((pos & 7) != 0 || (pos >>> 3) + n > b.length) {
+        bad = true; return Array.emptyByteArray
+      }
+      val out = java.util.Arrays.copyOfRange(b, pos >>> 3, (pos >>> 3) + n)
+      pos += n * 8
+      out
     }
   }
 
@@ -143,13 +174,25 @@ object H264Sps {
     o.toByteArray
   }
 
+  /** Every §7.3.2.1 field a downstream slice parser needs: coded
+    * geometry in macroblocks, the frame_num/poc bit widths the slice
+    * header is sized by, and the §7.4.2.1.1 display crop result. */
+  private[enrich] final case class SpsInfo(
+    profileIdc: Int, levelIdc: Int, widthMbs: Int, heightUnits: Int,
+    frameMbsOnly: Boolean, chromaArrayType: Int, log2MaxFrameNum: Int,
+    pocType: Int, log2MaxPocLsb: Int, width: Int, height: Int)
+
   /** Parse an SPS NAL → (profileIdc, levelIdc, displayWidth,
     * displayHeight): EP removal, bit-exact §7.3.2.1 field walk
     * (including the conditional chroma and pic_order_cnt_type-0/1
     * blocks this writer never emits — real streams do), then the
     * §7.4.2.1.1 crop arithmetic with the SubWidthC/SubHeightC table.
     * None on malformed input. */
-  def parse(nal: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+  def parse(nal: Array[Byte]): Option[(Int, Int, Int, Int)] =
+    parseFull(nal).map(s => (s.profileIdc, s.levelIdc, s.width, s.height))
+
+  /** The same walk, keeping the fields a slice decode consumes. */
+  private[enrich] def parseFull(nal: Array[Byte]): Option[SpsInfo] = {
     if (nal.length < 4 || (nal(0) & 0x1f) != 7) return None
     val r = new BitReader(removeEp(nal.drop(1)))
     val profile = r.u(8).toInt
@@ -165,9 +208,11 @@ object H264Sps {
       r.u(1)                            // qpprime bypass
       if (r.u(1) == 1) return None      // scaling matrices: out of scope
     }
-    r.ue()                              // log2_max_frame_num_minus4
-    r.ue() match {                      // pic_order_cnt_type
-      case 0 => r.ue()                  // log2_max_pic_order_cnt_lsb
+    val log2MaxFrameNum = r.ue() + 4    // log2_max_frame_num_minus4
+    val pocType = r.ue()                // pic_order_cnt_type
+    var log2MaxPocLsb = 0L
+    pocType match {
+      case 0 => log2MaxPocLsb = r.ue() + 4 // log2_max_pic_order_cnt_lsb
       case 1 =>
         r.u(1); r.ue(); r.ue()          // delta flags/offsets
         val n = r.ue()
@@ -200,8 +245,11 @@ object H264Sps {
     val width = widthMbs * 16 - cropUnitX * (cropL + cropR)
     val height = heightUnits * 16 * (2 - frameMbsOnly) -
       cropUnitY * (cropT + cropB)
-    if (width <= 0 || height <= 0 || widthMbs > 1024 || heightUnits > 1024)
+    if (width <= 0 || height <= 0 || widthMbs > 1024 || heightUnits > 1024 ||
+        log2MaxFrameNum > 16 || log2MaxPocLsb > 16)
       None
-    else Some((profile, level, width.toInt, height.toInt))
+    else Some(SpsInfo(profile, level, widthMbs.toInt, heightUnits.toInt,
+      frameMbsOnly == 1, chromaArrayType.toInt, log2MaxFrameNum.toInt,
+      pocType.toInt, log2MaxPocLsb.toInt, width.toInt, height.toInt))
   }
 }

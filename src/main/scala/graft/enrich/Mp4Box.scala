@@ -139,11 +139,20 @@ object Mp4Box {
     o.toByteArray
   }
 
+  /** File offset of the first `mdat` payload byte when a media payload
+    * is written: ftyp (24 bytes) + the mdat header (8). The mdat rides
+    * directly after ftyp — the classic non-faststart muxer layout —
+    * precisely so stco chunk offsets are knowable before moov is
+    * sized (moov depends on stco; mdat-first breaks the cycle). */
+  val MdatPayloadOffset: Long = 32L
+
   def write(timescale: Long, duration: Long, codecs: Seq[String],
             skipPayload: Array[Byte], mvhdVersion: Int = 0,
             avcSps: Option[Array[Byte]] = None,
             sampleTable: Option[SampleTable] = None,
-            aacConfig: Option[AacConfig] = None): Array[Byte] = {
+            aacConfig: Option[AacConfig] = None,
+            avcPps: Option[Array[Byte]] = None,
+            mdatPayload: Option[Array[Byte]] = None): Array[Byte] = {
     require(mvhdVersion == 0 || mvhdVersion == 1, s"mvhd v$mvhdVersion")
     // mvhd v0 carries duration in 32 bits; silently truncating would desync
     // the written container from any closed-form mirror of its fields
@@ -185,7 +194,14 @@ object Mp4Box {
             o.write(0xe1)                  // reserved | numOfSPS = 1
             o.write((sps.length >>> 8) & 0xff); o.write(sps.length & 0xff)
             o.write(sps)
-            o.write(0)                     // numOfPPS
+            avcPps match {
+              case Some(pps) =>
+                o.write(1)                 // numOfPPS
+                o.write((pps.length >>> 8) & 0xff)
+                o.write(pps.length & 0xff)
+                o.write(pps)
+              case None => o.write(0)      // numOfPPS
+            }
           })
           box(cc, bytes { o =>
             o.write(new Array[Byte](6))    // reserved
@@ -298,7 +314,12 @@ object Mp4Box {
     val moov = box("moov", bytes { o =>
       o.write(mvhd); traks.foreach(o.write); o.write(udta)
     })
-    bytes { o => o.write(ftyp); o.write(skip); o.write(moov) }
+    bytes { o =>
+      o.write(ftyp)
+      // media payload first (§8.1.1 mdat): offsets known before moov
+      mdatPayload.foreach(p => o.write(box("mdat", p)))
+      o.write(skip); o.write(moov)
+    }
   }
 
   /** Container metadata from a REAL box walk:
@@ -317,6 +338,12 @@ object Mp4Box {
     * container is malformed OR the entry carries no decoder config. */
   def probeAvcSps(b: Array[Byte]): Option[Array[Byte]] =
     walkAll(b).flatMap(_.sps)
+
+  /** The first PPS NAL in the same `avcC` config (the 14496-15 §5.3.3
+    * PPS array follows the SPS array), if present — a slice decode
+    * needs both parameter sets. */
+  def probeAvcPps(b: Array[Byte]): Option[Array[Byte]] =
+    walkAll(b).flatMap(_.pps)
 
   /** The AAC decoder configuration carried by the first `mp4a` sample
     * entry's `esds` box, if present: (objectTypeIndication,
@@ -363,7 +390,8 @@ object Mp4Box {
     duration: Long, nTracks: Int, codecs: Seq[String],
     sps: Option[Array[Byte]], samples: Option[(Long, Long, Long, Long, Long)],
     seekPlan: Option[Seq[SeekEntry]],
-    aac: Option[(Int, Int, Int, Int, Int, Long)])
+    aac: Option[(Int, Int, Int, Int, Int, Long)],
+    pps: Option[Array[Byte]])
 
   /** One ISO 14496-1 §8.3.3 descriptor header at `off`: (tag, bodyOff,
     * bodyLen). The expandable length is base-128, high bit = continue,
@@ -429,6 +457,7 @@ object Mp4Box {
     var nTracks = 0
     val codecs = scala.collection.mutable.ArrayBuffer.empty[String]
     var sps: Option[Array[Byte]] = None
+    var pps: Option[Array[Byte]] = None
     var aac: Option[(Int, Int, Int, Int, Int, Long)] = None
     // sample-table accumulators (first table wins; −1 = absent)
     var sttsTotal = -1L; var sttsDur = 0L
@@ -527,9 +556,20 @@ object Mp4Box {
                   if (csize >= 8 + 6 + 2 &&
                       (b(cb) & 0xff) == 1 && (b(cb + 5) & 0x1f) >= 1) {
                     val spsLen = ((b(cb + 6) & 0xff) << 8) | (b(cb + 7) & 0xff)
-                    if (cb + 8 + spsLen <= coff + csize)
+                    if (cb + 8 + spsLen <= coff + csize) {
                       sps = Some(java.util.Arrays.copyOfRange(
                         b, cb + 8, cb + 8 + spsLen))
+                      // 14496-15 §5.3.3: PPS array follows the SPS array
+                      val pOff = cb + 8 + spsLen
+                      if (pOff + 1 <= coff + csize &&
+                          (b(pOff) & 0xff) >= 1 && pOff + 3 <= coff + csize) {
+                        val ppsLen =
+                          ((b(pOff + 1) & 0xff) << 8) | (b(pOff + 2) & 0xff)
+                        if (pOff + 3 + ppsLen <= coff + csize)
+                          pps = Some(java.util.Arrays.copyOfRange(
+                            b, pOff + 3, pOff + 3 + ppsLen))
+                      }
+                    }
                   }
                 }
                 coff += csize.toInt
@@ -606,7 +646,7 @@ object Mp4Box {
           Some(out.result())
         }
       Some(WalkMeta(brand, timescale, duration, nTracks, codecs.toSeq, sps,
-        samples, seekPlan, aac))
+        samples, seekPlan, aac, pps))
     }
   }
 }

@@ -1092,10 +1092,10 @@ object Replay {
     * qs34 video containers, qs35 audio containers): per-batch frame
     * walks (`Multimodal.mpegAudioFrame`) into an append-only per-stream
     * metadata index. Same append-only/no-fold convergence and restart
-    * contract as qs34. (qm9/qm10/qm12 probe DEEPER layers of the same
-    * `.mp4` object qs34 already streams, and qm13 drives qm10's plan
-    * through a transport — their arrival-time shape would be this same
-    * kernel swap, so they deliberately get no separate streaming
+    * contract as qs34. (qm9/qm10/qm12/qm14 probe DEEPER layers of the
+    * same `.mp4` object qs34 already streams, and qm13 drives qm10's
+    * plan through a transport — their arrival-time shape would be this
+    * same kernel swap, so they deliberately get no separate streaming
     * entries.) */
   def streamMpegAudioMetadata(spark: SparkSession, dir: String,
                               maxFilesPerTrigger: Int = 1,
