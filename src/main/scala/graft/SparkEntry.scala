@@ -183,6 +183,7 @@ object SparkEntry {
     "qm12_aac_config"      -> (Multimodal.qm12AacConfig _),
     "qm13_ranged_fetch"    -> (Multimodal.qm13RangedFetch _),
     "qm14_pcm_decode"      -> (Multimodal.qm14PcmDecode _),
+    "qm15_keyframe_thumb"  -> (Multimodal.qm15KeyframeThumb _),
     // qm7's arrival-time form: per-batch box walks into an append-only
     // metadata index
     "qs34_stream_mp4"      -> (Replay.qs34StreamMp4 _),
@@ -3545,6 +3546,42 @@ object SparkEntry {
         |  cr_sum::BIGINT AS cr_sum, luma_checksum::BIGINT AS luma_checksum
         |FROM v JOIN luma USING (doc_id) JOIN chroma USING (doc_id)
         |ORDER BY media_id""".stripMargin,
+
+    // qm15: the qm4 dHash family applied to qm14's DECODED keyframe —
+    // the oracle regenerates the luma plane from the byte model, folds
+    // the identical (9x÷W, 8y÷H) integer box-average grid, and derives
+    // the 64-bit gradient hash + the duplicate window; the engine can
+    // only reproduce it by decoding the real bitstream and averaging
+    // the same cells (floor division mirrored on both sides).
+    "qm15_keyframe_thumb" ->
+      """WITH v AS (
+        |  SELECT doc_id, 1 + doc_id % 3 AS wmb,
+        |         16 * (1 + doc_id % 3) AS w, 16 * (1 + doc_id % 2) AS h
+        |  FROM documents WHERE doc_id % 3 = 1
+        |), p AS (
+        |  SELECT doc_id,
+        |    (9 * (r.i % w)) // w AS gx, (8 * (r.i // w)) // h AS gy,
+        |    (doc_id + 7 * (384 * ((r.i // w // 16) * wmb + (r.i % w) // 16)
+        |     + ((r.i // w) % 16) * 16 + (r.i % w) % 16)) % 256 AS val
+        |  FROM v CROSS JOIN unnest(range(0, w * h)) r(i)
+        |), c AS (
+        |  SELECT doc_id, gx, gy, SUM(val) // COUNT(*) AS gv
+        |  FROM p GROUP BY doc_id, gx, gy
+        |), b AS (
+        |  SELECT a.doc_id, a.gy, a.gx,
+        |    CASE WHEN n.gv > a.gv THEN '1' ELSE '0' END AS bit
+        |  FROM c a JOIN c n ON n.doc_id = a.doc_id AND n.gy = a.gy
+        |    AND n.gx = a.gx + 1
+        |  WHERE a.gx < 8
+        |), hh AS (
+        |  SELECT doc_id AS media_id,
+        |    string_agg(bit, '' ORDER BY gy, gx) AS dhash
+        |  FROM b GROUP BY doc_id
+        |)
+        |SELECT media_id, dhash,
+        |  min(media_id) OVER (PARTITION BY dhash) AS dup_rep,
+        |  media_id <> min(media_id) OVER (PARTITION BY dhash) AS is_dup
+        |FROM hh ORDER BY media_id""".stripMargin,
 
     // qm10: the sample plan is a pure integer function of the document
     // row — duration_units folds the two-run stts decode ((n−2)·d +

@@ -901,22 +901,7 @@ object Multimodal {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { batch =>
         batch.map { case (id, text) =>
-          val mp4 = qm14Container(id, text)
-          val out = (for {
-            sps <- Mp4Box.probeAvcSps(mp4).flatMap(H264Sps.parseFull)
-            pps <- Mp4Box.probeAvcPps(mp4).flatMap(H264Pcm.parsePps)
-            ranges <- Mp4Box.probeKeyframeRanges(mp4)
-            (_, off, len) <- ranges.headOption
-            if off + len <= mp4.length && len > 4
-            sample = java.util.Arrays.copyOfRange(
-              mp4, off.toInt, (off + len).toInt)
-            // 14496-15 length-prefixed NAL (lengthSizeMinusOne = 3)
-            nalLen = ((sample(0) & 0xffL) << 24) | ((sample(1) & 0xffL) << 16) |
-              ((sample(2) & 0xffL) << 8) | (sample(3) & 0xffL)
-            if nalLen == len - 4
-            frame <- H264Pcm.parseIdrPcmSlice(sps, pps, sample.drop(4))
-          } yield frame).getOrElse(throw new IllegalStateException(
-            s"I_PCM decode chain rejected its own clip for doc $id"))
+          val out = decodePcmClip(id, text)
           var lumaSum = 0L; var lumaCk = 0L
           var r = 0
           while (r < out.y.length) {
@@ -938,6 +923,92 @@ object Multimodal {
       }
       .toDF("media_id", "width", "height", "n_mbs", "idr_pic_id",
         "luma_sum", "cb_sum", "cr_sum", "luma_checksum")
+  }
+
+  /** The full demux+decode chain shared by qm14 and qm15: synthesize
+    * the clip, then read it back exclusively through the probers —
+    * avcC parameter sets, keyframe seek plan, byte-range read from the
+    * container itself, length-prefixed NAL unwrap, I_PCM slice
+    * decode. */
+  private def decodePcmClip(id: Long, text: String): H264Pcm.PcmFrame = {
+    val mp4 = qm14Container(id, text)
+    (for {
+      sps <- Mp4Box.probeAvcSps(mp4).flatMap(H264Sps.parseFull)
+      pps <- Mp4Box.probeAvcPps(mp4).flatMap(H264Pcm.parsePps)
+      ranges <- Mp4Box.probeKeyframeRanges(mp4)
+      (_, off, len) <- ranges.headOption
+      if off + len <= mp4.length && len > 4
+      sample = java.util.Arrays.copyOfRange(
+        mp4, off.toInt, (off + len).toInt)
+      // 14496-15 length-prefixed NAL (lengthSizeMinusOne = 3)
+      nalLen = ((sample(0) & 0xffL) << 24) | ((sample(1) & 0xffL) << 16) |
+        ((sample(2) & 0xffL) << 8) | (sample(3) & 0xffL)
+      if nalLen == len - 4
+      frame <- H264Pcm.parseIdrPcmSlice(sps, pps, sample.drop(4))
+    } yield frame).getOrElse(throw new IllegalStateException(
+      s"I_PCM decode chain rejected its own clip for doc $id"))
+  }
+
+  /** qm15: keyframe THUMBNAIL fingerprint — the reference's thumbnail
+    * pipeline's end state (`s3-to-es_aws.py:101-128`: fetch media,
+    * derive a still, keep a compact representation) composed from this
+    * engine's own layers: qm10's sample plan → qm11's keyframe seek →
+    * qm14's I_PCM pixel decode → the qm4 dHash family's 9×8 gradient
+    * fingerprint, here computed over the DECODED luma plane with an
+    * exact integer box average per grid cell (cell = (9x÷W, 8y÷H);
+    * cell value = ΣY ÷ count, floor division both sides), then the
+    * qm4-shaped duplicate window over the 64-bit hash. The oracle
+    * recomputes every pixel from the byte model and folds the same
+    * grid — the hash only matches when the decode chain, the raster
+    * geometry, AND the box-average partition are all exact.
+    *
+    * Plan shape: one per-partition decode pass emitting one row per
+    * clip, then ONE skinny hash-partitioned window over (dhash) —
+    * the qm4 geometry. */
+  def qm15KeyframeThumb(spark: SparkSession, dir: String): DataFrame =
+    phashReport(keyframeThumbFrame(Tables(spark, dir, "documents")))
+
+  /** The per-row decode + grid-fingerprint kernel behind qm15. */
+  private[graft] def keyframeThumbFrame(docsDf: DataFrame): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    docsDf
+      .filter(pmod(col("doc_id"), lit(3)) === 1) // the media table's video rows
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val f = decodePcmClip(id, text)
+          val w = f.width; val h = f.height
+          val sums = Array.ofDim[Long](9, 8)
+          val counts = Array.ofDim[Long](9, 8)
+          var y = 0
+          while (y < h) {
+            val gy = 8 * y / h
+            var x = 0
+            while (x < w) {
+              val gx = 9 * x / w
+              sums(gx)(gy) += (f.y(y * w + x) & 0xff)
+              counts(gx)(gy) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val sb = new StringBuilder(64)
+          var gy = 0
+          while (gy < 8) {
+            var gx = 0
+            while (gx < 8) {
+              val left = sums(gx)(gy) / counts(gx)(gy)
+              val right = sums(gx + 1)(gy) / counts(gx + 1)(gy)
+              sb.append(if (right > left) '1' else '0')
+              gx += 1
+            }
+            gy += 1
+          }
+          (id, sb.toString)
+        }
+      }
+      .toDF("media_id", "dhash")
   }
 
   /** The decodable clip behind qm14: geometry 1+id%3 × 1+id%2

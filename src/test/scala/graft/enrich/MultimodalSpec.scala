@@ -241,4 +241,25 @@ class MultimodalSpec extends AnyFunSuite {
       assert(m == want, s"doc $id: modality $m != $want")
     }
   }
+
+  test("qm15 thumbnail dedup: ids 768 apart decode to identical clips") {
+    import spark.implicits._
+    // 768 = lcm(256, 3, 2): every id-derived clip parameter (geometry
+    // mod 3 / mod 2, PCM byte model mod 256) coincides, so the two
+    // clips are pixel-identical while all OTHER video rows differ —
+    // the duplicate window must pair exactly those two
+    val docs = Seq((1L, "a"), (4L, "b"), (7L, "c"), (769L, "d"))
+      .toDF("doc_id", "text")
+    val hashed = Multimodal.keyframeThumbFrame(docs)
+    val rows = hashed.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet == Set(1L, 4L, 7L, 769L))
+    assert(rows(1L) == rows(769L), "768-apart clips must hash equal")
+    assert(rows(1L) != rows(4L) && rows(4L) != rows(7L))
+    assert(rows.values.forall(h => h.length == 64 && h.forall(c => c == '0' || c == '1')))
+    // the report window pairs exactly the planted duplicate
+    val rep = Multimodal.phashReport(hashed)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(rep(769L) == (1L, true) && rep(1L) == (1L, false))
+    assert(!rep(4L)._2 && !rep(7L)._2)
+  }
 }
