@@ -184,6 +184,7 @@ object SparkEntry {
     "qm13_ranged_fetch"    -> (Multimodal.qm13RangedFetch _),
     "qm14_pcm_decode"      -> (Multimodal.qm14PcmDecode _),
     "qm15_keyframe_thumb"  -> (Multimodal.qm15KeyframeThumb _),
+    "qm16_adpcm_roundtrip" -> (Multimodal.qm16AdpcmRoundtrip _),
     // qm7's arrival-time form: per-batch box walks into an append-only
     // metadata index
     "qs34_stream_mp4"      -> (Replay.qs34StreamMp4 _),
@@ -3582,6 +3583,84 @@ object SparkEntry {
         |  min(media_id) OVER (PARTITION BY dhash) AS dup_rep,
         |  media_id <> min(media_id) OVER (PARTITION BY dhash) AS is_dup
         |FROM hh ORDER BY media_id""".stripMargin,
+
+    // qm16: the oracle replays the FULL IMA ADPCM encoder+decoder state
+    // machine (quantizer, closed-loop reconstruction, both saturating
+    // clamps, 65-sample block resets) as a recursive CTE over qm5's
+    // sample model — the hash only matches when every state transition
+    // on the Spark side (AdpcmCodec) is bit-faithful.
+    "qm16_adpcm_roundtrip" ->
+      """WITH RECURSIVE a AS (
+        |  SELECT doc_id, text, n_chars,
+        |    (64 + 16 * (doc_id % 5))::BIGINT AS n
+        |  FROM documents WHERE doc_id % 3 = 2 AND n_chars >= 1
+        |), s AS (
+        |  SELECT doc_id, n, r.i,
+        |    ((ascii(substr(text, (r.i % greatest(n_chars, 1))::INT + 1, 1)) - 96)
+        |      * 256)::BIGINT AS s
+        |  FROM a CROSS JOIN unnest(range(0, n)) r(i)
+        |), st AS (
+        |  SELECT doc_id, 0::BIGINT AS j, s AS pred, 0::BIGINT AS idx, s AS dec
+        |  FROM s WHERE i = 0
+        |  UNION ALL
+        |  SELECT doc_id, j,
+        |    CASE WHEN hdr THEN sj ELSE predn END AS pred,
+        |    CASE WHEN hdr THEN 0 ELSE idxn END AS idx,
+        |    CASE WHEN hdr THEN sj ELSE predn END AS dec
+        |  FROM (
+        |    SELECT x.doc_id, x.j, x.hdr, x.sj,
+        |      greatest(-32768, least(32767,
+        |        x.pred + CASE WHEN x.sign THEN -x.delta ELSE x.delta END)) AS predn,
+        |      greatest(0, least(88,
+        |        x.idx + ([-1,-1,-1,-1,2,4,6,8])[x.nib3 + 1])) AS idxn
+        |    FROM (
+        |      SELECT w.*,
+        |        w.step // 8 + CASE WHEN w.b4 THEN w.step ELSE 0 END
+        |          + CASE WHEN w.b2 THEN w.step // 2 ELSE 0 END
+        |          + CASE WHEN w.b1 THEN w.step // 4 ELSE 0 END AS delta,
+        |        (CASE WHEN w.b4 THEN 4 ELSE 0 END
+        |          + CASE WHEN w.b2 THEN 2 ELSE 0 END
+        |          + CASE WHEN w.b1 THEN 1 ELSE 0 END) AS nib3
+        |      FROM (
+        |        SELECT v.*, v.d3 >= v.step // 4 AS b1
+        |        FROM (
+        |          SELECT u.*, u.d2 >= u.step // 2 AS b2,
+        |            u.d2 - CASE WHEN u.d2 >= u.step // 2 THEN u.step // 2 ELSE 0 END AS d3
+        |          FROM (
+        |            SELECT t.*, t.d >= t.step AS b4,
+        |              t.d - CASE WHEN t.d >= t.step THEN t.step ELSE 0 END AS d2
+        |            FROM (
+        |              SELECT st.doc_id, st.j + 1 AS j, st.pred, st.idx,
+        |                s.s AS sj, (st.j + 1) % 65 = 0 AS hdr,
+        |                s.s < st.pred AS sign, abs(s.s - st.pred) AS d,
+        |                ([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,
+        |                  50,55,60,66,73,80,88,97,107,118,130,143,158,173,190,209,
+        |                  230,253,279,307,337,371,408,449,494,544,598,658,724,796,
+        |                  876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,
+        |                  2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,
+        |                  7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,
+        |                  20350,22385,24623,27086,29794,32767])[st.idx + 1] AS step
+        |              FROM st JOIN s ON s.doc_id = st.doc_id AND s.i = st.j + 1
+        |            ) t
+        |          ) u
+        |        ) v
+        |      ) w
+        |    ) x
+        |  )
+        |), f AS (
+        |  SELECT st.doc_id,
+        |    count(*)::BIGINT AS n_samples,
+        |    sum(st.dec)::BIGINT AS sum_dec,
+        |    max(abs(st.dec))::BIGINT AS peak_dec,
+        |    sum(abs(st.dec - s.s))::BIGINT AS err_abs
+        |  FROM st JOIN s ON s.doc_id = st.doc_id AND s.i = st.j
+        |  GROUP BY st.doc_id
+        |)
+        |SELECT doc_id AS media_id, n_samples,
+        |  ((n_samples + 64) // 65)::BIGINT AS n_blocks,
+        |  (((n_samples + 64) // 65) * 36)::BIGINT AS compressed_bytes,
+        |  sum_dec, peak_dec, err_abs
+        |FROM f ORDER BY media_id""".stripMargin,
 
     // qm10: the sample plan is a pure integer function of the document
     // row — duration_units folds the two-run stts decode ((n−2)·d +

@@ -1011,6 +1011,66 @@ object Multimodal {
       .toDF("media_id", "dhash")
   }
 
+  /** qm16: COMPRESSED audio round-trip — the audio twin of qm14's
+    * compressed-video decode. Each audio row synthesizes qm5's exact
+    * PCM16 signal (s_i = (byte[i mod len] − 96) × 256, n = 64 +
+    * 16·(id mod 5)), ENCODES it through the full IMA ADPCM coder
+    * (4 bits/sample, adaptive 89-step table, saturating closed-loop
+    * predictor — see `AdpcmCodec`), wraps it in a real WAVE container
+    * (fmt 0x0011 + fact + block-aligned data, self-contained 65-sample
+    * blocks), then DECODES it back through the generic chunk walk +
+    * per-block state machine, reporting exact integer features of the
+    * reconstruction: sample/block/byte counts, decoded sum and peak,
+    * and the total absolute reconstruction error (ADPCM is lossy; the
+    * error is part of the contract). The oracle replays the ENTIRE
+    * encoder+decoder state machine — quantizer, reconstruction, both
+    * clamps, block resets — as a recursive CTE over the same sample
+    * model, so the hash only matches when every state transition is
+    * bit-faithful on both sides.
+    *
+    * Plan shape: one narrow per-partition codec pass, no shuffle
+    * before the presentation sort — the qm5 geometry. Blocks are
+    * self-contained (header carries predictor+index), which is what
+    * makes an ADPCM media column SPLITTABLE at 100 TB: seek to any
+    * blockAlign boundary and decode forward in parallel. */
+  def qm16AdpcmRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    adpcmFrame(Tables(spark, dir, "documents")).orderBy("media_id")
+
+  /** The per-row encode+decode kernel behind qm16. */
+  private[graft] def adpcmFrame(docsDf: DataFrame): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    docsDf
+      .filter(pmod(col("doc_id"), lit(3)) === 2) // the media table's audio rows
+      .filter(octet_length(col("text")) >= 1) // mirrors qm5's empty-payload gate
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = 64 + 16 * (id % 5).toInt
+          val pcm = Array.tabulate(n)(i =>
+            (((bytes(i % bytes.length) & 0xff) - 96) * 256).toShort)
+          val wav = AdpcmCodec.writeImaAdpcm(pcm, 8000)
+          val (rate, spb, dec) = AdpcmCodec.decode(wav)
+          require(rate == 8000 && spb == 65 && dec.length == n,
+            s"ADPCM round trip lost shape for doc $id")
+          val nBlocks = (n + spb - 1) / spb
+          var sumDec = 0L; var peak = 0L; var errAbs = 0L
+          var i = 0
+          while (i < n) {
+            val d = dec(i).toLong
+            sumDec += d
+            if (math.abs(d) > peak) peak = math.abs(d)
+            errAbs += math.abs(d - pcm(i))
+            i += 1
+          }
+          (id, n.toLong, nBlocks.toLong, nBlocks * 36L, sumDec, peak, errAbs)
+        }
+      }
+      .toDF("media_id", "n_samples", "n_blocks", "compressed_bytes",
+        "sum_dec", "peak_dec", "err_abs")
+  }
+
   /** The decodable clip behind qm14: geometry 1+id%3 × 1+id%2
     * macroblocks, PCM samples from the deterministic byte model,
     * muxed mdat-first so the one-keyframe seek plan lands on the real
