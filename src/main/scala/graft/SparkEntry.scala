@@ -185,6 +185,7 @@ object SparkEntry {
     "qm14_pcm_decode"      -> (Multimodal.qm14PcmDecode _),
     "qm15_keyframe_thumb"  -> (Multimodal.qm15KeyframeThumb _),
     "qm16_adpcm_roundtrip" -> (Multimodal.qm16AdpcmRoundtrip _),
+    "qm17_cavlc_decode"    -> (Multimodal.qm17CodedDecode _),
     // qm7's arrival-time form: per-batch box walks into an append-only
     // metadata index
     "qs34_stream_mp4"      -> (Replay.qs34StreamMp4 _),
@@ -3661,6 +3662,98 @@ object SparkEntry {
         |  (((n_samples + 64) // 65) * 36)::BIGINT AS compressed_bytes,
         |  sum_dec, peak_dec, err_abs
         |FROM f ORDER BY media_id""".stripMargin,
+
+    // qm17: the oracle replays the post-entropy arithmetic chain in
+    // closed form — inverse zigzag + two-sided Hadamard (the ±1 matrix
+    // as a flat list literal), the §8.5.10 rounded dequant (explicit
+    // floor division: DuckDB // truncates toward zero), the DC-only
+    // flat residual, the §8.3.3 prediction recursion down the
+    // macroblock column, and Clip1. The CAVLC layer has no shortcut
+    // here: the Spark side recovers these coefficients ONLY by bit-
+    // level entropy decode of its own stream, so total_coeff and every
+    // pixel feature hash-match only when each coefficient survives the
+    // encode→decode round trip at its exact zigzag position.
+    "qm17_cavlc_decode" ->
+      """WITH RECURSIVE a AS (
+        |  SELECT doc_id, (1 + doc_id % 4)::BIGINT AS n_mbs,
+        |         (20 + doc_id % 10)::BIGINT AS qp
+        |  FROM documents WHERE doc_id % 3 = 1
+        |), cz AS (
+        |  SELECT a.doc_id, a.n_mbs, a.qp, m.m, z.z,
+        |    (CASE WHEN ((a.doc_id + 5*(16*m.m + z.z)) % 11) < 4 THEN 0
+        |          ELSE ((a.doc_id + 5*(16*m.m + z.z)) % 11) - 7 END)::BIGINT AS c
+        |  FROM a
+        |  CROSS JOIN unnest(range(0, a.n_mbs)) m(m)
+        |  CROSS JOIN unnest(range(0, 16)) z(z)
+        |), tcn AS (
+        |  SELECT doc_id, (count(*) FILTER (c <> 0))::BIGINT AS total_coeff
+        |  FROM cz GROUP BY doc_id
+        |), f AS (
+        |  SELECT cz.doc_id, cz.n_mbs, cz.qp, cz.m, g.r, g.cc,
+        |    sum(cz.c
+        |      * ([1,1,1,1, 1,1,-1,-1, 1,-1,-1,1, 1,-1,1,-1])
+        |          [g.r*4 + ([0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15])[cz.z+1] // 4 + 1]
+        |      * ([1,1,1,1, 1,1,-1,-1, 1,-1,-1,1, 1,-1,1,-1])
+        |          [g.cc*4 + ([0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15])[cz.z+1] % 4 + 1]
+        |    )::BIGINT AS f
+        |  FROM cz CROSS JOIN (
+        |    SELECT r.r, cc.cc
+        |    FROM unnest(range(0, 4)) r(r) CROSS JOIN unnest(range(0, 4)) cc(cc)
+        |  ) g
+        |  GROUP BY cz.doc_id, cz.n_mbs, cz.qp, cz.m, g.r, g.cc
+        |), d0 AS (
+        |  SELECT doc_id, n_mbs, qp, m, r, cc,
+        |    f * ([160,176,208,224,256,288])[qp % 6 + 1]
+        |      + CASE WHEN qp >= 24 THEN 2 ELSE 4 END AS num,
+        |    CASE WHEN qp >= 24 THEN 4 ELSE 8 END AS den
+        |  FROM f
+        |), d1 AS (
+        |  SELECT doc_id, n_mbs, qp, m, r, cc,
+        |    (num - ((num % den) + den) % den) // den + 32 AS v
+        |  FROM d0
+        |), d AS (
+        |  SELECT doc_id, n_mbs, qp, m, r, cc,
+        |    (v - ((v % 64) + 64) % 64) // 64 AS res
+        |  FROM d1
+        |), b AS (
+        |  SELECT doc_id, m,
+        |    max(CASE WHEN cc = 0 THEN res END) AS r0,
+        |    max(CASE WHEN cc = 1 THEN res END) AS r1,
+        |    max(CASE WHEN cc = 2 THEN res END) AS r2,
+        |    max(CASE WHEN cc = 3 THEN res END) AS r3
+        |  FROM d WHERE r = 3 GROUP BY doc_id, m
+        |), p AS (
+        |  SELECT doc_id, 0::BIGINT AS m, 128::BIGINT AS pred, n_mbs FROM a
+        |  UNION ALL
+        |  SELECT p.doc_id, p.m + 1,
+        |    ((4*( greatest(0, least(255, p.pred + b.r0))
+        |        + greatest(0, least(255, p.pred + b.r1))
+        |        + greatest(0, least(255, p.pred + b.r2))
+        |        + greatest(0, least(255, p.pred + b.r3)) ) + 8) // 16)::BIGINT,
+        |    p.n_mbs
+        |  FROM p JOIN b ON b.doc_id = p.doc_id AND b.m = p.m
+        |  WHERE p.m + 1 < p.n_mbs
+        |), px AS (
+        |  SELECT d.doc_id, d.n_mbs, d.qp, d.m, d.r, d.cc,
+        |    greatest(0, least(255, p.pred + d.res))::BIGINT AS v
+        |  FROM d JOIN p ON p.doc_id = d.doc_id AND p.m = d.m
+        |), wv AS (
+        |  SELECT px.doc_id, px.n_mbs, px.qp, px.m, px.r, px.cc, px.v,
+        |    sum((((px.m*16 + px.r*4 + rw.rw) * 16 + px.cc*4 + cl.cl) % 97) + 1)
+        |      ::BIGINT AS wsum
+        |  FROM px
+        |  CROSS JOIN unnest(range(0, 4)) rw(rw)
+        |  CROSS JOIN unnest(range(0, 4)) cl(cl)
+        |  GROUP BY px.doc_id, px.n_mbs, px.qp, px.m, px.r, px.cc, px.v
+        |)
+        |SELECT wv.doc_id AS media_id, wv.n_mbs, wv.qp, tcn.total_coeff,
+        |  sum(16 * wv.v)::BIGINT AS luma_sum,
+        |  min(wv.v)::BIGINT AS luma_min,
+        |  max(wv.v)::BIGINT AS luma_max,
+        |  sum(wv.v * wv.wsum)::BIGINT AS luma_checksum
+        |FROM wv JOIN tcn ON tcn.doc_id = wv.doc_id
+        |GROUP BY wv.doc_id, wv.n_mbs, wv.qp, tcn.total_coeff
+        |ORDER BY media_id""".stripMargin,
 
     // qm10: the sample plan is a pure integer function of the document
     // row — duration_units folds the two-run stts decode ((n−2)·d +

@@ -1111,6 +1111,14 @@ object Multimodal {
     val pps = H264Pcm.writePps(ppsId = 0L, picInitQp = (20 + id % 10).toInt)
     val nal = H264Pcm.writeIdrPcmSlice(widthMbs, heightMbs,
       idrPicId = id % 16, y = y, cb = cb, cr = cr)
+    muxAvcClip(id, text, sps, pps, nal)
+  }
+
+  /** The mdat-first single-keyframe mux tail shared by qm14 and qm17:
+    * 14496-15 length-prefixed NAL, one-sample table whose stco points
+    * at the literal mdat payload offset, parameter sets in avcC. */
+  private def muxAvcClip(id: Long, text: String, sps: Array[Byte],
+                         pps: Array[Byte], nal: Array[Byte]): Array[Byte] = {
     val payload = new java.io.ByteArrayOutputStream()
     payload.write(((nal.length >>> 24) & 0xff)) // 4-byte NAL length prefix
     payload.write(((nal.length >>> 16) & 0xff))
@@ -1129,6 +1137,110 @@ object Multimodal {
       mvhdVersion = (id % 2).toInt, avcSps = Some(sps),
       sampleTable = Some(table), avcPps = Some(pps),
       mdatPayload = Some(sampleBytes))
+  }
+
+  /** qm17: ENTROPY-CODED macroblock decode — pixels that exist only as
+    * CAVLC-coded transform coefficients, the layer below qm14's
+    * byte-aligned I_PCM escape (see `H264Coded`). Each video row
+    * synthesizes a 1-MB-wide column of 1+id%4 I_16x16_2_0_0
+    * macroblocks whose 16 luma-DC zigzag coefficients follow the
+    * deterministic model c(m,z) = t<4 ? 0 : t−7 with
+    * t = (id + 5·(16m+z)) mod 11 (values in [−3,3], ~45% zeros — the
+    * mix that exercises coeff_token, trailing-one signs, adaptive
+    * level codes, total_zeros AND run_before on every clip), muxes a
+    * complete mdat-first MP4, then runs the whole demux+decode chain:
+    * box walk → avcC SPS+PPS → keyframe seek → byte-range read →
+    * length-prefixed NAL unwrap → slice walk → CAVLC → inverse zigzag
+    * → inverse Hadamard → §8.5.10 dequant → DC-only residual →
+    * §8.3.3 DC prediction down the reconstructed column → Clip1.
+    * The oracle replays the arithmetic chain (Hadamard, both dequant
+    * rounding forms, flat residual, the prediction recursion, clip)
+    * in closed form from the same coefficient model — the CAVLC layer
+    * has no oracle shortcut: the features only match when every
+    * entropy-coded coefficient survives the encode→decode round trip
+    * at its exact zigzag position (total_coeff is part of the row).
+    *
+    * Plan shape: one narrow per-partition codec pass, one row per
+    * clip — the qm14 geometry. */
+  def qm17CodedDecode(spark: SparkSession, dir: String): DataFrame =
+    codedDecodeFrame(Tables(spark, dir, "documents")).orderBy("media_id")
+
+  /** The per-row mux+demux+CAVLC-decode kernel behind qm17. */
+  private[graft] def codedDecodeFrame(docsDf: DataFrame): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    docsDf
+      .filter(pmod(col("doc_id"), lit(3)) === 1) // the media table's video rows
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val f = decodeCodedClip(id, text)
+          var lumaSum = 0L; var lumaCk = 0L
+          var lumaMin = 255L; var lumaMax = 0L
+          var i = 0
+          while (i < f.y.length) {
+            val v = (f.y(i) & 0xff).toLong
+            lumaSum += v
+            lumaCk += ((i % 97) + 1) * v
+            if (v < lumaMin) lumaMin = v
+            if (v > lumaMax) lumaMax = v
+            i += 1
+          }
+          // the zero chroma residual + DC prediction chain pins both
+          // chroma planes at 128 — assert, don't just assume
+          i = 0
+          while (i < f.cb.length) {
+            require((f.cb(i) & 0xff) == 128 && (f.cr(i) & 0xff) == 128,
+              s"chroma drifted off the DC-only contract for doc $id")
+            i += 1
+          }
+          (id, (f.widthMbs * f.heightMbs).toLong, f.qp.toLong,
+            f.totalCoeff.toLong, lumaSum, lumaMin, lumaMax, lumaCk)
+        }
+      }
+      .toDF("media_id", "n_mbs", "qp", "total_coeff",
+        "luma_sum", "luma_min", "luma_max", "luma_checksum")
+  }
+
+  /** The coefficient model behind qm17, shared with its container
+    * writer: zigzag coefficient z of macroblock m. */
+  private def qm17Coef(id: Long, m: Int, z: Int): Int = {
+    val t = ((id + 5L * (16L * m + z)) % 11L).toInt
+    if (t < 4) 0 else t - 7
+  }
+
+  /** Synthesize qm17's clip: a 1-MB-wide column of DC-coded
+    * macroblocks in the same mdat-first container as qm14. */
+  private[graft] def qm17Container(id: Long, text: String): Array[Byte] = {
+    val heightMbs = (1 + id % 4).toInt
+    val dcZig = Array.tabulate(heightMbs, 16)((m, z) => qm17Coef(id, m, z))
+    val sps = H264Sps.write(
+      profileIdc = if ((id / 2) % 2 == 0) 66 else 100,
+      levelIdc = 30, widthMbs = 1, heightMbs = heightMbs)
+    val pps = H264Pcm.writePps(ppsId = 0L, picInitQp = (20 + id % 10).toInt)
+    val nal = H264Coded.writeIdrDcSlice(1, heightMbs,
+      idrPicId = id % 16, dcZig = dcZig)
+    muxAvcClip(id, text, sps, pps, nal)
+  }
+
+  /** The full demux+decode chain for qm17 — identical walk to
+    * `decodePcmClip`, ending in the entropy-coded slice parse. */
+  private def decodeCodedClip(id: Long, text: String): H264Coded.CodedFrame = {
+    val mp4 = qm17Container(id, text)
+    (for {
+      sps <- Mp4Box.probeAvcSps(mp4).flatMap(H264Sps.parseFull)
+      pps <- Mp4Box.probeAvcPps(mp4).flatMap(H264Pcm.parsePps)
+      ranges <- Mp4Box.probeKeyframeRanges(mp4)
+      (_, off, len) <- ranges.headOption
+      if off + len <= mp4.length && len > 4
+      sample = java.util.Arrays.copyOfRange(
+        mp4, off.toInt, (off + len).toInt)
+      nalLen = ((sample(0) & 0xffL) << 24) | ((sample(1) & 0xffL) << 16) |
+        ((sample(2) & 0xffL) << 8) | (sample(3) & 0xffL)
+      if nalLen == len - 4
+      frame <- H264Coded.parseIdrDcSlice(sps, pps, sample.drop(4))
+    } yield frame).getOrElse(throw new IllegalStateException(
+      s"CAVLC decode chain rejected its own clip for doc $id"))
   }
 
   /** Max |decoded − painted| mean-luma drift qm3 tolerates per frame.

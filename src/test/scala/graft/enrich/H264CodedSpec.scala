@@ -1,0 +1,163 @@
+package graft.enrich
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import H264Sps.{BitReader, BitWriter, insertEp}
+
+class H264CodedSpec extends AnyFunSuite {
+
+  private def sps(widthMbs: Int, heightMbs: Int) =
+    H264Sps.parseFull(H264Sps.write(66, 30, widthMbs, heightMbs)).get
+  private def pps(qp: Int) =
+    H264Pcm.parsePps(H264Pcm.writePps(0L, qp)).get
+
+  test("dequantDc hand vector: unit DC at QP 28") {
+    // zigzag [1,0,…]: the Hadamard spreads the single coefficient to
+    // f ≡ 1; QP 28 → LS 256, (256 + 2) >> 2 = 64 at every position
+    val dc = H264Coded.dequantDc(Array(1) ++ Array.fill(15)(0), 28)
+    assert(dc.toSeq == Seq.fill(16)(64))
+    // §8.5.12 DC-only residual: (64 + 32) >> 6 = 1 per 4×4 block
+    assert(dc.forall(d => ((d + 32) >> 6) == 1))
+  }
+
+  test("dequantDc uses the shift-up branch at QP >= 36") {
+    val dcLow = H264Coded.dequantDc(Array(2) ++ Array.fill(15)(0), 35)
+    val dcHigh = H264Coded.dequantDc(Array(2) ++ Array.fill(15)(0), 36)
+    // QP 35: (2·288 + 1) >> 1 = 288; QP 36: (2·160) << 0 = 320
+    assert(dcLow.forall(_ == 288) && dcHigh.forall(_ == 320))
+  }
+
+  test("hadamard respects zigzag placement: AC coefficient flips signs") {
+    // zigzag index 1 is raster (0,1): f_ij = H[0][i]·H[1][j] pattern —
+    // columns 0,1 get +1, columns 2,3 get −1 at every row
+    val dc = H264Coded.dequantDc(
+      Array(0, 1) ++ Array.fill(14)(0), 28) // LS 256 → ±64
+    val expect = Seq(64, 64, -64, -64)
+    assert(dc.toSeq == Seq.tabulate(16)(i => expect(i % 4)))
+  }
+
+  /** Independent straight-line reimplementation of the DC-coded
+    * reconstruction for a 1-wide column — double-entry bookkeeping
+    * against the production decoder. */
+  private def expectColumn(dcZig: Array[Array[Int]], qp: Int): Array[Int] = {
+    val n = dcZig.length
+    val out = new Array[Int](n * 256)
+    var pred = 128
+    for (m <- 0 until n) {
+      val res = H264Coded.dequantDc(dcZig(m), qp).map(d => (d + 32) >> 6)
+      if (m > 0) {
+        var sum = 0
+        for (x <- 0 until 16) sum += out((m * 16 - 1) * 16 + x)
+        pred = (sum + 8) >> 4
+      }
+      for (by <- 0 until 4; bx <- 0 until 4; row <- 0 until 4;
+           col <- 0 until 4)
+        out((m * 16 + by * 4 + row) * 16 + bx * 4 + col) =
+          math.max(0, math.min(255, pred + res(by * 4 + bx)))
+    }
+    out
+  }
+
+  test("slice round trip: CAVLC coefficients become the exact pixels") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 0 until 40) {
+      val heightMbs = 1 + trial % 4
+      val qp = 20 + trial % 16
+      val dcZig = Array.tabulate(heightMbs, 16)((_, _) =>
+        if (rnd.nextInt(11) < 4) 0 else rnd.nextInt(7) - 3)
+      val nal = H264Coded.writeIdrDcSlice(1, heightMbs, trial % 16, dcZig)
+      val f = H264Coded.parseIdrDcSlice(sps(1, heightMbs), pps(qp), nal).get
+      assert(f.widthMbs == 1 && f.heightMbs == heightMbs)
+      assert(f.idrPicId == trial % 16 && f.qp == qp)
+      assert(f.totalCoeff == dcZig.flatten.count(_ != 0))
+      val expect = expectColumn(dcZig, qp)
+      assert(f.y.map(_ & 0xff).toSeq == expect.toSeq,
+        s"trial $trial: luma plane diverged")
+      assert(f.cb.forall(b => (b & 0xff) == 128) &&
+        f.cr.forall(b => (b & 0xff) == 128))
+    }
+  }
+
+  test("2-D grid: left/top/both DC prediction forms all execute") {
+    // 2×2 macroblocks: MB0 no neighbors (128), MB1 left only, MB2 top
+    // only, MB3 both — recompute independently over the raster plane
+    val dcZig = Array.tabulate(4, 16)((m, z) =>
+      if ((m + z) % 3 == 0) ((m * 7 + z * 5) % 9) - 4 else 0)
+    val qp = 26
+    val nal = H264Coded.writeIdrDcSlice(2, 2, 5L, dcZig)
+    val f = H264Coded.parseIdrDcSlice(sps(2, 2), pps(qp), nal).get
+    val w = 32
+    val plane = new Array[Int](32 * 32)
+    for (m <- 0 until 4) {
+      val res = H264Coded.dequantDc(dcZig(m), qp).map(d => (d + 32) >> 6)
+      val x0 = (m % 2) * 16
+      val y0 = (m / 2) * 16
+      var sum = 0; var n = 0
+      if (y0 > 0) { for (x <- 0 until 16) sum += plane((y0 - 1) * w + x0 + x); n += 16 }
+      if (x0 > 0) { for (y <- 0 until 16) sum += plane((y0 + y) * w + x0 - 1); n += 16 }
+      val pred = if (n == 0) 128 else (sum + n / 2) / n
+      for (by <- 0 until 4; bx <- 0 until 4; r <- 0 until 4; c <- 0 until 4)
+        plane((y0 + by * 4 + r) * w + x0 + bx * 4 + c) =
+          math.max(0, math.min(255, pred + res(by * 4 + bx)))
+    }
+    assert(f.y.map(_ & 0xff).toSeq == plane.toSeq)
+  }
+
+  test("mb_qp_delta shifts the dequant exactly") {
+    // hand-write a one-MB slice with mb_qp_delta = +3 and verify the
+    // decoder dequantizes at picInitQp + 3
+    val dcZig = Array(3) ++ Array.fill(15)(0)
+    val w = new BitWriter
+    w.ue(0); w.ue(7); w.ue(0); w.u(0L, 4); w.ue(2L)
+    w.u(0L, 1); w.u(0L, 1); w.se(0L)
+    w.ue(3); w.ue(0); w.se(3L) // I_16x16_2_0_0, chroma DC, qp_delta +3
+    H264Cavlc.writeResidual(dcZig, 0, w)
+    val nal = Array[Byte](0x65.toByte) ++ insertEp(w.trailing())
+    val f = H264Coded.parseIdrDcSlice(sps(1, 1), pps(24), nal).get
+    assert(f.qp == 27)
+    val res = H264Coded.dequantDc(dcZig, 27).map(d => (d + 32) >> 6)
+    assert(f.y.map(_ & 0xff).toSeq ==
+      Seq.tabulate(256)(i => 128 + res(((i / 16) / 4) * 4 + (i % 16) / 4)))
+  }
+
+  test("emulation-prevention traffic survives the coded slice") {
+    // a 2^32 idr_pic_id (synthetic writer-side overflow value) emits a
+    // 32-zero Exp-Golomb prefix → three aligned zero bytes → a 00 00
+    // pair followed by a ≤3 byte → EP insertion; the parse must still
+    // be bit-exact through removeEp
+    val dcZig = Array.fill(6, 16)(0)
+    val nal = H264Coded.writeIdrDcSlice(1, 6, 1L << 32, dcZig)
+    assert(nal.sliding(3).exists(s =>
+      s(0) == 0 && s(1) == 0 && s(2) == 3), "expected EP bytes")
+    val f = H264Coded.parseIdrDcSlice(sps(1, 6), pps(26), nal).get
+    assert(f.idrPicId == (1L << 32))
+    assert(f.totalCoeff == 0 && f.y.forall(b => (b & 0xff) == 128))
+  }
+
+  test("out-of-profile and malformed streams are rejected") {
+    val dcZig = Array.fill(1, 16)(0)
+    val good = H264Coded.writeIdrDcSlice(1, 1, 0L, dcZig)
+    val s1 = sps(1, 1)
+    val p1 = pps(26)
+    // an I_PCM slice is a different profile, not a guessable variant
+    val pcm = H264Pcm.writeIdrPcmSlice(1, 1, 0L,
+      new Array[Byte](256), new Array[Byte](64), new Array[Byte](64))
+    assert(H264Coded.parseIdrDcSlice(s1, p1, pcm).isEmpty)
+    // and the coded slice is not an I_PCM slice
+    assert(H264Pcm.parseIdrPcmSlice(s1, p1, good).isEmpty)
+    // wrong NAL type
+    assert(H264Coded.parseIdrDcSlice(s1, p1,
+      Array[Byte](0x68.toByte) ++ good.drop(1)).isEmpty)
+    // truncation anywhere must not produce a frame
+    for (cut <- 1 until good.length - 1)
+      assert(H264Coded.parseIdrDcSlice(s1, p1, good.take(cut)).isEmpty,
+        s"cut=$cut")
+    // non-DC chroma prediction mode: rejected
+    val w = new BitWriter
+    w.ue(0); w.ue(7); w.ue(0); w.u(0L, 4); w.ue(0L)
+    w.u(0L, 1); w.u(0L, 1); w.se(0L)
+    w.ue(3); w.ue(1) // intra_chroma_pred_mode 1 (horizontal)
+    val bad = Array[Byte](0x65.toByte) ++ insertEp(w.trailing())
+    assert(H264Coded.parseIdrDcSlice(s1, p1, bad).isEmpty)
+  }
+}
