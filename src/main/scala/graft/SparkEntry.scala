@@ -138,6 +138,9 @@ object SparkEntry {
     "qd42_kneser_ney"      -> ((s, d) => TextOps.qd42KneserNey(s, d)),
     // qd42's arrival-time form: Heaps'-bounded type-count monoid state
     "qs32_stream_kn"       -> (Replay.qs32StreamKneserNey _),
+    // unigram-LM (SentencePiece-family) Viterbi segmentation — the
+    // score-based tokenizer next to qd27-qd29's merge-based BPE
+    "qd43_unigram_segment" -> (graft.text.Unigram.qd43UnigramSegment _),
     "q36_approx_percentile" -> (Advanced.q36ApproxPercentile _),
     "qd10_corpus_curation" -> (TextOps.qd10CorpusCuration _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
@@ -2784,6 +2787,64 @@ object SparkEntry {
     // collision, which the hash-compare would expose.
     "qd42_kneser_ney" -> kneserNeySql,
     "qs32_stream_kn" -> kneserNeySql,
+
+    // qd43: the oracle re-induces the capped vocabulary from the same
+    // substring statistics and replays the ENTIRE Viterbi lattice as a
+    // recursive CTE — positions advance one character per round
+    // carrying a 4-slot dp window, so the packed (1024·score − pieces)
+    // optimum, the derived best_score/best_pieces pair, and the
+    // path-independent vocab_hits all hash-match only when the Spark
+    // side's vocabulary gate+cap ordering AND its DP transitions are
+    // exactly mirrored.
+    "qd43_unigram_segment" ->
+      """WITH RECURSIVE v0 AS (
+        |  SELECT substr(d.text, p.p::INT, l.l::INT) AS piece
+        |  FROM documents d
+        |  CROSS JOIN unnest(range(2, 5)) l(l)
+        |  CROSS JOIN unnest(range(1, d.n_chars - l.l + 2)) p(p)
+        |), vc AS (
+        |  SELECT piece, count(*)::BIGINT AS cnt
+        |  FROM v0 GROUP BY piece HAVING count(*) >= 50
+        |), vocab AS (
+        |  SELECT piece FROM vc
+        |  QUALIFY row_number() OVER (ORDER BY cnt DESC, piece ASC) <= 4096
+        |), occ AS (
+        |  SELECT d.doc_id, count(*)::BIGINT AS vocab_hits
+        |  FROM documents d
+        |  CROSS JOIN unnest(range(2, 5)) l(l)
+        |  CROSS JOIN unnest(range(1, d.n_chars - l.l + 2)) p(p)
+        |  JOIN vocab v ON v.piece = substr(d.text, p.p::INT, l.l::INT)
+        |  GROUP BY d.doc_id
+        |), dp AS (
+        |  SELECT doc_id, text, n_chars::BIGINT AS n, 1::BIGINT AS i,
+        |    1023::BIGINT AS d0, 0::BIGINT AS d1,
+        |    (-1000000000)::BIGINT AS d2, (-1000000000)::BIGINT AS d3
+        |  FROM documents WHERE n_chars >= 1
+        |  UNION ALL
+        |  SELECT dp.doc_id, dp.text, dp.n, dp.i + 1,
+        |    greatest(
+        |      dp.d0 + 1023,
+        |      CASE WHEN dp.i + 1 >= 2 AND v2.piece IS NOT NULL
+        |           THEN dp.d1 + 4*1024 - 1 ELSE -1000000000 END,
+        |      CASE WHEN dp.i + 1 >= 3 AND v3.piece IS NOT NULL
+        |           THEN dp.d2 + 9*1024 - 1 ELSE -1000000000 END,
+        |      CASE WHEN dp.i + 1 >= 4 AND v4.piece IS NOT NULL
+        |           THEN dp.d3 + 16*1024 - 1 ELSE -1000000000 END),
+        |    dp.d0, dp.d1, dp.d2
+        |  FROM dp
+        |  LEFT JOIN vocab v2 ON v2.piece = substr(dp.text, (dp.i)::INT, 2)
+        |  LEFT JOIN vocab v3 ON v3.piece = substr(dp.text, (dp.i - 1)::INT, 3)
+        |  LEFT JOIN vocab v4 ON v4.piece = substr(dp.text, (dp.i - 2)::INT, 4)
+        |  WHERE dp.i + 1 <= dp.n
+        |), fin AS (
+        |  SELECT doc_id, n, d0 FROM dp WHERE i = n
+        |)
+        |SELECT f.doc_id, f.n AS n_chars,
+        |  coalesce(o.vocab_hits, 0)::BIGINT AS vocab_hits,
+        |  (f.d0 // 1024 + 1)::BIGINT AS best_score,
+        |  ((f.d0 // 1024 + 1) * 1024 - f.d0)::BIGINT AS best_pieces
+        |FROM fin f LEFT JOIN occ o ON o.doc_id = f.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
 
 
     // Unicode cleaning over the deterministically-dirtied derived

@@ -1,0 +1,151 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-family) SEGMENTATION — the score-based
+  * tokenizer family that complements the engine's merge-based BPE
+  * (qd27–qd29): induce a piece vocabulary from corpus substring
+  * statistics, then Viterbi-segment every document against it with an
+  * exact integer objective. (Reference scope: the corpus/tokenization
+  * layer a training-data pipeline runs ahead of the reference's
+  * document store — `lambda/s3Posts-to-ES-lambda/s3-to-es_aws.py`
+  * stores raw text; SURVEY §2.9/§6 extend it with tokenizer ops.)
+  *
+  * Vocabulary: every substring of length 2–4 whose corpus occurrence
+  * count (all positions, overlapping) reaches [[MinPieceCount]],
+  * ranked by (count DESC, piece ASC) and capped at [[VocabCap]] — the
+  * cap is the scale contract: the trained vocabulary is a bounded
+  * driver-held relation (≤ 4096 × 4 chars) broadcast to executors,
+  * never a corpus-proportional structure. Single characters are
+  * implicit vocabulary with score 1, so every document is segmentable.
+  *
+  * Objective: maximize Σ len(piece)² (the MDL-ish longest-piece
+  * preference), ties broken by FEWEST pieces — made total by the
+  * packed integer dp = 1024·score − pieces, the exact DP both the
+  * Scala kernel and the oracle's recursive CTE run (positions step
+  * one character per recursion round carrying a 4-slot dp window, so
+  * the oracle replays the entire lattice, not a summary).
+  *
+  * Plan shape: one explode-free flatMap → groupBy(piece) count with
+  * map-side combine (one skinny shuffle over ≤ alphabet⁴ keys), a
+  * TakeOrderedAndProject top-K for the cap (driver-held, bounded),
+  * then ONE narrow per-partition DP pass over the documents. At
+  * 100 TB: the piece count is the only corpus-wide aggregate, its key
+  * space is alphabet-bounded (Heaps'-law plateau), and the DP is
+  * per-row linear with an O(1) broadcast probe per position. */
+object Unigram {
+
+  /** Driver/broadcast bound on the induced vocabulary. */
+  val VocabCap = 4096
+
+  /** Corpus-occurrence gate for a multi-char piece. */
+  val MinPieceCount = 50
+
+  /** Piece lengths considered beyond the implicit single chars. */
+  val MinLen = 2
+  val MaxLen = 4
+
+  /** dp packing: dp = (ScoreShift · score) − pieces. pieces ≤ doc
+    * length < ScoreShift keeps the lexicographic order exact. */
+  val ScoreShift = 1024L
+
+  /** The induced vocabulary: (piece, cnt), gated and capped with the
+    * deterministic (cnt DESC, piece ASC) order. */
+  def vocab(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col("n_chars") >= 1)
+      .select(col("text")).as[String]
+      .mapPartitions { texts =>
+        // partition-local pre-aggregation: the shuffle carries one row
+        // per DISTINCT piece per partition (alphabet-bounded, Heaps'
+        // plateau), not one per corpus position
+        val acc = new java.util.HashMap[String, Long]()
+        texts.foreach { t =>
+          var len = MinLen
+          while (len <= MaxLen) {
+            var i = 0
+            val last = t.length - len
+            while (i <= last) {
+              acc.merge(t.substring(i, i + len), 1L, (a, b) => a + b)
+              i += 1
+            }
+            len += 1
+          }
+        }
+        val it = acc.entrySet().iterator()
+        new Iterator[(String, Long)] {
+          def hasNext: Boolean = it.hasNext
+          def next(): (String, Long) = {
+            val e = it.next(); (e.getKey, e.getValue)
+          }
+        }
+      }
+      .toDF("piece", "partial")
+      .groupBy("piece").agg(sum(col("partial")).as("cnt"))
+      .filter(col("cnt") >= MinPieceCount)
+      .orderBy(col("cnt").desc, col("piece").asc)
+      .limit(VocabCap)
+  }
+
+  /** qd43: per-document Viterbi segmentation against the induced
+    * vocabulary — exact integer features of the optimal lattice path
+    * plus the path-independent vocabulary hit count. */
+  def qd43UnigramSegment(spark: SparkSession, dir: String): DataFrame =
+    segmentFrame(Tables(spark, dir, "documents")).orderBy("doc_id")
+
+  /** The vocab-induce + broadcast + per-partition DP kernel. */
+  private[graft] def segmentFrame(docsDf: DataFrame): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    // compute-bound kernel: partition by cores, not input bytes — a
+    // small corpus arrives as one file-split and would otherwise run
+    // the whole lattice on one thread (at 100 TB the scan's own
+    // thousands of splits dominate and this is a no-op-sized shuffle)
+    val spread = docsDf
+      .filter(col("n_chars") >= 1)
+      .repartition(spark.sparkContext.defaultParallelism)
+    // bounded by VocabCap — a driver-held model, the qe8-codebook genus
+    val pieces: Set[String] =
+      vocab(spread).select("piece").as[String].collect().toSet
+    val bc = spark.sparkContext.broadcast(pieces)
+    spread
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { batch =>
+        val v = bc.value
+        batch.map { case (id, t) =>
+          val n = t.length
+          // one pass: Viterbi over dp = 1024·score − pieces (single
+          // chars are the always-available score-1 fallback) and the
+          // path-independent hit count share the same (end, len)
+          // membership probes — every piece ending at j is also the
+          // piece starting at j−len, so one probe serves both
+          var hits = 0L
+          val dp = new Array[Long](n + 1)
+          var j = 1
+          while (j <= n) {
+            var best = dp(j - 1) + ScoreShift - 1
+            var len = MinLen
+            while (len <= MaxLen) {
+              if (j >= len && v.contains(t.substring(j - len, j))) {
+                hits += 1
+                val cand = dp(j - len) + len.toLong * len * ScoreShift - 1
+                if (cand > best) best = cand
+              }
+              len += 1
+            }
+            dp(j) = best
+            j += 1
+          }
+          val packed = dp(n)
+          val score = packed / ScoreShift + 1
+          val nPieces = score * ScoreShift - packed
+          (id, n.toLong, hits, score, nPieces)
+        }
+      }
+      .toDF("doc_id", "n_chars", "vocab_hits", "best_score", "best_pieces")
+  }
+}
