@@ -141,6 +141,8 @@ object SparkEntry {
     // unigram-LM (SentencePiece-family) Viterbi segmentation — the
     // score-based tokenizer next to qd27-qd29's merge-based BPE
     "qd43_unigram_segment" -> (graft.text.Unigram.qd43UnigramSegment _),
+    // qd43's arrival-time form: frozen capped vocabulary, O(batch) DP
+    "qs36_stream_segment"  -> (Replay.qs36StreamSegment _),
     "q36_approx_percentile" -> (Advanced.q36ApproxPercentile _),
     "qd10_corpus_curation" -> (TextOps.qd10CorpusCuration _),
     "qs7_stream_sessionize" -> (Replay.streamSessionize _),
@@ -1336,6 +1338,58 @@ object SparkEntry {
   }
 
   /** qd42/qs32 shared oracle (one SQL text serves both keys). */
+
+  /** qd43/qs36 shared oracle — see the map-entry comment. */
+  private val unigramSegmentSql: String =
+      """WITH RECURSIVE v0 AS (
+        |  SELECT substr(d.text, p.p::INT, l.l::INT) AS piece
+        |  FROM documents d
+        |  CROSS JOIN unnest(range(2, 5)) l(l)
+        |  CROSS JOIN unnest(range(1, d.n_chars - l.l + 2)) p(p)
+        |), vc AS (
+        |  SELECT piece, count(*)::BIGINT AS cnt
+        |  FROM v0 GROUP BY piece HAVING count(*) >= 50
+        |), vocab AS (
+        |  SELECT piece FROM vc
+        |  QUALIFY row_number() OVER (ORDER BY cnt DESC, piece ASC) <= 4096
+        |), occ AS (
+        |  SELECT d.doc_id, count(*)::BIGINT AS vocab_hits
+        |  FROM documents d
+        |  CROSS JOIN unnest(range(2, 5)) l(l)
+        |  CROSS JOIN unnest(range(1, d.n_chars - l.l + 2)) p(p)
+        |  JOIN vocab v ON v.piece = substr(d.text, p.p::INT, l.l::INT)
+        |  GROUP BY d.doc_id
+        |), dp AS (
+        |  SELECT doc_id, text, n_chars::BIGINT AS n, 1::BIGINT AS i,
+        |    1023::BIGINT AS d0, 0::BIGINT AS d1,
+        |    (-1000000000)::BIGINT AS d2, (-1000000000)::BIGINT AS d3
+        |  FROM documents WHERE n_chars >= 1
+        |  UNION ALL
+        |  SELECT dp.doc_id, dp.text, dp.n, dp.i + 1,
+        |    greatest(
+        |      dp.d0 + 1023,
+        |      CASE WHEN dp.i + 1 >= 2 AND v2.piece IS NOT NULL
+        |           THEN dp.d1 + 4*1024 - 1 ELSE -1000000000 END,
+        |      CASE WHEN dp.i + 1 >= 3 AND v3.piece IS NOT NULL
+        |           THEN dp.d2 + 9*1024 - 1 ELSE -1000000000 END,
+        |      CASE WHEN dp.i + 1 >= 4 AND v4.piece IS NOT NULL
+        |           THEN dp.d3 + 16*1024 - 1 ELSE -1000000000 END),
+        |    dp.d0, dp.d1, dp.d2
+        |  FROM dp
+        |  LEFT JOIN vocab v2 ON v2.piece = substr(dp.text, (dp.i)::INT, 2)
+        |  LEFT JOIN vocab v3 ON v3.piece = substr(dp.text, (dp.i - 1)::INT, 3)
+        |  LEFT JOIN vocab v4 ON v4.piece = substr(dp.text, (dp.i - 2)::INT, 4)
+        |  WHERE dp.i + 1 <= dp.n
+        |), fin AS (
+        |  SELECT doc_id, n, d0 FROM dp WHERE i = n
+        |)
+        |SELECT f.doc_id, f.n AS n_chars,
+        |  coalesce(o.vocab_hits, 0)::BIGINT AS vocab_hits,
+        |  (f.d0 // 1024 + 1)::BIGINT AS best_score,
+        |  ((f.d0 // 1024 + 1) * 1024 - f.d0)::BIGINT AS best_pieces
+        |FROM fin f LEFT JOIN occ o ON o.doc_id = f.doc_id
+        |ORDER BY f.doc_id""".stripMargin
+
   private val kneserNeySql: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
@@ -2796,55 +2850,10 @@ object SparkEntry {
     // path-independent vocab_hits all hash-match only when the Spark
     // side's vocabulary gate+cap ordering AND its DP transitions are
     // exactly mirrored.
-    "qd43_unigram_segment" ->
-      """WITH RECURSIVE v0 AS (
-        |  SELECT substr(d.text, p.p::INT, l.l::INT) AS piece
-        |  FROM documents d
-        |  CROSS JOIN unnest(range(2, 5)) l(l)
-        |  CROSS JOIN unnest(range(1, d.n_chars - l.l + 2)) p(p)
-        |), vc AS (
-        |  SELECT piece, count(*)::BIGINT AS cnt
-        |  FROM v0 GROUP BY piece HAVING count(*) >= 50
-        |), vocab AS (
-        |  SELECT piece FROM vc
-        |  QUALIFY row_number() OVER (ORDER BY cnt DESC, piece ASC) <= 4096
-        |), occ AS (
-        |  SELECT d.doc_id, count(*)::BIGINT AS vocab_hits
-        |  FROM documents d
-        |  CROSS JOIN unnest(range(2, 5)) l(l)
-        |  CROSS JOIN unnest(range(1, d.n_chars - l.l + 2)) p(p)
-        |  JOIN vocab v ON v.piece = substr(d.text, p.p::INT, l.l::INT)
-        |  GROUP BY d.doc_id
-        |), dp AS (
-        |  SELECT doc_id, text, n_chars::BIGINT AS n, 1::BIGINT AS i,
-        |    1023::BIGINT AS d0, 0::BIGINT AS d1,
-        |    (-1000000000)::BIGINT AS d2, (-1000000000)::BIGINT AS d3
-        |  FROM documents WHERE n_chars >= 1
-        |  UNION ALL
-        |  SELECT dp.doc_id, dp.text, dp.n, dp.i + 1,
-        |    greatest(
-        |      dp.d0 + 1023,
-        |      CASE WHEN dp.i + 1 >= 2 AND v2.piece IS NOT NULL
-        |           THEN dp.d1 + 4*1024 - 1 ELSE -1000000000 END,
-        |      CASE WHEN dp.i + 1 >= 3 AND v3.piece IS NOT NULL
-        |           THEN dp.d2 + 9*1024 - 1 ELSE -1000000000 END,
-        |      CASE WHEN dp.i + 1 >= 4 AND v4.piece IS NOT NULL
-        |           THEN dp.d3 + 16*1024 - 1 ELSE -1000000000 END),
-        |    dp.d0, dp.d1, dp.d2
-        |  FROM dp
-        |  LEFT JOIN vocab v2 ON v2.piece = substr(dp.text, (dp.i)::INT, 2)
-        |  LEFT JOIN vocab v3 ON v3.piece = substr(dp.text, (dp.i - 1)::INT, 3)
-        |  LEFT JOIN vocab v4 ON v4.piece = substr(dp.text, (dp.i - 2)::INT, 4)
-        |  WHERE dp.i + 1 <= dp.n
-        |), fin AS (
-        |  SELECT doc_id, n, d0 FROM dp WHERE i = n
-        |)
-        |SELECT f.doc_id, f.n AS n_chars,
-        |  coalesce(o.vocab_hits, 0)::BIGINT AS vocab_hits,
-        |  (f.d0 // 1024 + 1)::BIGINT AS best_score,
-        |  ((f.d0 // 1024 + 1) * 1024 - f.d0)::BIGINT AS best_pieces
-        |FROM fin f LEFT JOIN occ o ON o.doc_id = f.doc_id
-        |ORDER BY f.doc_id""".stripMargin,
+    "qd43_unigram_segment" -> unigramSegmentSql,
+    // qs36 shares qd43's oracle verbatim: the streamed state is one
+    // row per doc against the SAME deterministic frozen vocabulary
+    "qs36_stream_segment" -> unigramSegmentSql,
 
 
     // Unicode cleaning over the deterministically-dirtied derived

@@ -1137,6 +1137,61 @@ object Replay {
   def qs35StreamMpegAudio(spark: SparkSession, dir: String): DataFrame =
     streamMpegAudioMetadata(spark, stagedDocsLake(spark, dir))
 
+  /** Streaming unigram segmentation — qd43's arrival-time form, the
+    * tokenize step of a streaming ingest pipeline: the capped piece
+    * vocabulary is induced ONCE from the staged corpus (a model build —
+    * the qs18/qs20 frozen-codebook shape; the vocabulary is a pure
+    * deterministic function of the corpus, so freezing it is exact, not
+    * approximate) and each micro-batch pays only its own per-document
+    * Viterbi DP against the broadcast set — O(batch) — appending its
+    * segment rows. Append-only with no fold: one row per doc, so the
+    * converged state equals the batch answer regardless of arrival
+    * order and the driver hash-checks it against qd43's SQL oracle
+    * verbatim. Restart contract as the family: batch-keyed overwrites,
+    * `alreadyFolded` skip; a double-appended batch duplicates doc rows,
+    * which the shared oracle's row count catches. */
+  def streamUnigramSegment(spark: SparkSession, dir: String,
+                           maxFilesPerTrigger: Int = 1,
+                           pathGlobFilter: String = "*.parquet",
+                           workDir: Option[String] = None,
+                           compactEvery: Int = 16): DataFrame = {
+    val work = resolveWork(workDir, "graft_suniseg")
+    val segSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_chars", LongType),
+      StructField("vocab_hits", LongType),
+      StructField("best_score", LongType),
+      StructField("best_pieces", LongType)))
+    val state = new AppendOnlyState(work, Seq(("seg", segSchema)), compactEvery)
+    // frozen model: the deterministic capped vocabulary of the corpus
+    val pieces = graft.text.Unigram.inducedPieces(
+      spark.read.schema(docsSchema).parquet(dir))
+    val q = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", pathGlobFilter)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(dir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!state.alreadyFolded(batchId)) {
+          state.endBatch(batch.sparkSession, batchId,
+            "seg" -> graft.text.Unigram.segmentWith(batch, pieces))
+        }
+        maybePoison(batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    state.read(spark, "seg").orderBy("doc_id")
+  }
+
+  /** qs36 entry: unigram segmentation over the shared staged docs
+    * lake; shares qd43's oracle SQL verbatim across the batch
+    * boundary. */
+  def qs36StreamSegment(spark: SparkSession, dir: String): DataFrame =
+    streamUnigramSegment(spark, stagedDocsLake(spark, dir))
+
   /** Streaming LEAKAGE-SAFE split — qd35's arrival-time form: documents
     * stream in, every micro-batch pays only its own near-dup kernel +
     * band probe (the `streamNearDup` machinery and its append-only

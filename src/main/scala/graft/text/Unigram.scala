@@ -52,12 +52,15 @@ object Unigram {
   val ScoreShift = 1024L
 
   /** The induced vocabulary: (piece, cnt), gated and capped with the
-    * deterministic (cnt DESC, piece ASC) order. */
+    * deterministic (cnt DESC, piece ASC) order. Spread by cores first —
+    * counting is partitioning-insensitive and a small corpus otherwise
+    * arrives as one file split. */
   def vocab(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
       .filter(col("n_chars") >= 1)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("text")).as[String]
       .mapPartitions { texts =>
         // partition-local pre-aggregation: the shuffle carries one row
@@ -97,22 +100,34 @@ object Unigram {
   def qd43UnigramSegment(spark: SparkSession, dir: String): DataFrame =
     segmentFrame(Tables(spark, dir, "documents")).orderBy("doc_id")
 
+  /** The induced vocabulary collected to a driver set — bounded by
+    * VocabCap, the qe8-codebook genus. A pure function of the corpus,
+    * so the streaming twin (qs36) freezes exactly this. */
+  private[graft] def inducedPieces(docs: DataFrame): Set[String] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    vocab(docs).select("piece").as[String].collect().toSet
+  }
+
   /** The vocab-induce + broadcast + per-partition DP kernel. */
-  private[graft] def segmentFrame(docsDf: DataFrame): DataFrame = {
+  private[graft] def segmentFrame(docsDf: DataFrame): DataFrame =
+    segmentWith(docsDf, inducedPieces(docsDf))
+
+  /** Segment against an EXPLICIT vocabulary — the frozen-model entry
+    * the streaming form uses per micro-batch (O(batch) cost, model
+    * trained once from the staged corpus). */
+  private[graft] def segmentWith(docsDf: DataFrame,
+                                 pieces: Set[String]): DataFrame = {
     val spark = docsDf.sparkSession
     import spark.implicits._
-    // compute-bound kernel: partition by cores, not input bytes — a
-    // small corpus arrives as one file-split and would otherwise run
-    // the whole lattice on one thread (at 100 TB the scan's own
-    // thousands of splits dominate and this is a no-op-sized shuffle)
-    val spread = docsDf
-      .filter(col("n_chars") >= 1)
-      .repartition(spark.sparkContext.defaultParallelism)
-    // bounded by VocabCap — a driver-held model, the qe8-codebook genus
-    val pieces: Set[String] =
-      vocab(spread).select("piece").as[String].collect().toSet
     val bc = spark.sparkContext.broadcast(pieces)
-    spread
+    docsDf
+      .filter(col("n_chars") >= 1)
+      // compute-bound kernel: partition by cores, not input bytes — a
+      // small corpus arrives as one file-split and would otherwise run
+      // the whole lattice on one thread (at 100 TB the scan's own
+      // thousands of splits dominate and this is a no-op-sized shuffle)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { batch =>
         val v = bc.value

@@ -496,6 +496,31 @@ class RestartSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streamUnigramSegment killed mid-run resumes and matches the batch DP") {
+    // append-only segment facts, no fold — a double-appended batch
+    // duplicates doc rows; the frozen vocabulary is re-induced on the
+    // resume leg and must be the identical deterministic set, or the
+    // resumed batches' dp values diverge from the first leg's
+    val lake = docsLake()
+    val w = work("graft_restart_uniseg")
+    Replay.poisonAfterBatch = 0L
+    intercept[Exception] {
+      Replay.streamUnigramSegment(spark, lake, maxFilesPerTrigger = 1,
+        workDir = Some(w), compactEvery = 2)
+    }
+    assert(Replay.poisonAfterBatch == -1L, "poison should have fired")
+    def key(r: Row) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+    val streamed = Replay.streamUnigramSegment(spark, lake,
+        maxFilesPerTrigger = 1, workDir = Some(w), compactEvery = 2)
+      .collect().map(key).toSeq
+    val batch = graft.text.Unigram
+      .qd43UnigramSegment(spark, SparkTestSession.sfDir)
+      .collect().map(key).toSeq
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streamLeakSplit killed mid-run resumes and matches the batch split map") {
     // the split map derives from the accumulated pair state, so a
     // double-applied batch (duplicated pairs) can't corrupt buckets —
