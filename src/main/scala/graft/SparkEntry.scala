@@ -191,6 +191,7 @@ object SparkEntry {
     "qm15_keyframe_thumb"  -> (Multimodal.qm15KeyframeThumb _),
     "qm16_adpcm_roundtrip" -> (Multimodal.qm16AdpcmRoundtrip _),
     "qm17_cavlc_decode"    -> (Multimodal.qm17CodedDecode _),
+    "qm18_ac_transform"    -> (Multimodal.qm18AcDecode _),
     // qm7's arrival-time form: per-batch box walks into an append-only
     // metadata index
     "qs34_stream_mp4"      -> (Replay.qs34StreamMp4 _),
@@ -1340,6 +1341,165 @@ object SparkEntry {
   /** qd42/qs32 shared oracle (one SQL text serves both keys). */
 
   /** qd43/qs36 shared oracle — see the map-entry comment. */
+  /** qm18's oracle, built programmatically: the §8.5.12.2 inverse core
+    * transform is 16 g-expressions (horizontal butterfly) + 16 pixel
+    * expressions (vertical butterfly + (·+32)>>6), with every >>1 and
+    * >>6 spelled out as explicit floor division (DuckDB `//` truncates
+    * toward zero) — generated by loops so each of the 32 expressions is
+    * the literal spec recurrence, not a hand-expanded approximation. */
+  private val acDecodeSql: String = {
+    def fdiv(x: String, d: Int): String =
+      s"(($x) - ((($x) % $d) + $d) % $d) // $d"
+    val gExprs = (0 until 4).flatMap { i =>
+      val (d0, d1, d2, d3) =
+        (s"d${4 * i}", s"d${4 * i + 1}", s"d${4 * i + 2}", s"d${4 * i + 3}")
+      val e0 = s"($d0 + $d2)"
+      val e1 = s"($d0 - $d2)"
+      val e2 = s"(${fdiv(d1, 2)} - $d3)"
+      val e3 = s"($d1 + ${fdiv(d3, 2)})"
+      Seq(s"$e0 + $e3 AS g${4 * i}", s"$e1 + $e2 AS g${4 * i + 1}",
+        s"$e1 - $e2 AS g${4 * i + 2}", s"$e0 - $e3 AS g${4 * i + 3}")
+    }.mkString(",\n    ")
+    val veExprs = (0 until 4).flatMap { j =>
+      Seq(
+        s"g$j + g${8 + j} AS ve0_$j",
+        s"g$j - g${8 + j} AS ve1_$j",
+        s"${fdiv(s"g${4 + j}", 2)} - g${12 + j} AS ve2_$j",
+        s"g${4 + j} + ${fdiv(s"g${12 + j}", 2)} AS ve3_$j")
+    }.mkString(",\n    ")
+    val pxExprs = (0 until 4).flatMap { j =>
+      Seq(
+        s"${fdiv(s"ve0_$j + ve3_$j + 32", 64)} AS px$j",
+        s"${fdiv(s"ve1_$j + ve2_$j + 32", 64)} AS px${4 + j}",
+        s"${fdiv(s"ve1_$j - ve2_$j + 32", 64)} AS px${8 + j}",
+        s"${fdiv(s"ve0_$j - ve3_$j + 32", 64)} AS px${12 + j}")
+    }.mkString(",\n    ")
+    val dExprs = (1 until 16).map(k =>
+      s"CASE WHEN p = $k THEN dac ELSE 0 END AS d$k").mkString(",\n    ")
+    // bottom-row pixels: blocks (bx, by=3) are luma4x4BlkIdx 10/11/14/15,
+    // their pixel rows 3 are px12..px15
+    val botBlk = Seq(10, 11, 14, 15)
+    val botExprs = (0 until 16).map { x =>
+      s"max(CASE WHEN b = ${botBlk(x / 4)} THEN px${12 + x % 4} END) AS bp$x"
+    }.mkString(",\n    ")
+    val predSum = (0 until 16)
+      .map(x => s"greatest(0, least(255, pr.pred + bot.bp$x))")
+      .mkString(" + ")
+    val pxList = (0 until 16).map(k => s"px$k").mkString(", ")
+    s"""WITH RECURSIVE a AS (
+  SELECT doc_id, (1 + doc_id % 4)::BIGINT AS n_mbs,
+         (20 + doc_id % 10)::BIGINT AS qp
+  FROM documents WHERE doc_id % 3 = 1
+), cz AS (
+  SELECT a.doc_id, a.n_mbs, a.qp, m.m, z.z,
+    (CASE WHEN ((a.doc_id + 5*(16*m.m + z.z)) % 11) < 4 THEN 0
+          ELSE ((a.doc_id + 5*(16*m.m + z.z)) % 11) - 7 END)::BIGINT AS c
+  FROM a
+  CROSS JOIN unnest(range(0, a.n_mbs)) m(m)
+  CROSS JOIN unnest(range(0, 16)) z(z)
+), fh AS (
+  SELECT cz.doc_id, cz.n_mbs, cz.qp, cz.m, g.r, g.cc,
+    sum(cz.c
+      * ([1,1,1,1, 1,1,-1,-1, 1,-1,-1,1, 1,-1,1,-1])
+          [g.r*4 + ([0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15])[cz.z+1] // 4 + 1]
+      * ([1,1,1,1, 1,1,-1,-1, 1,-1,-1,1, 1,-1,1,-1])
+          [g.cc*4 + ([0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15])[cz.z+1] % 4 + 1]
+    )::BIGINT AS f
+  FROM cz CROSS JOIN (
+    SELECT r.r, cc.cc
+    FROM unnest(range(0, 4)) r(r) CROSS JOIN unnest(range(0, 4)) cc(cc)
+  ) g
+  GROUP BY cz.doc_id, cz.n_mbs, cz.qp, cz.m, g.r, g.cc
+), dd AS (
+  SELECT doc_id, n_mbs, qp, m, r AS by, cc AS bx,
+    (num - ((num % den) + den) % den) // den AS dc
+  FROM (
+    SELECT doc_id, n_mbs, qp, m, r, cc,
+      f * ([160,176,208,224,256,288])[qp % 6 + 1]
+        + CASE WHEN qp >= 24 THEN 2 ELSE 4 END AS num,
+      CASE WHEN qp >= 24 THEN 4 ELSE 8 END AS den
+    FROM fh
+  ) x
+), acm AS (
+  SELECT a.doc_id, a.n_mbs, a.qp, m.m, b.b,
+    CASE WHEN (a.doc_id + m.m + b.b) % 3 = 0 THEN 0
+         ELSE ([0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15])
+                [1 + ((a.doc_id + 7*m.m + 3*b.b) % 15) + 1] END AS p,
+    ([-2,-1,1,2])[((a.doc_id + 5*m.m + 11*b.b) % 4) + 1] AS aval
+  FROM a
+  CROSS JOIN unnest(range(0, a.n_mbs)) m(m)
+  CROSS JOIN unnest(range(0, 16)) b(b)
+), dcols AS (
+  SELECT acm.doc_id, acm.n_mbs, acm.qp, acm.m, acm.b,
+    2*((acm.b // 4) % 2) + acm.b % 2 AS bx,
+    2*(acm.b // 8) + (acm.b // 2) % 2 AS by,
+    dd.dc AS d0,
+    $dExprs
+  FROM (
+    SELECT acm.*,
+      CASE WHEN acm.p = 0 THEN 0 ELSE acm.aval *
+        ([10,16,13, 11,18,14, 13,20,16, 14,23,18, 16,25,20, 18,29,23])
+          [(acm.qp % 6) * 3
+           + (CASE WHEN (acm.p // 4) % 2 = 0 AND (acm.p % 4) % 2 = 0 THEN 0
+                   WHEN (acm.p // 4) % 2 = 1 AND (acm.p % 4) % 2 = 1 THEN 1
+                   ELSE 2 END) + 1]
+        * (CASE WHEN acm.qp >= 24 THEN 16 ELSE 8 END) END AS dac
+    FROM acm
+  ) acm
+  JOIN dd ON dd.doc_id = acm.doc_id AND dd.m = acm.m
+    AND dd.by = 2*(acm.b // 8) + (acm.b // 2) % 2
+    AND dd.bx = 2*((acm.b // 4) % 2) + acm.b % 2
+), gcols AS (
+  SELECT doc_id, n_mbs, qp, m, b, bx, by,
+    $gExprs
+  FROM dcols
+), vcols AS (
+  SELECT doc_id, n_mbs, qp, m, b, bx, by,
+    $veExprs
+  FROM gcols
+), pxc AS (
+  SELECT doc_id, n_mbs, qp, m, b, bx, by,
+    $pxExprs
+  FROM vcols
+), bot AS (
+  SELECT doc_id, m,
+    $botExprs
+  FROM pxc GROUP BY doc_id, m
+), pr AS (
+  SELECT doc_id, 0::BIGINT AS m, 128::BIGINT AS pred, n_mbs FROM a
+  UNION ALL
+  SELECT pr.doc_id, pr.m + 1,
+    (($predSum) + 8) // 16,
+    pr.n_mbs
+  FROM pr JOIN bot ON bot.doc_id = pr.doc_id AND bot.m = pr.m
+  WHERE pr.m + 1 < pr.n_mbs
+), tc1 AS (
+  SELECT doc_id, (count(*) FILTER (c <> 0))::BIGINT AS t
+  FROM cz GROUP BY doc_id
+), tc2 AS (
+  SELECT doc_id, (count(*) FILTER (p <> 0))::BIGINT AS t
+  FROM acm GROUP BY doc_id
+), pxl AS (
+  SELECT pxc.doc_id, pxc.n_mbs, pxc.qp, pxc.m, pxc.b, pxc.bx, pxc.by, k.k,
+    greatest(0, least(255, pr.pred + ([$pxList])[k.k + 1]))::BIGINT AS v
+  FROM pxc
+  JOIN pr ON pr.doc_id = pxc.doc_id AND pr.m = pxc.m
+  CROSS JOIN unnest(range(0, 16)) k(k)
+)
+SELECT pxl.doc_id AS media_id, pxl.n_mbs, pxl.qp,
+  (tc1.t + tc2.t)::BIGINT AS total_coeff,
+  sum(pxl.v)::BIGINT AS luma_sum,
+  min(pxl.v)::BIGINT AS luma_min,
+  max(pxl.v)::BIGINT AS luma_max,
+  sum(((((pxl.m*16 + pxl.by*4 + pxl.k // 4) * 16
+         + pxl.bx*4 + pxl.k % 4) % 97) + 1) * pxl.v)::BIGINT AS luma_checksum
+FROM pxl
+JOIN tc1 ON tc1.doc_id = pxl.doc_id
+JOIN tc2 ON tc2.doc_id = pxl.doc_id
+GROUP BY pxl.doc_id, pxl.n_mbs, pxl.qp, tc1.t, tc2.t
+ORDER BY media_id"""
+  }
+
   private val unigramSegmentSql: String =
       """WITH RECURSIVE v0 AS (
         |  SELECT substr(d.text, p.p::INT, l.l::INT) AS piece
@@ -3743,6 +3903,9 @@ object SparkEntry {
     // level entropy decode of its own stream, so total_coeff and every
     // pixel feature hash-match only when each coefficient survives the
     // encode→decode round trip at its exact zigzag position.
+    // qm18: see acDecodeSql — the full inverse-core-transform mirror
+    "qm18_ac_transform" -> acDecodeSql,
+
     "qm17_cavlc_decode" ->
       """WITH RECURSIVE a AS (
         |  SELECT doc_id, (1 + doc_id % 4)::BIGINT AS n_mbs,

@@ -217,11 +217,13 @@ object H264Cavlc {
       if (math.abs(level) > (3 << (s - 1)) && s < 6) s += 1
       k += 1
     }
-    // total_zeros: zeros below the highest nonzero
+    // total_zeros: zeros below the highest nonzero. Table 9-7 serves
+    // both maxNumCoeff 16 (LumaLevel/DC) and 15 (Intra16x16ACLevel) —
+    // the AC range is a prefix of each row.
     val totalZeros = nz.last + 1 - tc
     if (tc < coeffs.length) {
-      require(coeffs.length == 16,
-        "only the maxNumCoeff=16 total_zeros table is implemented")
+      require(coeffs.length >= 15,
+        "only the 4x4 total_zeros table (maxNumCoeff 15/16) is implemented")
       writeCode(w, TotalZeros16(tc - 1)(totalZeros))
     }
     // run_before, highest frequency first, while zeros remain
@@ -277,11 +279,11 @@ object H264Cavlc {
       if (math.abs(level) > (3 << (s - 1)) && s < 6) s += 1
       k += 1
     }
-    // total_zeros
+    // total_zeros (Table 9-7 serves maxNumCoeff 16 and the AC 15)
     val totalZeros =
       if (tc == maxNumCoeff) 0
       else {
-        if (maxNumCoeff != 16) return None
+        if (maxNumCoeff < 15) return None
         readVlc(r, TotalZeros16Dec(tc - 1), 9).getOrElse(return None)
       }
     if (totalZeros > maxNumCoeff - tc) return None

@@ -53,6 +53,73 @@ object H264Coded {
   private[enrich] val DcLevelScale: Array[Int] =
     Array(160, 176, 208, 224, 256, 288)
 
+  /** normAdjust4x4(m, class) (§8.5.9): class 0 = even/even positions,
+    * 1 = odd/odd, 2 = mixed. AC dequant is exactly
+    * c · v(m, class) << (qP/6) — the shift-up form is lossless here,
+    * no rounding term exists in the spec for the AC path. */
+  private[enrich] val AcNormAdjust: Array[Array[Int]] = Array(
+    Array(10, 16, 13), Array(11, 18, 14), Array(13, 20, 16),
+    Array(14, 23, 18), Array(16, 25, 20), Array(18, 29, 23))
+
+  /** §6.4.3 luma4x4BlkIdx → (bx, by) in 4×4-block units (the 8×8-quad
+    * Z-order), and its inverse. */
+  private[enrich] def blkXY(idx: Int): (Int, Int) =
+    (2 * ((idx >> 2) & 1) + (idx & 1), 2 * (idx >> 3) + ((idx >> 1) & 1))
+  private[enrich] def blkIdxOf(bx: Int, by: Int): Int =
+    (by >> 1) * 8 + (by & 1) * 2 + (bx >> 1) * 4 + (bx & 1)
+
+  /** §8.5.12.2 inverse 4×4 core transform: the real integer butterfly
+    * (with its asymmetric >>1 half terms), then (h + 32) >> 6. Input
+    * `d` is the dequantized coefficient block in raster order. */
+  private[enrich] def inverseTransform4x4(d: Array[Int]): Array[Int] = {
+    val g = new Array[Int](16)
+    var i = 0
+    while (i < 4) { // horizontal pass over each row
+      val d0 = d(i * 4); val d1 = d(i * 4 + 1)
+      val d2 = d(i * 4 + 2); val d3 = d(i * 4 + 3)
+      val e0 = d0 + d2; val e1 = d0 - d2
+      val e2 = (d1 >> 1) - d3; val e3 = d1 + (d3 >> 1)
+      g(i * 4) = e0 + e3; g(i * 4 + 1) = e1 + e2
+      g(i * 4 + 2) = e1 - e2; g(i * 4 + 3) = e0 - e3
+      i += 1
+    }
+    val out = new Array[Int](16)
+    var j = 0
+    while (j < 4) { // vertical pass over each column
+      val d0 = g(j); val d1 = g(4 + j); val d2 = g(8 + j); val d3 = g(12 + j)
+      val e0 = d0 + d2; val e1 = d0 - d2
+      val e2 = (d1 >> 1) - d3; val e3 = d1 + (d3 >> 1)
+      out(j) = (e0 + e3 + 32) >> 6
+      out(4 + j) = (e1 + e2 + 32) >> 6
+      out(8 + j) = (e1 - e2 + 32) >> 6
+      out(12 + j) = (e0 - e3 + 32) >> 6
+      j += 1
+    }
+    out
+  }
+
+  /** §9.2.1 nC for the luma 4×4 block at (bx, by) of macroblock `mb`:
+    * the availability-weighted average of the left/top neighbor blocks'
+    * AC TotalCoeff (tracked in `counts`, one 16-slot array per MB). The
+    * Intra16x16DCLevel block uses this at (0, 0). */
+  private def lumaNc(counts: Array[Array[Int]], widthMbs: Int, mb: Int,
+                     bx: Int, by: Int): Int = {
+    val mbX = mb % widthMbs
+    val mbY = mb / widthMbs
+    val a =
+      if (bx > 0) counts(mb)(blkIdxOf(bx - 1, by))
+      else if (mbX > 0) counts(mb - 1)(blkIdxOf(3, by))
+      else -1
+    val b =
+      if (by > 0) counts(mb)(blkIdxOf(bx, by - 1))
+      else if (mbY > 0) counts(mb - widthMbs)(blkIdxOf(bx, 3))
+      else -1
+    if (a >= 0 && b >= 0) (a + b + 1) >> 1
+    else if (a >= 0) a
+    else if (b >= 0) b
+    else 0
+  }
+
   /** The symmetric ±1 Hadamard matrix of §8.5.10, row-major. */
   private val H: Array[Int] =
     Array(1, 1, 1, 1, 1, 1, -1, -1, 1, -1, -1, 1, 1, -1, 1, -1)
@@ -136,6 +203,55 @@ object H264Coded {
     o.toByteArray
   }
 
+  /** Serialize an IDR slice NAL of I_16x16_2_0_1 macroblocks
+    * (CodedBlockPatternLuma 15): the DC block plus 16 CAVLC-coded
+    * Intra16x16ACLevel blocks per macroblock, each in the real §9.2.1
+    * nC context derived from the already-written neighbors' AC
+    * TotalCoeff. `acZig(m)(b)` is block b's 15 AC coefficients in
+    * zigzag scan order (positions 1–15). The writer THROWS if the
+    * coefficient layout would select a 2 ≤ nC < 8 context — the
+    * honestly-unimplemented tables — rather than emit bits it could
+    * not itself decode. */
+  def writeIdrAc16Slice(widthMbs: Int, heightMbs: Int, idrPicId: Long,
+                        dcZig: Array[Array[Int]],
+                        acZig: Array[Array[Array[Int]]]): Array[Byte] = {
+    val nMbs = widthMbs * heightMbs
+    require(widthMbs >= 1 && heightMbs >= 1, "empty picture")
+    require(dcZig.length == nMbs && dcZig.forall(_.length == 16),
+      "one 16-coefficient DC block per macroblock")
+    require(acZig.length == nMbs &&
+      acZig.forall(m => m.length == 16 && m.forall(_.length == 15)),
+      "16 15-coefficient AC blocks per macroblock")
+    val counts = Array.fill(nMbs)(new Array[Int](16))
+    val w = new BitWriter
+    w.ue(0); w.ue(7); w.ue(0)           // first_mb, slice_type I, pps id
+    w.u(0L, 4)                          // frame_num (IDR → 0)
+    w.ue(idrPicId)
+    w.u(0L, 1); w.u(0L, 1)              // dec_ref_pic_marking (IDR)
+    w.se(0L)                            // slice_qp_delta
+    var mb = 0
+    while (mb < nMbs) {
+      w.ue(15)                          // mb_type: I_16x16_2_0_1
+      w.ue(0)                           // intra_chroma_pred_mode: DC
+      w.se(0L)                          // mb_qp_delta
+      H264Cavlc.writeResidual(dcZig(mb),
+        lumaNc(counts, widthMbs, mb, 0, 0), w)
+      var b = 0
+      while (b < 16) {
+        val (bx, by) = blkXY(b)
+        H264Cavlc.writeResidual(acZig(mb)(b),
+          lumaNc(counts, widthMbs, mb, bx, by), w)
+        counts(mb)(b) = acZig(mb)(b).count(_ != 0)
+        b += 1
+      }
+      mb += 1
+    }
+    val o = new ByteArrayOutputStream()
+    o.write(0x65)
+    o.write(insertEp(w.trailing()))
+    o.toByteArray
+  }
+
   /** Decode an IDR I_16x16_2_0_0 slice NAL against its SPS/PPS: EP
     * removal, the §7.3.3 slice-header walk, then per macroblock the
     * CAVLC DC residual, §8.5.10 dequant, §8.5.12 DC-only residual,
@@ -172,17 +288,61 @@ object H264Coded {
     val y = new Array[Byte](nMbs * 256)
     val cb = new Array[Byte](nMbs * 64)
     val cr = new Array[Byte](nMbs * 64)
+    val acCounts = Array.fill(nMbs)(new Array[Int](16))
     var totalCoeff = 0
     var mb = 0
     while (mb < nMbs && !r.bad) {
-      if (r.ue() != 3) return None      // I_16x16_2_0_0 or out of scope
+      val mbType = r.ue()
+      // I_16x16_2_0_0 (DC-only) or I_16x16_2_0_1 (luma AC coded)
+      if (mbType != 3 && mbType != 15) return None
       if (r.ue() != 0) return None      // intra_chroma_pred_mode: DC only
       qp += r.se().toInt                // mb_qp_delta
       if (qp < 0 || qp > 51) return None
-      val zig = H264Cavlc.readResidual(0, 16, r).getOrElse(return None)
+      val zig = H264Cavlc.readResidual(
+        lumaNc(acCounts, widthMbs, mb, 0, 0), 16, r).getOrElse(return None)
       var z = 0
       while (z < 16) { if (zig(z) != 0) totalCoeff += 1; z += 1 }
       val dcY = dequantDc(zig, qp)
+      // per-4×4-block residuals: flat (dcY+32)>>6 when AC is uncoded,
+      // the real §8.5.12 dequant + inverse core transform when coded
+      val res = Array.ofDim[Int](16, 16)
+      if (mbType == 3) {
+        var b = 0
+        while (b < 16) {
+          val (bx, by) = blkXY(b)
+          java.util.Arrays.fill(res(b), (dcY(by * 4 + bx) + 32) >> 6)
+          b += 1
+        }
+      } else {
+        var b = 0
+        while (b < 16) {
+          val (bx, by) = blkXY(b)
+          val nc = lumaNc(acCounts, widthMbs, mb, bx, by)
+          val ac = H264Cavlc.readResidual(nc, 15, r).getOrElse(return None)
+          var n = 0
+          var k = 0
+          while (k < 15) { if (ac(k) != 0) n += 1; k += 1 }
+          acCounts(mb)(b) = n
+          totalCoeff += n
+          val d = new Array[Int](16)
+          d(0) = dcY(by * 4 + bx)       // §8.5.12: DC bypasses AC scaling
+          k = 1
+          while (k < 16) {
+            val c = ac(k - 1)
+            if (c != 0) {
+              val p = ZigZag4x4(k)
+              val cls =
+                if ((p >> 2) % 2 == 0 && (p & 3) % 2 == 0) 0
+                else if ((p >> 2) % 2 == 1 && (p & 3) % 2 == 1) 1
+                else 2
+              d(p) = (c * AcNormAdjust(qp % 6)(cls)) << (qp / 6)
+            }
+            k += 1
+          }
+          res(b) = inverseTransform4x4(d)
+          b += 1
+        }
+      }
       val mbX = mb % widthMbs
       val mbY = mb / widthMbs
       val x0 = mbX * 16
@@ -206,18 +366,18 @@ object H264Coded {
         }
         pred = (sum + n / 2) / n        // (Σ+16)>>5 or (Σ+8)>>4
       }
-      // §8.5.12 with AC = 0: flat (dcY + 32) >> 6 residual per block
+      // Clip1 reconstruction: pred + per-pixel residual, block by block
       var by = 0
       while (by < 4) {
         var bx = 0
         while (bx < 4) {
-          val res = (dcY(by * 4 + bx) + 32) >> 6
-          val v = clip1(pred + res).toByte
+          val rblk = res(blkIdxOf(bx, by))
           var row = 0
           while (row < 4) {
             var col = 0
             while (col < 4) {
-              y((y0 + by * 4 + row) * w + x0 + bx * 4 + col) = v
+              y((y0 + by * 4 + row) * w + x0 + bx * 4 + col) =
+                clip1(pred + rblk(row * 4 + col)).toByte
               col += 1
             }
             row += 1

@@ -891,6 +891,15 @@ object Multimodal {
   def qm14PcmDecode(spark: SparkSession, dir: String): DataFrame =
     pcmDecodeFrame(Tables(spark, dir, "documents")).orderBy("media_id")
 
+  /** Compute-bound codec kernels partition by CORES, not input bytes —
+    * a small corpus arrives as one file split and would otherwise run
+    * the whole decode on one thread (the qd43 lesson; at 100 TB the
+    * scan's own thousands of splits dominate and this repartition is a
+    * no-op-sized shuffle). Applied to the multi-millisecond-per-row
+    * decoders (qm14–qm18); the metadata walks stay scan-partitioned. */
+  private def spreadByCores(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** The per-row mux+demux+decode kernel shared by qm14 and its
     * streaming form. */
   private[graft] def pcmDecodeFrame(docsDf: DataFrame): DataFrame = {
@@ -898,6 +907,7 @@ object Multimodal {
     import spark.implicits._
     docsDf
       .filter(pmod(col("doc_id"), lit(3)) === 1) // the media table's video rows
+      .transform(spreadByCores)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { batch =>
         batch.map { case (id, text) =>
@@ -974,6 +984,7 @@ object Multimodal {
     import spark.implicits._
     docsDf
       .filter(pmod(col("doc_id"), lit(3)) === 1) // the media table's video rows
+      .transform(spreadByCores)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { batch =>
         batch.map { case (id, text) =>
@@ -1043,6 +1054,7 @@ object Multimodal {
     docsDf
       .filter(pmod(col("doc_id"), lit(3)) === 2) // the media table's audio rows
       .filter(octet_length(col("text")) >= 1) // mirrors qm5's empty-payload gate
+      .transform(spreadByCores)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { batch =>
         batch.map { case (id, text) =>
@@ -1171,6 +1183,7 @@ object Multimodal {
     import spark.implicits._
     docsDf
       .filter(pmod(col("doc_id"), lit(3)) === 1) // the media table's video rows
+      .transform(spreadByCores)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { batch =>
         batch.map { case (id, text) =>
@@ -1223,10 +1236,92 @@ object Multimodal {
     muxAvcClip(id, text, sps, pps, nal)
   }
 
+  /** qm18: AC residual decode — the real 4×4 inverse core transform on
+    * entropy-coded AC coefficients, the transform layer below qm17's
+    * DC-only profile (see `H264Coded.writeIdrAc16Slice`). Each video
+    * row's macroblocks are I_16x16_2_0_1 (CodedBlockPatternLuma 15):
+    * qm17's DC model plus a SPARSE AC layout — at most one coefficient
+    * per 4×4 block (present iff (id+m+b) mod 3 ≠ 0, zigzag position
+    * 1 + ((id+7m+3b) mod 15), value [−2,−1,1,2][(id+5m+11b) mod 4]) —
+    * which keeps every §9.2.1 nC in {0,1}, honestly inside the
+    * implemented coeff_token context, while exercising the FULL
+    * pipeline real decoders run: per-block CAVLC in the
+    * neighbor-derived nC chain, §8.5.12.1 AC dequantization
+    * (c·v(qp%6,class) << qp/6 — lossless, no rounding term), the
+    * §8.5.12.2 integer butterfly with its asymmetric >>1 half terms,
+    * DC prediction over the now pixel-varying reconstructed edges,
+    * and Clip1. The oracle replays the entire butterfly per pixel in
+    * closed form — 16 g-expressions, 16 pixel expressions, floor
+    * division spelled out — so a single misplaced coefficient, wrong
+    * scan position, or truncated half term shifts the checksum.
+    *
+    * Plan shape: one narrow per-partition codec pass — qm17's
+    * geometry. */
+  def qm18AcDecode(spark: SparkSession, dir: String): DataFrame =
+    acDecodeFrame(Tables(spark, dir, "documents")).orderBy("media_id")
+
+  /** The per-row mux+demux+AC-decode kernel behind qm18. */
+  private[graft] def acDecodeFrame(docsDf: DataFrame): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    docsDf
+      .filter(pmod(col("doc_id"), lit(3)) === 1) // the media table's video rows
+      .transform(spreadByCores)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val f = decodeClip(id, text, qm18Container)
+          var lumaSum = 0L; var lumaCk = 0L
+          var lumaMin = 255L; var lumaMax = 0L
+          var i = 0
+          while (i < f.y.length) {
+            val v = (f.y(i) & 0xff).toLong
+            lumaSum += v
+            lumaCk += ((i % 97) + 1) * v
+            if (v < lumaMin) lumaMin = v
+            if (v > lumaMax) lumaMax = v
+            i += 1
+          }
+          (id, (f.widthMbs * f.heightMbs).toLong, f.qp.toLong,
+            f.totalCoeff.toLong, lumaSum, lumaMin, lumaMax, lumaCk)
+        }
+      }
+      .toDF("media_id", "n_mbs", "qp", "total_coeff",
+        "luma_sum", "luma_min", "luma_max", "luma_checksum")
+  }
+
+  /** Synthesize qm18's clip: qm17's DC model plus the sparse AC layout
+    * in the same mdat-first container. */
+  private[graft] def qm18Container(id: Long, text: String): Array[Byte] = {
+    val heightMbs = (1 + id % 4).toInt
+    val dcZig = Array.tabulate(heightMbs, 16)((m, z) => qm17Coef(id, m, z))
+    val acZig = Array.tabulate(heightMbs, 16) { (m, b) =>
+      val blk = new Array[Int](15)
+      if ((id + m + b) % 3 != 0) {
+        val pos = 1 + ((id + 7L * m + 3L * b) % 15).toInt
+        blk(pos - 1) = Array(-2, -1, 1, 2)(((id + 5L * m + 11L * b) % 4).toInt)
+      }
+      blk
+    }
+    val sps = H264Sps.write(
+      profileIdc = if ((id / 2) % 2 == 0) 66 else 100,
+      levelIdc = 30, widthMbs = 1, heightMbs = heightMbs)
+    val pps = H264Pcm.writePps(ppsId = 0L, picInitQp = (20 + id % 10).toInt)
+    val nal = H264Coded.writeIdrAc16Slice(1, heightMbs,
+      idrPicId = id % 16, dcZig = dcZig, acZig = acZig)
+    muxAvcClip(id, text, sps, pps, nal)
+  }
+
   /** The full demux+decode chain for qm17 — identical walk to
     * `decodePcmClip`, ending in the entropy-coded slice parse. */
-  private def decodeCodedClip(id: Long, text: String): H264Coded.CodedFrame = {
-    val mp4 = qm17Container(id, text)
+  private def decodeCodedClip(id: Long, text: String): H264Coded.CodedFrame =
+    decodeClip(id, text, qm17Container)
+
+  /** The shared demux chain for the entropy-coded clips (qm17/qm18). */
+  private def decodeClip(id: Long, text: String,
+                         container: (Long, String) => Array[Byte])
+      : H264Coded.CodedFrame = {
+    val mp4 = container(id, text)
     (for {
       sps <- Mp4Box.probeAvcSps(mp4).flatMap(H264Sps.parseFull)
       pps <- Mp4Box.probeAvcPps(mp4).flatMap(H264Pcm.parsePps)

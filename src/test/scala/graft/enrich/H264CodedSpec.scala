@@ -134,6 +134,106 @@ class H264CodedSpec extends AnyFunSuite {
     assert(f.totalCoeff == 0 && f.y.forall(b => (b & 0xff) == 128))
   }
 
+  test("inverse core transform hand vectors (both >>1 half terms)") {
+    // DC only: flat (d00 + 32) >> 6
+    val flat = H264Coded.inverseTransform4x4(
+      Array(640) ++ Array.fill(15)(0))
+    assert(flat.toSeq == Seq.fill(16)(10))
+    // single AC at raster (0,1): per column j the response is flat
+    // vertically; horizontal butterfly gives f = [64, 32, −32, −64]
+    // → pixels [1, 1, 0, −1] per row (−32+32=0 → 0, −64+32 floor → −1)
+    val d1 = new Array[Int](16); d1(1) = 64
+    assert(H264Coded.inverseTransform4x4(d1).toSeq ==
+      Seq.tabulate(16)(i => Seq(1, 1, 0, -1)(i % 4)))
+    // single AC at raster (0,3): exercises e2 = (d1>>1)−d3 AND
+    // e3 = d1+(d3>>1): f = [32, −64, 64, −32] → [1, −1, 1, 0]
+    val d3 = new Array[Int](16); d3(3) = 64
+    assert(H264Coded.inverseTransform4x4(d3).toSeq ==
+      Seq.tabulate(16)(i => Seq(1, -1, 1, 0)(i % 4)))
+    // transposed: same responses down the columns
+    val dv = new Array[Int](16); dv(4) = 64 // raster (1,0)
+    assert(H264Coded.inverseTransform4x4(dv).toSeq ==
+      Seq.tabulate(16)(i => Seq(1, 1, 0, -1)(i / 4)))
+  }
+
+  /** Independent recomputation of the sparse-AC column reconstruction,
+    * trusting only the hand-vector-tested transform primitives —
+    * the slice/CAVLC/nC layers are recomputed from scratch. */
+  private def expectAcColumn(dcZig: Array[Array[Int]],
+                             acZig: Array[Array[Array[Int]]],
+                             qp: Int): Array[Int] = {
+    val n = dcZig.length
+    val out = new Array[Int](n * 256)
+    var pred = 128
+    for (m <- 0 until n) {
+      val dcY = H264Coded.dequantDc(dcZig(m), qp)
+      if (m > 0) {
+        var sum = 0
+        for (x <- 0 until 16) sum += out((m * 16 - 1) * 16 + x)
+        pred = (sum + 8) >> 4
+      }
+      for (b <- 0 until 16) {
+        val (bx, by) = H264Coded.blkXY(b)
+        val d = new Array[Int](16)
+        d(0) = dcY(by * 4 + bx)
+        for (k <- 1 until 16; if acZig(m)(b)(k - 1) != 0) {
+          val p = H264Coded.ZigZag4x4(k)
+          val cls =
+            if ((p >> 2) % 2 == 0 && (p & 3) % 2 == 0) 0
+            else if ((p >> 2) % 2 == 1 && (p & 3) % 2 == 1) 1
+            else 2
+          d(p) = (acZig(m)(b)(k - 1) *
+            H264Coded.AcNormAdjust(qp % 6)(cls)) << (qp / 6)
+        }
+        val res = H264Coded.inverseTransform4x4(d)
+        for (row <- 0 until 4; col <- 0 until 4)
+          out((m * 16 + by * 4 + row) * 16 + bx * 4 + col) =
+            math.max(0, math.min(255, pred + res(row * 4 + col)))
+      }
+    }
+    out
+  }
+
+  test("AC slice round trip: entropy-coded AC coefficients become exact pixels") {
+    val rnd = new scala.util.Random(777)
+    for (trial <- 0 until 30) {
+      val heightMbs = 1 + trial % 4
+      val qp = 20 + trial % 16
+      val dcZig = Array.tabulate(heightMbs, 16)((_, _) =>
+        if (rnd.nextInt(11) < 5) 0 else rnd.nextInt(7) - 3)
+      // sparse AC: ≤1 coefficient per 4×4 block keeps every §9.2.1 nC
+      // in {0, 1} — inside the implemented coeff_token context
+      val acZig = Array.tabulate(heightMbs, 16) { (_, _) =>
+        val blk = new Array[Int](15)
+        if (rnd.nextInt(3) != 0)
+          blk(rnd.nextInt(15)) = Seq(-2, -1, 1, 2)(rnd.nextInt(4))
+        blk
+      }
+      val nal = H264Coded.writeIdrAc16Slice(1, heightMbs, trial % 16,
+        dcZig, acZig)
+      val f = H264Coded.parseIdrDcSlice(sps(1, heightMbs), pps(qp), nal).get
+      assert(f.qp == qp)
+      assert(f.totalCoeff == dcZig.flatten.count(_ != 0) +
+        acZig.flatten.flatten.count(_ != 0))
+      assert(f.y.map(_ & 0xff).toSeq ==
+        expectAcColumn(dcZig, acZig, qp).toSeq,
+        s"trial $trial: luma plane diverged")
+      assert(f.cb.forall(b => (b & 0xff) == 128))
+    }
+  }
+
+  test("AC writer refuses coefficient layouts outside the implemented nC scope") {
+    // dense AC blocks (3 coefficients each) push neighbor TotalCoeff
+    // averages to nC ≥ 2 — the writer must throw, not emit bits its
+    // own decoder would reject
+    val dcZig = Array.fill(1, 16)(0)
+    val acZig = Array.tabulate(1, 16) { (_, _) =>
+      Array(1, -1, 1) ++ Array.fill(12)(0)
+    }
+    assertThrows[IllegalArgumentException](
+      H264Coded.writeIdrAc16Slice(1, 1, 0L, dcZig, acZig))
+  }
+
   test("out-of-profile and malformed streams are rejected") {
     val dcZig = Array.fill(1, 16)(0)
     val good = H264Coded.writeIdrDcSlice(1, 1, 0L, dcZig)
