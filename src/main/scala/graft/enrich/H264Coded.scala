@@ -252,12 +252,15 @@ object H264Coded {
     o.toByteArray
   }
 
-  /** Decode an IDR I_16x16_2_0_0 slice NAL against its SPS/PPS: EP
+  /** Decode an IDR slice NAL of I_16x16_2_0_0 (DC-only) or
+    * I_16x16_2_0_1 (luma AC coded) macroblocks against its SPS/PPS: EP
     * removal, the §7.3.3 slice-header walk, then per macroblock the
-    * CAVLC DC residual, §8.5.10 dequant, §8.5.12 DC-only residual,
-    * §8.3.3/§8.3.4 DC intra prediction from reconstructed neighbors,
-    * and Clip1 placement into picture-raster planes. None on anything
-    * malformed or outside the DC-coded profile. */
+    * CAVLC DC residual in the derived nC context, §8.5.10 dequant, the
+    * per-4×4 residual — flat (dcY+32)>>6 when AC is uncoded, the
+    * §8.5.12.1 AC dequant + §8.5.12.2 inverse core transform when
+    * coded — §8.3.3/§8.3.4 DC intra prediction from reconstructed
+    * neighbors, and Clip1 placement into picture-raster planes. None
+    * on anything malformed or outside these profiles. */
   def parseIdrDcSlice(sps: H264Sps.SpsInfo, pps: H264Pcm.PpsInfo,
                       nal: Array[Byte]): Option[CodedFrame] = {
     if (nal.length < 2 || (nal(0) & 0x1f) != 5) return None

@@ -133,6 +133,11 @@ object Unigram {
         val v = bc.value
         batch.map { case (id, t) =>
           val n = t.length
+          // the packing is lexicographic only while pieces < ScoreShift;
+          // a corpus with longer documents needs a larger shift — fail
+          // loudly rather than silently mis-rank (the qs11 budget rule)
+          require(n < ScoreShift,
+            s"doc $id has $n chars >= ScoreShift $ScoreShift")
           // one pass: Viterbi over dp = 1024·score − pieces (single
           // chars are the always-available score-1 fallback) and the
           // path-independent hit count share the same (end, len)
