@@ -114,6 +114,19 @@ object Bench {
         System.err.println(s"[bench] codec warm-up $name failed: ${e.getMessage}")
       }
     }
+    // one UNMEASURED model-build before pass 1: the alphabetical order
+    // happens to train codebooks at qb1 before any PQ consumer, but a
+    // shuffled pass order (SPARK_GRAFT_BENCH_SHUFFLE) could put a
+    // consumer first and bill pass-1 training to it — the exact qe10
+    // mispricing the qb1 line item exists to prevent. Warm the memos
+    // outside every timed window; qb1's own window still evicts and
+    // retrains them, so its line item stays honest.
+    ordered.find(_._1 == "qb1_pq_model_build").foreach { case (name, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] model warm-up $name failed: ${e.getMessage}")
+      }
+    }
     graft.plans.ScaleTechniques.releaseLocalCheckpoints(spark)
     val passes = (1 to Passes).map { p =>
       if (p > 1) {

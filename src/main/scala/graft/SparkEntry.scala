@@ -1521,19 +1521,19 @@ ORDER BY media_id"""
         |  GROUP BY d.doc_id
         |), dp AS (
         |  SELECT doc_id, text, n_chars::BIGINT AS n, 1::BIGINT AS i,
-        |    1023::BIGINT AS d0, 0::BIGINT AS d1,
+        |    1048575::BIGINT AS d0, 0::BIGINT AS d1,
         |    (-1000000000)::BIGINT AS d2, (-1000000000)::BIGINT AS d3
         |  FROM documents WHERE n_chars >= 1
         |  UNION ALL
         |  SELECT dp.doc_id, dp.text, dp.n, dp.i + 1,
         |    greatest(
-        |      dp.d0 + 1023,
+        |      dp.d0 + 1048575,
         |      CASE WHEN dp.i + 1 >= 2 AND v2.piece IS NOT NULL
-        |           THEN dp.d1 + 4*1024 - 1 ELSE -1000000000 END,
+        |           THEN dp.d1 + 4*1048576 - 1 ELSE -1000000000 END,
         |      CASE WHEN dp.i + 1 >= 3 AND v3.piece IS NOT NULL
-        |           THEN dp.d2 + 9*1024 - 1 ELSE -1000000000 END,
+        |           THEN dp.d2 + 9*1048576 - 1 ELSE -1000000000 END,
         |      CASE WHEN dp.i + 1 >= 4 AND v4.piece IS NOT NULL
-        |           THEN dp.d3 + 16*1024 - 1 ELSE -1000000000 END),
+        |           THEN dp.d3 + 16*1048576 - 1 ELSE -1000000000 END),
         |    dp.d0, dp.d1, dp.d2
         |  FROM dp
         |  LEFT JOIN vocab v2 ON v2.piece = substr(dp.text, (dp.i)::INT, 2)
@@ -1545,8 +1545,8 @@ ORDER BY media_id"""
         |)
         |SELECT f.doc_id, f.n AS n_chars,
         |  coalesce(o.vocab_hits, 0)::BIGINT AS vocab_hits,
-        |  (f.d0 // 1024 + 1)::BIGINT AS best_score,
-        |  ((f.d0 // 1024 + 1) * 1024 - f.d0)::BIGINT AS best_pieces
+        |  (f.d0 // 1048576 + 1)::BIGINT AS best_score,
+        |  ((f.d0 // 1048576 + 1) * 1048576 - f.d0)::BIGINT AS best_pieces
         |FROM fin f LEFT JOIN occ o ON o.doc_id = f.doc_id
         |ORDER BY f.doc_id""".stripMargin
 
@@ -3005,7 +3005,7 @@ ORDER BY media_id"""
     // qd43: the oracle re-induces the capped vocabulary from the same
     // substring statistics and replays the ENTIRE Viterbi lattice as a
     // recursive CTE — positions advance one character per round
-    // carrying a 4-slot dp window, so the packed (1024·score − pieces)
+    // carrying a 4-slot dp window, so the packed (2²⁰·score − pieces)
     // optimum, the derived best_score/best_pieces pair, and the
     // path-independent vocab_hits all hash-match only when the Spark
     // side's vocabulary gate+cap ordering AND its DP transitions are

@@ -276,7 +276,13 @@ object H264Coded {
     if (r.ue() != pps.ppsId) return None
     r.u(sps.log2MaxFrameNum)            // frame_num
     val idrPicId = r.ue()
-    if (sps.pocType == 0) r.u(sps.log2MaxPocLsb)
+    if (sps.pocType == 0) {
+      r.u(sps.log2MaxPocLsb)            // pic_order_cnt_lsb
+      // §7.3.3: bottom-field POC present → an se(v) follows (see
+      // H264Pcm.parseIdrPcmSlice — same walk, same contract)
+      if (pps.bottomFieldPocPresent) r.se()
+    }
+    if (sps.pocType == 1) return None   // SPS bits not retained: reject
     if (pps.redundantPicCntPresent) r.ue()
     r.u(1); r.u(1)                      // dec_ref_pic_marking (IDR)
     val sliceQpDelta = r.se()

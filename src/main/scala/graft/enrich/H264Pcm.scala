@@ -174,7 +174,16 @@ object H264Pcm {
     if (r.ue() != pps.ppsId) return None // pic_parameter_set_id
     r.u(sps.log2MaxFrameNum)            // frame_num
     val idrPicId = r.ue()               // IDR NAL → idr_pic_id present
-    if (sps.pocType == 0) r.u(sps.log2MaxPocLsb) // pic_order_cnt_lsb
+    if (sps.pocType == 0) {
+      r.u(sps.log2MaxPocLsb)            // pic_order_cnt_lsb
+      // §7.3.3: the PPS bottom-field-POC flag adds an se(v) here —
+      // skipping it would bit-shift every later field into garbage
+      if (pps.bottomFieldPocPresent) r.se()
+    }
+    // pocType 1 slices carry delta_pic_order_cnt fields whose presence
+    // depends on SPS bits this parser does not retain — reject, never
+    // misparse (the module contract)
+    if (sps.pocType == 1) return None
     if (pps.redundantPicCntPresent) r.ue()
     r.u(1); r.u(1)                      // dec_ref_pic_marking (IDR)
     r.se()                              // slice_qp_delta

@@ -619,6 +619,9 @@ object Multimodal {
             heightMbs = (1 + id % 6).toInt,
             cropRightUnits = (id % 5).toInt,
             cropBottomUnits = (id % 4).toInt)
+          // model bound: even ids write mvhd v0, whose u32 duration
+          // caps this synthetic clip at ~4.77M chars — Mp4Box.write
+          // refuses loudly past it (never silently truncates)
           val mp4 = Mp4Box.write(90000L, nChars * 900L, Seq("avc1"),
             text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
             mvhdVersion = (id % 2).toInt, avcSps = Some(sps))
@@ -723,6 +726,9 @@ object Multimodal {
             channelConfig = (1 + id % 6).toInt,
             avgBitrate = 8000L * (1 + id % 24),
             paddedLengths = (id / 2) % 2 == 1)
+          // model bound: even ids write mvhd v0, whose u32 duration
+          // caps this synthetic clip at ~4.77M chars — Mp4Box.write
+          // refuses loudly past it (never silently truncates)
           val m4a = Mp4Box.write(90000L, nChars * 900L, Seq("mp4a"),
             text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
             mvhdVersion = 0, aacConfig = Some(cfg))
@@ -898,7 +904,7 @@ object Multimodal {
     * no-op-sized shuffle). Applied to the multi-millisecond-per-row
     * decoders (qm14–qm18); the metadata walks stay scan-partitioned. */
   private def spreadByCores(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    graft.plans.ScaleTechniques.spreadByCores(df)
 
   /** The per-row mux+demux+decode kernel shared by qm14 and its
     * streaming form. */
@@ -1178,7 +1184,17 @@ object Multimodal {
     codedDecodeFrame(Tables(spark, dir, "documents")).orderBy("media_id")
 
   /** The per-row mux+demux+CAVLC-decode kernel behind qm17. */
-  private[graft] def codedDecodeFrame(docsDf: DataFrame): DataFrame = {
+  private[graft] def codedDecodeFrame(docsDf: DataFrame): DataFrame =
+    codedFeatureFrame(docsDf, qm17Container)
+
+  /** The shared feature fold for the entropy-coded clips (qm17/qm18):
+    * one per-partition demux+decode pass emitting the luma statistics
+    * plus the CAVLC proof terms, with the chroma planes asserted at
+    * their derived constant (both profiles leave chroma residual
+    * uncoded, and DC prediction from a flat-128 first row keeps every
+    * plane at 128 — assert, don't just assume). */
+  private def codedFeatureFrame(docsDf: DataFrame,
+      container: (Long, String) => Array[Byte]): DataFrame = {
     val spark = docsDf.sparkSession
     import spark.implicits._
     docsDf
@@ -1187,7 +1203,7 @@ object Multimodal {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { batch =>
         batch.map { case (id, text) =>
-          val f = decodeCodedClip(id, text)
+          val f = decodeClip(id, text, container)
           var lumaSum = 0L; var lumaCk = 0L
           var lumaMin = 255L; var lumaMax = 0L
           var i = 0
@@ -1199,12 +1215,10 @@ object Multimodal {
             if (v > lumaMax) lumaMax = v
             i += 1
           }
-          // the zero chroma residual + DC prediction chain pins both
-          // chroma planes at 128 — assert, don't just assume
           i = 0
           while (i < f.cb.length) {
             require((f.cb(i) & 0xff) == 128 && (f.cr(i) & 0xff) == 128,
-              s"chroma drifted off the DC-only contract for doc $id")
+              s"chroma drifted off the uncoded-chroma contract for doc $id")
             i += 1
           }
           (id, (f.widthMbs * f.heightMbs).toLong, f.qp.toLong,
@@ -1261,34 +1275,8 @@ object Multimodal {
     acDecodeFrame(Tables(spark, dir, "documents")).orderBy("media_id")
 
   /** The per-row mux+demux+AC-decode kernel behind qm18. */
-  private[graft] def acDecodeFrame(docsDf: DataFrame): DataFrame = {
-    val spark = docsDf.sparkSession
-    import spark.implicits._
-    docsDf
-      .filter(pmod(col("doc_id"), lit(3)) === 1) // the media table's video rows
-      .transform(spreadByCores)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions { batch =>
-        batch.map { case (id, text) =>
-          val f = decodeClip(id, text, qm18Container)
-          var lumaSum = 0L; var lumaCk = 0L
-          var lumaMin = 255L; var lumaMax = 0L
-          var i = 0
-          while (i < f.y.length) {
-            val v = (f.y(i) & 0xff).toLong
-            lumaSum += v
-            lumaCk += ((i % 97) + 1) * v
-            if (v < lumaMin) lumaMin = v
-            if (v > lumaMax) lumaMax = v
-            i += 1
-          }
-          (id, (f.widthMbs * f.heightMbs).toLong, f.qp.toLong,
-            f.totalCoeff.toLong, lumaSum, lumaMin, lumaMax, lumaCk)
-        }
-      }
-      .toDF("media_id", "n_mbs", "qp", "total_coeff",
-        "luma_sum", "luma_min", "luma_max", "luma_checksum")
-  }
+  private[graft] def acDecodeFrame(docsDf: DataFrame): DataFrame =
+    codedFeatureFrame(docsDf, qm18Container)
 
   /** Synthesize qm18's clip: qm17's DC model plus the sparse AC layout
     * in the same mdat-first container. */
@@ -1311,11 +1299,6 @@ object Multimodal {
       idrPicId = id % 16, dcZig = dcZig, acZig = acZig)
     muxAvcClip(id, text, sps, pps, nal)
   }
-
-  /** The full demux+decode chain for qm17 — identical walk to
-    * `decodePcmClip`, ending in the entropy-coded slice parse. */
-  private def decodeCodedClip(id: Long, text: String): H264Coded.CodedFrame =
-    decodeClip(id, text, qm17Container)
 
   /** The shared demux chain for the entropy-coded clips (qm17/qm18). */
   private def decodeClip(id: Long, text: String,

@@ -131,9 +131,16 @@ object MediaFetch {
       .select("key", "url", "sample_number", "file_offset", "byte_length")
       .as[(String, String, Long, Long, Long)]
       .mapPartitions { rows =>
-        rows.map { case (key, url, sn, off, len) =>
+        // a short/truncated ranged GET must NOT be recorded: the
+        // (key, sample_number) anti join would then treat the range as
+        // fetched forever and the idempotent-replay healing could never
+        // trigger. Dropping the row leaves it missing, so the next run
+        // refetches it.
+        rows.flatMap { case (key, url, sn, off, len) =>
           val payload = fetchRange(url, off, len)
-          (key, url, sn, off, len, payload, payload.length.toLong)
+          if (payload.length.toLong == len)
+            Some((key, url, sn, off, len, payload, payload.length.toLong))
+          else None
         }
       }
       .toDF("key", "url", "sample_number", "file_offset", "byte_length",

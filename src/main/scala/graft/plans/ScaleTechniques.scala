@@ -13,6 +13,17 @@ object ScaleTechniques {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Compute-bound per-row kernels partition by CORES, not input
+    * bytes: a small corpus arrives as one file split and would
+    * otherwise run the whole kernel on one thread (measured: qd43's
+    * lattice 17.2 → 5.1 s at sf1, the qm14–qm18 codec family to ~1 s
+    * warm medians — BENCH_scale.md round-12). At 100 TB the scan's own
+    * thousands of splits dominate and this repartition is a
+    * no-op-sized shuffle. One definition so the policy can't drift
+    * between the codec and tokenizer call sites. */
+  def spreadByCores(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Lineage truncation for ITERATIVE kernels (CC, PageRank, the MMR
     * greedy trace): every round must break the plan chain or planning
     * goes O(2^iters). `localCheckpoint(true)` is the right single-JVM

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   *
   * Objective: maximize Σ len(piece)² (the MDL-ish longest-piece
   * preference), ties broken by FEWEST pieces — made total by the
-  * packed integer dp = 1024·score − pieces, the exact DP both the
+  * packed integer dp = 2²⁰·score − pieces, the exact DP both the
   * Scala kernel and the oracle's recursive CTE run (positions step
   * one character per recursion round carrying a 4-slot dp window, so
   * the oracle replays the entire lattice, not a summary).
@@ -49,7 +49,7 @@ object Unigram {
 
   /** dp packing: dp = (ScoreShift · score) − pieces. pieces ≤ doc
     * length < ScoreShift keeps the lexicographic order exact. */
-  val ScoreShift = 1024L
+  val ScoreShift = 1048576L
 
   /** The induced vocabulary: (piece, cnt), gated and capped with the
     * deterministic (cnt DESC, piece ASC) order. Spread by cores first —
@@ -58,9 +58,8 @@ object Unigram {
   def vocab(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .filter(col("n_chars") >= 1)
-      .repartition(spark.sparkContext.defaultParallelism)
+    graft.plans.ScaleTechniques
+      .spreadByCores(docs.filter(col("n_chars") >= 1))
       .select(col("text")).as[String]
       .mapPartitions { texts =>
         // partition-local pre-aggregation: the shuffle carries one row
@@ -121,13 +120,8 @@ object Unigram {
     val spark = docsDf.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(pieces)
-    docsDf
-      .filter(col("n_chars") >= 1)
-      // compute-bound kernel: partition by cores, not input bytes — a
-      // small corpus arrives as one file-split and would otherwise run
-      // the whole lattice on one thread (at 100 TB the scan's own
-      // thousands of splits dominate and this is a no-op-sized shuffle)
-      .repartition(spark.sparkContext.defaultParallelism)
+    graft.plans.ScaleTechniques
+      .spreadByCores(docsDf.filter(col("n_chars") >= 1))
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { batch =>
         val v = bc.value
@@ -138,7 +132,7 @@ object Unigram {
           // loudly rather than silently mis-rank (the qs11 budget rule)
           require(n < ScoreShift,
             s"doc $id has $n chars >= ScoreShift $ScoreShift")
-          // one pass: Viterbi over dp = 1024·score − pieces (single
+          // one pass: Viterbi over dp = ScoreShift·score − pieces (single
           // chars are the always-available score-1 fallback) and the
           // path-independent hit count share the same (end, len)
           // membership probes — every piece ending at j is also the
