@@ -234,6 +234,84 @@ class H264CodedSpec extends AnyFunSuite {
       H264Coded.writeIdrAc16Slice(1, 1, 0L, dcZig, acZig))
   }
 
+  /** Hand-written SPS varying pic_order_cnt_type (the production
+    * writer pins pocType 2) — Baseline field order per §7.3.2.1. */
+  private def spsWithPoc(pocType: Int): H264Sps.SpsInfo = {
+    val w = new BitWriter
+    w.u(66, 8); w.u(0L, 8); w.u(30, 8)  // profile/flags/level
+    w.ue(0)                             // seq_parameter_set_id
+    w.ue(0)                             // log2_max_frame_num_minus4
+    w.ue(pocType)
+    if (pocType == 0) w.ue(0)           // log2_max_pic_order_cnt_lsb−4
+    if (pocType == 1) {
+      w.u(0L, 1); w.ue(0); w.ue(0)      // delta flags/offsets
+      w.ue(0)                           // num_ref_frames_in_cycle
+    }
+    w.ue(1)                             // max_num_ref_frames
+    w.u(0L, 1)                          // gaps allowed
+    w.ue(0); w.ue(0)                    // 1×1 MBs
+    w.u(1L, 1); w.u(1L, 1)              // frame_mbs_only, direct_8x8
+    w.u(0L, 1); w.u(0L, 1)              // no crop, no VUI
+    val nal = Array[Byte](0x67.toByte) ++ insertEp(w.trailing())
+    H264Sps.parseFull(nal).get
+  }
+
+  /** Hand-written PPS with bottom_field_pic_order_in_frame_present set
+    * (the production writer pins it 0). */
+  private def ppsBottomPoc(qp: Int): H264Pcm.PpsInfo = {
+    val w = new BitWriter
+    w.ue(0); w.ue(0)                    // pps id, sps id
+    w.u(0L, 1)                          // CAVLC
+    w.u(1L, 1)                          // bottom_field_poc_present: SET
+    w.ue(0); w.ue(0); w.ue(0)           // groups, ref idx defaults
+    w.u(0L, 1); w.u(0L, 2)              // weighted pred
+    w.se(qp - 26L); w.se(0L); w.se(0L)
+    w.u(0L, 1); w.u(0L, 1); w.u(0L, 1)
+    val nal = Array[Byte](0x68.toByte) ++ insertEp(w.trailing())
+    H264Pcm.parsePps(nal).get
+  }
+
+  test("pocType-0 slice headers consume their POC fields bit-exactly") {
+    // a slice under (pocType 0, bottomFieldPocPresent) carries
+    // pic_order_cnt_lsb AND delta_pic_order_cnt_bottom between
+    // idr_pic_id and dec_ref_pic_marking; skipping either would
+    // bit-shift the macroblock walk into garbage
+    val s0 = spsWithPoc(0)
+    val p0 = ppsBottomPoc(26)
+    assert(s0.pocType == 0 && s0.log2MaxPocLsb == 4)
+    assert(p0.bottomFieldPocPresent)
+    val dcZig = Array(0, 5, -2) ++ Array.fill(13)(0)
+    val w = new BitWriter
+    w.ue(0); w.ue(7); w.ue(0)           // first_mb, slice_type I, pps id
+    w.u(0L, 4)                          // frame_num
+    w.ue(9L)                            // idr_pic_id
+    w.u(11L, 4)                         // pic_order_cnt_lsb (nonzero)
+    w.se(-7L)                           // delta_pic_order_cnt_bottom
+    w.u(0L, 1); w.u(0L, 1)              // dec_ref_pic_marking (IDR)
+    w.se(0L)                            // slice_qp_delta
+    w.ue(3); w.ue(0); w.se(0L)          // I_16x16_2_0_0, chroma DC, qpΔ 0
+    H264Cavlc.writeResidual(dcZig, 0, w)
+    val nal = Array[Byte](0x65.toByte) ++ insertEp(w.trailing())
+    val f = H264Coded.parseIdrDcSlice(s0, p0, nal).get
+    assert(f.idrPicId == 9L && f.qp == 26)
+    assert(f.y.map(_ & 0xff).toSeq == expectColumn(Array(dcZig), 26).toSeq)
+    // the same NAL against a bottomPoc-ABSENT PPS must not parse as if
+    // the se(v) weren't there — the shifted walk is rejected, not
+    // misdecoded into a frame
+    val plain = pps(26)
+    assert(H264Coded.parseIdrDcSlice(s0, plain, nal).isEmpty)
+  }
+
+  test("pocType-1 slices are rejected, never misparsed") {
+    val s1 = spsWithPoc(1)
+    assert(s1.pocType == 1)
+    val nal = H264Coded.writeIdrDcSlice(1, 1, 0L, Array.fill(1, 16)(0))
+    assert(H264Coded.parseIdrDcSlice(s1, pps(26), nal).isEmpty)
+    val pcm = H264Pcm.writeIdrPcmSlice(1, 1, 0L,
+      new Array[Byte](256), new Array[Byte](64), new Array[Byte](64))
+    assert(H264Pcm.parseIdrPcmSlice(s1, pps(26), pcm).isEmpty)
+  }
+
   test("out-of-profile and malformed streams are rejected") {
     val dcZig = Array.fill(1, 16)(0)
     val good = H264Coded.writeIdrDcSlice(1, 1, 0L, dcZig)

@@ -14,6 +14,10 @@ import org.scalatest.funsuite.AnyFunSuite
 object RangedCalls {
   val headers = new java.util.concurrent.atomic.AtomicInteger(0)
   val ranges = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** When set, the next non-header range GET returns a TRUNCATED body
+    * (short read), then clears itself — the connection-reset stand-in
+    * for the healing spec. */
+  val truncateNext = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
 
 class MediaFetchSpec extends AnyFunSuite {
@@ -110,6 +114,42 @@ class MediaFetchSpec extends AnyFunSuite {
     val got3 = MediaFetch.fetchKeyframeRanges(candidates, store, transport,
       headerBytes = 16L)
     assert(got3.count() == 0)
+  }
+
+  test("a short ranged GET is never recorded — replay heals it") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_short").toString
+    val docs = Seq((1L, "alpha"))
+    val headerByUrl = docs.map { case (id, text) =>
+      s"media/$id" -> graft.enrich.Multimodal.qm11Container(id, text)
+    }.toMap
+    RangedCalls.truncateNext.set(true)
+    val transport: (String, Long, Long) => Array[Byte] = { (url, off, len) =>
+      if (off == 0L) headerByUrl(url).take(len.toInt)
+      else {
+        val full = graft.enrich.Multimodal.oracleRange(off, len)
+        // simulate a connection reset mid-body exactly once
+        if (RangedCalls.truncateNext.getAndSet(false)) full.take(full.length / 2)
+        else full
+      }
+    }
+    val candidates = docs.map { case (id, _) => (s"kf/$id", s"media/$id") }
+      .toDF("key", "url")
+    val got1 = MediaFetch.fetchKeyframeRanges(candidates, store, transport)
+    // the truncated range was DROPPED, not staged with a short
+    // content_length — the anti join can therefore refetch it
+    val stored1 = spark.read.parquet(store)
+    assert(stored1.filter($"content_length" =!= $"byte_length").count() == 0)
+    val missingAfter1 = got1.count() + 1 // one planned range was dropped
+    // replay: exactly the dropped range is fetched, intact this time
+    val got2 = MediaFetch.fetchKeyframeRanges(candidates, store, transport)
+    assert(got2.count() == 1)
+    val stored2 = spark.read.parquet(store)
+    assert(stored2.count() == missingAfter1)
+    assert(stored2.filter($"content_length" =!= $"byte_length").count() == 0)
+    // converged: a third run fetches nothing
+    assert(MediaFetch.fetchKeyframeRanges(candidates, store, transport)
+      .count() == 0)
   }
 
   test("candidate keys follow the reference's store layout") {
