@@ -192,6 +192,7 @@ object SparkEntry {
     "qm16_adpcm_roundtrip" -> (Multimodal.qm16AdpcmRoundtrip _),
     "qm17_cavlc_decode"    -> (Multimodal.qm17CodedDecode _),
     "qm18_ac_transform"    -> (Multimodal.qm18AcDecode _),
+    "qm19_chroma_decode"   -> (Multimodal.qm19ChromaDecode _),
     // qm7's arrival-time form: per-batch box walks into an append-only
     // metadata index
     "qs34_stream_mp4"      -> (Replay.qs34StreamMp4 _),
@@ -1339,6 +1340,160 @@ object SparkEntry {
   }
 
   /** qd42/qs32 shared oracle (one SQL text serves both keys). */
+
+  /** qm19's oracle: qm17's luma chain (Hadamard → rounded dequant →
+    * flat residual → prediction recursion) PLUS the chroma half — the
+    * 2×2 Hadamard as conditional sums, the §8.5.11 << qPc/6 >> 5 scale
+    * as explicit floor division, and the per-plane §8.3.4 DC
+    * prediction recursion down the macroblock column (every block
+    * predicts from the MB-top edge, so the carried state is the two
+    * bottom-block values per plane). total_coeff spans BOTH residual
+    * families, so the chroma CAVLC layer (the nC = −1 context) has no
+    * oracle shortcut. */
+  private val chromaDecodeSql: String = {
+    def fdiv(x: String, d: Int): String =
+      s"(($x) - ((($x) % $d) + $d) % $d) // $d"
+    def clip(x: String): String = s"greatest(0, least(255, $x))"
+    s"""WITH RECURSIVE a AS (
+  SELECT doc_id, (1 + doc_id % 4)::BIGINT AS n_mbs,
+         (20 + doc_id % 10)::BIGINT AS qp
+  FROM documents WHERE doc_id % 3 = 1
+), cz AS (
+  SELECT a.doc_id, a.n_mbs, a.qp, m.m, z.z,
+    (CASE WHEN ((a.doc_id + 5*(16*m.m + z.z)) % 11) < 4 THEN 0
+          ELSE ((a.doc_id + 5*(16*m.m + z.z)) % 11) - 7 END)::BIGINT AS c
+  FROM a
+  CROSS JOIN unnest(range(0, a.n_mbs)) m(m)
+  CROSS JOIN unnest(range(0, 16)) z(z)
+), fh AS (
+  SELECT cz.doc_id, cz.n_mbs, cz.qp, cz.m, g.r, g.cc,
+    sum(cz.c
+      * ([1,1,1,1, 1,1,-1,-1, 1,-1,-1,1, 1,-1,1,-1])
+          [g.r*4 + ([0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15])[cz.z+1] // 4 + 1]
+      * ([1,1,1,1, 1,1,-1,-1, 1,-1,-1,1, 1,-1,1,-1])
+          [g.cc*4 + ([0,1,4,8,5,2,3,6,9,12,13,10,7,11,14,15])[cz.z+1] % 4 + 1]
+    )::BIGINT AS f
+  FROM cz CROSS JOIN (
+    SELECT r.r, cc.cc
+    FROM unnest(range(0, 4)) r(r) CROSS JOIN unnest(range(0, 4)) cc(cc)
+  ) g
+  GROUP BY cz.doc_id, cz.n_mbs, cz.qp, cz.m, g.r, g.cc
+), d AS (
+  SELECT doc_id, n_mbs, qp, m, r, cc,
+    ${fdiv("(num - ((num % den) + den) % den) // den + 32", 64)} AS res
+  FROM (
+    SELECT doc_id, n_mbs, qp, m, r, cc,
+      f * ([160,176,208,224,256,288])[qp % 6 + 1]
+        + CASE WHEN qp >= 24 THEN 2 ELSE 4 END AS num,
+      CASE WHEN qp >= 24 THEN 4 ELSE 8 END AS den
+    FROM fh
+  ) x
+), b AS (
+  SELECT doc_id, m,
+    max(CASE WHEN cc = 0 THEN res END) AS r0,
+    max(CASE WHEN cc = 1 THEN res END) AS r1,
+    max(CASE WHEN cc = 2 THEN res END) AS r2,
+    max(CASE WHEN cc = 3 THEN res END) AS r3
+  FROM d WHERE r = 3 GROUP BY doc_id, m
+), p AS (
+  SELECT doc_id, 0::BIGINT AS m, 128::BIGINT AS pred, n_mbs FROM a
+  UNION ALL
+  SELECT p.doc_id, p.m + 1,
+    ((4*( ${clip("p.pred + b.r0")} + ${clip("p.pred + b.r1")}
+        + ${clip("p.pred + b.r2")} + ${clip("p.pred + b.r3")} ) + 8) // 16)
+      ::BIGINT,
+    p.n_mbs
+  FROM p JOIN b ON b.doc_id = p.doc_id AND b.m = p.m
+  WHERE p.m + 1 < p.n_mbs
+), lsum AS (
+  SELECT d.doc_id,
+    sum(16 * ${clip("p.pred + d.res")})::BIGINT AS luma_sum
+  FROM d JOIN p ON p.doc_id = d.doc_id AND p.m = d.m
+  GROUP BY d.doc_id
+), cac AS (
+  SELECT a.doc_id, a.n_mbs, a.qp, m.m, pp.p, z.z,
+    (CASE WHEN ((a.doc_id + 3*m.m + 7*pp.p + 5*z.z) % 9) < 3 THEN 0
+          ELSE ((a.doc_id + 3*m.m + 7*pp.p + 5*z.z) % 9) - 6 END)::BIGINT AS c
+  FROM a
+  CROSS JOIN unnest(range(0, a.n_mbs)) m(m)
+  CROSS JOIN unnest(range(0, 2)) pp(p)
+  CROSS JOIN unnest(range(0, 4)) z(z)
+), cf AS (
+  SELECT cac.doc_id, cac.n_mbs, cac.qp, cac.m, cac.p, k.k,
+    sum(cac.c * ([1,1,1,1, 1,-1,1,-1, 1,1,-1,-1, 1,-1,-1,1])
+                  [k.k*4 + cac.z + 1])::BIGINT AS f
+  FROM cac CROSS JOIN unnest(range(0, 4)) k(k)
+  GROUP BY cac.doc_id, cac.n_mbs, cac.qp, cac.m, cac.p, k.k
+), cd AS (
+  SELECT doc_id, n_mbs, qp, m, p, k,
+    ${fdiv(fdiv("x", 32) + " + 32", 64)} AS res
+  FROM (
+    SELECT doc_id, n_mbs, qp, m, p, k,
+      f * ([160,176,208,224,256,288])[qp % 6 + 1]
+        * (CASE WHEN qp >= 24 THEN 16 ELSE 8 END) AS x
+    FROM cf
+  ) y
+), cg AS (
+  SELECT doc_id, n_mbs, qp, m, p,
+    max(CASE WHEN k = 0 THEN res END) AS r00,
+    max(CASE WHEN k = 1 THEN res END) AS r10,
+    max(CASE WHEN k = 2 THEN res END) AS r01,
+    max(CASE WHEN k = 3 THEN res END) AS r11
+  FROM cd GROUP BY doc_id, n_mbs, qp, m, p
+), cpr AS (
+  SELECT doc_id, p, m,
+    ${clip("128 + r00")}::BIGINT AS v00, ${clip("128 + r10")}::BIGINT AS v10,
+    ${clip("128 + r01")}::BIGINT AS v01, ${clip("128 + r11")}::BIGINT AS v11,
+    n_mbs
+  FROM cg WHERE m = 0
+  UNION ALL
+  SELECT c.doc_id, c.p, cg.m,
+    ${clip("c.v01 + cg.r00")}::BIGINT, ${clip("c.v11 + cg.r10")}::BIGINT,
+    ${clip("c.v01 + cg.r01")}::BIGINT, ${clip("c.v11 + cg.r11")}::BIGINT,
+    c.n_mbs
+  FROM cpr c JOIN cg ON cg.doc_id = c.doc_id AND cg.p = c.p
+    AND cg.m = c.m + 1
+  WHERE c.m + 1 < c.n_mbs
+), cpx AS (
+  SELECT cpr.doc_id, cpr.p, cpr.m, g.cbx, g.cby,
+    CASE WHEN g.cbx = 0 AND g.cby = 0 THEN cpr.v00
+         WHEN g.cbx = 1 AND g.cby = 0 THEN cpr.v10
+         WHEN g.cbx = 0 AND g.cby = 1 THEN cpr.v01
+         ELSE cpr.v11 END AS v
+  FROM cpr CROSS JOIN (
+    SELECT x.cbx, y.cby
+    FROM unnest(range(0, 2)) x(cbx) CROSS JOIN unnest(range(0, 2)) y(cby)
+  ) g
+), cw AS (
+  SELECT cpx.doc_id, cpx.p, cpx.m, cpx.cbx, cpx.cby, cpx.v,
+    sum((((cpx.m*8 + cpx.cby*4 + rw.rw) * 8 + cpx.cbx*4 + cl.cl) % 97) + 1)
+      ::BIGINT AS wsum
+  FROM cpx
+  CROSS JOIN unnest(range(0, 4)) rw(rw)
+  CROSS JOIN unnest(range(0, 4)) cl(cl)
+  GROUP BY cpx.doc_id, cpx.p, cpx.m, cpx.cbx, cpx.cby, cpx.v
+), cagg AS (
+  SELECT doc_id,
+    sum(CASE WHEN p = 0 THEN 16*v ELSE 0 END)::BIGINT AS cb_sum,
+    sum(CASE WHEN p = 1 THEN 16*v ELSE 0 END)::BIGINT AS cr_sum,
+    sum(CASE WHEN p = 0 THEN v*wsum ELSE 0 END)::BIGINT AS cb_checksum,
+    sum(CASE WHEN p = 1 THEN v*wsum ELSE 0 END)::BIGINT AS cr_checksum
+  FROM cw GROUP BY doc_id
+), tcn AS (
+  SELECT z1.doc_id, (z1.t + z2.t)::BIGINT AS total_coeff
+  FROM (SELECT doc_id, count(*) FILTER (c <> 0) AS t FROM cz GROUP BY doc_id) z1
+  JOIN (SELECT doc_id, count(*) FILTER (c <> 0) AS t FROM cac GROUP BY doc_id) z2
+    ON z2.doc_id = z1.doc_id
+)
+SELECT a.doc_id AS media_id, a.n_mbs, a.qp, tcn.total_coeff,
+  lsum.luma_sum, cagg.cb_sum, cagg.cr_sum,
+  cagg.cb_checksum, cagg.cr_checksum
+FROM a
+JOIN tcn ON tcn.doc_id = a.doc_id
+JOIN lsum ON lsum.doc_id = a.doc_id
+JOIN cagg ON cagg.doc_id = a.doc_id
+ORDER BY media_id"""
+  }
 
   /** qd43/qs36 shared oracle — see the map-entry comment. */
   /** qm18's oracle, built programmatically: the §8.5.12.2 inverse core
@@ -3905,6 +4060,8 @@ ORDER BY media_id"""
     // encode→decode round trip at its exact zigzag position.
     // qm18: see acDecodeSql — the full inverse-core-transform mirror
     "qm18_ac_transform" -> acDecodeSql,
+    // qm19: see chromaDecodeSql — the chroma-DC half of the family
+    "qm19_chroma_decode" -> chromaDecodeSql,
 
     "qm17_cavlc_decode" ->
       """WITH RECURSIVE a AS (

@@ -12,14 +12,14 @@ import H264Sps.{BitReader, BitWriter}
   * total_zeros (Table 9-7) and run_before (Table 9-10) zero placement.
   *
   * Context scope, stated not guessed: the 0 ≤ nC < 2 table is
-  * implemented in full (it is the only table a stream whose AC blocks
-  * are all uncoded can ever select — neighbor TotalCoeff is 0
-  * everywhere, so nC is 0 at every block), plus the fixed 6-bit
-  * nC ≥ 8 context, which is algorithmic in the spec. The 2 ≤ nC < 8
-  * tables are unreachable from [[H264Coded]]'s writer; a stream that
-  * selects them is rejected (None), never misdecoded — the same
-  * corrupt-skip contract as the rest of the codec family
-  * (reference media store: lambda/s3Posts-to-ES-lambda/
+  * implemented in full (the only luma table a stream whose per-block
+  * AC TotalCoeff stays ≤ 1 can ever select), the nC == −1 ChromaDCLevel
+  * context (2×2 chroma DC, audited complete — Kraft sum exactly 1),
+  * and the fixed 6-bit nC ≥ 8 context, which is algorithmic in the
+  * spec. The 2 ≤ nC < 8 tables are unreachable from [[H264Coded]]'s
+  * writer; a stream that selects them is rejected (None), never
+  * misdecoded — the same corrupt-skip contract as the rest of the
+  * codec family (reference media store: lambda/s3Posts-to-ES-lambda/
   * s3-to-es_aws.py:83,116-122).
   *
   * Table transcriptions are audited in H264CavlcSpec: every VLC table
@@ -88,6 +88,23 @@ object H264Cavlc {
     Array("00", "01", "1"),
     Array("0", "1"))
 
+  /** Table 9-5, nC == −1 (ChromaDCLevel, 4:2:0): the 2×2 chroma-DC
+    * coeff_token context, indexed [totalCoeff][t1]. Audited complete
+    * (Kraft sum exactly 1) and prefix-free in H264CavlcSpec. */
+  private[enrich] val CoeffTokenChromaDc: Array[Array[String]] = Array(
+    Array("01"),
+    Array("000111", "1"),
+    Array("000100", "000110", "001"),
+    Array("000011", "0000011", "0000010", "000101"),
+    Array("000010", "00000011", "00000010", "0000000"))
+
+  /** Table 9-9(a): total_zeros for chroma DC (maxNumCoeff 4), indexed
+    * [totalCoeff−1][totalZeros]. */
+  private[enrich] val TotalZerosChromaDc: Array[Array[String]] = Array(
+    Array("1", "01", "001", "000"),
+    Array("1", "01", "00"),
+    Array("1", "0"))
+
   /** Table 9-10: run_before code strings indexed [min(zerosLeft,7)−1]
     * [run]; in the zerosLeft>6 context runs ≥7 continue unary
     * ((run−4) zeros then 1). */
@@ -108,6 +125,15 @@ object H264Cavlc {
     tc <- CoeffTokenNc0.indices
     t1 <- CoeffTokenNc0(tc).indices
   } yield bitsOf(CoeffTokenNc0(tc)(t1)) -> ((tc, t1))).toMap
+
+  private val CoeffTokenChromaDcDec: Map[(Int, Int), (Int, Int)] = (for {
+    tc <- CoeffTokenChromaDc.indices
+    t1 <- CoeffTokenChromaDc(tc).indices
+  } yield bitsOf(CoeffTokenChromaDc(tc)(t1)) -> ((tc, t1))).toMap
+
+  private val TotalZerosChromaDcDec: Array[Map[(Int, Int), Int]] =
+    TotalZerosChromaDc.map(row =>
+      row.indices.map(tz => bitsOf(row(tz)) -> tz).toMap)
 
   private val TotalZeros16Dec: Array[Map[(Int, Int), Int]] =
     TotalZeros16.map(row =>
@@ -184,7 +210,9 @@ object H264Cavlc {
     * nC ≥ 8). */
   def writeResidual(coeffs: Array[Int], nC: Int, w: BitWriter): Unit = {
     require(coeffs.length >= 1 && coeffs.length <= 16, "block size")
-    require(nC >= 0, "chroma-DC context (nC<0) not supported")
+    require(nC >= -1, "unknown coeff_token context")
+    require(nC >= 0 || coeffs.length == 4,
+      "the nC=-1 context is the 4-coefficient chroma-DC block")
     val nz = coeffs.indices.filter(coeffs(_) != 0)
     val tc = nz.length
     require(tc <= coeffs.length)
@@ -192,7 +220,8 @@ object H264Cavlc {
     while (t1 < math.min(3, tc) &&
       math.abs(coeffs(nz(tc - 1 - t1))) == 1) t1 += 1
     // coeff_token
-    if (nC < 2) writeCode(w, CoeffTokenNc0(tc)(t1))
+    if (nC == -1) writeCode(w, CoeffTokenChromaDc(tc)(t1))
+    else if (nC < 2) writeCode(w, CoeffTokenNc0(tc)(t1))
     else if (nC >= 8) {
       if (tc == 0) w.u(3L, 6)
       else w.u((((tc - 1) << 2) | t1).toLong, 6)
@@ -222,9 +251,12 @@ object H264Cavlc {
     // the AC range is a prefix of each row.
     val totalZeros = nz.last + 1 - tc
     if (tc < coeffs.length) {
-      require(coeffs.length >= 15,
-        "only the 4x4 total_zeros table (maxNumCoeff 15/16) is implemented")
-      writeCode(w, TotalZeros16(tc - 1)(totalZeros))
+      if (nC == -1) writeCode(w, TotalZerosChromaDc(tc - 1)(totalZeros))
+      else {
+        require(coeffs.length >= 15,
+          "only the 4x4 total_zeros table (maxNumCoeff 15/16) is implemented")
+        writeCode(w, TotalZeros16(tc - 1)(totalZeros))
+      }
     }
     // run_before, highest frequency first, while zeros remain
     var zerosLeft = totalZeros
@@ -243,9 +275,11 @@ object H264Cavlc {
     * scope — rejected, never guessed. */
   def readResidual(nC: Int, maxNumCoeff: Int,
                    r: BitReader): Option[Array[Int]] = {
-    if (maxNumCoeff < 1 || maxNumCoeff > 16 || nC < 0) return None
+    if (maxNumCoeff < 1 || maxNumCoeff > 16 || nC < -1) return None
+    if (nC == -1 && maxNumCoeff != 4) return None
     val tokenOpt: Option[(Int, Int)] =
-      if (nC < 2) readVlc(r, CoeffTokenNc0Dec, 16)
+      if (nC == -1) readVlc(r, CoeffTokenChromaDcDec, 8)
+      else if (nC < 2) readVlc(r, CoeffTokenNc0Dec, 16)
       else if (nC >= 8) {
         val v = r.u(6).toInt
         if (r.bad) None
@@ -282,6 +316,8 @@ object H264Cavlc {
     // total_zeros (Table 9-7 serves maxNumCoeff 16 and the AC 15)
     val totalZeros =
       if (tc == maxNumCoeff) 0
+      else if (nC == -1)
+        readVlc(r, TotalZerosChromaDcDec(tc - 1), 3).getOrElse(return None)
       else {
         if (maxNumCoeff < 15) return None
         readVlc(r, TotalZeros16Dec(tc - 1), 9).getOrElse(return None)

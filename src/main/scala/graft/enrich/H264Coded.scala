@@ -124,6 +124,22 @@ object H264Coded {
   private val H: Array[Int] =
     Array(1, 1, 1, 1, 1, 1, -1, -1, 1, -1, -1, 1, 1, -1, 1, -1)
 
+  /** §8.5.11 chroma DC (4:2:0): the 2×2 Hadamard on both sides, then
+    * ((f · LevelScale(qPc%6,0,0)) << (qPc/6)) >> 5. Callers pass luma
+    * QP directly: below 30 the Table 8-15 qPc mapping is the identity
+    * and this PPS writes chroma_qp_index_offset 0 — the parser rejects
+    * the non-identity region rather than guess the table. Input raster
+    * (c00, c01, c10, c11); output dcC per 4×4 chroma block, raster. */
+  private[enrich] def dequantChromaDc(c: Array[Int], qp: Int): Array[Int] = {
+    val f = Array(
+      c(0) + c(1) + c(2) + c(3),
+      c(0) - c(1) + c(2) - c(3),
+      c(0) + c(1) - c(2) - c(3),
+      c(0) - c(1) - c(2) + c(3))
+    val ls = DcLevelScale(qp % 6)
+    f.map(v => ((v * ls) << (qp / 6)) >> 5)
+  }
+
   private def clip1(v: Int): Int = math.max(0, math.min(255, v))
 
   /** §8.5.10: inverse-zigzag the 16 parsed DC coefficients, apply the
@@ -252,8 +268,48 @@ object H264Coded {
     o.toByteArray
   }
 
-  /** Decode an IDR slice NAL of I_16x16_2_0_0 (DC-only) or
-    * I_16x16_2_0_1 (luma AC coded) macroblocks against its SPS/PPS: EP
+  /** Serialize an IDR slice NAL of I_16x16_2_1_0 macroblocks
+    * (CodedBlockPatternChroma 1): the luma DC block plus the two 2×2
+    * ChromaDCLevel blocks per macroblock, CAVLC-coded in the nC == −1
+    * chroma context. `chromaDc(m)(p)` is macroblock m's 4 raster DC
+    * coefficients for plane p (0 = Cb, 1 = Cr). */
+  def writeIdrChromaDcSlice(widthMbs: Int, heightMbs: Int, idrPicId: Long,
+                            dcZig: Array[Array[Int]],
+                            chromaDc: Array[Array[Array[Int]]]): Array[Byte] = {
+    val nMbs = widthMbs * heightMbs
+    require(widthMbs >= 1 && heightMbs >= 1, "empty picture")
+    require(dcZig.length == nMbs && dcZig.forall(_.length == 16),
+      "one 16-coefficient DC block per macroblock")
+    require(chromaDc.length == nMbs &&
+      chromaDc.forall(m => m.length == 2 && m.forall(_.length == 4)),
+      "two 4-coefficient chroma DC blocks per macroblock")
+    val counts = Array.fill(nMbs)(new Array[Int](16))
+    val w = new BitWriter
+    w.ue(0); w.ue(7); w.ue(0)           // first_mb, slice_type I, pps id
+    w.u(0L, 4)                          // frame_num (IDR → 0)
+    w.ue(idrPicId)
+    w.u(0L, 1); w.u(0L, 1)              // dec_ref_pic_marking (IDR)
+    w.se(0L)                            // slice_qp_delta
+    var mb = 0
+    while (mb < nMbs) {
+      w.ue(7)                           // mb_type: I_16x16_2_1_0
+      w.ue(0)                           // intra_chroma_pred_mode: DC
+      w.se(0L)                          // mb_qp_delta
+      H264Cavlc.writeResidual(dcZig(mb),
+        lumaNc(counts, widthMbs, mb, 0, 0), w)
+      H264Cavlc.writeResidual(chromaDc(mb)(0), -1, w) // ChromaDCLevel Cb
+      H264Cavlc.writeResidual(chromaDc(mb)(1), -1, w) // ChromaDCLevel Cr
+      mb += 1
+    }
+    val o = new ByteArrayOutputStream()
+    o.write(0x65)
+    o.write(insertEp(w.trailing()))
+    o.toByteArray
+  }
+
+  /** Decode an IDR slice NAL of I_16x16_2_0_0 (DC-only),
+    * I_16x16_2_0_1 (luma AC coded), or I_16x16_2_1_0 (chroma DC
+    * coded) macroblocks against its SPS/PPS: EP
     * removal, the §7.3.3 slice-header walk, then per macroblock the
     * CAVLC DC residual in the derived nC context, §8.5.10 dequant, the
     * per-4×4 residual — flat (dcY+32)>>6 when AC is uncoded, the
@@ -302,8 +358,9 @@ object H264Coded {
     var mb = 0
     while (mb < nMbs && !r.bad) {
       val mbType = r.ue()
-      // I_16x16_2_0_0 (DC-only) or I_16x16_2_0_1 (luma AC coded)
-      if (mbType != 3 && mbType != 15) return None
+      // I_16x16_2_0_0 (DC-only), I_16x16_2_1_0 (chroma DC coded), or
+      // I_16x16_2_0_1 (luma AC coded)
+      if (mbType != 3 && mbType != 7 && mbType != 15) return None
       if (r.ue() != 0) return None      // intra_chroma_pred_mode: DC only
       qp += r.se().toInt                // mb_qp_delta
       if (qp < 0 || qp > 51) return None
@@ -315,7 +372,7 @@ object H264Coded {
       // per-4×4-block residuals: flat (dcY+32)>>6 when AC is uncoded,
       // the real §8.5.12 dequant + inverse core transform when coded
       val res = Array.ofDim[Int](16, 16)
-      if (mbType == 3) {
+      if (mbType != 15) {
         var b = 0
         while (b < 16) {
           val (bx, by) = blkXY(b)
@@ -350,6 +407,24 @@ object H264Coded {
           }
           res(b) = inverseTransform4x4(d)
           b += 1
+        }
+      }
+      // CodedBlockPatternChroma 1: the two ChromaDCLevel blocks in the
+      // nC == -1 context, then the flat (dcC + 32) >> 6 per-4x4 residual
+      val chromaRes = Array.ofDim[Int](2, 4)
+      if (mbType == 7) {
+        // Table 8-15's qPc mapping is the identity only below 30 —
+        // reject the region this decoder does not model
+        if (qp > 29) return None
+        var p = 0
+        while (p < 2) {
+          val cdc = H264Cavlc.readResidual(-1, 4, r).getOrElse(return None)
+          var z = 0
+          while (z < 4) { if (cdc(z) != 0) totalCoeff += 1; z += 1 }
+          val d = dequantChromaDc(cdc, qp)
+          var b = 0
+          while (b < 4) { chromaRes(p)(b) = (d(b) + 32) >> 6; b += 1 }
+          p += 1
         }
       }
       val mbX = mb % widthMbs
@@ -438,7 +513,7 @@ object H264Coded {
                 else if (hasLeft) (leftSum + 2) >> 2
                 else 128
               }
-            val v = clip1(cp).toByte
+            val v = clip1(cp + chromaRes(p)(cby * 2 + cbx)).toByte
             var row = 0
             while (row < 4) {
               var col = 0

@@ -1300,6 +1300,75 @@ object Multimodal {
     muxAvcClip(id, text, sps, pps, nal)
   }
 
+  /** qm19: CHROMA DC residual decode — the color half of the
+    * entropy-coded family (see `H264Coded.writeIdrChromaDcSlice`).
+    * Each video row's macroblocks are I_16x16_2_1_0
+    * (CodedBlockPatternChroma 1): qm17's luma DC model plus per-plane
+    * 2×2 chroma DC coefficients c(id,m,p,z) = t<3 ? 0 : t−6 with
+    * t = (id + 3m + 7p + 5z) mod 9, CAVLC-coded in the nC = −1
+    * ChromaDCLevel context (the audited-complete chroma table), then
+    * §8.5.11 dequant (2×2 Hadamard both sides, the <<qPc/6 >>5 scale)
+    * and the flat DC-only residual. This makes the §8.3.4 per-block
+    * chroma prediction rules LOAD-BEARING for the first time — with
+    * chroma varying, the corner-preference forms ((1,0) prefers top,
+    * (0,1) prefers left) decide actual pixel values, and the oracle
+    * replays the whole per-plane prediction recursion down the column.
+    *
+    * Plan shape: one narrow per-partition codec pass — the qm17
+    * geometry. */
+  def qm19ChromaDecode(spark: SparkSession, dir: String): DataFrame =
+    chromaDecodeFrame(Tables(spark, dir, "documents")).orderBy("media_id")
+
+  /** The per-row mux+demux+chroma-decode kernel behind qm19. */
+  private[graft] def chromaDecodeFrame(docsDf: DataFrame): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    docsDf
+      .filter(pmod(col("doc_id"), lit(3)) === 1) // the media table's video rows
+      .transform(spreadByCores)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val f = decodeClip(id, text, qm19Container)
+          var lumaSum = 0L
+          var i = 0
+          while (i < f.y.length) { lumaSum += (f.y(i) & 0xff); i += 1 }
+          var cbSum = 0L; var crSum = 0L; var cbCk = 0L; var crCk = 0L
+          i = 0
+          while (i < f.cb.length) {
+            val wgt = (i % 97) + 1
+            cbSum += (f.cb(i) & 0xff)
+            crSum += (f.cr(i) & 0xff)
+            cbCk += wgt.toLong * (f.cb(i) & 0xff)
+            crCk += wgt.toLong * (f.cr(i) & 0xff)
+            i += 1
+          }
+          (id, (f.widthMbs * f.heightMbs).toLong, f.qp.toLong,
+            f.totalCoeff.toLong, lumaSum, cbSum, crSum, cbCk, crCk)
+        }
+      }
+      .toDF("media_id", "n_mbs", "qp", "total_coeff", "luma_sum",
+        "cb_sum", "cr_sum", "cb_checksum", "cr_checksum")
+  }
+
+  /** Synthesize qm19's clip: qm17's luma DC model plus the chroma DC
+    * layout in the same mdat-first container. */
+  private[graft] def qm19Container(id: Long, text: String): Array[Byte] = {
+    val heightMbs = (1 + id % 4).toInt
+    val dcZig = Array.tabulate(heightMbs, 16)((m, z) => qm17Coef(id, m, z))
+    val chromaDc = Array.tabulate(heightMbs, 2, 4) { (m, p, z) =>
+      val t = ((id + 3L * m + 7L * p + 5L * z) % 9L).toInt
+      if (t < 3) 0 else t - 6
+    }
+    val sps = H264Sps.write(
+      profileIdc = if ((id / 2) % 2 == 0) 66 else 100,
+      levelIdc = 30, widthMbs = 1, heightMbs = heightMbs)
+    val pps = H264Pcm.writePps(ppsId = 0L, picInitQp = (20 + id % 10).toInt)
+    val nal = H264Coded.writeIdrChromaDcSlice(1, heightMbs,
+      idrPicId = id % 16, dcZig = dcZig, chromaDc = chromaDc)
+    muxAvcClip(id, text, sps, pps, nal)
+  }
+
   /** The shared demux chain for the entropy-coded clips (qm17/qm18). */
   private def decodeClip(id: Long, text: String,
                          container: (Long, String) => Array[Byte])

@@ -108,6 +108,38 @@ class H264CavlcSpec extends AnyFunSuite {
     }
   }
 
+  test("chroma-DC tables are prefix-free and complete (Kraft exactly 1)") {
+    val ct = H264Cavlc.CoeffTokenChromaDc.flatten.toSeq
+    assert(ct.length == 14 && ct.distinct.length == 14)
+    prefixFree(ct)
+    assert(math.abs(kraft(ct) - 1.0) < 1e-12)
+    H264Cavlc.TotalZerosChromaDc.zipWithIndex.foreach { case (row, i) =>
+      assert(row.length == 4 - (i + 1) + 1)
+      prefixFree(row.toSeq)
+      assert(math.abs(kraft(row.toSeq) - 1.0) < 1e-12, s"tc=${i + 1}")
+    }
+  }
+
+  test("round trip holds in the chroma-DC (nC = -1) context") {
+    roundTrip(Array(0, 0, 0, 0), nC = -1)
+    roundTrip(Array(3, 0, 0, 0), nC = -1)
+    roundTrip(Array(0, 0, 0, -1), nC = -1)
+    roundTrip(Array(1, -1, 1, -1), nC = -1) // tc=4: total_zeros skipped
+    roundTrip(Array(-2, 0, 2, 0), nC = -1)
+    roundTrip(Array(0, 40, 0, -40), nC = -1) // level escapes in chroma
+    val rnd = new scala.util.Random(321)
+    for (_ <- 0 until 500) {
+      roundTrip(Array.tabulate(4)(_ =>
+        if (rnd.nextInt(3) == 0) 0 else rnd.nextInt(13) - 6), nC = -1)
+    }
+    // the chroma context is ONLY the 4-coefficient block
+    val w = new H264Sps.BitWriter
+    assertThrows[IllegalArgumentException](
+      H264Cavlc.writeResidual(Array.fill(16)(1), -1, w))
+    val r = new H264Sps.BitReader(Array[Byte](0x55, 0x55))
+    assert(H264Cavlc.readResidual(-1, 16, r).isEmpty)
+  }
+
   test("round trip holds in the fixed 6-bit nC>=8 context") {
     val rnd = new scala.util.Random(99)
     for (_ <- 0 until 300) {

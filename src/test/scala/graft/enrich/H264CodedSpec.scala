@@ -271,6 +271,68 @@ class H264CodedSpec extends AnyFunSuite {
     H264Pcm.parsePps(nal).get
   }
 
+  test("chroma-DC hand vector: unit coefficient at QP 24") {
+    // c = (1,0,0,0): the 2x2 Hadamard spreads it to f ≡ 1;
+    // ((1·160) << 4) >> 5 = 80 per block; residual (80+32)>>6 = 1
+    val d = H264Coded.dequantChromaDc(Array(1, 0, 0, 0), 24)
+    assert(d.toSeq == Seq(80, 80, 80, 80))
+    // c = (0,1,0,0): f = (1,−1,1,−1) → alternating ±80 by column
+    val d2 = H264Coded.dequantChromaDc(Array(0, 1, 0, 0), 24)
+    assert(d2.toSeq == Seq(80, -80, 80, -80))
+  }
+
+  /** Independent recomputation of the chroma-DC column reconstruction:
+    * every 4×4 block predicts from the MB-top edge (§8.3.4 — in a
+    * 1-wide column the left edge never exists), so pred(cbx) is the
+    * previous MB's bottom block value for that column. */
+  private def expectChroma(chromaDc: Array[Array[Array[Int]]], p: Int,
+                           qp: Int): Array[Int] = {
+    val n = chromaDc.length
+    val out = new Array[Int](n * 64)
+    var bot0 = 128; var bot1 = 128
+    for (m <- 0 until n) {
+      val res = H264Coded.dequantChromaDc(chromaDc(m)(p), qp)
+        .map(d => (d + 32) >> 6)
+      val pr = Array(bot0, bot1)
+      val v = Array.tabulate(4)(k =>
+        math.max(0, math.min(255, pr(k % 2) + res(k))))
+      for (k <- 0 until 4; row <- 0 until 4; col <- 0 until 4)
+        out((m * 8 + (k / 2) * 4 + row) * 8 + (k % 2) * 4 + col) = v(k)
+      bot0 = v(2); bot1 = v(3)
+    }
+    out
+  }
+
+  test("chroma-DC slice round trip: the nC=-1 CAVLC layer becomes exact pixels") {
+    val rnd = new scala.util.Random(555)
+    for (trial <- 0 until 30) {
+      val heightMbs = 1 + trial % 4
+      val qp = 20 + trial % 10 // the Table 8-15 identity region
+      val dcZig = Array.tabulate(heightMbs, 16)((_, _) =>
+        if (rnd.nextInt(11) < 5) 0 else rnd.nextInt(7) - 3)
+      val chromaDc = Array.tabulate(heightMbs, 2, 4)((_, _, _) =>
+        if (rnd.nextInt(3) == 0) 0 else rnd.nextInt(9) - 4)
+      val nal = H264Coded.writeIdrChromaDcSlice(1, heightMbs, trial % 16,
+        dcZig, chromaDc)
+      val f = H264Coded.parseIdrDcSlice(sps(1, heightMbs), pps(qp), nal).get
+      assert(f.qp == qp)
+      assert(f.totalCoeff == dcZig.flatten.count(_ != 0) +
+        chromaDc.flatten.flatten.count(_ != 0))
+      assert(f.y.map(_ & 0xff).toSeq == expectColumn(dcZig, qp).toSeq)
+      assert(f.cb.map(_ & 0xff).toSeq ==
+        expectChroma(chromaDc, 0, qp).toSeq, s"trial $trial: Cb diverged")
+      assert(f.cr.map(_ & 0xff).toSeq ==
+        expectChroma(chromaDc, 1, qp).toSeq, s"trial $trial: Cr diverged")
+    }
+  }
+
+  test("chroma-coded slices above the qPc identity region are rejected") {
+    val nal = H264Coded.writeIdrChromaDcSlice(1, 1, 0L,
+      Array.fill(1, 16)(0), Array.fill(1, 2, 4)(1))
+    assert(H264Coded.parseIdrDcSlice(sps(1, 1), pps(30), nal).isEmpty)
+    assert(H264Coded.parseIdrDcSlice(sps(1, 1), pps(29), nal).isDefined)
+  }
+
   test("pocType-0 slice headers consume their POC fields bit-exactly") {
     // a slice under (pocType 0, bottomFieldPocPresent) carries
     // pic_order_cnt_lsb AND delta_pic_order_cnt_bottom between
