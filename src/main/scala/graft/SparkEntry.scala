@@ -385,6 +385,36 @@ object SparkEntry {
 
   /** DuckDB oracle for semantic dedup — shared by qe4 (batch) and
     * qs15 (streaming): see the binding comment in oracleSql. */
+  /** Shared banded-blocking CTE prefix for the qe2/qe17 oracles — the
+    * in-SQL mirror of VectorOps.bandedLabelPairs: e (widened vectors),
+    * params (the adaptive band width, SemDedup.subBits' s = clamp(4, 16,
+    * ⌊log2 n⌋ − 7) via length(bin(n)) − 1), and w with one sign-bit
+    * bucket per band over disjoint coordinate windows. Band count and
+    * width policy interpolate from the operator so a default change
+    * fails loudly here. */
+  private val bandedBlockSql: String = {
+    val bandDefs = (0 until graft.operators.VectorOps.NearDupBands).map { j =>
+      s"""    list_sum(list_transform(range(0, p.s),
+         |      i -> CASE WHEN v[($j * p.s + i + 1)::INT] >= 0
+         |           THEN (1::BIGINT << i) ELSE 0 END)) AS b$j""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+       |), params AS (
+       |  SELECT greatest(4, least(16, length(bin(count(*))) - 1 - 7)) AS s
+       |  FROM e
+       |), w AS MATERIALIZED (
+       |  SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS nrm,
+       |$bandDefs
+       |  FROM e CROSS JOIN params p
+       |)""".stripMargin
+  }
+
+  /** Any-band collision predicate over w's per-band buckets (aliases a/b). */
+  private val bandMatchSql: String =
+    (0 until graft.operators.VectorOps.NearDupBands)
+      .map(j => s"a.b$j = b.b$j").mkString(" OR ")
+
   private val semanticDedupOracle: String =
       """WITH RECURSIVE e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
@@ -3228,21 +3258,22 @@ ORDER BY media_id"""
         |WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
 
+    // Banded near-dup pairs: the blocking (label ∧ any sign-bit band
+    // collision, adaptive width) is mirrored via the shared CTE prefix,
+    // so the oracle computes the IDENTICAL candidate set — the LSH
+    // recall trade is part of the operator's contract, not slack.
     "qe2_neardup_pairs" ->
-      """WITH e AS (
-        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-        |)
+      s"""WITH $bandedBlockSql
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
-        |  round(list_inner_product(a.v, b.v)
-        |    / (sqrt(list_inner_product(a.v, a.v))
-        |       * sqrt(list_inner_product(b.v, b.v))), 6) AS sim
-        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE round(list_inner_product(a.v, b.v)
-        |    / (sqrt(list_inner_product(a.v, a.v))
-        |       * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.35
+        |  round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+        |FROM w a JOIN w b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  AND ($bandMatchSql)
+        |WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
 
-    // DBSCAN over the label-blocked ε-graph: the recursive CTE resolves
+    // DBSCAN over the banded ε-graph (shared blocking CTE prefix — the
+    // neighborhood relation is the same documented LSH approximation as
+    // qe2's, identical in both engines): the recursive CTE resolves
     // core-core components exactly as q33's; borders take the MIN core
     // neighbor's cluster (the engine's deterministic tie-break); the ε
     // and MinPts constants interpolate from the operator's defaults.
@@ -3261,14 +3292,10 @@ ORDER BY media_id"""
     "qs31_stream_embdrift" -> embDriftSql,
 
     "qe17_dbscan" ->
-      s"""WITH RECURSIVE e AS (
-        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-        |), w AS MATERIALIZED (
-        |  SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS nrm
-        |  FROM e
-        |), p AS MATERIALIZED (
+      s"""WITH RECURSIVE $bandedBlockSql, p AS MATERIALIZED (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM w a JOIN w b ON a.label = b.label AND a.vec_id < b.vec_id
+        |    AND ($bandMatchSql)
         |  WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6)
         |    >= ${graft.operators.VectorOps.DbscanEps}
         |), n AS (

@@ -62,26 +62,68 @@ object VectorOps {
       .orderBy("q_id", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs: label-blocked self-join (the
-    * coarse quantizer — same idea as IVF cell restriction), exact cosine
-    * above a high threshold. Threshold compares the *rounded* value so the
-    * boundary is identical in the oracle. */
+  /** Number of sign-bit LSH bands in `bandedLabelPairs` — bands are
+    * disjoint coordinate windows, so NearDupBands × the max adaptive
+    * width (16) must stay ≤ the embedding dim (64). Interpolated into
+    * the qe2/qe17 oracle SQL so a change here fails loudly there. */
+  val NearDupBands = 4
+
+  /** Bounded near-duplicate candidate generation + exact-cosine verify:
+    * pairs share the label (the coarse quantizer — same role as the IVF
+    * cell) AND collide in at least one of `NearDupBands` sign-bit bands,
+    * band j hashing the disjoint coordinate window [j·s+1, j·s+s] (an SRP
+    * whose hyperplanes are the coordinate planes — reproducible in ANSI
+    * SQL, which keeps the operator oracle-checkable; on this isotropic
+    * corpus coordinate planes are exactly as selective as random ones).
+    * The width s is size-matched (SemDedup.subBits: s ≈ ⌊log2 n⌋ − 7 in
+    * [4, 16]), which holds per-(label, band, bucket) occupancy ~constant:
+    * candidate work AND surviving-pair count stay ~linear in the corpus
+    * where the old label-only blocking was O(n²/labels) — measured 39×
+    * cost for 10× rows at sf1. The price is the standard LSH recall
+    * trade: a pair at angle θ survives some band with probability
+    * 1 − (1 − (1 − θ/π)^s)^B (≈ 0.46 at cosine 0.35, s = 4, B = 4) —
+    * the same documented approximation SemDedup (qe4) and SRP-LSH (qs9)
+    * make, mirrored bit-exactly in the oracle.
+    *
+    * Physical shape: each row explodes into B (band, bucket) keys and the
+    * self-join is a pure EQUI-join on (label, band, bucket) — per-bucket
+    * blocks, no label-wide comparison. The exact-cosine verify runs in
+    * the join's own stage (a multi-band duplicate pays one redundant
+    * ~dim-FLOP cosine, identical value) so the pair-dedup exchange moves
+    * only skinny threshold SURVIVORS (~1% of candidates), not vector
+    * payloads — dedup-then-verify shuffled ~1 KB per candidate. At
+    * extreme copy-skew (B byte-identical vectors → B² candidate rows) the
+    * remaining step is the shared exact-dup collapse exactly as
+    * SrpLsh.nearDups rides it; this corpus has no exact duplicates, so
+    * the generator keeps the simpler uncollapsed form. */
+  private[graft] def bandedLabelPairs(e: DataFrame, threshold: Double): DataFrame = {
+    val s = graft.similarity.SemDedup.subBits(e.count())
+    val buckets = (0 until NearDupBands).map(j =>
+      graft.similarity.SemDedup.signBucket(col("embedding"), s, j * s))
+    val banded = e.select(col("vec_id"), col("label"), col("embedding"),
+      posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b,
+        col("a.label") === col("b.label") && col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.label").as("label"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Embedding-cosine near-duplicate pairs over the banded generator
+    * (label ∧ any-band collision, exact cosine verify). Threshold
+    * compares the *rounded* value so the boundary is identical in the
+    * oracle. */
   def qe2NearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val a = e.select(col("vec_id").as("id_a"), col("label"),
-      col("embedding").as("vec_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("label"),
-      col("embedding").as("vec_b"))
-    a.join(b, Seq("label"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("label"),
-        round(cosine(col("vec_a"), col("vec_b")), 6).as("sim"))
-      // threshold calibrated to this corpus: isotropic 64-dim vectors top
-      // out near cosine 0.47, so 0.35 yields a real (non-empty) result for
-      // the oracle; production near-dup thresholds (≥0.9) live in the
-      // SRP-LSH path (qs9), which shares its oracle shape
-      .filter(col("sim") >= 0.35)
-      .orderBy("id_a", "id_b")
+    // threshold calibrated to this corpus: isotropic 64-dim vectors top
+    // out near cosine 0.47, so 0.35 yields a real (non-empty) result for
+    // the oracle; production near-dup thresholds (≥0.9) live in the
+    // SRP-LSH path (qs9), which shares its oracle shape
+    val pairs = bandedLabelPairs(emb(spark, dir), threshold = 0.35)
+    graft.plans.ScaleTechniques.sortedOutput(pairs, Seq("id_a", "id_b"))
   }
 
   /** qe17 ε-neighborhood: cosine ≥ Eps on the 6dp-rounded value (the qe2
@@ -100,28 +142,21 @@ object VectorOps {
     * engine-independent tie-break, matching the q33 rep convention).
     * Everything else is noise (cluster NULL).
     *
-    * The ε-graph is qe2's label-blocked exact-cosine self-join (the
-    * coarse-quantizer blocking — at 100 TB the same role is played by
-    * the IVF/SemDedup cell restriction, which this operator would ride
-    * unchanged: only the `pairs` input differs). The pair graph is
-    * localCheckpointed once and feeds all four consumers (degrees,
-    * core-core edges, border assignment) without re-running the
-    * quadratic join; components ride the shared
+    * The ε-graph is qe2's banded candidate generator (label ∧ any-band
+    * sign-bit collision, exact cosine verify — `bandedLabelPairs`), so
+    * the neighborhood relation is the DOCUMENTED LSH approximation of
+    * the ε-ball: a threshold-grazing neighbor missed by every band is
+    * simply not an edge, and both engines compute the identical graph.
+    * The pair graph is localCheckpointed once and feeds all four
+    * consumers (degrees, core-core edges, border assignment) without
+    * re-running the banded join; components ride the shared
     * `Clusters.connectedComponents` kernel (per-iteration checkpoints,
     * ≤1M-edge gated local fast path).
     */
   def qe17Dbscan(spark: SparkSession, dir: String,
                  eps: Double = DbscanEps, minPts: Int = DbscanMinPts): DataFrame = {
     val e = emb(spark, dir)
-    val a = e.select(col("vec_id").as("id_a"), col("label"),
-      col("embedding").as("vec_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("label"),
-      col("embedding").as("vec_b"))
-    val pairs = a.join(b, Seq("label"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(cosine(col("vec_a"), col("vec_b")), 6).as("sim"))
-      .filter(col("sim") >= eps)
+    val pairs = bandedLabelPairs(e, threshold = eps)
       .select("id_a", "id_b")
       .localCheckpoint(true)
     val nbrs = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))

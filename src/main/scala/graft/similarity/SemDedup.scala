@@ -64,11 +64,13 @@ object SemDedup {
     * SrpLsh's clamped-log sizing (the SQL mirror is length(bin(n)) − 1). */
   def subBits(n: Long): Int = SrpLsh.clampedLogWidth(n, offset = 7, lo = 4, hi = 16)
 
-  /** Sign-bit sub-bucket key: bit i set iff component i+1 is >= 0 — an SRP
-    * hash over the coordinate hyperplanes, fully reproducible in SQL. */
-  def signBucket(v: Column, s: Int): Column =
+  /** Sign-bit sub-bucket key: bit i set iff component off+i+1 is >= 0 — an
+    * SRP hash over the coordinate hyperplanes, fully reproducible in SQL.
+    * `off` selects the coordinate window (VectorOps.bandedLabelPairs hashes
+    * NearDupBands disjoint windows as independent LSH bands). */
+  def signBucket(v: Column, s: Int, off: Int = 0): Column =
     (0 until s).map(i =>
-      when(element_at(v, i + 1) >= lit(0.0), lit(1L << i)).otherwise(lit(0L)))
+      when(element_at(v, off + i + 1) >= lit(0.0), lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
 
   /** Self-pair admission predicate — EXACTLY "would the uncollapsed

@@ -6,8 +6,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sign-random-projection (SRP) LSH for embedding near-duplicates — the
-  * angle-hashing scale path next to the exact label-blocked join
-  * (operators.VectorOps.qe2NearDupPairs) and IVF (similarity.Ann).
+  * seeded-random-hyperplane path next to the coordinate-plane banded join
+  * (operators.VectorOps.bandedLabelPairs, qe2) and IVF (similarity.Ann).
   *
   * Each of L tables hashes a vector to a b-bit bucket: bit i is the sign
   * of the dot product with a seeded random hyperplane. Collision

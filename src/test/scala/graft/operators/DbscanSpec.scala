@@ -3,39 +3,92 @@ package graft.operators
 import graft.{SparkTestSession, Tables}
 import org.scalatest.funsuite.AnyFunSuite
 
-/** qe17 DBSCAN verified against an independent JVM recompute: plain
-  * loops + union-find, sharing nothing with the engine's join/CC
-  * machinery except the float→double widening and 6dp HALF_UP
-  * rounding the family defines as its comparison contract. */
+/** qe17 DBSCAN and qe2's banded pair generator verified against an
+  * independent JVM recompute: plain loops + union-find, sharing nothing
+  * with the engine's join/CC machinery except the float→double widening
+  * and 6dp HALF_UP rounding the family defines as its comparison
+  * contract. The recompute reproduces the banded blocking (label ∧ any
+  * sign-bit band collision at the adaptive width) directly from its
+  * definition, not via the engine's bucket columns. */
 class DbscanSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  test("qe17 DBSCAN matches an independent union-find recompute") {
+  private def round6(x: Double): Double = {
     import scala.math.BigDecimal.RoundingMode
-    def round6(x: Double): Double =
-      BigDecimal(x).setScale(6, RoundingMode.HALF_UP).toDouble
-    def dot(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }
-      s
-    }
-    val vecs = Tables(spark, SparkTestSession.sfDir, "embeddings")
-      .select("vec_id", "label", "embedding").collect()
-      .map(r => (r.getLong(0), r.getInt(1),
-        r.getSeq[Float](2).map(_.toDouble).toArray))
+    BigDecimal(x).setScale(6, RoundingMode.HALF_UP).toDouble
+  }
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
 
-    val pairs = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+  private lazy val vecs = Tables(spark, SparkTestSession.sfDir, "embeddings")
+    .select("vec_id", "label", "embedding").collect()
+    .map(r => (r.getLong(0), r.getInt(1),
+      r.getSeq[Float](2).map(_.toDouble).toArray))
+
+  /** Band width and per-band sign-bit buckets, straight from the spec:
+    * s = clamp(4, 16, ⌊log2 n⌋ − 7); band j covers coords [j·s, j·s+s). */
+  private lazy val bandWidth: Int = {
+    val n = vecs.length.toLong
+    val lg = 63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))
+    math.min(16, math.max(4, lg - 7))
+  }
+  private def bandsOf(v: Array[Double]): Array[Long] =
+    Array.tabulate(VectorOps.NearDupBands) { j =>
+      (0 until bandWidth).map(i =>
+        if (v(j * bandWidth + i) >= 0) 1L << i else 0L).sum
+    }
+
+  /** Independent recompute of bandedLabelPairs at `threshold`. */
+  private def expectedPairs(threshold: Double): Seq[(Long, Long, Int, Double)] = {
+    val pairs = scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Double)]()
     for {
       (_, vs) <- vecs.groupBy(_._2)
       i <- vs.indices
       j <- (i + 1) until vs.length
     } {
-      val (ia, _, va) = vs(i); val (ib, _, vb) = vs(j)
-      val sim = round6(dot(va, vb) /
-        (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb))))
-      if (sim >= VectorOps.DbscanEps)
-        pairs += ((math.min(ia, ib), math.max(ia, ib)))
+      val (ia, la, va) = vs(i); val (ib, _, vb) = vs(j)
+      val collide = bandsOf(va).zip(bandsOf(vb)).exists { case (x, y) => x == y }
+      if (collide) {
+        val sim = round6(dot(va, vb) /
+          (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb))))
+        if (sim >= threshold)
+          pairs += ((math.min(ia, ib), math.max(ia, ib), la, sim))
+      }
     }
+    pairs.toSeq
+  }
+
+  test("qe2 banded near-dup pairs match the independent recompute") {
+    val expected = expectedPairs(0.35).sortBy(p => (p._1, p._2))
+    val got = VectorOps.qe2NearDupPairs(spark, SparkTestSession.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.toSeq == expected)
+    // non-vacuous: the banding leaves real survivors at this corpus size,
+    // and it genuinely prunes (strict subset of the label-blocked set)
+    assert(expected.nonEmpty)
+    val unbanded = {
+      val pairs = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      for {
+        (_, vs) <- vecs.groupBy(_._2)
+        i <- vs.indices
+        j <- (i + 1) until vs.length
+      } {
+        val (ia, _, va) = vs(i); val (ib, _, vb) = vs(j)
+        val sim = round6(dot(va, vb) /
+          (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb))))
+        if (sim >= 0.35) pairs += ((math.min(ia, ib), math.max(ia, ib)))
+      }
+      pairs.toSet
+    }
+    assert(expected.map(p => (p._1, p._2)).toSet.subsetOf(unbanded))
+    assert(expected.size < unbanded.size)
+  }
+
+  test("qe17 DBSCAN matches an independent union-find recompute") {
+    val pairs = expectedPairs(VectorOps.DbscanEps).map(p => (p._1, p._2))
     val nbrs = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
       .groupBy(_._1).map { case (id, ns) => id -> ns.map(_._2).toSet }
     val deg = nbrs.map { case (id, ns) => id -> ns.size.toLong }
