@@ -126,7 +126,7 @@ object Palette {
   /** Pixel ingestion for already-decoded BGR buffers (the Spark image
     * source's layout: 8-bit BGR interleaved, mode 16 = CV_8UC3) —
     * resize 75×75 INTER_AREA → HSV, appended to `buf`. */
-  private def appendPixels(buf: FloatPixelBuffer, bgr: Array[Byte], h: Int, w: Int): Unit = {
+  private def appendPixels(buf: PixelSink, bgr: Array[Byte], h: Int, w: Int): Unit = {
     val resized = ColorSpace.resizeArea(bgr, h, w, 75, 75)
     var p = 0
     while (p < resized.length) {
@@ -149,22 +149,28 @@ object Palette {
     bucketize(hsv.result())
   }
 
-  /** EXACT-mode palette: like `paletteOfDecoded`, but FAILS LOUDLY if the
-    * group exceeded the pixel budget and the buffer started decimating.
+  /** EXACT-mode palette: like `paletteOfDecoded`, but NEVER decimates.
     * For paths checked against an exact oracle (qs11): the oracle is a
     * plain histogram and cannot model sampling, so silently crossing the
-    * budget would be a parity break that no one notices — a group too big
-    * for exact processing must surface as an error, not a skew. */
+    * budget would be a parity break that no one notices.
+    *
+    * Memory is SELF-CONFIGURING against group size, not env-tuned: the
+    * sink keeps a running ≤6-distinct-color tally beside the raw buffer,
+    * and when a group outgrows the pixel budget while still within 6
+    * distinct colors (every constant-color corpus — qs11's separable
+    * construction at ANY scale factor) it drops the raw buffer and
+    * finishes on the O(1) tally, whose palette is bit-identical to the
+    * buffered path (the small-palette fast path depends only on
+    * first-occurrence order + counts, both of which the tally preserves;
+    * spec-asserted). Only a group that BOTH exceeds the budget AND has
+    * more than 6 distinct colors fails — loudly, with the config knobs
+    * named — because neither the tally nor the buffer can then represent
+    * it exactly; that case must surface as an error, not a skew. */
   def paletteOfDecodedExact(images: Iterator[(Int, Int, Array[Byte])],
                             maxTriples: Int = FloatPixelBuffer.DefaultMaxTriples): Seq[ColorBucket] = {
-    val hsv = new FloatPixelBuffer(maxTriples)
-    images.foreach { case (h, w, bgr) => appendPixels(hsv, bgr, h, w) }
-    require(hsv.currentStride == 1L,
-      s"palette group exceeded the exact pixel budget ($maxTriples triples; " +
-        s"stride ${hsv.currentStride}): the exact-oracle path cannot decimate — " +
-        "raise the budget or route the group through paletteOfDecoded")
-    if (hsv.isEmpty) return Seq.empty
-    bucketize(hsv.result())
+    val sink = new ExactPixelSink(maxTriples)
+    images.foreach { case (h, w, bgr) => appendPixels(sink, bgr, h, w) }
+    sink.palette()
   }
 
   /** Streaming group-boundary iterator over a KEY-SORTED partition: one
@@ -254,12 +260,13 @@ object Palette {
     * end-to-end (spark/spark_image.py:75-118 semantics). qs3 remains the
     * non-separable compute-shape benchmark.
     *
-    * Exactness ceiling: each document contributes 75×75 = 5,625 resized
-    * pixels, so the default 4Mi-triple budget covers ~745 documents per
-    * source; beyond that the buffer would decimate and the exact oracle
-    * would silently diverge — so this path uses `paletteOfDecodedExact`,
-    * which FAILS rather than decimates (spec-asserted). All driver
-    * corpora are far below the ceiling (sf0.1: ~250 docs/source). */
+    * Memory: this path uses `paletteOfDecodedExact`, which never
+    * decimates — groups that outgrow the pixel budget finish on the
+    * sink's ≤6-distinct-color tally (every group here is 5-color by
+    * construction), so the query is exact at ANY scale factor with
+    * bounded memory and the DEFAULT budget; only an over-budget group
+    * with >6 distinct colors — impossible in this construction — would
+    * fail loudly rather than silently diverge (spec-asserted). */
   def qs11PaletteExact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val n = math.max(spark.sparkContext.defaultParallelism, 2)
@@ -302,20 +309,29 @@ object Palette {
   /** Shared cluster-and-rank step over a packed HSV buffer. */
   private def bucketize(pts: Array[Float]): Seq[ColorBucket] = {
     val nPts = pts.length / 3
-    val (centers, counts) = smallPalette(pts) match {
-      case Some((cs, ns)) => (cs, ns.zipWithIndex.map { case (n, c) => c -> n }.toMap)
+    smallPalette(pts) match {
+      case Some((cs, ns)) =>
+        renderBuckets(cs, ns.zipWithIndex.map { case (n, c) => (c, n) }, nPts.toLong)
       case None =>
         val (cs, labels) = kmeans(pts, 6)
-        (cs.toIndexedSeq,
-          labels.groupBy(identity).view.mapValues(_.length).toMap)
+        renderBuckets(cs.toIndexedSeq,
+          labels.groupBy(identity).view.mapValues(_.length.toLong).toSeq,
+          nPts.toLong)
     }
-    counts.toSeq.sortBy { case (c, n) => (-n, c) }.take(6).map { case (c, n) =>
+  }
+
+  /** Rank-and-render tail shared by every palette route: sort (count DESC,
+    * center index), take 6, HSV→RGB + hex, pixel share = count / total —
+    * one implementation so the buffered, small-fast-path, and tally
+    * routes cannot diverge in ordering or share arithmetic. */
+  private def renderBuckets(centers: IndexedSeq[Array[Double]],
+      counts: Seq[(Int, Long)], total: Long): Seq[ColorBucket] =
+    counts.sortBy { case (c, n) => (-n, c) }.take(6).map { case (c, n) =>
       val (r, g, b) = ColorSpace.hsvToRgb(
         math.round(centers(c)(0)).toInt, math.round(centers(c)(1)).toInt,
         math.round(centers(c)(2)).toInt)
-      ColorBucket(n.toDouble / nPts, r, g, b, f"#$r%02x$g%02x$b%02x")
+      ColorBucket(n.toDouble / total, r, g, b, f"#$r%02x$g%02x$b%02x")
     }
-  }
 
   /** ≤6-distinct-color fast path: when a group has at most k = 6 distinct
     * HSV triples (every constant-color configuration — qs11's separable
@@ -335,14 +351,14 @@ object Palette {
     * them (ties at equal distance go to the earliest FIRST OCCURRENCE,
     * matching the buffer scan's strict `>` keeping the lowest index) with
     * per-center pixel counts; None when more than 6 distinct colors. */
-  private[enrich] def smallPalette(pts: Array[Float]): Option[(IndexedSeq[Array[Double]], IndexedSeq[Int])] = {
+  private[enrich] def smallPalette(pts: Array[Float]): Option[(IndexedSeq[Array[Double]], IndexedSeq[Long])] = {
     if (pts.isEmpty) return None
     // allocation-free distinct scan: parallel primitive arrays for the
     // ≤ 6 colors (a per-pixel boxed-tuple map would reintroduce exactly
     // the GC storm the flat-float buffer design exists to avoid)
     val ch = new Array[Float](6); val cs = new Array[Float](6)
     val cv = new Array[Float](6)
-    val cnt = new Array[Int](6)
+    val cnt = new Array[Long](6)
     var d = 0
     var i = 0
     while (i < pts.length) {
@@ -355,9 +371,18 @@ object Palette {
       } else cnt(j) += 1
       i += 3
     }
-    // farthest-point order over the distinct colors in first-occurrence
-    // order; selection is tracked entirely through minD (chosen colors
-    // sit at distance 0 and never win while an unchosen one remains)
+    Some(orderSmall(ch, cs, cv, cnt, d))
+  }
+
+  /** Farthest-point ordering + per-center counts over ≤6 distinct colors
+    * given in FIRST-OCCURRENCE order — the shared kernel of the
+    * small-palette fast path and the exact sink's tally route, kept in
+    * one place so the two cannot diverge. Selection is tracked entirely
+    * through minD (chosen colors sit at distance 0 and never win while
+    * an unchosen one remains); strict > means the earliest first
+    * occurrence wins ties, exactly like the full-buffer init scan. */
+  private[enrich] def orderSmall(ch: Array[Float], cs: Array[Float], cv: Array[Float],
+      cnt: Array[Long], d: Int): (IndexedSeq[Array[Double]], IndexedSeq[Long]) = {
     def dist(a: Int, b: Int): Double = {
       val d0 = ch(a).toDouble - ch(b); val d1 = cs(a).toDouble - cs(b)
       val d2 = cv(a).toDouble - cv(b)
@@ -374,7 +399,6 @@ object Palette {
       while (j < d) {
         val dd = dist(j, last)
         if (dd < minD(j)) minD(j) = dd
-        // strict >: earliest first-occurrence wins ties, like the buffer
         if (minD(j) > bestD) { bestD = minD(j); bestI = j }
         j += 1
       }
@@ -384,7 +408,7 @@ object Palette {
     val centers = order.toIndexedSeq.map(j =>
       Array(ch(j).toDouble, cs(j).toDouble, cv(j).toDouble))
     val counts = order.toIndexedSeq.map(cnt)
-    Some((centers, counts))
+    (centers, counts)
   }
 
   object FloatPixelBuffer {
@@ -399,9 +423,10 @@ object Palette {
       * driver via `pixelBudget` and closure-captured, since executors do
       * not see driver env vars) or env `SPARK_GRAFT_PALETTE_MAX_TRIPLES`
       * (single-JVM local runs). The budget is an executor-memory sizing
-      * knob — a deployment with bigger heaps (or an exact-oracle soak
-      * whose groups exceed 4 Mi pixels, e.g. sf1 at ~14 M pixels/source,
-      * `=16777216`) raises it rather than changing code. */
+      * knob for the SAMPLING path's exactness window and for over-budget
+      * >6-distinct groups on the exact path; constant-color exact groups
+      * (qs11) no longer need it at any scale — ExactPixelSink's tally
+      * overflow carries them in O(1) memory under the default. */
     val DefaultMaxTriples: Int =
       sys.env.get("SPARK_GRAFT_PALETTE_MAX_TRIPLES").map(_.toInt)
         .getOrElse(4 << 20)
@@ -422,7 +447,70 @@ object Palette {
     * KMeans survives groups of unbounded image count at 100 TB. Given one
     * arrival order the sample is deterministic (callers sort within
     * groups), so replay produces identical palettes. */
-  final class FloatPixelBuffer(maxTriples: Int = FloatPixelBuffer.DefaultMaxTriples) {
+  /** Common sink for the resize→HSV pixel stream (appendPixels). */
+  private[enrich] sealed trait PixelSink {
+    def append(a: Float, b: Float, c: Float): Unit
+  }
+
+  /** Exact-path pixel sink: buffers raw triples like FloatPixelBuffer but
+    * NEVER decimates. A running ≤6-distinct-color tally (first-occurrence
+    * order + Long counts — the exact inputs `orderSmall` needs) is kept
+    * beside the buffer; when the group outgrows the budget the buffer is
+    * dropped and the group finishes on the O(1) tally, so constant-color
+    * groups (qs11's separable construction) stay exact at ANY group size
+    * with bounded memory. A group that exceeds the budget with >6 distinct
+    * colors — now, or via a 7th color arriving after the buffer was
+    * dropped — fails loudly with the config knobs named: neither
+    * representation can hold it exactly, and the exact-oracle contract
+    * forbids silently sampling it. */
+  private[enrich] final class ExactPixelSink(maxTriples: Int) extends PixelSink {
+    require(maxTriples >= 2, s"pixel budget too small: $maxTriples")
+    private val capFloats = 3 * maxTriples
+    private var buf: Array[Float] = new Array[Float](math.min(3 * 1024, capFloats))
+    private var len = 0
+    private var total = 0L
+    private val th = new Array[Float](6); private val ts = new Array[Float](6)
+    private val tv = new Array[Float](6); private val tc = new Array[Long](6)
+    private var d = 0
+    private var manyColors = false // a 7th distinct color exists somewhere
+    private def overBudget(): Nothing = throw new IllegalArgumentException(
+      s"palette group exceeded the exact pixel budget ($maxTriples triples) " +
+        "with more than 6 distinct colors: the exact-oracle path streams " +
+        "over-budget groups only when ≤6 distinct colors (constant-color " +
+        "corpora) — raise spark.graft.palette.maxTriples / " +
+        "SPARK_GRAFT_PALETTE_MAX_TRIPLES, or route the group through " +
+        "paletteOfDecoded (sampling)")
+    def append(a: Float, b: Float, c: Float): Unit = {
+      total += 1
+      var j = 0
+      while (j < d && !(th(j) == a && ts(j) == b && tv(j) == c)) j += 1
+      if (j == d) {
+        if (d < 6) { th(d) = a; ts(d) = b; tv(d) = c; tc(d) = 1; d += 1 }
+        else { manyColors = true; if (buf == null) overBudget() }
+      } else tc(j) += 1
+      if (buf != null) {
+        if (len + 3 > buf.length) {
+          if (buf.length < capFloats) {
+            val next = new Array[Float](
+              math.min(buf.length.toLong * 2, capFloats.toLong).toInt)
+            System.arraycopy(buf, 0, next, 0, len)
+            buf = next
+          } else if (manyColors) overBudget()
+          else { buf = null; len = 0 } // the tally carries the group from here
+        }
+        if (buf != null) { buf(len) = a; buf(len + 1) = b; buf(len + 2) = c; len += 3 }
+      }
+    }
+    def palette(): Seq[ColorBucket] =
+      if (total == 0) Seq.empty
+      else if (buf == null) {
+        val (centers, counts) = orderSmall(th, ts, tv, tc, d)
+        renderBuckets(centers,
+          counts.zipWithIndex.map { case (n, c) => (c, n) }, total)
+      } else bucketize(java.util.Arrays.copyOf(buf, len))
+  }
+
+  final class FloatPixelBuffer(maxTriples: Int = FloatPixelBuffer.DefaultMaxTriples) extends PixelSink {
     require(maxTriples >= 2, s"pixel budget too small: $maxTriples")
     // even triple capacity so a full buffer halves exactly on compaction
     private val capFloats = 3 * (maxTriples & ~1)

@@ -135,23 +135,52 @@ class PaletteSpec extends AnyFunSuite {
     assert(Palette.smallPalette(seven).isEmpty)
   }
 
-  test("exact-mode palette fails loudly instead of decimating") {
-    // the qs11 oracle is an exact histogram and cannot model sampling: a
-    // group past the budget must ERROR on the exact path, not silently
-    // skew (ADVICE r4). Same input under the budget must succeed.
+  test("exact-mode palette: over-budget <=6-color groups stay exact via the tally") {
+    // constant-color images, 5 distinct colors cycling; each image
+    // resizes to 75x75 = 5625 triples, so 3+ images overflow a 12k
+    // budget — the sink must drop the buffer, finish on the tally, and
+    // produce BIT-IDENTICAL output to an unbounded-budget run
     def imgs(n: Int) = Iterator.tabulate(n)(i =>
       (Palette.FakeDecoder.H, Palette.FakeDecoder.W,
-        Palette.FakeDecoder.decode(Array((i % 5).toByte))))
-    // each image resizes to 75x75 = 5625 triples; 2 images fit a 12k
-    // budget, 3 do not
-    val ok = Palette.paletteOfDecodedExact(imgs(2), maxTriples = 12000)
-    assert(ok.nonEmpty)
-    val e = intercept[IllegalArgumentException] {
-      Palette.paletteOfDecodedExact(imgs(3), maxTriples = 12000)
+        Palette.FakeDecoder.decode(Array((20 + 40 * (i % 5)).toByte))))
+    for (n <- Seq(2, 3, 12)) {
+      val bounded = Palette.paletteOfDecodedExact(imgs(n), maxTriples = 12000)
+      val unbounded = Palette.paletteOfDecodedExact(imgs(n), maxTriples = 1 << 20)
+      assert(bounded == unbounded, s"n=$n tally route diverged from buffer route")
+      assert(bounded.nonEmpty)
     }
-    assert(e.getMessage.contains("exact pixel budget"))
-    // the sampling path accepts the same group
-    assert(Palette.paletteOfDecoded(imgs(3), maxTriples = 12000).nonEmpty)
+    // share arithmetic survives the route switch: 12 images over 5 colors
+    // -> shares are small exact integer ratios
+    val p12 = Palette.paletteOfDecodedExact(imgs(12), maxTriples = 12000)
+    assert(math.abs(p12.map(_.percentage).sum - 1.0) < 1e-9)
+  }
+
+  test("exact-mode palette fails loudly when over budget with >6 colors") {
+    // the qs11 oracle is an exact histogram and cannot model sampling: a
+    // group past the budget that the tally cannot hold either (>6
+    // distinct colors) must ERROR, not silently skew (ADVICE r4)
+    def manyColorImgs(n: Int) = Iterator.tabulate(n)(i =>
+      (Palette.FakeDecoder.H, Palette.FakeDecoder.W,
+        Palette.FakeDecoder.decode(Array((i * 29 % 256).toByte))))
+    // 7+ distinct colors visible BEFORE the budget trips
+    val e1 = intercept[IllegalArgumentException] {
+      Palette.paletteOfDecodedExact(manyColorImgs(8), maxTriples = 12000)
+    }
+    assert(e1.getMessage.contains("exact pixel budget"))
+    // 7th distinct color arriving AFTER the buffer was already dropped:
+    // 6 distinct colors across images 0-5 (the 12k budget trips during
+    // image 3), then color #7 on image 6
+    def lateSeventh = Iterator.tabulate(8)(i =>
+      (Palette.FakeDecoder.H, Palette.FakeDecoder.W,
+        Palette.FakeDecoder.decode(Array((if (i < 6) 40 * i else 250).toByte))))
+    val e2 = intercept[IllegalArgumentException] {
+      Palette.paletteOfDecodedExact(lateSeventh, maxTriples = 12000)
+    }
+    assert(e2.getMessage.contains("exact pixel budget"))
+    // under an unbounded budget the same >6-color group is fine (kmeans)
+    assert(Palette.paletteOfDecodedExact(manyColorImgs(8), maxTriples = 1 << 20).nonEmpty)
+    // and the sampling path accepts it at the small budget
+    assert(Palette.paletteOfDecoded(manyColorImgs(8), maxTriples = 12000).nonEmpty)
   }
 
   test("paletteBySource is deterministic under replay") {
