@@ -10,9 +10,13 @@ package graft
   * first measured query doesn't pay session/codegen start-up.
   *
   * Single runs on a shared machine have ±50% noise (observed qs9
-  * 1.87–3.35 s across runs), so the suite runs THREE full passes in the
-  * same query order and reports the per-query MEDIAN; `total` is the sum
-  * of medians. The per-query MIN rides alongside (`queries_min`) —
+  * 1.87–3.35 s across runs), so the protocol is pinned: ONE full
+  * unmeasured warm-up pass (every entry reaches steady JIT/codegen
+  * state — excluded from all stats), a load guard that flags runs
+  * started on a busy box (`load` in the artifact), then THREE measured
+  * passes in the same query order reporting the per-query MEDIAN with
+  * MIN (stdout + artifact) and MAX (artifact) alongside; `total` is the
+  * sum of medians. The per-query MIN matters because —
   * interference only ever ADDS time, so on a shared box the min is the
   * cleanest single estimate of a query's true cost — and heavy entries
   * whose pass spread exceeds 1.5× get up to three extra isolated SETTLE
@@ -50,8 +54,40 @@ object Bench {
   val shuffleSeed: Option[Long] =
     sys.env.get("SPARK_GRAFT_BENCH_SHUFFLE_SEED").map(_.toLong)
 
+  /** Full UNMEASURED warm-up passes before pass 1 (default 1, 0 to skip —
+    * scale soaks where one pass is already ~17 min). A whole-suite warm-up
+    * is the only warm-up that reaches EVERY query's Dataset-encoder
+    * codegen, closure compilation, and C2-compiled kernels — the targeted
+    * codec/model warm-ups above it cover the worst offenders but each
+    * round's diff can mint a new one, and a first-pass JIT tax is exactly
+    * the kind of one-sided noise a 3-sample median cannot vote out. */
+  val WarmupPasses: Int =
+    sys.env.get("SPARK_GRAFT_BENCH_WARMUP").map(_.toInt).getOrElse(1)
+
+  /** 1-minute system load average per core above which the run is flagged
+    * (stderr + `load` field in the artifact): bench numbers taken beside
+    * another 32-thread JVM read 1.5–2× slow and nothing in-process can
+    * correct that — the guard makes a contaminated run SELF-DECLARING
+    * instead of silently feeding a round-over-round comparison. */
+  val LoadGuardPerCore: Double =
+    sys.env.get("SPARK_GRAFT_BENCH_LOAD_GUARD").map(_.toDouble).getOrElse(0.25)
+
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // load guard BEFORE the session spins up its own 32 threads: a busy
+    // box at t0 means some other workload owns the cores this run is
+    // about to time against
+    val cores = Runtime.getRuntime.availableProcessors
+    val loadStart = loadAvg()
+    val loaded = loadStart >= 0 && loadStart > LoadGuardPerCore * cores
+    if (loaded) System.err.println(
+      f"[bench] LOAD GUARD: 1-min loadavg $loadStart%.1f on $cores cores at " +
+        "start — numbers from this run are contaminated by a concurrent " +
+        "workload; rerun on an idle box before comparing")
     val spark = GraftSession.driverLocal()
 
     // warm-up: session + codegen + parquet footer reads for every table a
@@ -128,8 +164,26 @@ object Bench {
       }
     }
     graft.plans.ScaleTechniques.releaseLocalCheckpoints(spark)
+    // full unmeasured warm-up pass(es): every entry runs once with the
+    // normal inter-query hygiene but NO timing, so measured pass 1 starts
+    // from the same JIT/codegen state as passes 2..N. Memos are cleared
+    // afterwards exactly like a pass boundary — each measured pass still
+    // pays the shared kernels once, via the same first consumer.
+    (1 to WarmupPasses).foreach { w =>
+      ordered.foreach { case (name, fn) =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warm-up pass $w $name failed: ${e.getMessage}")
+          graft.dedup.MinHashLSH.clearCache()
+          graft.similarity.Ann.clearCache()
+        }
+        graft.plans.ScaleTechniques.releaseLocalCheckpoints(spark)
+        spark.streams.resetTerminated()
+      }
+      System.gc(); Thread.sleep(200); System.gc()
+    }
     val passes = (1 to Passes).map { p =>
-      if (p > 1) {
+      if (p > 1 || WarmupPasses > 0) {
         // each pass pays the shared signature/pair-graph kernel (and the
         // materialized ANN index build) once, via the same (alphabetically
         // first) consumer as every other pass. Trained CODEBOOK memos are
@@ -264,20 +318,26 @@ object Bench {
       val byName = passes.map(_.toMap.apply(name))
       val runs = runsByName(name).sorted
       val median = if (runs.isEmpty) None else Some(runs(runs.length / 2))
-      (name, median, byName.count(_.isEmpty), runs.headOption)
+      (name, median, byName.count(_.isEmpty), runs.headOption, runs.lastOption)
     }
-    val qs = results.map { case (k, v, _, _) =>
+    val qs = results.map { case (k, v, _, _, _) =>
       "\"" + k + "\":" + v.fold("null")(f4)
     }.mkString("{", ",", "}")
-    val qsMin = results.map { case (k, _, _, mn) =>
+    val qsMin = results.map { case (k, _, _, mn, _) =>
       "\"" + k + "\":" + mn.fold("null")(f4)
     }.mkString("{", ",", "}")
+    val qsMax = results.map { case (k, _, _, _, mx) =>
+      "\"" + k + "\":" + mx.fold("null")(f4)
+    }.mkString("{", ",", "}")
     val failed = results.filter(_._3 > 0)
-    val failures = failed.map { case (k, _, n, _) => "\"" + k + "\":" + n }
+    val failures = failed.map { case (k, _, n, _, _) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val totalMin = results.flatMap(_._4).sum
-    val line = s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":${f4(totalMin)},"failures":$failures,"sf":"$sfDir","runs":$Passes,"stat":"median"}"""
+    val loadEnd = loadAvg()
+    val loadJson = s"""{"start":${f4(math.max(loadStart, 0))},"end":${f4(
+      math.max(loadEnd, 0))},"cores":$cores,"flagged":$loaded}"""
+    val line = s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":${f4(totalMin)},"failures":$failures,"sf":"$sfDir","runs":$Passes,"warmup":$WarmupPasses,"load":$loadJson,"stat":"median"}"""
     // the full artifact (per-pass raw seconds included) also lands in a
     // file the driver/judge can ingest whole, immune to stdout capture
     val passesJson = passes.map(p => p.map { case (k, v) =>
@@ -290,7 +350,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-      line.dropRight(1) + s""","passes":$passesJson,"settle":$settleJson}""" + "\n")
+      line.dropRight(1) +
+        s""","queries_max":$qsMax,"passes":$passesJson,"settle":$settleJson}""" + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }

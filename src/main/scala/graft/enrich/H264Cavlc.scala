@@ -22,6 +22,23 @@ import H264Sps.{BitReader, BitWriter}
   * codec family (reference media store: lambda/s3Posts-to-ES-lambda/
   * s3-to-es_aws.py:83,116-122).
   *
+  * DECISION BOUNDARY — this is the codec frontier, deliberately: the
+  * 2 ≤ nC < 8 columns of Table 9-5 are ~124 empirical code strings
+  * with no algorithmic derivation and no authoritative copy reachable
+  * from this build environment. Unlike the implemented tables — whose
+  * transcriptions are anchored by the published worked-example
+  * bitstring (nC < 2), exact-completeness Kraft sums (chroma DC), or
+  * the spec's algorithm (nC ≥ 8) — a from-memory transcription of
+  * those columns could be wrong-but-self-consistent: every in-repo
+  * audit (round trips use the same tables both directions; Kraft and
+  * prefix checks prove consistency, not fidelity) would pass while a
+  * REAL dense-residual stream misdecoded silently. Rejection preserves
+  * the family's contract; extension requires an authoritative table
+  * source, not more engineering. CABAC, inter prediction, and
+  * perceptual audio filterbanks stay out for the same reason at larger
+  * scale: each is a correctness surface with no oracle this
+  * environment can host.
+  *
   * Table transcriptions are audited in H264CavlcSpec: every VLC table
   * is checked prefix-free with its spec-known Kraft sum (coeff_token
   * 1−2⁻¹⁵, total_zeros tc=1 1−2⁻⁹, run_before zl>6 1−2⁻¹¹ — the three

@@ -125,11 +125,15 @@ object Mp4Box {
   /** One ISO 14496-1 §8.3.3 descriptor: tag byte, expandable length
     * (single-byte, or the 4-byte 0x80-continued form when `padded`),
     * payload. */
-  private def descriptor(tag: Int, payload: Array[Byte],
-                         padded: Boolean): Array[Byte] = {
+  private[enrich] def descriptor(tag: Int, payload: Array[Byte],
+                                 padded: Boolean): Array[Byte] = {
     val o = new ByteArrayOutputStream()
     o.write(tag)
     if (padded) {
+      // 4 × 7 usable bits — the same fail-loudly bound the single-byte
+      // form gets below; without it a ≥2^28 payload would silently
+      // truncate its expandable length and desync every following box
+      require(payload.length < (1 << 28), "4-byte expandable descriptor length")
       o.write(0x80 | ((payload.length >>> 21) & 0x7f))
       o.write(0x80 | ((payload.length >>> 14) & 0x7f))
       o.write(0x80 | ((payload.length >>> 7) & 0x7f))

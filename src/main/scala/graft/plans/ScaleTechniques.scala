@@ -45,6 +45,18 @@ object ScaleTechniques {
     * pinned at context creation). Loops use [[CheckpointChain]], which
     * reclaims the superseded generation as soon as its successor is
     * materialized. */
+  /** True iff the context's pinned checkpoint dir (base/<uuid>) lives
+    * under the configured base. Path equality over BOTH sides qualified:
+    * string comparison false-alarmed on benign spelling differences
+    * (trailing slash, implicit vs explicit scheme) of the same
+    * directory. */
+  private[plans] def checkpointDirMatches(
+      active: org.apache.hadoop.fs.Path, configured: String,
+      fs: org.apache.hadoop.fs.FileSystem): Boolean = {
+    val wanted = fs.makeQualified(new org.apache.hadoop.fs.Path(configured))
+    Option(active.getParent).map(fs.makeQualified).contains(wanted)
+  }
+
   def iterCheckpoint(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption("spark.graft.checkpointDir").filter(_.nonEmpty) match {
@@ -57,9 +69,7 @@ object ScaleTechniques {
           // Warn instead of silently writing to the old location.
           val active = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
           val fs = active.getFileSystem(sc.hadoopConfiguration)
-          val wanted =
-            fs.makeQualified(new org.apache.hadoop.fs.Path(d)).toString
-          if (active.getParent == null || active.getParent.toString != wanted)
+          if (!checkpointDirMatches(active, d, fs))
             log.warn(s"spark.graft.checkpointDir=$d ignored: this context " +
               s"already pinned its checkpoint dir to $active")
         }

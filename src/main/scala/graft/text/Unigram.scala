@@ -51,6 +51,24 @@ object Unigram {
     * length < ScoreShift keeps the lexicographic order exact. */
   val ScoreShift = 1048576L
 
+  /** Both kernels index text by UTF-16 unit (`length`/`substring`),
+    * which equals code-point indexing only on the BMP: a supplementary
+    * character (surrogate pair) counts 2 here but 1 under the oracle's
+    * code-point semantics, silently shifting every piece boundary after
+    * it. Fail loudly instead (the qs11 budget rule) — BMP-only is the
+    * operator's documented contract; pre-filter or transcode wider
+    * corpora upstream. */
+  private def requireBmp(where: => String, t: String): Unit = {
+    var i = 0
+    while (i < t.length) {
+      require(!Character.isSurrogate(t.charAt(i)),
+        s"$where has a non-BMP character at UTF-16 index $i: unigram " +
+          "segmentation indexes by UTF-16 unit and matches the code-point " +
+          "oracle only on BMP text")
+      i += 1
+    }
+  }
+
   /** The induced vocabulary: (piece, cnt), gated and capped with the
     * deterministic (cnt DESC, piece ASC) order. Spread by cores first —
     * counting is partitioning-insensitive and a small corpus otherwise
@@ -67,6 +85,7 @@ object Unigram {
         // plateau), not one per corpus position
         val acc = new java.util.HashMap[String, Long]()
         texts.foreach { t =>
+          requireBmp("corpus text", t)
           var len = MinLen
           while (len <= MaxLen) {
             var i = 0
@@ -126,6 +145,7 @@ object Unigram {
       .mapPartitions { batch =>
         val v = bc.value
         batch.map { case (id, t) =>
+          requireBmp(s"doc $id", t)
           val n = t.length
           // the packing is lexicographic only while pieces < ScoreShift;
           // a corpus with longer documents needs a larger shift — fail

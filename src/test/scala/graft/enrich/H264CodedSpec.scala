@@ -222,6 +222,96 @@ class H264CodedSpec extends AnyFunSuite {
     }
   }
 
+  /** expectAcColumn generalized to a 2-D macroblock grid: §8.3.3 DC
+    * prediction from reconstructed left/top edges ((Σ+n/2)/n over 16 or
+    * 32 samples), reconstruction in MB scan order — still trusting only
+    * the hand-vector-tested transform primitives. */
+  private def expectAcGrid(widthMbs: Int, heightMbs: Int,
+                           dcZig: Array[Array[Int]],
+                           acZig: Array[Array[Array[Int]]],
+                           qp: Int): Array[Int] = {
+    val w = widthMbs * 16
+    val out = new Array[Int](widthMbs * heightMbs * 256)
+    for (mb <- 0 until widthMbs * heightMbs) {
+      val mbX = mb % widthMbs; val mbY = mb / widthMbs
+      val x0 = mbX * 16; val y0 = mbY * 16
+      var sum = 0; var n = 0
+      if (mbY > 0) { for (x <- 0 until 16) sum += out((y0 - 1) * w + x0 + x); n += 16 }
+      if (mbX > 0) { for (yy <- 0 until 16) sum += out((y0 + yy) * w + x0 - 1); n += 16 }
+      val pred = if (n == 0) 128 else (sum + n / 2) / n
+      val dcY = H264Coded.dequantDc(dcZig(mb), qp)
+      for (b <- 0 until 16) {
+        val (bx, by) = H264Coded.blkXY(b)
+        val d = new Array[Int](16)
+        d(0) = dcY(by * 4 + bx)
+        for (k <- 1 until 16; if acZig(mb)(b)(k - 1) != 0) {
+          val p = H264Coded.ZigZag4x4(k)
+          val cls =
+            if ((p >> 2) % 2 == 0 && (p & 3) % 2 == 0) 0
+            else if ((p >> 2) % 2 == 1 && (p & 3) % 2 == 1) 1
+            else 2
+          d(p) = (acZig(mb)(b)(k - 1) *
+            H264Coded.AcNormAdjust(qp % 6)(cls)) << (qp / 6)
+        }
+        val res = H264Coded.inverseTransform4x4(d)
+        for (row <- 0 until 4; col <- 0 until 4)
+          out((y0 + by * 4 + row) * w + x0 + bx * 4 + col) =
+            math.max(0, math.min(255, pred + res(row * 4 + col)))
+      }
+    }
+    out
+  }
+
+  test("AC slice round trip generalizes across macroblock columns (widthMbs >= 2)") {
+    // ADVICE r12: the original round trip pinned widthMbs = 1, leaving
+    // the left-neighbor nC bookkeeping and multi-column DC prediction
+    // untested. Same sparse-AC construction, 2-D grids.
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 0 until 20) {
+      val widthMbs = 2 + trial % 2
+      val heightMbs = 1 + trial % 3
+      val nMbs = widthMbs * heightMbs
+      val qp = 20 + trial % 16
+      val dcZig = Array.tabulate(nMbs, 16)((_, _) =>
+        if (rnd.nextInt(11) < 5) 0 else rnd.nextInt(7) - 3)
+      val acZig = Array.tabulate(nMbs, 16) { (_, _) =>
+        val blk = new Array[Int](15)
+        if (rnd.nextInt(3) != 0)
+          blk(rnd.nextInt(15)) = Seq(-2, -1, 1, 2)(rnd.nextInt(4))
+        blk
+      }
+      val nal = H264Coded.writeIdrAc16Slice(widthMbs, heightMbs, trial % 16,
+        dcZig, acZig)
+      val f = H264Coded.parseIdrDcSlice(sps(widthMbs, heightMbs), pps(qp), nal).get
+      assert(f.qp == qp)
+      assert(f.totalCoeff == dcZig.flatten.count(_ != 0) +
+        acZig.flatten.flatten.count(_ != 0))
+      assert(f.y.map(_ & 0xff).toSeq ==
+        expectAcGrid(widthMbs, heightMbs, dcZig, acZig, qp).toSeq,
+        s"trial $trial (${widthMbs}x$heightMbs): luma plane diverged")
+      assert(f.cb.forall(b => (b & 0xff) == 128))
+    }
+  }
+
+  test("dense AC blocks ride the nC >= 8 FLC context across MB boundaries") {
+    // every AC block carries 15 coefficients, so after the picture's
+    // first block every neighbor average lands at nC >= 8 — the
+    // implemented fixed-6-bit context — making the cross-MB nC
+    // bookkeeping BIT-VISIBLE (within the sparse construction nC stays
+    // in {0, 1}, which all selects one table)
+    val rnd = new scala.util.Random(99)
+    val widthMbs = 2; val heightMbs = 2; val nMbs = 4
+    val qp = 22
+    val dcZig = Array.tabulate(nMbs, 16)((_, _) => rnd.nextInt(5) - 2)
+    val acZig = Array.tabulate(nMbs, 16)((_, _) =>
+      Array.tabulate(15)(_ => Seq(-2, -1, 1, 2)(rnd.nextInt(4))))
+    val nal = H264Coded.writeIdrAc16Slice(widthMbs, heightMbs, 3L, dcZig, acZig)
+    val f = H264Coded.parseIdrDcSlice(sps(widthMbs, heightMbs), pps(qp), nal).get
+    assert(f.totalCoeff == dcZig.flatten.count(_ != 0) + nMbs * 16 * 15)
+    assert(f.y.map(_ & 0xff).toSeq ==
+      expectAcGrid(widthMbs, heightMbs, dcZig, acZig, qp).toSeq)
+  }
+
   test("AC writer refuses coefficient layouts outside the implemented nC scope") {
     // dense AC blocks (3 coefficients each) push neighbor TotalCoeff
     // averages to nC ≥ 2 — the writer must throw, not emit bits its

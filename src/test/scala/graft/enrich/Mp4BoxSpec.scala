@@ -208,4 +208,22 @@ class Mp4BoxSpec extends AnyFunSuite {
     // no moov (ftyp alone) → metadata incomplete → None
     assert(Mp4Box.probe(good.take(24)).isEmpty)
   }
+
+  test("descriptor length forms enforce their bounds symmetrically") {
+    // single-byte form: 7 usable bits — 127 fits, 128 must fail loudly
+    val d127 = Mp4Box.descriptor(0x05, new Array[Byte](127), padded = false)
+    assert(d127.length == 2 + 127 && (d127(1) & 0xFF) == 127)
+    intercept[IllegalArgumentException] {
+      Mp4Box.descriptor(0x05, new Array[Byte](128), padded = false)
+    }
+    // padded 4-byte form: 28 usable bits — >127 encodes with 0x80
+    // continuations; 2^28 must fail loudly, not silently truncate
+    // (ADVICE r12's bounds asymmetry)
+    val d200 = Mp4Box.descriptor(0x05, new Array[Byte](200), padded = true)
+    assert(d200.length == 5 + 200)
+    assert((d200(1) & 0x80) == 0x80 && (d200(4) & 0xFF) == (200 & 0x7f))
+    intercept[IllegalArgumentException] {
+      Mp4Box.descriptor(0x05, new Array[Byte](1 << 28), padded = true)
+    }
+  }
 }

@@ -222,4 +222,20 @@ class ScaleTechniquesSpec extends AnyFunSuite {
         "final generation unreadable after block loss — not reliable storage")
     } finally spark.conf.unset("spark.graft.checkpointDir")
   }
+
+  test("checkpoint-dir match compares qualified Paths, not strings") {
+    // benign spellings of the same base (trailing slash, explicit
+    // file: scheme) must NOT trip the pinned-dir warning (ADVICE r12);
+    // a genuinely different base must
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val active = new Path("file:/tmp/graft_ckpt_base/6f1a-uuid")
+    assert(ScaleTechniques.checkpointDirMatches(active, "/tmp/graft_ckpt_base", fs))
+    assert(ScaleTechniques.checkpointDirMatches(active, "/tmp/graft_ckpt_base/", fs))
+    assert(ScaleTechniques.checkpointDirMatches(active, "file:/tmp/graft_ckpt_base", fs))
+    assert(!ScaleTechniques.checkpointDirMatches(active, "/tmp/other_base", fs))
+    // a rootless active dir (no parent) never matches silently
+    assert(!ScaleTechniques.checkpointDirMatches(new Path("file:/"), "/tmp", fs))
+  }
 }

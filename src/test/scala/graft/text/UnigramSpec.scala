@@ -90,4 +90,20 @@ class UnigramSpec extends AnyFunSuite {
     // best segmentation: one 4-char piece -> score 16, 1 piece
     out.foreach(r => assert(r.getLong(3) == 16L && r.getLong(4) == 1L))
   }
+
+  test("non-BMP text fails loudly instead of diverging from the oracle") {
+    // both kernels index by UTF-16 unit; a surrogate pair counts 2 here
+    // but 1 under the oracle's code-point semantics — the guard must
+    // reject it (ADVICE r12), and plain BMP text must be unaffected
+    val emoji = new String(Character.toChars(0x1F600)) // outside the BMP
+    val bad = Seq.fill(Unigram.MinPieceCount)("abab" + emoji)
+    val e = intercept[org.apache.spark.SparkException] {
+      Unigram.segmentFrame(docsDf(bad)).collect()
+    }
+    assert(e.getMessage.contains("non-BMP") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-BMP")))
+    // BMP-only text, including non-ASCII BMP chars, still segments
+    val ok = Seq.fill(Unigram.MinPieceCount)("ébéb")
+    assert(Unigram.segmentFrame(docsDf(ok)).count() == ok.length)
+  }
 }
