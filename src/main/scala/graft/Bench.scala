@@ -12,8 +12,9 @@ package graft
   * Single runs on a shared machine have ±50% noise (observed qs9
   * 1.87–3.35 s across runs), so the protocol is pinned: ONE full
   * unmeasured warm-up pass (every entry reaches steady JIT/codegen
-  * state — excluded from all stats), a load guard that flags runs
-  * started on a busy box (`load` in the artifact), then THREE measured
+  * state — excluded from all stats), a load guard that flags runs whose
+  * measured FOREIGN cpu share across the whole run exceeds the bar
+  * (`load` in the artifact), then THREE measured
   * passes in the same query order reporting the per-query MEDIAN with
   * MIN (stdout + artifact) and MAX (artifact) alongside; `total` is the
   * sum of medians. The per-query MIN matters because —
@@ -64,30 +65,59 @@ object Bench {
   val WarmupPasses: Int =
     sys.env.get("SPARK_GRAFT_BENCH_WARMUP").map(_.toInt).getOrElse(1)
 
-  /** 1-minute system load average per core above which the run is flagged
-    * (stderr + `load` field in the artifact): bench numbers taken beside
-    * another 32-thread JVM read 1.5–2× slow and nothing in-process can
-    * correct that — the guard makes a contaminated run SELF-DECLARING
-    * instead of silently feeding a round-over-round comparison. */
+  /** FOREIGN cpu-cores-per-core above which the run is flagged (stderr +
+    * `load` field in the artifact): bench numbers taken beside another
+    * 32-thread JVM read 1.5–2× slow and nothing in-process can correct
+    * that — the guard makes a contaminated run SELF-DECLARING instead of
+    * silently feeding a round-over-round comparison. Foreign load is
+    * measured over the WHOLE run as (system-wide busy CPU − this JVM's
+    * CPU) / wall, from /proc/stat + getProcessCpuTime — unlike a
+    * loadavg-at-start sample it neither counts the sbt compile that
+    * launched the bench / a predecessor run's shutdown tail (both decay
+    * into the 1-minute average and false-flag an otherwise idle box, as
+    * the r14 protocol pair showed) nor misses a workload that arrives
+    * mid-run. The t0 1-minute loadavg still rides in the artifact as
+    * secondary evidence; −1 values (unsupported platform) are recorded
+    * as −1, never clamped to a false idle 0. */
   val LoadGuardPerCore: Double =
-    sys.env.get("SPARK_GRAFT_BENCH_LOAD_GUARD").map(_.toDouble).getOrElse(0.25)
+    sys.env.get("SPARK_GRAFT_BENCH_LOAD_GUARD").map(_.toDouble).getOrElse(0.15)
 
   private def loadAvg(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
+  /** System-wide busy CPU seconds since boot (USER_HZ = 100 jiffies):
+    * user+nice+system+irq+softirq+steal from /proc/stat's cpu line.
+    * None where /proc is unavailable. */
+  private def systemBusySec(): Option[Double] =
+    try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu "))
+      line.map { l =>
+        val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+        // skip idle (3) and iowait (4); sum the busy fields
+        (f.indices.filter(i => i != 3 && i != 4).map(f).sum).toDouble / 100.0
+      }
+    } catch { case _: Throwable => None }
+
+  /** This JVM's total CPU seconds. None on a non-HotSpot bean. */
+  private def processCpuSec(): Option[Double] =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        val t = os.getProcessCpuTime
+        if (t < 0) None else Some(t / 1e9)
+      case _ => None
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // load guard BEFORE the session spins up its own 32 threads: a busy
-    // box at t0 means some other workload owns the cores this run is
-    // about to time against
+    // foreign-load accounting starts BEFORE the session spins up its own
+    // threads; the verdict is delivered at the end of the run (see the
+    // `load` artifact field) once (systemBusy − ownCpu)/wall is known
     val cores = Runtime.getRuntime.availableProcessors
     val loadStart = loadAvg()
-    val loaded = loadStart >= 0 && loadStart > LoadGuardPerCore * cores
-    if (loaded) System.err.println(
-      f"[bench] LOAD GUARD: 1-min loadavg $loadStart%.1f on $cores cores at " +
-        "start — numbers from this run are contaminated by a concurrent " +
-        "workload; rerun on an idle box before comparing")
+    val wall0 = System.nanoTime()
+    val busy0 = systemBusySec(); val own0 = processCpuSec()
     val spark = GraftSession.driverLocal()
 
     // warm-up: session + codegen + parquet footer reads for every table a
@@ -335,8 +365,22 @@ object Bench {
     val total = results.flatMap(_._2).sum
     val totalMin = results.flatMap(_._4).sum
     val loadEnd = loadAvg()
-    val loadJson = s"""{"start":${f4(math.max(loadStart, 0))},"end":${f4(
-      math.max(loadEnd, 0))},"cores":$cores,"flagged":$loaded}"""
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    // foreign cores = CPU burned by everything that is NOT this JVM,
+    // averaged over the whole run — null when either probe is missing,
+    // never a fake idle reading
+    val foreignCores: Option[Double] = for {
+      b0 <- busy0; b1 <- systemBusySec()
+      o0 <- own0; o1 <- processCpuSec()
+    } yield math.max(0.0, ((b1 - b0) - (o1 - o0)) / math.max(1e-9, wallSec))
+    val loaded = foreignCores.exists(_ > LoadGuardPerCore * cores)
+    if (loaded) System.err.println(
+      f"[bench] LOAD GUARD: ${foreignCores.get}%.1f foreign cores busy on " +
+        s"average across the run ($cores total) — numbers are contaminated " +
+        "by a concurrent workload; rerun on an idle box before comparing")
+    val loadJson = s"""{"start":${f4(loadStart)},"end":${f4(loadEnd)},""" +
+      s""""foreign_cores":${foreignCores.fold("null")(f4)},"cores":$cores,""" +
+      s""""flagged":$loaded}"""
     val line = s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":${f4(totalMin)},"failures":$failures,"sf":"$sfDir","runs":$Passes,"warmup":$WarmupPasses,"load":$loadJson,"stat":"median"}"""
     // the full artifact (per-pass raw seconds included) also lands in a
     // file the driver/judge can ingest whole, immune to stdout capture

@@ -383,8 +383,6 @@ object SparkEntry {
       |  WHERE j >= 0.8
       |)""".stripMargin
 
-  /** DuckDB oracle for semantic dedup — shared by qe4 (batch) and
-    * qs15 (streaming): see the binding comment in oracleSql. */
   /** Shared banded-blocking CTE prefix for the qe2/qe17 oracles — the
     * in-SQL mirror of VectorOps.bandedLabelPairs: e (widened vectors),
     * params (the adaptive band width, SemDedup.subBits' s = clamp(4, 16,
@@ -415,6 +413,8 @@ object SparkEntry {
     (0 until graft.operators.VectorOps.NearDupBands)
       .map(j => s"a.b$j = b.b$j").mkString(" OR ")
 
+  /** DuckDB oracle for semantic dedup — shared by qe4 (batch) and
+    * qs15 (streaming): see the binding comment in oracleSql. */
   private val semanticDedupOracle: String =
       """WITH RECURSIVE e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings

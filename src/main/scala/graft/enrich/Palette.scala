@@ -464,7 +464,10 @@ object Palette {
     * representation can hold it exactly, and the exact-oracle contract
     * forbids silently sampling it. */
   private[enrich] final class ExactPixelSink(maxTriples: Int) extends PixelSink {
-    require(maxTriples >= 2, s"pixel budget too small: $maxTriples")
+    require(maxTriples >= 2 && maxTriples <= Int.MaxValue / 3,
+      s"pixel budget out of range: $maxTriples (the triple budget — " +
+        "spark.graft.palette.maxTriples / SPARK_GRAFT_PALETTE_MAX_TRIPLES — " +
+        s"must be in [2, ${Int.MaxValue / 3}])")
     private val capFloats = 3 * maxTriples
     private var buf: Array[Float] = new Array[Float](math.min(3 * 1024, capFloats))
     private var len = 0
@@ -511,7 +514,10 @@ object Palette {
   }
 
   final class FloatPixelBuffer(maxTriples: Int = FloatPixelBuffer.DefaultMaxTriples) extends PixelSink {
-    require(maxTriples >= 2, s"pixel budget too small: $maxTriples")
+    require(maxTriples >= 2 && maxTriples <= Int.MaxValue / 3,
+      s"pixel budget out of range: $maxTriples (the triple budget — " +
+        "spark.graft.palette.maxTriples / SPARK_GRAFT_PALETTE_MAX_TRIPLES — " +
+        s"must be in [2, ${Int.MaxValue / 3}])")
     // even triple capacity so a full buffer halves exactly on compaction
     private val capFloats = 3 * (maxTriples & ~1)
     private var buf = new Array[Float](math.min(3 * 1024, capFloats))
