@@ -91,19 +91,36 @@ object VectorOps {
     * the join's own stage (a multi-band duplicate pays one redundant
     * ~dim-FLOP cosine, identical value) so the pair-dedup exchange moves
     * only skinny threshold SURVIVORS (~1% of candidates), not vector
-    * payloads — dedup-then-verify shuffled ~1 KB per candidate. At
-    * extreme copy-skew (B byte-identical vectors → B² candidate rows) the
-    * remaining step is the shared exact-dup collapse exactly as
-    * SrpLsh.nearDups rides it; this corpus has no exact duplicates, so
-    * the generator keeps the simpler uncollapsed form. */
+    * payloads — dedup-then-verify shuffled ~1 KB per candidate.
+    *
+    * Copy-skew is bounded by the shared exact-dup collapse
+    * (dedup.Collapse, the SrpLsh.nearDups shape): byte-identical vectors
+    * share the label and EVERY band, so uncollapsed a B-copy cluster
+    * (mirrored media, re-crawled pages) is B² candidate rows per bucket.
+    * Only distinct (label, vector) representatives are banded and
+    * verified (B² → B); verified rep pairs expand back to member pairs
+    * (members inherit the rep cosine — their inputs are byte-identical),
+    * and intra-group pairs compute their own self-cosine rather than
+    * assume 1.0 so degenerate vectors behave exactly as the uncollapsed
+    * join would (spec-asserted row-identical on a planted 8-copy
+    * corpus). The label joins the digest key: byte-identical vectors
+    * under DIFFERENT labels never pair under label blocking and must
+    * stay distinct groups. */
   private[graft] def bandedLabelPairs(e: DataFrame, threshold: Double): DataFrame = {
+    import graft.dedup.Collapse
     val s = graft.similarity.SemDedup.subBits(e.count())
+    val keyed = e.select(col("vec_id"), col("label"), col("embedding"),
+      xxhash64(lit(1), col("label"), col("embedding")).as("k1"),
+      xxhash64(lit(2), col("label"), col("embedding")).as("k2"))
+    val groups = Collapse.groups(keyed, Seq(col("k1"), col("k2")), col("vec_id"),
+      first(col("label")).as("label"), first(col("embedding")).as("embedding"))
+    val reps = groups.select(col("rep").as("vec_id"), col("label"), col("embedding"))
     val buckets = (0 until NearDupBands).map(j =>
       graft.similarity.SemDedup.signBucket(col("embedding"), s, j * s))
-    val banded = e.select(col("vec_id"), col("label"), col("embedding"),
+    val banded = reps.select(col("vec_id"), col("label"), col("embedding"),
       posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
     val a = banded.as("a"); val b = banded.as("b")
-    a.join(b,
+    val verified = a.join(b,
         col("a.label") === col("b.label") && col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
@@ -111,6 +128,12 @@ object VectorOps {
         round(cosine(col("a.embedding"), col("b.embedding")), 6).as("sim"))
       .filter(col("sim") >= threshold)
       .dropDuplicates("id_a", "id_b")
+    val cross = Collapse.expand(verified, Collapse.memRep(groups), "id_a", "id_b")
+    val intra = Collapse.intraPairs(groups, "id_a", "id_b")
+      .select(col("id_a"), col("id_b"), col("label"),
+        round(cosine(col("embedding"), col("embedding")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+    cross.unionByName(intra)
   }
 
   /** Embedding-cosine near-duplicate pairs over the banded generator

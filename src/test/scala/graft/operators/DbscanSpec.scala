@@ -87,6 +87,50 @@ class DbscanSpec extends AnyFunSuite {
     assert(expected.size < unbanded.size)
   }
 
+  test("banded pairs under copy-skew: collapsed path is row-identical to the definition") {
+    // plant 8 byte-identical copies of each of the first 25 vectors
+    // (distinct ids, same label + embedding): the collapse must band and
+    // verify only representatives yet emit EXACTLY the pair set the
+    // uncollapsed definition yields — cross pairs inherit the rep cosine,
+    // intra pairs appear iff the self-cosine passes the threshold
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Tables(spark, SparkTestSession.sfDir, "embeddings")
+      .filter(col("vec_id") < 25)
+    val planted = (0 until 8).map(k =>
+      base.select((col("vec_id") + lit(k * 10000L)).as("vec_id"),
+        col("label"), col("embedding"))).reduce(_ unionByName _)
+    val got = VectorOps.bandedLabelPairs(planted, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(p => (p._1, p._2)).toSeq
+
+    // independent uncollapsed recompute over the planted rows; the band
+    // width uses the PLANTED row count (8 x 25 = 200 -> s = 4)
+    val rows = planted.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getSeq[Float](2).map(_.toDouble).toArray))
+    val n = rows.length.toLong
+    val lg = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    val w = math.min(16, math.max(4, lg - 7))
+    def bands(v: Array[Double]): Array[Long] =
+      Array.tabulate(VectorOps.NearDupBands)(j =>
+        (0 until w).map(i => if (v(j * w + i) >= 0) 1L << i else 0L).sum)
+    val expected = (for {
+      (la, vs) <- rows.groupBy(_._2).toSeq
+      i <- vs.indices; j <- (i + 1) until vs.length
+      (ia, _, va) = vs(i); (ib, _, vb) = vs(j)
+      if bands(va).zip(bands(vb)).exists { case (x, y) => x == y }
+      sim = round6(dot(va, vb) /
+        (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb))))
+      if sim >= 0.35
+    } yield (math.min(ia, ib), math.max(ia, ib), la, sim))
+      .sortBy(p => (p._1, p._2))
+    assert(got == expected)
+    // non-vacuous: the planted copies contribute intra pairs (self-cosine
+    // 1.0) AND the collapse had multi-member groups to expand
+    assert(expected.count(_._4 == 1.0) >= 25 * 8 * 7 / 2)
+  }
+
   test("qe17 DBSCAN matches an independent union-find recompute") {
     val pairs = expectedPairs(VectorOps.DbscanEps).map(p => (p._1, p._2))
     val nbrs = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
