@@ -88,16 +88,19 @@ object Bench {
 
   /** System-wide busy CPU seconds since boot (USER_HZ = 100 jiffies):
     * user+nice+system+irq+softirq+steal from /proc/stat's cpu line.
-    * None where /proc is unavailable. */
+    * Fields 8+ (guest, guest_nice) are EXCLUDED — the kernel already
+    * folds guest time into user/nice, so summing them double-counts VM
+    * load. None where /proc is unavailable. */
   private def systemBusySec(): Option[Double] =
     try {
-      val line = scala.io.Source.fromFile("/proc/stat").getLines()
-        .find(_.startsWith("cpu "))
-      line.map { l =>
-        val f = l.trim.split("\\s+").drop(1).map(_.toLong)
-        // skip idle (3) and iowait (4); sum the busy fields
-        (f.indices.filter(i => i != 3 && i != 4).map(f).sum).toDouble / 100.0
-      }
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        src.getLines().find(_.startsWith("cpu ")).map { l =>
+          val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+          // user(0)+nice(1)+system(2)+irq(5)+softirq(6)+steal(7)
+          Seq(0, 1, 2, 5, 6, 7).filter(_ < f.length).map(f).sum.toDouble / 100.0
+        }
+      } finally src.close()
     } catch { case _: Throwable => None }
 
   /** This JVM's total CPU seconds. None on a non-HotSpot bean. */
@@ -373,11 +376,21 @@ object Bench {
       b0 <- busy0; b1 <- systemBusySec()
       o0 <- own0; o1 <- processCpuSec()
     } yield math.max(0.0, ((b1 - b0) - (o1 - o0)) / math.max(1e-9, wallSec))
-    val loaded = foreignCores.exists(_ > LoadGuardPerCore * cores)
+    // off-Linux / non-HotSpot the foreign measure is unavailable — fall
+    // back to the coarser t0-loadavg heuristic (0.25/core, the pre-r14
+    // bar) rather than silently never flagging
+    val loaded = foreignCores match {
+      case Some(fc) => fc > LoadGuardPerCore * cores
+      case None => loadStart >= 0 && loadStart > 0.25 * cores
+    }
     if (loaded) System.err.println(
-      f"[bench] LOAD GUARD: ${foreignCores.get}%.1f foreign cores busy on " +
-        s"average across the run ($cores total) — numbers are contaminated " +
-        "by a concurrent workload; rerun on an idle box before comparing")
+      foreignCores.fold(
+        f"[bench] LOAD GUARD (loadavg fallback): 1-min loadavg $loadStart%.1f " +
+          s"on $cores cores at start")(fc =>
+        f"[bench] LOAD GUARD: $fc%.1f foreign cores busy on average across " +
+          s"the run ($cores total)") +
+        " — numbers are contaminated by a concurrent workload; rerun on an " +
+        "idle box before comparing")
     val loadJson = s"""{"start":${f4(loadStart)},"end":${f4(loadEnd)},""" +
       s""""foreign_cores":${foreignCores.fold("null")(f4)},"cores":$cores,""" +
       s""""flagged":$loaded}"""

@@ -464,10 +464,10 @@ object Palette {
     * representation can hold it exactly, and the exact-oracle contract
     * forbids silently sampling it. */
   private[enrich] final class ExactPixelSink(maxTriples: Int) extends PixelSink {
-    require(maxTriples >= 2 && maxTriples <= Int.MaxValue / 3,
+    require(maxTriples >= 2 && maxTriples <= (Int.MaxValue - 16) / 3,
       s"pixel budget out of range: $maxTriples (the triple budget — " +
         "spark.graft.palette.maxTriples / SPARK_GRAFT_PALETTE_MAX_TRIPLES — " +
-        s"must be in [2, ${Int.MaxValue / 3}])")
+        s"must be in [2, ${(Int.MaxValue - 16) / 3}], within the JVM array bound)")
     private val capFloats = 3 * maxTriples
     private var buf: Array[Float] = new Array[Float](math.min(3 * 1024, capFloats))
     private var len = 0
@@ -514,10 +514,10 @@ object Palette {
   }
 
   final class FloatPixelBuffer(maxTriples: Int = FloatPixelBuffer.DefaultMaxTriples) extends PixelSink {
-    require(maxTriples >= 2 && maxTriples <= Int.MaxValue / 3,
+    require(maxTriples >= 2 && maxTriples <= (Int.MaxValue - 16) / 3,
       s"pixel budget out of range: $maxTriples (the triple budget — " +
         "spark.graft.palette.maxTriples / SPARK_GRAFT_PALETTE_MAX_TRIPLES — " +
-        s"must be in [2, ${Int.MaxValue / 3}])")
+        s"must be in [2, ${(Int.MaxValue - 16) / 3}], within the JVM array bound)")
     // even triple capacity so a full buffer halves exactly on compaction
     private val capFloats = 3 * (maxTriples & ~1)
     private var buf = new Array[Float](math.min(3 * 1024, capFloats))
@@ -528,7 +528,8 @@ object Palette {
       if (seen % stride == 0) {
         if (len + 3 > buf.length) {
           if (buf.length < capFloats) {
-            val next = new Array[Float](math.min(buf.length * 2, capFloats))
+            val next = new Array[Float](
+              math.min(buf.length.toLong * 2, capFloats.toLong).toInt)
             System.arraycopy(buf, 0, next, 0, len)
             buf = next
           } else compact()

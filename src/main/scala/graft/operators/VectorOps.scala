@@ -109,7 +109,13 @@ object VectorOps {
   private[graft] def bandedLabelPairs(e: DataFrame, threshold: Double): DataFrame = {
     import graft.dedup.Collapse
     val s = graft.similarity.SemDedup.subBits(e.count())
-    val keyed = e.select(col("vec_id"), col("label"), col("embedding"),
+    // NULL-label rows can never pair under label blocking (a.label ===
+    // b.label is null-rejecting in both engines), but xxhash64 SKIPS null
+    // fields, so without this filter byte-identical null-label vectors
+    // would collapse into one group and intraPairs would mint pairs the
+    // uncollapsed definition never emits — drop them before keying
+    val nn = e.filter(col("label").isNotNull)
+    val keyed = nn.select(col("vec_id"), col("label"), col("embedding"),
       xxhash64(lit(1), col("label"), col("embedding")).as("k1"),
       xxhash64(lit(2), col("label"), col("embedding")).as("k2"))
     val groups = Collapse.groups(keyed, Seq(col("k1"), col("k2")), col("vec_id"),

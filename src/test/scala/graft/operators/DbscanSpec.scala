@@ -29,17 +29,20 @@ class DbscanSpec extends AnyFunSuite {
       r.getSeq[Float](2).map(_.toDouble).toArray))
 
   /** Band width and per-band sign-bit buckets, straight from the spec:
-    * s = clamp(4, 16, ⌊log2 n⌋ − 7); band j covers coords [j·s, j·s+s). */
-  private lazy val bandWidth: Int = {
-    val n = vecs.length.toLong
+    * s = clamp(4, 16, ⌊log2 n⌋ − 7); band j covers coords [j·s, j·s+s).
+    * Parameterized by the corpus row count so every test (the sf corpus
+    * AND the planted-copy one) shares ONE transcription of the banding
+    * contract. */
+  private def bandWidthFor(n: Long): Int = {
     val lg = 63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))
     math.min(16, math.max(4, lg - 7))
   }
-  private def bandsOf(v: Array[Double]): Array[Long] =
+  private def bandsOf(v: Array[Double], w: Int): Array[Long] =
     Array.tabulate(VectorOps.NearDupBands) { j =>
-      (0 until bandWidth).map(i =>
-        if (v(j * bandWidth + i) >= 0) 1L << i else 0L).sum
+      (0 until w).map(i =>
+        if (v(j * w + i) >= 0) 1L << i else 0L).sum
     }
+  private lazy val bandWidth: Int = bandWidthFor(vecs.length.toLong)
 
   /** Independent recompute of bandedLabelPairs at `threshold`. */
   private def expectedPairs(threshold: Double): Seq[(Long, Long, Int, Double)] = {
@@ -50,7 +53,8 @@ class DbscanSpec extends AnyFunSuite {
       j <- (i + 1) until vs.length
     } {
       val (ia, la, va) = vs(i); val (ib, _, vb) = vs(j)
-      val collide = bandsOf(va).zip(bandsOf(vb)).exists { case (x, y) => x == y }
+      val collide = bandsOf(va, bandWidth).zip(bandsOf(vb, bandWidth))
+        .exists { case (x, y) => x == y }
       if (collide) {
         val sim = round6(dot(va, vb) /
           (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb))))
@@ -109,17 +113,12 @@ class DbscanSpec extends AnyFunSuite {
     // width uses the PLANTED row count (8 x 25 = 200 -> s = 4)
     val rows = planted.collect().map(r => (r.getLong(0), r.getInt(1),
       r.getSeq[Float](2).map(_.toDouble).toArray))
-    val n = rows.length.toLong
-    val lg = 63 - java.lang.Long.numberOfLeadingZeros(n)
-    val w = math.min(16, math.max(4, lg - 7))
-    def bands(v: Array[Double]): Array[Long] =
-      Array.tabulate(VectorOps.NearDupBands)(j =>
-        (0 until w).map(i => if (v(j * w + i) >= 0) 1L << i else 0L).sum)
+    val w = bandWidthFor(rows.length.toLong)
     val expected = (for {
       (la, vs) <- rows.groupBy(_._2).toSeq
       i <- vs.indices; j <- (i + 1) until vs.length
       (ia, _, va) = vs(i); (ib, _, vb) = vs(j)
-      if bands(va).zip(bands(vb)).exists { case (x, y) => x == y }
+      if bandsOf(va, w).zip(bandsOf(vb, w)).exists { case (x, y) => x == y }
       sim = round6(dot(va, vb) /
         (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb))))
       if sim >= 0.35
