@@ -22,13 +22,24 @@ object GraftSession {
     * shuffle partitions matched to cores, UTC, UI off, WARN logs. */
   def driverLocal(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER opts the same contract session into a real
+    // multi-process master — `local-cluster[2,4,4096]` runs each executor
+    // in its OWN JVM, so driver/executor state separation (broadcasts,
+    // closures, memo caches, localCheckpoint blocks) is actually crossed
+    // a process boundary instead of silently shared inside local[*].
+    // Separate-JVM executors need the engine classes on their classpath:
+    // SPARK_GRAFT_EXECUTOR_CP (e.g. target/scala-2.13/classes).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_EXECUTOR_CP").foreach(cp =>
+      b.config("spark.executor.extraClassPath",
+        new java.io.File(cp).getAbsolutePath))
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

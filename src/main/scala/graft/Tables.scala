@@ -58,6 +58,53 @@ object Tables {
     s"$canon#$digest"
   }
 
+  /** Corpus row counts, memoized per (session, corpus contents, table).
+    *
+    * The banded near-dup generator (`VectorOps.bandedLabelPairs`) sizes
+    * its adaptive band width from the corpus cardinality; before this
+    * memo each invocation paid a full `count()` scan of the embeddings
+    * table (qe2 and qe17 each paid it — an extra corpus pass per query
+    * that is not free at 100 TB). Keys carry the contents fingerprint
+    * (`contentKey`: file list + sizes + mtimes), so a corpus rewritten
+    * in place mid-session misses the stale entry and recounts instead of
+    * serving a stale cardinality — the same staleness contract as the
+    * MinHash/ANN memos. The cached value is exactly what `count()` on the
+    * freshly-loaded table returns, so width decisions derived from it are
+    * bit-identical to the un-memoized form (spec-asserted). */
+  private val countCache = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]()
+
+  /** Number of real count jobs run (cache misses) — spec instrumentation
+    * asserting "one count per session per table", not a public API. */
+  private[graft] val countComputes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def countsFor(spark: SparkSession) = countCache.synchronized {
+    var m = countCache.get(spark)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+      countCache.put(spark, m)
+    }
+    m
+  }
+
+  /** Memoized `count()` of `dir/name.parquet` — one scan per (session,
+    * corpus contents, table); every later caller reads the cached Long. */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long = {
+    val m = countsFor(spark)
+    val key = s"${contentKey(dir)}::$name"
+    val hit = m.get(key)
+    if (hit != null) hit.longValue
+    else {
+      // plain get/put, not computeIfAbsent: apply() + count() can touch
+      // other session state, and a nested computeIfAbsent on the same
+      // map is a recursive-update violation (see MinHashLSH.nearDups)
+      val n = apply(spark, dir, name).count()
+      countComputes.incrementAndGet()
+      m.put(key, n)
+      n
+    }
+  }
+
   /** `events.parquet` carries TIMESTAMP(NANOS) which vanilla Spark parquet
     * readers reject (parquet nanos have no Catalyst type). We read nanos as
     * Long via the legacy conf and convert to a microsecond timestamp by

@@ -106,9 +106,15 @@ object VectorOps {
     * corpus). The label joins the digest key: byte-identical vectors
     * under DIFFERENT labels never pair under label blocking and must
     * stay distinct groups. */
-  private[graft] def bandedLabelPairs(e: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def bandedLabelPairs(e: DataFrame, threshold: Double,
+                                      corpusSize: Long): DataFrame = {
     import graft.dedup.Collapse
-    val s = graft.similarity.SemDedup.subBits(e.count())
+    // corpusSize is the full-table cardinality (what e.count() returns);
+    // callers on a Tables corpus pass the memoized Tables.rowCount so the
+    // width sizing no longer pays a corpus scan per invocation (qe2 and
+    // qe17 each paid one). The width must be bit-identical to the
+    // un-memoized form — spec-asserted in MemoFreshnessSpec.
+    val s = graft.similarity.SemDedup.subBits(corpusSize)
     // NULL-label rows can never pair under label blocking (a.label ===
     // b.label is null-rejecting in both engines), but xxhash64 SKIPS null
     // fields, so without this filter byte-identical null-label vectors
@@ -151,7 +157,8 @@ object VectorOps {
     // out near cosine 0.47, so 0.35 yields a real (non-empty) result for
     // the oracle; production near-dup thresholds (≥0.9) live in the
     // SRP-LSH path (qs9), which shares its oracle shape
-    val pairs = bandedLabelPairs(emb(spark, dir), threshold = 0.35)
+    val pairs = bandedLabelPairs(emb(spark, dir), threshold = 0.35,
+      corpusSize = Tables.rowCount(spark, dir, "embeddings"))
     graft.plans.ScaleTechniques.sortedOutput(pairs, Seq("id_a", "id_b"))
   }
 
@@ -185,7 +192,8 @@ object VectorOps {
   def qe17Dbscan(spark: SparkSession, dir: String,
                  eps: Double = DbscanEps, minPts: Int = DbscanMinPts): DataFrame = {
     val e = emb(spark, dir)
-    val pairs = bandedLabelPairs(e, threshold = eps)
+    val pairs = bandedLabelPairs(e, threshold = eps,
+        corpusSize = Tables.rowCount(spark, dir, "embeddings"))
       .select("id_a", "id_b")
       .localCheckpoint(true)
     val nbrs = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))

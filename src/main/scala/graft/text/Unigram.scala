@@ -69,6 +69,24 @@ object Unigram {
     }
   }
 
+  /** Sanctioned upstream pre-filter for non-BMP corpora: TRUE iff `text`
+    * contains no supplementary code point and no stray surrogate — i.e.
+    * exactly the rows `requireBmp` accepts. The kernels still fail loudly
+    * on non-BMP input (BMP-only is the documented contract); this is the
+    * remediation path for operators of real-world corpora (emoji, CJK
+    * extensions) so they can gate rows EXPLICITLY instead of aborting the
+    * run, keeping the exclusion auditable:
+    * {{{
+    *   val ok  = docs.filter(Unigram.isBmp(col("text")))
+    *   val out = docs.filter(!Unigram.isBmp(col("text")))  // report these
+    * }}}
+    * Implemented as a codegen'd rlike, not a UDF: supplementary code
+    * points match the first alternative (Java regex matches by code
+    * point), unpaired surrogates — representable in Spark strings even
+    * though invalid UTF-8 — match the second. */
+  def isBmp(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    !text.rlike("[\\x{10000}-\\x{10FFFF}]|[\\x{D800}-\\x{DFFF}]")
+
   /** The induced vocabulary: (piece, cnt), gated and capped with the
     * deterministic (cnt DESC, piece ASC) order. Spread by cores first —
     * counting is partitioning-insensitive and a small corpus otherwise

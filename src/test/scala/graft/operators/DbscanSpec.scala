@@ -105,7 +105,8 @@ class DbscanSpec extends AnyFunSuite {
     val planted = (0 until 8).map(k =>
       base.select((col("vec_id") + lit(k * 10000L)).as("vec_id"),
         col("label"), col("embedding"))).reduce(_ unionByName _)
-    val got = VectorOps.bandedLabelPairs(planted, threshold = 0.35)
+    val got = VectorOps.bandedLabelPairs(planted, threshold = 0.35,
+        corpusSize = planted.count())
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
       .sortBy(p => (p._1, p._2)).toSeq
 

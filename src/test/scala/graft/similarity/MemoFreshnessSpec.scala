@@ -113,4 +113,45 @@ class MemoFreshnessSpec extends AnyFunSuite {
     // a stale index would still rank the 20-vector store's candidates
     assert(after == expect, "indexed search must reflect the rewritten corpus")
   }
+
+  test("rowCount runs one count per session per table and refreshes on rewrite") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_memo_count").toString
+    def write(n: Int): Unit =
+      (0 until n).map(i => (i.toLong, Seq.fill(4)(i.toDouble), i % 2))
+        .toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    write(20)
+    val misses0 = Tables.countComputes.get()
+    assert(Tables.rowCount(spark, dir, "embeddings") == 20L)
+    assert(Tables.countComputes.get() == misses0 + 1, "first call counts")
+    assert(Tables.rowCount(spark, dir, "embeddings") == 20L)
+    assert(Tables.countComputes.get() == misses0 + 1,
+      "second call must hit the memo — zero extra count jobs")
+    write(37) // in-place rewrite changes the contents fingerprint
+    assert(Tables.rowCount(spark, dir, "embeddings") == 37L,
+      "rewrite must miss the stale entry and recount")
+    assert(Tables.countComputes.get() == misses0 + 2)
+  }
+
+  test("qe2 + qe17 share one memoized embeddings count (band width unchanged)") {
+    val dir = graft.SparkTestSession.sfDir
+    // prime the memo, then assert the two banded-generator queries add
+    // ZERO count jobs — before round 15 each invocation paid a full
+    // e.count() scan to size the adaptive band width
+    val n = Tables.rowCount(spark, dir, "embeddings")
+    assert(n > 0)
+    val before = Tables.countComputes.get()
+    val qe2 = graft.operators.VectorOps.qe2NearDupPairs(spark, dir)
+    val qe17 = graft.operators.VectorOps.qe17Dbscan(spark, dir)
+    assert(qe2.count() > 0 && qe17.count() > 0)
+    assert(Tables.countComputes.get() == before,
+      "banded generator must reuse the memoized corpus size")
+    // the width the memo feeds is bit-identical to the un-memoized form:
+    // subBits is a pure function of the cardinality count() returns
+    assert(graft.similarity.SemDedup.subBits(n) ==
+      graft.similarity.SemDedup.subBits(
+        Tables(spark, dir, "embeddings").count()))
+  }
 }

@@ -106,4 +106,29 @@ class UnigramSpec extends AnyFunSuite {
     val ok = Seq.fill(Unigram.MinPieceCount)("ébéb")
     assert(Unigram.segmentFrame(docsDf(ok)).count() == ok.length)
   }
+
+  test("isBmp is the sanctioned pre-filter: accepts exactly what the kernels do") {
+    import org.apache.spark.sql.functions._
+    val emoji = new String(Character.toChars(0x1F600))
+    val rows = Seq(
+      ("ascii only", true), ("ébéb BMP accents", true),
+      ("中文 BMP CJK", true), ("has " + emoji + " emoji", false))
+    val got = rows.map(_._1).toDF("text")
+      .select(col("text"), Unigram.isBmp(col("text")).as("ok"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    rows.foreach { case (t, want) => assert(got(t) == want, s"isBmp('$t')") }
+    // the stray-surrogate alternative can't be exercised THROUGH Spark —
+    // UTF8String replaces an unpaired surrogate on UTF-8 encode, so a
+    // Spark string column can never hold one — but the pattern itself
+    // must still reject it (defensive; Java-side Strings can carry them)
+    val p = java.util.regex.Pattern.compile(
+      "[\\x{10000}-\\x{10FFFF}]|[\\x{D800}-\\x{DFFF}]")
+    assert(p.matcher("stray " + "\uD800" + " surrogate").find())
+    assert(!p.matcher("plain bmp").find())
+    // the filtered corpus passes the kernel guard end-to-end
+    val mixed = Seq.fill(Unigram.MinPieceCount)("abab") :+ ("abab" + emoji)
+    val gated = docsDf(mixed).filter(Unigram.isBmp(col("text")))
+    assert(gated.count() == Unigram.MinPieceCount)
+    assert(Unigram.segmentFrame(gated).count() == Unigram.MinPieceCount)
+  }
 }

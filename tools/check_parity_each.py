@@ -8,8 +8,9 @@ stderr head — never folded into the timeout-skip bucket. Driver-side
 only, like check_parity.py."""
 import json, os, shutil, subprocess, sys, tempfile
 
-sf_dir, out_dir = sys.argv[1], sys.argv[2]
-per_q_timeout = int(sys.argv[3]) if len(sys.argv) > 3 else 120
+argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+sf_dir, out_dir = argv[0], argv[1]
+per_q_timeout = int(argv[2]) if len(argv) > 2 else 120
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 results = {}
 for name in sorted(oracle):
@@ -27,6 +28,12 @@ for name in sorted(oracle):
                 capture_output=True, text=True, timeout=per_q_timeout)
             out = p.stdout.strip().splitlines()
             verdict = next((l for l in out if l.startswith(("PASS", "FAIL"))), None)
+            # a PASS line from a child that then exited non-zero (crash
+            # after comparison) must not be trusted — returncode gates
+            if verdict is not None and verdict.startswith("PASS") and p.returncode != 0:
+                err = (p.stderr or "").strip().splitlines()
+                verdict = (f"CRASH {name}: exit={p.returncode} after PASS line"
+                           + (" | " + " | ".join(err[-3:]) if err else ""))
             if verdict is None:
                 err = (p.stderr or "").strip().splitlines()
                 verdict = (f"CRASH {name}: exit={p.returncode} "
@@ -43,5 +50,11 @@ n_fail = sum(1 for v in results.values() if v.startswith("FAIL"))
 n_crash = sum(1 for v in results.values() if v.startswith("CRASH"))
 n_to = len(results) - n_pass - n_fail - n_crash
 print(f"\n{n_pass} pass / {n_fail} fail / {n_crash} crash / {n_to} oracle-timeout")
-if n_fail or n_crash:
+# timeouts gate too: a chronically-timing-out oracle must not silently
+# drop out of the parity surface. --allow-timeout opts back in explicitly.
+allow_to = "--allow-timeout" in sys.argv
+if n_fail or n_crash or (n_to and not allow_to):
+    if n_to and not allow_to:
+        print(f"exit 1: {n_to} oracle timeout(s) — pass --allow-timeout "
+              "to accept a reduced parity surface", file=sys.stderr)
     sys.exit(1)
