@@ -39,6 +39,8 @@ object GraftSession {
     sys.env.get("SPARK_GRAFT_EXECUTOR_CP").foreach(cp =>
       b.config("spark.executor.extraClassPath",
         new java.io.File(cp).getAbsolutePath))
+    sys.env.get("SPARK_GRAFT_EXECUTOR_MEM").foreach(m =>
+      b.config("spark.executor.memory", m))
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
