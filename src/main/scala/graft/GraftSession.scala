@@ -30,20 +30,46 @@ object GraftSession {
     // Separate-JVM executors need the engine classes on their classpath:
     // SPARK_GRAFT_EXECUTOR_CP (e.g. target/scala-2.13/classes).
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // shuffle partitions follow the MASTER's core count, not the local[]
+    // default, when an override names a parseable topology — otherwise an
+    // unset SPARK_GRAFT_CPUS silently halves parallelism under
+    // local-cluster (the round-14 local[4] measurement trap, again)
+    val parts = (sys.env.get("SPARK_GRAFT_CPUS"), totalCores(master)) match {
+      case (Some(c), _)    => c
+      case (None, Some(n)) => n.toString
+      case (None, None)    => cpus
+    }
     val b = SparkSession.builder()
       .master(master)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // each PATH-SEPARATED entry is absolutized (executors resolve relative
+    // paths against their own work dir, not the driver cwd)
     sys.env.get("SPARK_GRAFT_EXECUTOR_CP").foreach(cp =>
       b.config("spark.executor.extraClassPath",
-        new java.io.File(cp).getAbsolutePath))
+        cp.split(java.io.File.pathSeparator).filter(_.nonEmpty)
+          .map(new java.io.File(_).getAbsolutePath)
+          .mkString(java.io.File.pathSeparator)))
     sys.env.get("SPARK_GRAFT_EXECUTOR_MEM").foreach(m =>
       b.config("spark.executor.memory", m))
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
+  }
+
+  /** Total executor cores implied by a master URL, when parseable:
+    * `local[n]` → n, `local-cluster[w,c,m]` → w×c. `local[*]` and real
+    * cluster URLs return None (the caller falls back to its default). */
+  private[graft] def totalCores(master: String): Option[Int] = {
+    val local = """local\[(\d+)\]""".r
+    val localCluster = """local-cluster\[\s*(\d+)\s*,\s*(\d+)\s*,\s*\d+\s*\]""".r
+    master.trim match {
+      case local(n)           => Some(n.toInt)
+      case localCluster(w, c) => Some(w.toInt * c.toInt)
+      case _                  => None
+    }
   }
 
   /** Shared tuning, cluster or local. The settings and their 100 TB

@@ -91,7 +91,11 @@ object Tables {
     * corpus contents, table); every later caller reads the cached Long. */
   def rowCount(spark: SparkSession, dir: String, name: String): Long = {
     val m = countsFor(spark)
-    val key = s"${contentKey(dir)}::$name"
+    // key on the TABLE's own contents, not the whole corpus dir (the
+    // SemDedupStream/PqStream idiom): a whole-dir fingerprint walks and
+    // hashes every table's files on each call — even cache hits — and a
+    // rewrite of an UNRELATED table would needlessly invalidate this one
+    val key = contentKey(s"$dir/$name.parquet")
     val hit = m.get(key)
     if (hit != null) hit.longValue
     else {

@@ -59,7 +59,8 @@ class SkewRobustnessSpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(l)
     try body
     finally {
-      Thread.sleep(3000) // listener bus delivery is async — let it drain
+      // deterministic drain — a fixed sleep can drop late TaskEnd events
+      org.apache.spark.GraftTestBridge.drainListenerBus(spark.sparkContext)
       spark.sparkContext.removeSparkListener(l)
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)

@@ -8,6 +8,10 @@ stderr head — never folded into the timeout-skip bucket. Driver-side
 only, like check_parity.py."""
 import json, os, shutil, subprocess, sys, tempfile
 
+flags = [a for a in sys.argv[1:] if a.startswith("--")]
+unknown = [f for f in flags if f != "--allow-timeout"]
+if unknown:  # a swallowed typo'd flag silently wastes a ~28-min sweep
+    sys.exit(f"unknown flag(s): {', '.join(unknown)} (supported: --allow-timeout)")
 argv = [a for a in sys.argv[1:] if not a.startswith("--")]
 sf_dir, out_dir = argv[0], argv[1]
 per_q_timeout = int(argv[2]) if len(argv) > 2 else 120
