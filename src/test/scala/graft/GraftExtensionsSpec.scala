@@ -15,4 +15,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     ext(new SparkSessionExtensions)
     ext(new SparkSessionExtensions)
   }
+
+  test("totalCores parses the master topologies the contract session accepts") {
+    assert(GraftSession.totalCores("local[4]") == Some(4))
+    assert(GraftSession.totalCores("local[32]") == Some(32))
+    assert(GraftSession.totalCores("local-cluster[2,4,4096]") == Some(8))
+    assert(GraftSession.totalCores("local-cluster[ 3 , 8 , 2048 ]") == Some(24))
+    // unparseable topologies fall back to the caller's default
+    assert(GraftSession.totalCores("local[*]").isEmpty)
+    assert(GraftSession.totalCores("spark://host:7077").isEmpty)
+    assert(GraftSession.totalCores("yarn").isEmpty)
+  }
 }
