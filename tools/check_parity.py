@@ -9,19 +9,41 @@ import numpy as np
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
-con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+# One FRESH bounded connection per oracle. A shared connection retains
+# buffer-pool state across queries, and on large corpora (tmp/sf10:
+# 10M-row events) a window oracle running after a heavy string_agg one
+# dies with "Failed to allocate block ... (bad allocation)" while the box
+# has >100 GiB free — per-query isolation (the same design as
+# check_parity_each.py's per-query process) removes the cross-query
+# state entirely. The memory_limit bound plus a spill temp_directory keep
+# any single oracle inside a predictable footprint (DUCKDB_MEMLIMIT
+# overrides the default 12GB).
+import os, tempfile
+def fresh_con():
+    c = duckdb.connect()
+    c.sql(f"SET memory_limit='{os.environ.get('DUCKDB_MEMLIMIT', '12GB')}'")
+    # DuckDB 1.0's window/agg operators mis-account per-thread state at
+    # high thread counts: at 32 threads on a 10M-row corpus they die with
+    # "Failed to allocate block ... (bad allocation)" nondeterministically
+    # while >100 GiB is free; the same query is reliable at ≤16 threads.
+    c.sql(f"SET threads={os.environ.get('DUCKDB_THREADS', '16')}")
+    c.sql(f"SET temp_directory='{tempfile.mkdtemp(prefix='parity_spill_')}'")
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return c
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails, passes = [], []
 for name, sql in sorted(oracle.items()):
     try:
+        con = fresh_con()
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             fails.append((name, "NO SPARK OUTPUT")); continue
         got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
         exp = con.sql(sql).df()
+        con.close()
     except Exception as e:
         fails.append((name, f"ERROR: {e}")); continue
     got = got.reindex(sorted(got.columns), axis=1)
