@@ -85,6 +85,38 @@ class SkewRobustnessSpec extends AnyFunSuite {
     }
   }
 
+  test("negative control: the harness DOES flag a label-only (unbanded) join") {
+    import spark.implicits._
+    // the retired r12 blocking shape — group by label alone; the hot
+    // label concentrates in one hash partition. If this does NOT trip
+    // the 4×-median bar, the listener harness is measuring nothing and
+    // every green test in this suite is vacuous.
+    val rnd = new scala.util.Random(7)
+    val n = 20000
+    val df = (0 until n).map { i =>
+      (i.toLong, if (i % 2 == 0) 7 else 8 + (i % 40), rnd.nextInt())
+    }.toDF("id", "label", "payload").repartition(8)
+    val prof = shuffleProfile {
+      // a WINDOW partitioned by label has no map-side combine: every row
+      // travels to its label's task, so the hot label's task reads half
+      // the corpus (an aggregate would partial-combine and hide it; and a
+      // rank filter would let Spark's WindowGroupLimit pre-prune the
+      // shuffle map-side — measured: 20k rows shrink to 168 — so the
+      // control writes EVERY ranked row)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("label").orderBy("id")
+      df.withColumn("rn", row_number().over(w))
+        .write.format("noop").mode("overwrite").save()
+    }
+    val skewed = prof.exists { case (_, recs) =>
+      val nz = recs.filter(_ > 0).sorted
+      nz.length >= 4 && nz.sum >= 1000L &&
+        nz.last > math.max(4L * nz(nz.length / 2), 256L)
+    }
+    assert(skewed, "harness failed to flag a deliberately label-skewed shuffle — " +
+      "the positive tests in this suite would be vacuous")
+  }
+
   test("banded near-dup generator stays bounded with one label owning 50%") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_skew_emb").toString
