@@ -48,16 +48,23 @@ object GraftSession {
     // each PATH-SEPARATED entry is absolutized (executors resolve relative
     // paths against their own work dir, not the driver cwd)
     sys.env.get("SPARK_GRAFT_EXECUTOR_CP").foreach(cp =>
-      b.config("spark.executor.extraClassPath",
-        cp.split(java.io.File.pathSeparator).filter(_.nonEmpty)
-          .map(new java.io.File(_).getAbsolutePath)
-          .mkString(java.io.File.pathSeparator)))
+      b.config("spark.executor.extraClassPath", absolutizeClasspath(cp)))
     sys.env.get("SPARK_GRAFT_EXECUTOR_MEM").foreach(m =>
       b.config("spark.executor.memory", m))
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Absolutize every path-separated classpath entry against the driver
+    * cwd. Absolutizing the STRING as one path corrupts a multi-entry
+    * value (only the first element gets the prefix; executors then
+    * resolve the rest against their own work dir and die with
+    * ClassNotFoundException). Empty segments are dropped. */
+  private[graft] def absolutizeClasspath(cp: String): String =
+    cp.split(java.io.File.pathSeparator).filter(_.nonEmpty)
+      .map(new java.io.File(_).getAbsolutePath)
+      .mkString(java.io.File.pathSeparator)
 
   /** Total executor cores implied by a master URL, when parseable:
     * `local[n]` → n, `local-cluster[w,c,m]` → w×c. `local[*]` and real

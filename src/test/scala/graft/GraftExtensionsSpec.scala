@@ -26,4 +26,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(GraftSession.totalCores("spark://host:7077").isEmpty)
     assert(GraftSession.totalCores("yarn").isEmpty)
   }
+
+  test("absolutizeClasspath prefixes EVERY entry, not just the first") {
+    val sep = java.io.File.pathSeparator
+    val cwd = new java.io.File(".").getAbsoluteFile.getParentFile.getPath
+    val got = GraftSession.absolutizeClasspath(
+      s"target/scala-2.13/classes${sep}target/scala-2.13/test-classes$sep")
+    val parts = got.split(sep)
+    assert(parts.length == 2, "empty trailing segment must be dropped")
+    parts.foreach(p => assert(p.startsWith(cwd), s"not absolutized: $p"))
+    // an already-absolute entry passes through unchanged
+    assert(GraftSession.absolutizeClasspath("/opt/x.jar") == "/opt/x.jar")
+  }
 }
