@@ -3037,25 +3037,13 @@ ORDER BY media_id"""
     "qs16_stream_dup_spans" -> dupSpansSql,
 
     // Exact Levenshtein over the (tiny) verified near-dup pair set.
+    // The pair surface is the SAME inverted-index graph the engine rides
+    // (TextOps.qd17EditDistance joins MinHashLSH.nearDups), so the oracle
+    // stays linear-feasible one SF above the gate instead of grinding an
+    // all-pairs Jaccard join (the old form needed 17+ min at sf0.1 and a
+    // special-cased unbounded re-run past the 600 s sweep budget).
     "qd17_edit_distance" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-        |  FROM documents
-        |), d AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 3 THEN list_distinct(
-        |      list_transform(range(1, len(toks) - 1),
-        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-        |    ELSE [] END AS sh
-        |  FROM t
-        |), p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |  -- non-empty guard: 0/0 is NaN and NaN >= 0.8 is TRUE in DuckDB
-        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
-        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE
-        |      / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.8
-        |)
+      s"""WITH $shinglePairGraphSql
         |SELECT p.doc_a, p.doc_b,
         |  levenshtein(da.text, db.text)::BIGINT AS edit_dist,
         |  round(1.0 - levenshtein(da.text, db.text)::DOUBLE

@@ -50,13 +50,32 @@ object Tables {
         Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
           .sortBy(_.getName).toSeq.flatMap(walk)
       else Seq(f)
-    val listing = walk(new java.io.File(canon)).map(f =>
-      s"${f.getAbsolutePath.stripPrefix(canon)}:${f.length}:${f.lastModified}")
-      .mkString("\n")
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"$canon#$digest"
+    val files = walk(new java.io.File(canon)).filter(_.isFile)
+    if (files.isEmpty) {
+      // The walk is java.io — it sees NOTHING on a non-local store
+      // (hdfs://, s3a://) or a not-yet-written path. A constant key here
+      // would make every memo built on this fingerprint (rowCount,
+      // MinHash pair graph, ANN indexes, stream models) serve stale
+      // state forever after an in-place rewrite. Return a per-call
+      // UNIQUE key instead: off the local FS the memos degrade to
+      // always-miss (recount / rebuild — correct, just uncached) rather
+      // than silently stale. A real deployment would fingerprint via the
+      // store's own listing API; this keeps local-mode semantics honest.
+      s"$canon#unlisted-${unlistedKeys.incrementAndGet()}"
+    } else {
+      val listing = files.map(f =>
+        s"${f.getAbsolutePath.stripPrefix(canon)}:${f.length}:${f.lastModified}")
+        .mkString("\n")
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      s"$canon#$digest"
+    }
   }
+
+  /** Monotonic suffix for `contentKey` on paths java.io cannot list —
+    * makes the "unlistable ⇒ unmemoizable" contract deterministic
+    * without wall-clock or RNG. */
+  private val unlistedKeys = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Corpus row counts, memoized per (session, corpus contents, table).
     *
@@ -88,7 +107,12 @@ object Tables {
   }
 
   /** Memoized `count()` of `dir/name.parquet` — one scan per (session,
-    * corpus contents, table); every later caller reads the cached Long. */
+    * corpus contents, table); every later caller reads the cached Long.
+    *
+    * Staleness contract: the fingerprint is a local-FS listing. On a
+    * path java.io cannot list (hdfs://, s3a://, not yet written),
+    * `contentKey` returns a per-call-unique key, so this memo degrades
+    * to always-recount there — never a stale cardinality. */
   def rowCount(spark: SparkSession, dir: String, name: String): Long = {
     val m = countsFor(spark)
     // key on the TABLE's own contents, not the whole corpus dir (the

@@ -83,9 +83,17 @@ object Unigram {
     * Implemented as a codegen'd rlike, not a UDF: supplementary code
     * points match the first alternative (Java regex matches by code
     * point), unpaired surrogates — representable in Spark strings even
-    * though invalid UTF-8 — match the second. */
+    * though invalid UTF-8 — match the second.
+    *
+    * NULL text is FALSE, not NULL: rlike null-propagates, and a
+    * three-valued result would drop null-text rows from BOTH filters of
+    * the split above (filter discards non-TRUE), silently shrinking the
+    * audit. The kernels cannot tokenize a null either, so null rows
+    * belong with the reported-out partition. */
   def isBmp(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    !text.rlike("[\\x{10000}-\\x{10FFFF}]|[\\x{D800}-\\x{DFFF}]")
+    org.apache.spark.sql.functions.coalesce(
+      !text.rlike("[\\x{10000}-\\x{10FFFF}]|[\\x{D800}-\\x{DFFF}]"),
+      org.apache.spark.sql.functions.lit(false))
 
   /** The induced vocabulary: (piece, cnt), gated and capped with the
     * deterministic (cnt DESC, piece ASC) order. Spread by cores first —

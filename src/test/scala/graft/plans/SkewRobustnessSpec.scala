@@ -157,6 +157,106 @@ class SkewRobustnessSpec extends AnyFunSuite {
     assertBounded(prof, "connected components")
   }
 
+  /** Save/set/restore session confs around `body` (unset restores the
+    * built-in default). */
+  private def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("byte-skew: AQE splits a long-payload hot key's join partition (skew= in plan)") {
+    import spark.implicits._
+    // BYTE skew, not record skew: every key gets exactly 200 rows, so the
+    // record-count harness above is blind to this fixture by construction
+    // — but key 7 carries ~8 KiB of incompressible payload per row vs
+    // 16 B elsewhere, so ~70% of the join's shuffle BYTES land in one
+    // hash partition. This is the case PLAN_AUDIT's header previously
+    // claimed only as config ("skewJoin.enabled=true"): here the splitter
+    // must actually fire — `skew=true` in the executed plan — and the
+    // physical byte distribution must come out bounded.
+    val rnd = new scala.util.Random(16)
+    def blob(len: Int): String = {
+      val a = new Array[Char](len)
+      var i = 0
+      while (i < len) { a(i) = ('a' + rnd.nextInt(26)).toChar; i += 1 }
+      new String(a)
+    }
+    val nKeys = 200
+    val left = (0 until nKeys).flatMap { k =>
+      (0 until 200).map(i => (k, i.toLong, blob(if (k == 7) 8192 else 16)))
+    }.toDF("key", "seq", "payload").repartition(8)
+    val right = (0 until nKeys).map(k => (k, s"dim$k")).toDF("key", "name")
+
+    val bytesByStage = mutable.ArrayBuffer.empty[(Int, Long)]
+    val l = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) bytesByStage.synchronized {
+          bytesByStage += ((t.stageId, m.shuffleReadMetrics.totalBytesRead))
+        }
+      }
+    }
+    var plan = ""
+    withConfs(
+      "spark.sql.shuffle.partitions" -> "32",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // production defaults (factor 5, threshold 256 MB, advisory 64 MB)
+      // assume production-sized partitions; scaled down in the SAME
+      // ratios so a ~1.6 MiB hot partition is to this fixture what a
+      // multi-GiB one is to a real corpus
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "262144",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "131072",
+      // coalescing would merge the many tiny cold partitions of this
+      // deliberately small fixture into one task and drown the signal
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      // broadcast (planning-time AND AQE runtime demotion) would bypass
+      // the shuffled join under test — the tiny dim side must SMJ
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val joined = left.join(right, "key")
+          .select(col("key"), col("seq"), length(col("payload")).as("plen"),
+            col("name"))
+        // collect() executes THIS queryExecution (foreach would detour
+        // through a separate deserializing QE and leave this plan
+        // un-finalized); the payload is projected away above, so the
+        // driver receives 40k skinny rows, not the blobs
+        assert(joined.collect().length == nKeys * 200)
+        plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("isFinalPlan=true"), s"AQE did not finalize:\n$plan")
+      } finally {
+        org.apache.spark.GraftTestBridge.drainListenerBus(spark.sparkContext)
+        spark.sparkContext.removeSparkListener(l)
+      }
+    }
+    assert(plan.contains("skew=true"),
+      s"AQE skew-join splitter did not fire — executed plan:\n$plan")
+    // and the split is physical, not just cosmetic: in every byte-heavy
+    // shuffle-read stage, no single task read the hot key's whole ~70%
+    // byte share (unsplit, the hot task reads ~1.6 MiB of ~2.3 MiB total)
+    val stages = bytesByStage.synchronized {
+      bytesByStage.groupBy(_._1).map { case (sid, ts) => (sid, ts.map(_._2)) }
+    }
+    val heavy = stages.filter { case (_, bs) =>
+      bs.count(_ > 0) >= 4 && bs.sum >= (1L << 20) }
+    assert(heavy.nonEmpty, "fixture produced no byte-heavy shuffle stage")
+    heavy.foreach { case (sid, bs) =>
+      val mx = bs.max.toDouble
+      val tot = bs.sum.toDouble
+      assert(mx / tot <= 0.6,
+        s"stage $sid byte-skewed after AQE: max task read ${bs.max} of " +
+          s"${bs.sum} bytes (${math.round(100 * mx / tot)}%)")
+    }
+  }
+
   test("history fact build stays bounded with one user owning 50% of events") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_skew_ev").toString

@@ -29,6 +29,19 @@ class MemoFreshnessSpec extends AnyFunSuite {
     assert(Tables.contentKey(dir) != k1, "rewrite must change the key")
   }
 
+  test("contentKey on an unlistable path is unique per call (no stale memo)") {
+    // java.io sees nothing on a non-local store (hdfs://, s3a://) or a
+    // not-yet-written path; a CONSTANT key there would pin every memo to
+    // the first-ever build across in-place rewrites (ADVICE r15). The
+    // contract is "unlistable ⇒ unmemoizable": each call keys fresh.
+    val ghost = "/nonexistent/graft_ckey_ghost"
+    assert(Tables.contentKey(ghost) != Tables.contentKey(ghost),
+      "unlistable paths must never produce a reusable fingerprint")
+    val empty = Files.createTempDirectory("graft_ckey_empty").toString
+    assert(Tables.contentKey(empty) != Tables.contentKey(empty),
+      "an empty dir has no contents to fingerprint either")
+  }
+
   test("MinHash signature memo rebuilds after an in-place corpus rewrite") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_memo_mh").toString

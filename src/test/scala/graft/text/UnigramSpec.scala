@@ -131,4 +131,23 @@ class UnigramSpec extends AnyFunSuite {
     assert(gated.count() == Unigram.MinPieceCount)
     assert(Unigram.segmentFrame(gated).count() == Unigram.MinPieceCount)
   }
+
+  test("isBmp(NULL) is FALSE, so the ok/out split loses no rows (ADVICE r15)") {
+    import org.apache.spark.sql.functions._
+    // rlike null-propagates; without the coalesce a null-text row would
+    // fail BOTH filter(isBmp) and filter(!isBmp) — an unauditable drop
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("bmp ok"),
+        org.apache.spark.sql.Row(null),
+        org.apache.spark.sql.Row("x" + new String(Character.toChars(0x1F600)))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    val ok = df.filter(Unigram.isBmp(col("text"))).count()
+    val out = df.filter(!Unigram.isBmp(col("text"))).count()
+    assert(ok == 1L, "only the BMP row passes the gate")
+    assert(out == 2L, "null text lands in the reported-out partition")
+    assert(ok + out == df.count(), "the split is a partition — no silent drop")
+  }
 }

@@ -19,7 +19,7 @@ out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 # any single oracle inside a predictable footprint (DUCKDB_MEMLIMIT
 # overrides the default 12GB).
 import os, tempfile
-def fresh_con():
+def fresh_con(spill_dir):
     c = duckdb.connect()
     c.sql(f"SET memory_limit='{os.environ.get('DUCKDB_MEMLIMIT', '12GB')}'")
     # DuckDB 1.0's window/agg operators mis-account per-thread state at
@@ -27,7 +27,7 @@ def fresh_con():
     # "Failed to allocate block ... (bad allocation)" nondeterministically
     # while >100 GiB is free; the same query is reliable at ≤16 threads.
     c.sql(f"SET threads={os.environ.get('DUCKDB_THREADS', '16')}")
-    c.sql(f"SET temp_directory='{tempfile.mkdtemp(prefix='parity_spill_')}'")
+    c.sql(f"SET temp_directory='{spill_dir}'")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -36,14 +36,21 @@ def fresh_con():
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails, passes = [], []
 for name, sql in sorted(oracle.items()):
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        fails.append((name, "NO SPARK OUTPUT")); continue
     try:
-        con = fresh_con()
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        if not files:
-            fails.append((name, "NO SPARK OUTPUT")); continue
-        got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
-        exp = con.sql(sql).df()
-        con.close()
+        # TemporaryDirectory + try/finally close: spill dirs are removed
+        # and the connection released on EVERY path (a full sf0.1 sweep
+        # used to strand 150+ parity_spill_* dirs and leak connections on
+        # oracle errors until process exit — ADVICE r15)
+        with tempfile.TemporaryDirectory(prefix="parity_spill_") as spill:
+            con = fresh_con(spill)
+            try:
+                got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+                exp = con.sql(sql).df()
+            finally:
+                con.close()
     except Exception as e:
         fails.append((name, f"ERROR: {e}")); continue
     got = got.reindex(sorted(got.columns), axis=1)
