@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native single-pass replacements for the two fixed-pattern
+  * `regexp_count` calls on the documents hot path (qd2's BPE-ish token
+  * count, qd3's punctuation count).
+  *
+  * Why not `regexp_count`: measured on the sf10 corpus (500k docs,
+  * 160M chars), `regexp_count(text, '[^a-zA-Z0-9\s]')` costs ~23 s
+  * wall inside Spark at any parallelism (the same corpus through a raw
+  * single-threaded `Matcher.find` loop is 9 s — java.util.regex pays
+  * per-position machinery on a pattern that fails at every position,
+  * and the expression path adds another ~3× on top), while this
+  * byte-scan kernel does the identical count in 0.25 s. The pattern is
+  * a fixed character class, so a regex engine buys nothing.
+  *
+  * Semantics are bit-equal to the regex forms (property-tested against
+  * `regexp_count` in TextCountsSpec):
+  *   - java `\s` is ASCII-only: [ \t\n\x0B\f\r];
+  *   - a negated class matches one CODE POINT per hit, so any
+  *     non-ASCII code point counts exactly once (UTF-8 lead byte, with
+  *     continuation bytes skipped);
+  *   - alternation `[a-z]+|[0-9]+|[^a-z0-9\s]` is leftmost-greedy: a
+  *     maximal lowercase or digit run is one token, every other
+  *     non-whitespace code point (uppercase included) is its own token
+  *     — exactly the run-DFA below.
+  * Both stay inside whole-stage codegen via nullSafeCodeGen, reading
+  * the UTF8String bytes directly (no String materialization). */
+case class PunctCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_punct_count"
+
+  override def nullSafeEval(input: Any): Any =
+    TextCounts.punctCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextCounts.punctCount($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Count of `[a-z]+|[0-9]+|[^a-z0-9\s]` matches — see [[PunctCount]]. */
+case class BpeTokenCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_bpe_token_count"
+
+  override def nullSafeEval(input: Any): Any =
+    TextCounts.bpeTokenCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextCounts.bpeTokenCount($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextCounts {
+  val PunctName = "graft_punct_count"
+  val BpeName = "graft_bpe_token_count"
+
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      PunctName, exprs => PunctCount(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BpeName, exprs => BpeTokenCount(exprs.head), "scala_udf")
+  }
+
+  /** `regexp_count(c, '[^a-zA-Z0-9\s]')` as one byte scan. */
+  def punctCount(c: Column): Column = {
+    register(SparkSession.active)
+    call_function(PunctName, c)
+  }
+
+  /** `regexp_count(c, '[a-z]+|[0-9]+|[^a-z0-9\s]')` as one byte scan. */
+  def bpeTokenCount(c: Column): Column = {
+    register(SparkSession.active)
+    call_function(BpeName, c)
+  }
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** Static kernel shared by eval and generated code: code points
+    * outside [a-zA-Z0-9 \t\n\x0B\f\r]. Continuation bytes (10xxxxxx)
+    * are skipped so a multi-byte code point counts once. */
+  def punctCount(s: UTF8String): Int = {
+    val n = s.numBytes()
+    var i = 0
+    var count = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b >= 0) { // ASCII
+        val ok = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+          (b >= '0' && b <= '9') || isWs(b)
+        if (!ok) count += 1
+      } else if ((b & 0xC0) != 0x80) { // non-ASCII lead byte
+        count += 1
+      }
+      i += 1
+    }
+    count
+  }
+
+  /** Static kernel: leftmost-greedy run DFA for
+    * [a-z]+|[0-9]+|[^a-z0-9\s]. States: 0 none, 1 in a lowercase run,
+    * 2 in a digit run. Uppercase / punct / non-ASCII code points are
+    * single-hit tokens and reset the run state. */
+  def bpeTokenCount(s: UTF8String): Int = {
+    val n = s.numBytes()
+    var i = 0
+    var count = 0
+    var state = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b >= 0) { // ASCII
+        if (b >= 'a' && b <= 'z') {
+          if (state != 1) { count += 1; state = 1 }
+        } else if (b >= '0' && b <= '9') {
+          if (state != 2) { count += 1; state = 2 }
+        } else if (isWs(b)) {
+          state = 0
+        } else { // uppercase or ASCII punct: one token per char
+          count += 1; state = 0
+        }
+      } else if ((b & 0xC0) != 0x80) { // non-ASCII code point: one token
+        count += 1; state = 0
+      }
+      i += 1
+    }
+    count
+  }
+}
