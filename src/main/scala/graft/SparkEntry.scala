@@ -3042,6 +3042,11 @@ ORDER BY media_id"""
     // stays linear-feasible one SF above the gate instead of grinding an
     // all-pairs Jaccard join (the old form needed 17+ min at sf0.1 and a
     // special-cased unbounded re-run past the 600 s sweep budget).
+    // INDEPENDENCE BACKSTOP: because oracle and engine share the pair
+    // surface, recall loss in that surface is invisible to parity —
+    // DedupSpec's planted-pair tests (including the borderline pair at
+    // Jaccard exactly 0.8) are the mandatory check for any change to the
+    // banding parameters or the verify threshold.
     "qd17_edit_distance" ->
       s"""WITH $shinglePairGraphSql
         |SELECT p.doc_a, p.doc_b,

@@ -89,15 +89,18 @@ object TextCounts {
       BpeName, exprs => BpeTokenCount(exprs.head), "scala_udf")
   }
 
-  /** `regexp_count(c, '[^a-zA-Z0-9\s]')` as one byte scan. */
-  def punctCount(c: Column): Column = {
-    register(SparkSession.active)
+  /** `regexp_count(c, '[^a-zA-Z0-9\s]')` as one byte scan. The session
+    * is threaded from the caller (not `SparkSession.active`) so the
+    * temp function lands in the registry of the session that will
+    * analyze the plan, regardless of thread-local state. */
+  def punctCount(spark: SparkSession, c: Column): Column = {
+    register(spark)
     call_function(PunctName, c)
   }
 
   /** `regexp_count(c, '[a-z]+|[0-9]+|[^a-z0-9\s]')` as one byte scan. */
-  def bpeTokenCount(c: Column): Column = {
-    register(SparkSession.active)
+  def bpeTokenCount(spark: SparkSession, c: Column): Column = {
+    register(spark)
     call_function(BpeName, c)
   }
 

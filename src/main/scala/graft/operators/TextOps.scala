@@ -56,7 +56,7 @@ object TextOps {
       .select(
         col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
-        graft.functions.TextCounts.bpeTokenCount(col("text"))
+        graft.functions.TextCounts.bpeTokenCount(spark, col("text"))
           .cast("long").as("bpe_tokens"),
         length(col("text")).cast("long").as("n_chars_actual"))
       // size-gated sort: a plain orderBy re-executes the scan subtree
@@ -81,7 +81,7 @@ object TextOps {
         // regexp_count(text, '[^a-zA-Z0-9\s]'), ~100× cheaper at sf10:
         // a never-matching negated class costs the regex engine its
         // full per-position machinery — 23 s vs 0.25 s on 500k docs)
-        round(graft.functions.TextCounts.punctCount(col("text"))
+        round(graft.functions.TextCounts.punctCount(spark, col("text"))
           .cast("double") / length(col("text")), 6).as("punct_ratio"),
         round(stopHits.cast("double") / size(words), 6).as("stopword_ratio"),
         round(length(regexp_replace(col("text"), "\\s+", ""))

@@ -32,6 +32,43 @@ class DedupSpec extends AnyFunSuite {
     assert(!cands.contains((0L, 2L)) && !cands.contains((1L, 2L)))
   }
 
+  test("borderline planted pair at Jaccard exactly 0.8 survives the banded graph") {
+    // Independence backstop for the qd17/qs1 pair surface: the qd17
+    // oracle now rides the SAME MinHashLSH.nearDups graph as the engine,
+    // so oracle parity can no longer catch a recall loss in that surface.
+    // This pair sits ON the threshold — 11 distinct tokens, edit
+    // distance 1 (last token "kilo" → "kilos"), so the two 9-shingle
+    // sets share 8 of 10 distinct shingles: Jaccard = 8/10 = 0.8
+    // exactly. Any banding-parameter change that shrinks recall near the
+    // threshold, or any verify-phase drift to a strict `>`, trips this
+    // spec rather than passing silently.
+    val a11 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo"
+    val b11 = a11.dropRight(4) + "kilos" // J = 0.8 exactly, edit dist 1
+    // just-below control: 10 tokens, same last-token edit → 7/9 ≈ 0.778;
+    // banding may still propose it, verification must reject it
+    val a10 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val b10 = a10.dropRight(6) + "juliets"
+    val sa = MinHashLSH.shingleSet(a11).toSet
+    val sb = MinHashLSH.shingleSet(b11).toSet
+    assert((sa & sb).size == 8 && (sa | sb).size == 10,
+      s"planted geometry drifted: inter=${(sa & sb).size} union=${(sa | sb).size}")
+
+    val docs = Seq((0L, a11), (1L, b11), (2L, a10), (3L, b10),
+      (4L, unrelated)).toDF("doc_id", "text")
+    val sigs = MinHashLSH.docSignatures(spark, docs)
+      .toDF("doc_id", "txt_md5", "sh", "bands").localCheckpoint(true)
+    val cands = MinHashLSH.candidatePairs(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L)),
+      s"banding lost the J=0.8 borderline pair: $cands")
+    val pairs = MinHashLSH.pairsFromSigs(sigs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0.8),
+      s"verified graph lost the J=0.8 borderline pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 2L && p._2 == 3L),
+      s"sub-threshold pair (J≈0.778) leaked through verification: $pairs")
+  }
+
   test("exact-dup collapse bounds band buckets and preserves the pair set") {
     // a planted 150-copy exact-dup cluster (the web-boilerplate case that
     // makes naive banding quadratic), plus the usual near-dup/unrelated mix

@@ -26,12 +26,16 @@ class TextCountsSpec extends AnyFunSuite {
 
   private def rnd(seed: Int): Seq[String] = {
     val r = new scala.util.Random(seed)
-    val alphabet =
-      "ab z09AZ ,.!?-_\t\n\ré中😀！ ".toCharArray.filterNot(c =>
-        Character.isLowSurrogate(c)) // avoid minting lone surrogates
+    // draw whole CODE POINTS (not chars) so the 4-byte emoji stays an
+    // intact surrogate pair in every random string — char-level
+    // sampling either minted lone surrogates or dropped the
+    // supplementary plane from the fuzz entirely
+    val alphabet = "ab z09AZ ,.!?-_\t\n\ré中😀！ ".codePoints().toArray
     (1 to 300).map { _ =>
       val n = r.nextInt(40)
-      new String((1 to n).map(_ => alphabet(r.nextInt(alphabet.length))).toArray)
+      val sb = new java.lang.StringBuilder
+      (1 to n).foreach(_ => sb.appendCodePoint(alphabet(r.nextInt(alphabet.length))))
+      sb.toString
     }
   }
 
@@ -39,7 +43,7 @@ class TextCountsSpec extends AnyFunSuite {
     import spark.implicits._
     val rows = (edges ++ rnd(7)).toDF("t")
       .select(col("t"),
-        TextCounts.punctCount(col("t")).as("kern"),
+        TextCounts.punctCount(spark, col("t")).as("kern"),
         regexp_count(col("t"), lit(PunctRe)).as("re"))
       .collect()
     rows.foreach(r => assert(r.getInt(1) == r.getInt(2),
@@ -50,7 +54,7 @@ class TextCountsSpec extends AnyFunSuite {
     import spark.implicits._
     val rows = (edges ++ rnd(13)).toDF("t")
       .select(col("t"),
-        TextCounts.bpeTokenCount(col("t")).as("kern"),
+        TextCounts.bpeTokenCount(spark, col("t")).as("kern"),
         regexp_count(col("t"), lit(BpeRe)).as("re"))
       .collect()
     rows.foreach(r => assert(r.getInt(1) == r.getInt(2),
@@ -60,8 +64,8 @@ class TextCountsSpec extends AnyFunSuite {
   test("NULL text propagates NULL through both kernels") {
     import spark.implicits._
     val r = Seq[Option[String]](None, Some("a.")).toDF("t")
-      .select(TextCounts.punctCount(col("t")),
-        TextCounts.bpeTokenCount(col("t")))
+      .select(TextCounts.punctCount(spark, col("t")),
+        TextCounts.bpeTokenCount(spark, col("t")))
       .collect()
     assert(r(0).isNullAt(0) && r(0).isNullAt(1))
     assert(r(1).getInt(0) == 1 && r(1).getInt(1) == 2)
