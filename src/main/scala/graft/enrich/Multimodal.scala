@@ -33,6 +33,11 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // memory-backed ImageIO stream cache — see the VideoFrames companion
+  // note: the default disk cache pays a tmp-file round trip per
+  // encode/decode and is the image path's dominant variance source
+  javax.imageio.ImageIO.setUseCache(false)
+
   val FeatureDim = 16
 
   /** Build the media table from the documents corpus: payload = UTF-8
