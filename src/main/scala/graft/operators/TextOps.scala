@@ -181,7 +181,29 @@ object TextOps {
 
   /** The qd6 join itself, pre-sink — exposed so the plan-shape spec can
     * assert the band is an equi key (the sink's checkpoint hides the join
-    * stage from post-hoc plan inspection). */
+    * stage from post-hoc plan inspection).
+    *
+    * SCALING ADJUDICATION (r16 sf10 finding, r17 root-caused + closed):
+    * the suite's one >10× sf1→sf10 reading (11.0× in-suite, 54× on
+    * isolated medians) was NOT this operator — it was a scale-corpus
+    * artifact. make_sf's old every-3rd-token mutation left copies of one
+    * base doc sharing exactly 2/3 of their tokens: token-set Jaccard
+    * exactly 0.5, ON this operator's threshold, planting C(F,2)
+    * cross-copy pairs per base doc (at factor 10: 34,002 of 116,377
+    * output pairs were artifacts; quadratic in F). With the generator
+    * fixed to per-copy token RENAMING (cross-copy share zero, within-copy
+    * structure isomorphic — its documented intent), the isolated 3-pass
+    * medians are 2.89 s at sf1 → 12.57 s at sf10: 4.3× for 10× rows.
+    *
+    * Plan-shape note, verified in the executed plan: the prefix rank is
+    * a `row_number` window whose filter bound `⌊(1−t)·|A|⌋ + 1` is
+    * PER-DOC (non-foldable), so InferWindowGroupLimit cannot pre-prune
+    * it — the window pays a full per-partition sort on (doc_id, df,
+    * tok). That is linear per partition at fixed partition size (a real
+    * cluster scales partition COUNT with data); no foldable-limit
+    * rewrite preserves the per-doc prefix semantics, and a collect_list
+    * + selection aggregate would shave only the log factor at the same
+    * memory footprint. Evidence in BENCH_scale.md round 17. */
   private[graft] def qd6Pairs(spark: SparkSession, dir: String): DataFrame = {
     val t = 0.5
     // consumed by the postings explode, the prefix-length meta join, and

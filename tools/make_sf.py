@@ -7,11 +7,19 @@ Unlike make_soak.py (EXACT duplicate documents/embeddings — the
 duplicate-heavy LSH stressor), copies here are made DISTINCT so the suite
 runs in the mostly-unique regime a real sf1 corpus has:
 
-  - document copy k > 0 replaces every 3rd token with a copy-tagged
-    positional token: every 3-shingle contains a replaced token, so no
-    cross-copy near-dup pairs exist, while the planted near-dup structure
-    WITHIN each copy is preserved (same positions replaced with the same
-    tokens in similar docs); n_chars is recomputed;
+  - document copy k > 0 RENAMES every token with a per-copy suffix
+    (t -> t_v{k}): a bijection on the token vocabulary, so every
+    within-copy statistic (near-dup structure, df distribution, token
+    Jaccard values, shingle sets) is exactly isomorphic to the base
+    corpus, while copies share ZERO tokens with each other and with the
+    original — no cross-copy pairs at ANY similarity granularity.
+    (The previous scheme replaced every 3rd token, which killed
+    cross-copy 3-shingle pairs but left copies of one base doc sharing
+    exactly 2/3 of their TOKENS — token-set Jaccard exactly 0.5, i.e.
+    ON qd6's threshold: at factor F that planted C(F,2) cross-copy
+    pairs per base doc, a quadratic-in-F artifact that read as a fake
+    super-linear scaler. Measured at factor 10: 34,002 of 116,377 qd6
+    pairs were cross-copy artifacts.) n_chars is recomputed;
   - embedding copy k > 0 cyclically rotates the vector by k components:
     rotations of isotropic vectors are ~orthogonal (no cross-copy cosine
     pairs), and the per-copy successor-blend structure qs9 plants in-query
@@ -80,7 +88,7 @@ def main() -> None:
         doc_sel.append(
             f"SELECT doc_id + {k * OFF} AS doc_id, "
             "array_to_string(list_transform(string_split(text, ' '), "
-            f"(t, i) -> CASE WHEN i % 3 = 0 THEN 'v{k}p' || i ELSE t END), ' ') AS text, "
+            f"t -> t || '_v{k}'), ' ') AS text, "
             f"lang, source, 0 AS n_chars FROM {rp('documents')}")
     # n_chars participates in the qd6 length band — recompute it
     con.execute(
