@@ -66,22 +66,38 @@ object SrpLsh {
     * multi-table SRP bucket collisions. Bucket hashing runs in ONE
     * codegen'd pass over the vector per table set
     * (functions.SrpBucketHashes) instead of tables×bits separate dot
-    * expressions per row. */
+    * expressions per row.
+    *
+    * SHUFFLE SHAPE (r17): the bucket self-join and the pair dedup move
+    * SKINNY (table, bucket, id) / (id_a, id_b) rows only; the vectors
+    * are re-attached AFTER the distinct, so the wide rows are born in
+    * the verify stage and never cross an exchange. The previous form
+    * carried both 64-dim double vectors through the self-join AND the
+    * dedup — ~2×520 bytes on every one of the ~4·L·n candidate rows
+    * (≈20 GB of shuffle at sf10) where the ids cost 16 bytes; measured
+    * isolated 3-pass medians moved 78.3 → 21.7 s at sf10 and 2.3 →
+    * 1.8 s at sf0.1, turning a 23× decade ratio into ~5×. (sf1 pays
+    * ~+1 s for the two extra join stages — the right trade: the saving
+    * scales with candidate volume, the cost is fixed.) Same at-scale
+    * rationale as MinHashLSH's skinny band join. */
   def candidatePairs(emb: DataFrame, bits: Int = 8, tables: Int = 8,
                      dim: Int = 64): DataFrame = {
     val planes = hyperplanes(dim, bits, tables)
-    val buckets = emb.select(col("vec_id"), col("embedding"),
+    val buckets = emb.select(col("vec_id"),
       posexplode(graft.functions.SrpFunctions
           .srpBuckets(emb.sparkSession, col("embedding"), planes))
         .as(Seq("table_idx", "bucket")))
     val a = buckets.as("a"); val b = buckets.as("b")
-    a.join(b,
+    val pairs = a.join(b,
         col("a.table_idx") === col("b.table_idx") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("a.embedding").as("vec_a"), col("b.embedding").as("vec_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val va = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+    val vb = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+    pairs.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"))
   }
 
   /** Near-dup pairs (id_a < id_b) with exact cosine ≥ threshold, found
