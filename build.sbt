@@ -28,3 +28,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Collector selection for scale soaks (tools/run_bench.sh sets it):
+// SPARK_GRAFT_GC=zgc runs the forked JVM under ZGC — the sf10 protocol,
+// where G1's stop-the-world waves on the 48g heap bill to whichever
+// entry runs next (BENCH_scale.md r17 G1/ZGC A/B). Unset/anything else
+// keeps the JVM default (G1), the sf0.1 protocol-pair collector. The
+// bench artifact records which collector actually ran (`gc` field).
+javaOptions ++= (if (sys.env.get("SPARK_GRAFT_GC").contains("zgc"))
+  Seq("-XX:+UseZGC") else Seq.empty)

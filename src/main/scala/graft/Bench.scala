@@ -10,7 +10,10 @@ package graft
   * first measured query doesn't pay session/codegen start-up.
   *
   * Single runs on a shared machine have ±50% noise (observed qs9
-  * 1.87–3.35 s across runs), so the protocol is pinned: ONE full
+  * 1.87–3.35 s across runs), so the protocol is pinned: a corpus
+  * PRE-TOUCH (every byte of the sf dir streamed once before anything is
+  * timed, pinning the page-cache state — the r17 protocol pairs drifted
+  * +9% near-uniformly with cache churn from earlier soaks), ONE full
   * unmeasured warm-up pass (every entry reaches steady JIT/codegen
   * state — excluded from all stats), a load guard that flags runs whose
   * measured FOREIGN cpu share across the whole run exceeds the bar
@@ -86,6 +89,50 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
+  /** Which collector this JVM runs, for the artifact: the sf10 soak
+    * protocol is ZGC (G1's stop-the-world waves on the 48 GB heap bill
+    * to whichever entry runs next — r17 A/B) while sf0.1 protocol pairs
+    * stay G1 for round-over-round comparability. Recording the collector
+    * in the JSON makes a soak run under the wrong collector
+    * self-declaring instead of silently reopening the wave argument. */
+  private def gcCollector(): String = {
+    import scala.jdk.CollectionConverters._
+    val names = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getName)
+    if (names.exists(_.startsWith("ZGC"))) "ZGC"
+    else if (names.exists(_.contains("G1"))) "G1"
+    else if (names.exists(_.contains("Shenandoah"))) "Shenandoah"
+    else names.mkString("+")
+  }
+
+  /** Corpus pre-touch: stream every byte of every file under the sf dir
+    * before the session spins up, so the page-cache state of the corpus
+    * is PINNED WARM for every run. Without it, whatever ran on the box
+    * earlier decides how much of the corpus each run reads from disk vs
+    * cache — the r17 protocol pairs drifted +9% near-uniformly after
+    * sf10 soaks churned the cache, costing a round of attribution
+    * argument. Runs outside every timed window (before warm-up);
+    * recorded in the artifact (`pretouch`). SPARK_GRAFT_BENCH_PRETOUCH=0
+    * skips it (diagnostics only — protocol runs keep it on). */
+  private def pretouch(dir: String): Option[(Long, Double)] =
+    if (sys.env.get("SPARK_GRAFT_BENCH_PRETOUCH").contains("0")) None
+    else {
+      val t0 = System.nanoTime()
+      var bytes = 0L
+      val buf = new Array[Byte](1 << 20)
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(walk))
+        else if (f.isFile) {
+          val in = new java.io.FileInputStream(f)
+          try {
+            var n = in.read(buf)
+            while (n >= 0) { bytes += n; n = in.read(buf) }
+          } finally in.close()
+        }
+      walk(new java.io.File(dir))
+      Some((bytes, (System.nanoTime() - t0) / 1e9))
+    }
+
   /** System-wide busy CPU seconds since boot (USER_HZ = 100 jiffies):
     * user+nice+system+irq+softirq+steal from /proc/stat's cpu line.
     * Fields 8+ (guest, guest_nice) are EXCLUDED — the kernel already
@@ -119,6 +166,11 @@ object Bench {
     // `load` artifact field) once (systemBusy − ownCpu)/wall is known
     val cores = Runtime.getRuntime.availableProcessors
     val loadStart = loadAvg()
+    // pin the corpus page-cache state BEFORE anything is timed (and
+    // before the session's own threads muddy the foreign-load accounting)
+    val touched = pretouch(sfDir)
+    touched.foreach { case (b, s) => System.err.println(
+      f"[bench] pretouch: ${b / 1e6}%.0f MB of $sfDir in $s%.1f s") }
     val wall0 = System.nanoTime()
     val busy0 = systemBusySec(); val own0 = processCpuSec()
     val spark = GraftSession.driverLocal()
@@ -394,7 +446,9 @@ object Bench {
     val loadJson = s"""{"start":${f4(loadStart)},"end":${f4(loadEnd)},""" +
       s""""foreign_cores":${foreignCores.fold("null")(f4)},"cores":$cores,""" +
       s""""flagged":$loaded}"""
-    val line = s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":${f4(totalMin)},"failures":$failures,"sf":"$sfDir","runs":$Passes,"warmup":$WarmupPasses,"load":$loadJson,"stat":"median"}"""
+    val pretouchJson = touched.fold("null") { case (b, s) =>
+      s"""{"bytes":$b,"sec":${f4(s)}}""" }
+    val line = s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":${f4(totalMin)},"failures":$failures,"sf":"$sfDir","runs":$Passes,"warmup":$WarmupPasses,"gc":"${gcCollector()}","pretouch":$pretouchJson,"load":$loadJson,"stat":"median"}"""
     // the full artifact (per-pass raw seconds included) also lands in a
     // file the driver/judge can ingest whole, immune to stdout capture
     val passesJson = passes.map(p => p.map { case (k, v) =>

@@ -33,10 +33,10 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  // memory-backed ImageIO stream cache — see the VideoFrames companion
-  // note: the default disk cache pays a tmp-file round trip per
-  // encode/decode and is the image path's dominant variance source
-  javax.imageio.ImageIO.setUseCache(false)
+  // memory-backed ImageIO stream cache (the default disk cache pays a
+  // tmp-file round trip per encode/decode and was the image path's
+  // dominant variance source) — policy and rationale live in Codecs
+  Codecs.ensureImageIoMemoryCache()
 
   val FeatureDim = 16
 

@@ -29,16 +29,9 @@ import javax.imageio.ImageIO
   */
 object VideoFrames {
 
-  // ImageIO's default stream cache is DISK-backed: every read/write on a
-  // non-file stream creates, fills, and deletes an imageio*.tmp in
-  // java.io.tmpdir. On this path that is ~6 temp-file round trips per
-  // video row across 32 threads — measured ~1.5-2× slower per op than
-  // the memory cache AND the dominant run-to-run variance source (the
-  // cost tracks tmp-FS/page-cache state, not the work). All payloads
-  // here are in-memory byte arrays, so the memory cache is strictly
-  // better. Process-global, idempotent; also set at Multimodal's PNG
-  // path so whichever codec class loads first flips it for the JVM.
-  ImageIO.setUseCache(false)
+  // memory-backed ImageIO stream cache (~6 disk-cache temp-file round
+  // trips per video row otherwise) — policy and rationale live in Codecs
+  Codecs.ensureImageIoMemoryCache()
 
   private def fourcc(b: Array[Byte], off: Int): String =
     new String(b, off, 4, US_ASCII)

@@ -79,7 +79,16 @@ object SrpLsh {
     * 1.8 s at sf0.1, turning a 23× decade ratio into ~5×. (sf1 pays
     * ~+1 s for the two extra join stages — the right trade: the saving
     * scales with candidate volume, the cost is fixed.) Same at-scale
-    * rationale as MinHashLSH's skinny band join. */
+    * rationale as MinHashLSH's skinny band join.
+    *
+    * `emb` is referenced three times (bucket explode + both re-attach
+    * sides). On the nearDups path that is NOT a triple recompute of the
+    * collapse: `Collapse.groups` is eagerly localCheckpointed, so the
+    * extra references re-read materialized blocks through a cheap
+    * projection. A DIRECT caller passing an expensive uncached frame
+    * pays the recompute — persist upstream in that case; an
+    * unconditional persist here would duplicate the collapse's
+    * checkpoint storage (corpus × vector width) for the common path. */
   def candidatePairs(emb: DataFrame, bits: Int = 8, tables: Int = 8,
                      dim: Int = 64): DataFrame = {
     val planes = hyperplanes(dim, bits, tables)

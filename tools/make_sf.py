@@ -83,6 +83,21 @@ def main() -> None:
         f"user_id + {k * OFF} AS user_id, event_type, value, props "
         f"FROM {rp('events')}" for k in range(factor)])
 
+    # the rename scheme's disjointness invariant is only as good as the
+    # base vocabulary: a base token ENDING in _v{k} (k < factor) collides
+    # with copy k's rename of its prefix, and an EMPTY base token (from
+    # repeated/leading spaces) renames to the bare literal '_v{k}' shared
+    # across a copy's docs. Assert both impossible up front — a silent
+    # violation would replant exactly the cross-copy artifact pairs the
+    # r17 generator rewrite removed.
+    bad = con.execute(
+        "SELECT count(*) FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS t "
+        f"FROM {rp('documents')}) WHERE t = '' OR regexp_matches(t, '_v[0-9]+$')"
+    ).fetchone()[0]
+    assert bad == 0, (
+        f"{bad} base token(s) collide with the per-copy rename scheme "
+        "(empty, or ending in _v<digits>) — copies would share tokens")
+
     doc_sel = [f"SELECT * FROM {rp('documents')}"]
     for k in range(1, factor):
         doc_sel.append(
