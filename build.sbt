@@ -27,6 +27,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pin the heap at startup (fault + zero every page BEFORE anything is
+  // timed): a 48g bench JVM launched right after another big JVM exits
+  // otherwise pays lazy first-touch faults and the kernel's reclaim of
+  // its predecessor's pages INSIDE the measured windows — the r18 pair
+  // probe read a near-uniform +7% (114/155 entries up) on the
+  // back-to-back leg with foreign load clean in both runs. The JVM
+  // analog of Bench's corpus pre-touch; costs seconds at startup.
+  "-XX:+AlwaysPreTouch",
 )
 // Collector selection for scale soaks (tools/run_bench.sh sets it):
 // SPARK_GRAFT_GC=zgc runs the forked JVM under ZGC — the sf10 protocol,

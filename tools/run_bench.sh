@@ -7,7 +7,15 @@
 #       sf0.1-class protocol run: G1 (the JVM default), 1 unmeasured
 #       warm-up pass + 3 measured passes, corpus pre-touch ON (Bench
 #       streams every byte of <sf_dir> before anything is timed — pins
-#       the page-cache state that drifted r17's pairs ±9%).
+#       the page-cache state that drifted r17's pairs ±9%; the heap is
+#       pinned too, -XX:+AlwaysPreTouch via build.sbt).
+#       PAIR PROTOCOL: run THREE legs back-to-back and DISCARD the
+#       first — the first leg after any box transition (a compile, a
+#       big JVM's exit, heavy I/O) reads a few % slow across the board
+#       even with both pre-touches (r18: legs 164.1 / 157.4 / 156.7 s
+#       min-sum — settle leg +4.3%, remaining pair agreeing 0.41%).
+#       Commit the two settled legs as BENCH_protoA/B_r{N}.json and the
+#       discarded leg as BENCH_settle_r{N}.json.
 #       Round-over-round comparisons use SAME-DAY pairs of these.
 #
 #   tools/run_bench.sh sf10 <sf_dir> <out.json>
@@ -20,7 +28,10 @@
 # collector actually ran, `pretouch` the bytes/seconds of the cache pin,
 # `load` the foreign-CPU guard. Keep the box otherwise idle.
 set -euo pipefail
-mode=${1:?usage: $0 {pair|sf10} <sf_dir> <out.json>}; sf=$2; out=$3
+if [ $# -ne 3 ]; then
+  echo "usage: $0 {pair|sf10} <sf_dir> <out.json>" >&2; exit 2
+fi
+mode=$1; sf=$2; out=$3
 case "$mode" in
   pair) gc="" passes=3 warmup=1 ;;
   sf10) gc="zgc" passes=1 warmup=0 ;;
