@@ -27,13 +27,22 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // Pin the heap at startup (fault + zero every page BEFORE anything is
-  // timed): a 48g bench JVM launched right after another big JVM exits
-  // otherwise pays lazy first-touch faults and the kernel's reclaim of
-  // its predecessor's pages INSIDE the measured windows — the r18 pair
-  // probe read a near-uniform +7% (114/155 entries up) on the
-  // back-to-back leg with foreign load clean in both runs. The JVM
-  // analog of Bench's corpus pre-touch; costs seconds at startup.
+)
+// Pin the heap at startup (fault + zero every page BEFORE anything is
+// timed): a 48g bench JVM launched right after another big JVM exits
+// otherwise pays lazy first-touch faults and the kernel's reclaim of
+// its predecessor's pages INSIDE the measured windows — the r18 pair
+// probe read a near-uniform +7% (114/155 entries up) on the
+// back-to-back leg with foreign load clean in both runs. The JVM
+// analog of Bench's corpus pre-touch; costs seconds at startup.
+// AlwaysPreTouch only touches the COMMITTED heap, so -Xms must match
+// -Xmx or every later expansion toward the max faults + zeroes pages
+// inside measured windows anyway — the exact cost the flag exists to
+// pre-pay. Scoped to run/ (the bench JVM): a forked TEST JVM that
+// commits and zeroes the whole heap up front would slow every suite
+// and pressure smaller boxes for no benefit — tests aren't timed.
+run / javaOptions ++= Seq(
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+AlwaysPreTouch",
 )
 // Collector selection for scale soaks (tools/run_bench.sh sets it):

@@ -2517,20 +2517,48 @@ ORDER BY media_id"""
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // Candidate generation mirrors the engine's AllPairs prefix filter
+    // (TextOps.qd6Pairs) rather than an all-pairs self-join within each
+    // (lang, source) cell: the prefix filter is LOSSLESS for J >= t
+    // under ANY consistent global token order (the minimal shared token
+    // of a qualifying pair lies in both prefixes), and every candidate
+    // is verified by the exact Jaccard below — so the result set is
+    // bit-identical to the semantic all-pairs form (checked at
+    // sf0.01/sf0.1: identical rows), while the oracle stays feasible at
+    // sf10 where the cell-quadratic form is not (26 s vs hours: 3.2e9
+    // cell pairs). The oracle's (df, tok) order need not match the
+    // engine's — both candidate supersets contain all true pairs.
     "qd6_ngram_jaccard" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source, n_chars,
         |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks
         |  FROM documents
+        |), posts AS (
+        |  SELECT doc_id, unnest(toks) AS tok FROM d
+        |), dfreq AS (
+        |  SELECT tok, count(*) AS df FROM posts GROUP BY tok
+        |), pre AS (
+        |  SELECT p.doc_id, p.tok, dd.lang, dd.source, dd.n_chars
+        |  FROM (
+        |    SELECT doc_id, tok,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY df, tok) AS rk
+        |    FROM posts JOIN dfreq USING (tok)
+        |  ) p
+        |  JOIN d dd ON dd.doc_id = p.doc_id
+        |  WHERE p.rk <= floor(0.5 * len(dd.toks)) + 1
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pre a JOIN pre b
+        |    ON a.tok = b.tok AND a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 16
         |)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  len(list_intersect(a.toks, b.toks))::DOUBLE
-        |    / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE AS jaccard
-        |FROM d a JOIN d b
-        |  ON a.lang = b.lang AND a.source = b.source
-        | AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 16
-        |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
-        |    / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE >= 0.5
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT c.doc_a, c.doc_b,
+        |    len(list_intersect(da.toks, db.toks))::DOUBLE
+        |      / len(list_distinct(list_concat(da.toks, db.toks)))::DOUBLE AS jaccard
+        |  FROM cand c JOIN d da ON da.doc_id = c.doc_a
+        |              JOIN d db ON db.doc_id = c.doc_b)
+        |WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "qd7_keyword_search" ->

@@ -16,7 +16,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class CodecsSpec extends AnyFunSuite {
 
   test("Codecs init flips ImageIO to the memory cache") {
-    Codecs.ensureImageIoMemoryCache()
+    // Reference the object WITHOUT calling ensureImageIoMemoryCache():
+    // the flip under test is the one in the object initializer (the
+    // load-order guarantee this suite guards). Calling the method here
+    // would make the assert pass even with the initializer deleted.
+    identity(Codecs)
     assert(!ImageIO.getUseCache)
   }
 
