@@ -23,6 +23,14 @@
 #       stop-the-world waves on the 48g heap bill to adjacent entries
 #       (BENCH_scale.md r17 G1/ZGC A/B); single measured pass, no
 #       warm-up pass (one pass is ~30 min), pre-touch ON.
+#       SCALE PROTOCOL (r19): one leg is NOT a record. Run >=3 legs
+#       back-to-back, discard the first (settle leg — up to 2.2x high
+#       after a box transition at sf1), and compose the record as the
+#       per-entry min over the settled legs (tools/compose_min.py):
+#       settled legs still carry episodic per-entry excursions (2-16x,
+#       different entries each leg, load guard clean, zero ZGC
+#       allocation stalls in -Xlog:gc) that only the cross-leg min
+#       removes.
 #
 # The emitted JSON self-declares the protocol: `gc` records which
 # collector actually ran, `pretouch` the bytes/seconds of the cache pin,
