@@ -68,25 +68,35 @@ object Ann {
   }
 
   /** Corpus vectors re-assigned to their nearest centroid (the honest IVF
-    * assignment — label is only the seed partition). */
+    * assignment — label is only the seed partition).
+    *
+    * The argmax runs as ONE codegen'd kernel pass per vector against the
+    * centroid array (`ArgmaxCosine` — 6dp round before the argmax, NaN
+    * ordered greatest, ties to the lowest cell via ascending-cell visit
+    * order), bit-identical to the explode-k-candidates +
+    * `max(struct(round(cosine), 6), -cell)` form it replaces but with NO
+    * row blowup and NO exchange: the old struct-max compiled to
+    * Sort + SortAggregate + Exchange over an n×k candidate stream — at
+    * 100 TB the assignment pass is now pure map-side work. */
   def assignments(emb: DataFrame, cents: DataFrame): DataFrame = {
-    emb.select(col("vec_id"), col("label"), col("embedding").as("v"))
-      .crossJoin(broadcast(cents))
-      // round to 6dp BEFORE the argmax (ties then break on cell id): the
-      // discrete cell choice must not hinge on sub-1e-6 noise in the
-      // centroid means, or the SQL mirror of the low-probe configuration
-      // (qs12) could diverge on summation order
-      .withColumn("csim", round(cosine(col("v"), col("centroid")), 6))
-      // argmax as max(struct(csim, -cell, …)): lexicographic struct max =
-      // highest csim, ties to the LOWEST cell — same deterministic choice
-      // as a (csim DESC, cell) row_number window, but a groupBy aggregate
-      // PARTIAL-aggregates map-side (k candidates collapse to one row per
-      // vector before the exchange), where a window must shuffle and sort
-      // all k rows per vector — the difference that matters at 100 TB
-      .groupBy("vec_id")
-      .agg(max(struct(col("csim"), (-col("cell")).as("neg_cell"),
-        col("cell"), col("v"))).as("m"))
-      .select(col("vec_id"), col("m.cell").as("cell"), col("m.v").as("v"))
+    // centroids are a k×dim driver-held local relation in every caller
+    // (localCentroids / refinedCentroids / frozen stream models) — the
+    // collect is free, and ascending-cell order makes the kernel's
+    // lowest-index tie-break the family's lowest-cell tie-break
+    val cellType = cents.schema.fields.head.dataType
+    val rows = cents.collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue(),
+        r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue())))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "assignments: empty centroid table")
+    val cellsLit = typedLit(rows.map(_._1).toSeq)
+    val centsLit = typedLit(rows.map(_._2.toSeq).toSeq)
+    emb.select(col("vec_id"), col("embedding").as("v"))
+      .select(col("vec_id"),
+        element_at(cellsLit,
+          graft.functions.ArgminFunctions.argmaxCosine(col("v"), centsLit) + lit(1))
+          .cast(cellType).as("cell"),
+        col("v"))
   }
 
   /** ANN top-k over the embeddings table: probe the `nprobe` best cells
@@ -1385,25 +1395,33 @@ object Ann {
     * member KEEPS its previous codeword (the standard k-means empty-
     * cluster rule, mirrored by the oracle's LEFT JOIN + coalesce).
     *
-    * Scale shape: one n×m×k candidate stream per round against the
-    * BROADCAST codebook (the qe8 encode cost), partial-aggregated
-    * map-side; the means collect m×k×(dim/m) rows — the codebook stays
-    * a driver-held local relation between rounds, exactly like the
-    * seed. Cost = iters × encode; the corpus never shuffles. */
+    * Scale shape: the assignment is ONE map-side codegen'd argmin pass
+    * per sub-vector against the driver-held codebook (`ArgminDist2` —
+    * bit-identical to the old explode-k-candidates +
+    * `min(struct(round(d2, 6), code))`, which compiled to
+    * Sort + SortAggregate + Exchange over an n×m×k candidate stream);
+    * the means collect m×k×(dim/m) rows — the codebook stays a
+    * driver-held local relation between rounds, exactly like the seed.
+    * Cost = iters × one corpus pass; the corpus never shuffles. */
   private[graft] def refineCodebook(sv: DataFrame, cb0: DataFrame,
                                     iters: Int): DataFrame = {
     val spark = cb0.sparkSession
     var cb = cb0
     (1 to iters).foreach { _ =>
-      val asg = sv.join(broadcast(cb), Seq("sub"))
-        .select(col("vec_id"), col("sub"),
-          round(subDist2(col("x"), col("cw")), 6).as("d2"),
-          col("code"), col("x"))
-        .groupBy("vec_id", "sub")
-        // (d2, code) is unique per candidate row, so the struct min is
-        // decided before the trailing x ever compares
-        .agg(min(struct(col("d2"), col("code"), col("x"))).as("mn"))
-        .select(col("sub"), col("mn.code").as("code"), col("mn.x").as("x"))
+      // pack the codebook [sub][rank] (codes ascending per sub, so the
+      // kernel's lowest-index tie-break is the lowest-code tie-break)
+      val cbRows = cb.collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      val perSub = (0 to cbRows.map(_._1).max).map(s =>
+        cbRows.filter(_._1 == s).sortBy(_._2))
+      val codesAllLit = typedLit(perSub.map(_.map(_._2).toSeq).toSeq)
+      val cwsAllLit = typedLit(perSub.map(_.map(_._3.toSeq).toSeq).toSeq)
+      val idx = graft.functions.ArgminFunctions.argminDist2(
+        col("x"), element_at(cwsAllLit, col("sub") + lit(1)))
+      val asg = sv.select(col("sub"),
+        element_at(element_at(codesAllLit, col("sub") + lit(1)), idx + lit(1))
+          .as("code"),
+        col("x"))
       val refreshed = asg
         .select(col("sub"), col("code"), posexplode(col("x")).as(Seq("dim", "xv")))
         .groupBy("sub", "code", "dim")
@@ -1425,20 +1443,27 @@ object Ann {
   }
 
   /** Encode (vec_id, embedding) rows against a frozen codebook — the
-    * assignments argmin shape (6dp round, ties to the lowest code),
-    * map-side against the broadcast codebook; no label needed. */
+    * assignments argmin shape (6dp round, ties to the lowest code).
+    * All m sub-space argmins run in ONE map-side projection per row
+    * (`ArgminDist2` against the driver-held codebook), so the encode is
+    * zero-shuffle and zero-blowup — the old form exploded n×m×k
+    * candidate rows and paid Sort + SortAggregate + two Exchanges to
+    * reduce them back. Bit-identical by the kernel's exactness contract
+    * (same 6dp round, same nan-safe compare, ties to the lowest code). */
   private[graft] def pqCodes(emb: DataFrame, cb: DataFrame, m: Int,
-                             subDim: Int): DataFrame =
-    subVectors(emb, m, subDim)
-      .join(broadcast(cb), Seq("sub"))
-      .select(col("vec_id"), col("sub"), col("code"),
-        round(subDist2(col("x"), col("cw")), 6).as("d2"))
-      .groupBy("vec_id", "sub")
-      .agg(min(struct(col("d2"), col("code"))).as("mn"))
-      .groupBy("vec_id")
-      .agg(array_sort(collect_list(struct(col("sub"), col("mn.code").as("code"))))
-        .as("ps"))
-      .select(col("vec_id"), expr("transform(ps, p -> p.code)").as("codes"))
+                             subDim: Int): DataFrame = {
+    val cbRows = cb.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val codeCols = (0 until m).map { s =>
+      val cands = cbRows.filter(_._1 == s).sortBy(_._2)
+      val codesLit = typedLit(cands.map(_._2).toSeq)
+      val cwsLit = typedLit(cands.map(_._3.toSeq).toSeq)
+      element_at(codesLit, graft.functions.ArgminFunctions.argminDist2(
+        expr(s"slice(cast(embedding as array<double>), ${s * subDim + 1}, $subDim)"),
+        cwsLit) + lit(1))
+    }
+    emb.select(col("vec_id"), array(codeCols: _*).as("codes"))
+  }
 
   /** qe7 entry: recall@k evaluation of the low-probe IVF search against
     * exact brute-force ground truth — the index-quality report every ANN
