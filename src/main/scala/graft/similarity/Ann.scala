@@ -1119,17 +1119,33 @@ object Ann {
       .select(col("q_id"), col("cand_id"))
       .localCheckpoint() // four consumers — never recompute the kernel
     val nq = exact.select(col("q_id")).distinct().count()
-    val methods = Seq(
-      "ivf_sq8" -> qe20IvfSqTopk(spark, dir, k, maxQ = maxQ),
-      "pq" -> qe8PqTopk(spark, dir, k, maxQ = maxQ),
-      "residual_pq" -> qe10IvfPqResidualTopk(spark, dir, k, maxQ = maxQ),
-      "sq8" -> qe11SqTopk(spark, dir, k, maxQ),
-      "truncated_rerank" -> qe12TruncatedRerank(spark, dir, k, maxQ = maxQ))
-    val rows = methods.map { case (name, df) =>
-      val hits = df.select(col("q_id"), col("cand_id"))
-        .join(exact, Seq("q_id", "cand_id")).count()
-      (name, nq, hits, hits * 1000000L / (nq * k))
-    }
+    val methods: Seq[(String, () => DataFrame)] = Seq(
+      "ivf_sq8" -> (() => qe20IvfSqTopk(spark, dir, k, maxQ = maxQ)),
+      "pq" -> (() => qe8PqTopk(spark, dir, k, maxQ = maxQ)),
+      "residual_pq" -> (() => qe10IvfPqResidualTopk(spark, dir, k, maxQ = maxQ)),
+      "sq8" -> (() => qe11SqTopk(spark, dir, k, maxQ)),
+      "truncated_rerank" -> (() => qe12TruncatedRerank(spark, dir, k, maxQ = maxQ)))
+    // the five method evaluations are INDEPENDENT jobs over the shared
+    // checkpointed ground truth — submit them concurrently so the next
+    // method's tasks back-fill executors freed by the current method's
+    // tail (guide §2.6: actions are only sequential because driver code
+    // calls them sequentially). Each count is exact, so the report is
+    // unchanged; memoized codebooks/centroids are behind
+    // ConcurrentHashMap.computeIfAbsent, so a cold-session race trains
+    // each model exactly once.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(methods.size)
+    val rows = try {
+      val futures = methods.map { case (name, mk) =>
+        name -> pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = mk().select(col("q_id"), col("cand_id"))
+            .join(exact, Seq("q_id", "cand_id")).count()
+        })
+      }
+      futures.map { case (name, f) =>
+        val hits = f.get()
+        (name, nq, hits, hits * 1000000L / (nq * k))
+      }
+    } finally pool.shutdown()
     rows.toDF("method", "n_queries", "hits", "recall_micro")
       .orderBy("method")
   }
