@@ -279,6 +279,11 @@ object Bench {
         graft.dedup.MinHashLSH.clearCache()
         graft.similarity.Ann.clearIndexCache()
         graft.similarity.SemDedup.clearCache()
+        // trained-tokenizer memos (BPE merge table, unigram pieces) are
+        // cleared like the signature memo: each pass pays the training
+        // once, via the same first consumer
+        graft.operators.TextOps.clearBpeCache()
+        graft.text.Unigram.clearCache()
         System.gc() // let the ContextCleaner reclaim dropped checkpoints
       }
       val passOrder = shuffleSeed.fold(ordered) { seed =>
@@ -373,6 +378,8 @@ object Bench {
       // (qb1's settle runs re-evict them inside their own window anyway)
       graft.similarity.Ann.clearIndexCache()
       graft.similarity.SemDedup.clearCache()
+      graft.operators.TextOps.clearBpeCache()
+      graft.text.Unigram.clearCache()
       System.gc(); Thread.sleep(200); System.gc()
       ordered.filter(t => unsettled(t._1)).foreach { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -1471,10 +1471,55 @@ object TextOps {
     * loop. Default depth is 32 (was 3), proving the vocab-bounded claim
     * at real depth. */
   def qd28BpeMerges(spark: SparkSession, dir: String,
-                    nMerges: Int = DefaultBpeMerges): DataFrame = {
+                    nMerges: Int = DefaultBpeMerges): DataFrame =
+    bpeTrainMemo(spark, dir, nMerges)._1
+
+  // Trained BPE models (merge table + post-merge vocabulary), memoized
+  // per (session, corpus contents, depth) — the MinHash-signature memo
+  // policy: a tokenizer is trained ONCE per corpus and served to every
+  // consumer (qd28/qd29/qd38/qd39 each paid the full terms-groupBy +
+  // collect + train), the memo is billed to its first consumer within a
+  // bench pass, and the bench clears it at every pass boundary so each
+  // pass pays training exactly once. Values are driver-pure (collected
+  // rows), so no Spark blocks can dangle on a failure.
+  private val bpeCache = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[
+      String, (Array[(Long, String, String, Long)],
+               Array[(String, Seq[String], Long)])]]()
+
+  private def bpePerSession(spark: SparkSession) = bpeCache.synchronized {
+    var m = bpeCache.get(spark)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[
+        String, (Array[(Long, String, String, Long)],
+                 Array[(String, Seq[String], Long)])]()
+      bpeCache.put(spark, m)
+    }
+    m
+  }
+
+  /** Drop the memoized BPE models (bench pass-boundary hygiene). */
+  def clearBpeCache(): Unit = bpeCache.synchronized {
+    bpeCache.values.forEach(_.clear())
+    bpeCache.clear()
+  }
+
+  /** Corpus-trained BPE model via the session memo: (merge table,
+    * post-merge vocabulary), both rebuilt as local relations from the
+    * cached driver-held rows — every consumer reconstructs the identical
+    * frames. */
+  private[graft] def bpeTrainMemo(spark: SparkSession, dir: String,
+                                  nMerges: Int)
+      : (DataFrame, Dataset[(String, Seq[String], Long)]) = {
     import spark.implicits._
-    bpeMerges(bpeV0(spark, dir).map { case (_, syms, wc) => (syms, wc) },
-      nMerges)
+    val cached = bpePerSession(spark).computeIfAbsent(
+      s"${graft.Tables.contentKey(s"$dir/documents.parquet")}|bpe|$nMerges", _ => {
+        val (mt, vocab) = bpeTrain(bpeV0(spark, dir), nMerges)
+        (mt.as[(Long, String, String, Long)].collect(), vocab.collect())
+      })
+    (spark.createDataset(cached._1.toSeq)
+      .toDF("iter", "sym_a", "sym_b", "n_occ").orderBy("iter"),
+      spark.createDataset(cached._2.toSeq))
   }
 
   /** The weighted character-level start vocabulary every BPE entry
@@ -1687,7 +1732,7 @@ object TextOps {
   def qd29BpeEncode(spark: SparkSession, dir: String,
                     nMerges: Int = DefaultBpeMerges): DataFrame = {
     import spark.implicits._
-    val vocab = bpeTrain(bpeV0(spark, dir), nMerges)._2
+    val vocab = bpeTrainMemo(spark, dir, nMerges)._2
       .map { case (t, syms, _) => (t, syms.length.toLong) }
       .toDF("term", "n_syms")
     terms(spark, dir)
@@ -1780,7 +1825,7 @@ object TextOps {
   private def packedTokenStream(spark: SparkSession, dir: String,
                                 nMerges: Int): DataFrame = {
     import spark.implicits._
-    val vocab = bpeTrain(bpeV0(spark, dir), nMerges)._2
+    val vocab = bpeTrainMemo(spark, dir, nMerges)._2
     val bcSym = spark.sparkContext.broadcast(bpeSymbolIds(vocab))
     val termIds = vocab.map { case (t, syms, _) =>
       (t, syms.map(bcSym.value), syms.length.toLong)

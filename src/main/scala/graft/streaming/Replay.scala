@@ -1154,7 +1154,8 @@ object Replay {
                            maxFilesPerTrigger: Int = 1,
                            pathGlobFilter: String = "*.parquet",
                            workDir: Option[String] = None,
-                           compactEvery: Int = 16): DataFrame = {
+                           compactEvery: Int = 16,
+                           piecesMemoKey: Option[String] = None): DataFrame = {
     val work = resolveWork(workDir, "graft_suniseg")
     val segSchema = StructType(Seq(
       StructField("doc_id", LongType),
@@ -1165,7 +1166,7 @@ object Replay {
     val state = new AppendOnlyState(work, Seq(("seg", segSchema)), compactEvery)
     // frozen model: the deterministic capped vocabulary of the corpus
     val pieces = graft.text.Unigram.inducedPieces(
-      spark.read.schema(docsSchema).parquet(dir))
+      spark.read.schema(docsSchema).parquet(dir), piecesMemoKey)
     val q = spark.readStream.schema(docsSchema)
       .option("pathGlobFilter", pathGlobFilter)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
@@ -1190,7 +1191,11 @@ object Replay {
     * lake; shares qd43's oracle SQL verbatim across the batch
     * boundary. */
   def qs36StreamSegment(spark: SparkSession, dir: String): DataFrame =
-    streamUnigramSegment(spark, stagedDocsLake(spark, dir))
+    // the staged lake is the SAME document set as the source corpus and
+    // the piece vocabulary is order-independent, so qs36 shares qd43's
+    // memo entry (the qs25/qs26 ticketed-signature-share precedent)
+    streamUnigramSegment(spark, stagedDocsLake(spark, dir),
+      piecesMemoKey = Some(graft.Tables.contentKey(s"$dir/documents.parquet")))
 
   /** Streaming LEAKAGE-SAFE split — qd35's arrival-time form: documents
     * stream in, every micro-batch pays only its own near-dup kernel +

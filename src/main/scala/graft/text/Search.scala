@@ -30,8 +30,16 @@ object Search {
            topK: Int = 10): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, dir, "documents")
-    val postings = docs
+    val query = queryTerms.toDF("term")
+    // restrict to query terms BELOW the tf aggregate (guide §2.3:
+    // aggregate/filter before you shuffle): per-(doc, term) counts are
+    // independent, so filtering first computes the identical qPostings
+    // while the exchange carries only query-term pairs instead of every
+    // distinct (doc_id, term) pair in the corpus — Catalyst cannot push
+    // a join through an aggregate on its own
+    val qPostings = docs
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .join(broadcast(query), "term")
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
     val docLen = docs.select(col("doc_id"),
@@ -42,9 +50,6 @@ object Search {
     // corpus scans before the real job even started
     val stats = docLen.agg(
       count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
-
-    val query = queryTerms.toDF("term")
-    val qPostings = postings.join(broadcast(query), "term")
     bm25From(qPostings, docLen, stats, topK)
   }
 
