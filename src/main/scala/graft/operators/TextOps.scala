@@ -678,16 +678,24 @@ object TextOps {
         xxhash64(lit(2), col("p.a")).as("t2"),
         xxhash64(lit(1), col("p.bg")).as("b1"),
         xxhash64(lit(2), col("p.bg")).as("b2"))
-    val biCounts = bigrams.groupBy("b1", "b2").agg(count(lit(1)).as("cab"))
-    bigrams
-      .join(biCounts, Seq("b1", "b2"))
+    // score each bigram TYPE once (the unigram context is a prefix of
+    // the bigram, so the probability is a pure function of the type)
+    // and join the position stream a single time on the bigram hash —
+    // the qd37/knReport restructure applied at depth 2
+    val typeCounts = bigrams.groupBy("b1", "b2", "t1", "t2")
+      .agg(count(lit(1)).as("cab"))
+    val typeVal = typeCounts
       .join(uniCounts, Seq("t1", "t2"))
       .crossJoin(broadcast(vocab))
+      .select(col("b1"), col("b2"),
+        (-log((col("cab") + 1).cast("double")
+          / (col("ca").cast("double") + col("v")))).as("nlp"))
+    bigrams.select(col("doc_id"), col("b1"), col("b2"))
+      .join(typeVal, Seq("b1", "b2"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_bigrams"),
-        round(avg(-log((col("cab") + 1).cast("double")
-          / (col("ca").cast("double") + col("v")))), 6).as("avg_neg_logprob"))
+        round(avg(col("nlp")), 6).as("avg_neg_logprob"))
       .orderBy("doc_id")
   }
 
@@ -745,14 +753,25 @@ object TextOps {
         xxhash64(lit(2), col("p.b")).as("bu2"),
         xxhash64(lit(1), col("p.c")).as("cu1"),
         xxhash64(lit(2), col("p.c")).as("cu2"))
-    val triCounts = tris.groupBy("t1", "t2").agg(count(lit(1)).as("ct"))
+    // the per-position probability is a pure function of the trigram
+    // TYPE (ab/bc/b/c are substrings of tg), so score each TYPE once and
+    // join the position stream a single time on the trigram hash — the
+    // old shape shuffled the full 10-hash position stream through FIVE
+    // sort-merge joins; now the four context joins run over the
+    // Heaps'-bounded type table and the position stream crosses exactly
+    // one exchange, projected to (doc_id, t1, t2) (guide §2.3/§2.4).
+    // Type-grouping carries the context hashes in the key — they are
+    // functions of the trigram, so the counts are unchanged.
+    val typeCounts = tris
+      .groupBy("t1", "t2", "ab1", "ab2", "bc1", "bc2",
+        "bu1", "bu2", "cu1", "cu2")
+      .agg(count(lit(1)).as("ct"))
     val p3 = (col("ct") + 1).cast("double") /
       (col("cab").cast("double") + col("v"))
     val p2 = (col("cbc") + 1).cast("double") /
       (col("cb_u").cast("double") + col("v"))
     val p1 = (col("cc_u") + 1).cast("double") / (col("n") + col("v"))
-    tris
-      .join(triCounts, Seq("t1", "t2"))
+    val typeVal = typeCounts
       .join(biCounts.select(col("b1").as("ab1"), col("b2").as("ab2"),
         col("cb").as("cab")), Seq("ab1", "ab2"))
       .join(biCounts.select(col("b1").as("bc1"), col("b2").as("bc2"),
@@ -762,10 +781,13 @@ object TextOps {
       .join(uniCounts.select(col("u1").as("cu1"), col("u2").as("cu2"),
         col("cu").as("cc_u")), Seq("cu1", "cu2"))
       .crossJoin(broadcast(vocab))
+      .select(col("t1"), col("t2"),
+        (-log(lit(0.6) * p3 + lit(0.3) * p2 + lit(0.1) * p1)).as("nlp"))
+    tris.select(col("doc_id"), col("t1"), col("t2"))
+      .join(typeVal, Seq("t1", "t2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trigrams"),
-        round(avg(-log(lit(0.6) * p3 + lit(0.3) * p2 + lit(0.1) * p1)), 6)
-          .as("avg_neg_logprob"))
+        round(avg(col("nlp")), 6).as("avg_neg_logprob"))
       .orderBy("doc_id")
   }
 
@@ -820,14 +842,21 @@ object TextOps {
     val tt = types.agg(count(lit(1)).cast("double").as("t"))
     val p = greatest(col("c") - lit(0.75), lit(0.0)) / col("cu") +
       lit(0.75) * col("nfw") / col("cu") * (col("nbw") / col("t"))
-    pos
-      .join(types, Seq("hu1", "hu2", "hw1", "hw2"))
+    // per-position P(w|u) is a pure function of the bigram TYPE — score
+    // each type once over the Heaps'-bounded type table and join the
+    // position stream a single time (the qd37 restructure: the old shape
+    // shuffled the full position stream through three joins)
+    val typeVal = types
       .join(ctx, Seq("hu1", "hu2"))
       .join(back, Seq("hw1", "hw2"))
       .crossJoin(broadcast(tt))
+      .select(col("hu1"), col("hu2"), col("hw1"), col("hw2"),
+        (-log(p)).as("nlp"))
+    pos
+      .join(typeVal, Seq("hu1", "hu2", "hw1", "hw2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(-log(p)), 6).as("avg_neg_logprob"))
+        round(avg(col("nlp")), 6).as("avg_neg_logprob"))
       .orderBy("doc_id")
   }
 
