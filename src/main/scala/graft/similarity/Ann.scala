@@ -466,44 +466,61 @@ object Ann {
         round(round(cosine(col("a.v"), col("b.v")), 6) * 1e6)
           .cast("long").as("sim_us"))
       .transform(graft.plans.ScaleTechniques.iterCheckpoint)
-    val pickW = Window.partitionBy("q_id")
-      .orderBy(col("score_us").desc, col("cand_id"))
-    var sel = spark.createDataFrame(
-      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("q_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("cand_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("step",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("rel_us",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("score_us",
-          org.apache.spark.sql.types.LongType))))
-    val chain = new graft.plans.ScaleTechniques.CheckpointChain
-    (1 to k).foreach { t =>
-      val remaining = cands
-        .join(sel.select("q_id", "cand_id"), Seq("q_id", "cand_id"), "left_anti")
-      val maxToSel = pairSim
-        .join(sel.select(col("q_id"), col("cand_id").as("cand_b")),
-          Seq("q_id", "cand_b"))
-        .select(col("q_id"), col("cand_a").as("cand_id"), col("sim_us"))
-        .groupBy("q_id", "cand_id")
-        .agg(max("sim_us").as("mx"))
-      val pick = remaining
-        .join(maxToSel, Seq("q_id", "cand_id"), "left")
-        .select(col("q_id"), col("cand_id"), col("rel_us"),
-          (lit(lambdaPct.toLong) * col("rel_us")
-            - lit((100 - lambdaPct).toLong) * coalesce(col("mx"), lit(0L)))
-            .as("score_us"))
-        .withColumn("rk", row_number().over(pickW))
-        .filter(col("rk") === 1)
-        .select(col("q_id"), col("cand_id"), lit(t.toLong).as("step"),
-          col("rel_us"), col("score_us"))
-      sel = chain.next(sel.unionByName(pick))
+    // DRIVER-LOCAL greedy (the localCC/bpeTrainLocal size-gate precedent,
+    // here safe BY CONSTRUCTION): cands is ≤ maxQ×c rows and pairSim
+    // ≤ maxQ×c² — cap-bounded, never corpus-proportional, the same genus
+    // as the adjudicated qe8/qe10 LUT collects. The k greedy steps are
+    // pure INTEGER arithmetic (λ%·rel_us − (100−λ%)·maxSim_us, argmax
+    // ties to the lowest cand_id), so the driver loop reproduces the
+    // distributed trace bit-for-bit while replacing k×(anti-join +
+    // aggregate + window + localCheckpoint) driver barriers — the
+    // dominant cost of the loop at every scale — with two bounded
+    // collects and zero per-step jobs.
+    val candRows = cands.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val simRows = pairSim.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .toMap // (q, cand_a, cand_b) -> sim_us
+    val out = Seq.newBuilder[org.apache.spark.sql.Row]
+    candRows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (q, qc) =>
+      val rel = qc.map(t => t._2 -> t._3).toMap
+      var remaining = qc.map(_._2).sorted // ascending cand_id = tie order
+      var selSoFar = List.empty[Long]
+      var t = 1
+      while (t <= k && remaining.nonEmpty) {
+        var bestId = -1L
+        var bestScore = 0L
+        remaining.foreach { cand =>
+          // max sim to the selected set over EXISTING pairs (the old
+          // inner join + max), 0 only when no selected pair exists (the
+          // old left join + coalesce at step 1) — sims can be negative,
+          // so the empty case must stay distinct from max-with-0
+          val sims = selSoFar.flatMap(s => simRows.get((q, cand, s)))
+          val mx = if (sims.isEmpty) 0L else sims.max
+          val score = lambdaPct.toLong * rel(cand) -
+            (100 - lambdaPct).toLong * mx
+          if (bestId < 0 || score > bestScore) { bestScore = score; bestId = cand }
+        }
+        out += org.apache.spark.sql.Row(q, bestId, t.toLong, rel(bestId), bestScore)
+        selSoFar = bestId :: selSoFar
+        remaining = remaining.filterNot(_ == bestId)
+        t += 1
+      }
     }
-    sel.orderBy("q_id", "step")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("q_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cand_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("step",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rel_us",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("score_us",
+        org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(out.result(): _*), schema)
+      .orderBy("q_id", "step")
   }
 
   def qe13ClusterSample(spark: SparkSession, dir: String): DataFrame = {
