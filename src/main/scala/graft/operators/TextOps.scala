@@ -1195,20 +1195,22 @@ object TextOps {
     // irreducible Pregel shuffle.
     var r = deg.select(col("src"), lit(1000000L).as("r"))
     val chain = new graft.plans.ScaleTechniques.CheckpointChain
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { it =>
       val inflow = edgesDeg
         .join(r, "src")
         .select(col("dst").as("src"),
           expr("(r * 85) div (deg * 100)").as("c"))
         .groupBy("src").agg(sum("c").as("inflow"))
       // every node of the undirected graph has degree >= 1, so inflow
-      // covers all nodes — an inner join loses nobody. localCheckpoint
-      // truncates the rank lineage each step (superseded generations'
-      // blocks are reclaimed by the ContextCleaner once the rebind
-      // drops the last reference).
-      r = chain.next(
-        inflow.select(col("src"),
-          (lit(150000L) + col("inflow")).as("r")))
+      // covers all nodes — an inner join loses nobody. The checkpoint
+      // truncates the rank lineage every SECOND step (plan depth stays
+      // bounded at two fused steps, halving the per-iteration job
+      // launches that dominate the loop on small-diameter graphs);
+      // superseded generations' blocks are reclaimed by the
+      // ContextCleaner once the rebind drops the last reference.
+      val next = inflow.select(col("src"),
+        (lit(150000L) + col("inflow")).as("r"))
+      r = if (it % 2 == 0 || it == iters) chain.next(next) else next
     }
     r.join(deg, "src")
       .select(col("src").as("doc_id"), col("deg").cast("long").as("degree"),
